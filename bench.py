@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect), after one
+untimed warmup query to amortize JVM/session startup out of the
+numbers (the driver compares per-query seconds, not cold-start).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from py_pubsub_pipeline_spark.registry import load_all  # noqa: E402
+from py_pubsub_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: one representative per operator family, heaviest first.
+HEADLINE = [
+    "agg_group",            # scan+filter+hash agg (TPC-H Q1 style)
+    "join_multiway",        # 5-table join chain
+    "join_broadcast",       # broadcast hash join
+    "win_rank",             # window functions
+    "limit_topk",           # global top-k
+    "dedup_ngram_jaccard",  # shingle inverted-index near-dup
+    "sim_topk",             # brute-force cosine top-k
+    "text_tokens",          # tokenize+explode+count
+    "stream_tumbling",      # time-window agg (batch twin)
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    spark = get_spark("bench")
+
+    # Warmup: trivial action to pay JVM/codegen startup once.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,7 @@
+"""Operator inventory — importing this package populates the registry."""
+
+from . import (  # noqa: F401
+    scans,
+    filters,
+    aggregates,
+)

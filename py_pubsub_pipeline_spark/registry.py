@@ -1,0 +1,55 @@
+"""Query registry: the single source of truth for the operator inventory.
+
+Each operator from SURVEY.md §2 registers here with
+  - a Spark DataFrame builder  (spark, sf_dir) -> DataFrame
+  - optionally, the ANSI-SQL oracle string DuckDB runs on the same
+    parquet tables (omitted only for genuinely non-SQL-expressible ops,
+    which the driver then checks rows-only).
+
+Determinism contract for oracle-checked queries (driver compares
+row-count + schema + order-insensitive value-hash):
+  * alias every computed column identically on both sides;
+  * round floating aggregates (ROUND(x, N)) on both sides so
+    accumulation-order ulp noise can't flip the hash;
+  * no LIMIT without a total order that is unique.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query builder under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle,
+                                   doc=(fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side-effect: populate REGISTRY)."""
+    from . import queries  # noqa: F401  (imports submodules)
+
+    return REGISTRY

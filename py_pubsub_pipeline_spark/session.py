@@ -1,0 +1,68 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs on local[N] single-JVM; the same settings are the
+ones we'd ship on a 1000-executor cluster: AQE on (runtime re-plan,
+skew-join splitting, partition coalescing), Arrow on (vectorized
+Python interop), UTC session timezone (parity with the DuckDB oracle
+and with naive parquet timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs that every entry point (re)applies, so the
+# engine behaves identically whether it built the session or received
+# one from the driver harness.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    # The corpus's events.ts is a parquet TIMESTAMP(NANOS) column, which
+    # Spark's vectorized reader rejects; read it as raw int64 nanos and
+    # convert in tables.table() (ns DIV 1000 -> microseconds, matching
+    # DuckDB's ns->us truncation — verified exact on the corpus).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: match the reference's permissive dynamic-typing posture
+    # (SURVEY.md §1.1 "schema system: none") and DuckDB's non-erroring
+    # casts in the oracle comparisons we control.
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (the driver
+    hands us its own session; these are all safe to set post-start)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable at runtime on this build — skip
+    return spark
+
+
+def get_spark(app_name: str = "py_pubsub_pipeline_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or get) a local session.
+
+    shuffle_partitions defaults to the local core count: at local scale
+    the 200-partition default just adds scheduling overhead; on a real
+    cluster you size it to ~2-3x total cores and let AQE coalesce.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    n_shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

@@ -1,0 +1,51 @@
+"""Table catalog over the driver's parquet corpus (TESTDATA.md).
+
+Scale-awareness: every reader here is a plain columnar parquet scan so
+Catalyst gets predicate pushdown / column pruning / partition pruning
+for free. ``dim()`` marks the tables small enough to broadcast at ANY
+scale factor (region/nation are bounded reference data — 5/25 rows at
+every SF), so joins against them never shuffle the fact side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import expr
+
+from .session import apply_runtime_confs
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Bounded-cardinality tables: safe to broadcast regardless of SF.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table. Plain parquet scan — keep it declarative
+    so pushdown/pruning reach the scan node."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts arrives as int64 nanoseconds (see session.RUNTIME_CONFS);
+        # integer-divide to µs (double math would lose precision at
+        # 1.7e18) and cast through to NTZ for DuckDB-naive parity.
+        df = df.withColumn(
+            "ts", expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
+        )
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the full corpus as a dict of DataFrames."""
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() surfaces."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
