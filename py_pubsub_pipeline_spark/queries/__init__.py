@@ -4,4 +4,8 @@ from . import (  # noqa: F401
     scans,
     filters,
     aggregates,
+    joins,
+    windows,
+    sorts_sets,
+    functions_scalar,
 )

@@ -1,0 +1,194 @@
+"""Scalar function library: string, date/time, math, array, JSON/map,
+casts. All JVM-side built-ins (whole-stage codegen) — no Python UDFs.
+
+Cross-engine cast gotchas handled here:
+- double -> int: Spark truncates, DuckDB rounds -> go through FLOOR;
+- ceil/floor: Spark returns LONG, DuckDB DOUBLE -> cast both to BIGINT;
+- ln/log: libm last-ulp differences -> ROUND(x, 6);
+- timestamp -> string: explicit format (date_format vs strftime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS up_name,
+           LOWER(c_mktsegment) AS lo_seg,
+           SUBSTRING(c_name, 10, 5) AS name_mid,
+           LENGTH(c_name) AS name_len,
+           CONCAT_WS('-', c_mktsegment, c_name) AS seg_name,
+           REPLACE(c_name, 'Customer#', 'C') AS short_name,
+           LPAD(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+           TRIM(CONCAT(' ', c_name, ' ')) AS trimmed,
+           split_part(c_name, '#', 2) AS name_num
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.substring("c_name", 10, 5).alias("name_mid"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("short_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+           CAST(DAY(o_orderdate) AS INTEGER) AS d,
+           CAST(QUARTER(o_orderdate) AS INTEGER) AS q,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_95,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time extraction, truncation, arithmetic, formatting."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        # DuckDB's date_trunc('month') yields DATE; align Spark's TIMESTAMP
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_95"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_disc_gap,
+           CAST(CEIL(l_quantity)  AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           POWER(l_quantity, 2) AS qty_sq,
+           ROUND(LN(l_extendedprice), 6) AS ln_price,
+           ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_gap"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(list_sum(CAST(embedding[1:8] AS DOUBLE[])) AS DOUBLE) AS head_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           CAST(embedding[1] AS DOUBLE) AS first_val
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over the embedding column (size/slice/filter/fold).
+    head_sum folds sequentially in both engines -> bit-identical."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.aggregate(
+            F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("head_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.col("embedding").getItem(0).cast("double").alias("first_val"),
+    )
+
+
+@query(
+    "fn_map_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           LENGTH(props) AS props_len
+    FROM events
+    """,
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + typed access (the props column is the
+    reference's dynamic-JSON payload shape, SURVEY.md §1.1)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        F.length("props").alias("props_len"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS price_str,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor_int,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST('3.25' AS DOUBLE) AS lit_double,
+           CAST('2024-06-01 12:30:00' AS TIMESTAMP) AS lit_ts,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family: double<->decimal<->string, string->timestamp.
+    double->int goes through FLOOR (Spark truncates, DuckDB rounds)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string").alias("price_str"),
+        F.floor("o_totalprice").cast("long").alias("price_floor_int"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.lit("3.25").cast("double").alias("lit_double"),
+        F.lit("2024-06-01 12:30:00").cast("timestamp_ntz").alias("lit_ts"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
