@@ -8,4 +8,9 @@ from . import (  # noqa: F401
     windows,
     sorts_sets,
     functions_scalar,
+    events_windows,
+    asof,
+    text,
+    dedup,
+    similarity,
 )

@@ -1,0 +1,82 @@
+"""As-of join (nearest-prior match) — no native Spark primitive.
+
+Implementation (SURVEY.md §2B join_asof): the union + last(ignorenulls)
+window trick. Union the right side's timestamps into the left's
+timeline per key, sort once per key, and carry the most recent right
+row forward with last(..., ignorenulls=True). One shuffle on the key,
+one per-partition sort — at 100 TB this beats a range-bucketed join
+when every left row needs a match, and it never expands rows. (The
+applyInPandas + pd.merge_asof variant would pay Arrow transfer on the
+whole table; this stays in Tungsten.)
+
+Oracle: DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           v.ts AS view_ts,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the most recent view by the same user at or
+    before the purchase (left as-of join on (user_id, ts))."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+
+    # Merge both sides into one per-user timeline. side=0 (view) sorts
+    # before side=1 (purchase) at equal timestamps, so a same-instant
+    # view is visible to the purchase — DuckDB ASOF's >= semantics.
+    left = purchases.select(
+        "user_id",
+        F.col("purchase_ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        "purchase_ts",
+        F.lit(None).cast("timestamp_ntz").alias("view_ts"),
+    )
+    right = views.select(
+        "user_id",
+        F.col("view_ts").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+        "view_ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "matched_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.col("matched_view_ts").alias("view_ts"),
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("matched_view_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )

@@ -1,0 +1,300 @@
+"""Deduplication family: exact, n-gram Jaccard (inverted index),
+MinHash+LSH banding, SimHash fingerprints.
+
+All deterministic and fully oracle-checked — including MinHash: the
+hash family is md5(i || '|' || shingle) compared lexicographically,
+which both engines compute identically (no random seeds, no
+engine-specific hash). Spark ML's MinHashLSH is deliberately NOT used
+here: its seeded random coefficients can't be reproduced in the SQL
+oracle; the banding scheme below is the same algorithm with a portable
+hash family.
+
+Scale notes:
+- exact dedup = hash agg on the text (or its md5 at 100 TB: group on
+  a 16-byte key instead of multi-KB strings);
+- the Jaccard inverted-index join is quadratic in per-shingle doc
+  frequency — correct at test scale, and the reason minhash_lsh
+  exists: banding bounds candidate generation, and the band-signature
+  join shuffles fixed-width signatures, not shingle sets;
+- simhash is one scan, all map-side until a per-doc agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+JACCARD_THRESHOLD = 0.5
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+
+# Shared SQL fragment: distinct word-3-gram shingles per doc.
+_SQL_SHINGLES = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM tok, UNNEST(generate_series(1, len(w) - 2)) t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): distinct word-3-gram shingles. Built with
+    higher-order functions — one projection, no Python."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+        ),
+    )
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("s")
+    )
+
+
+def _sizes(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+
+def _exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (a_id, b_id) pairs via shared-shingle
+    counts; returns pairs with j >= JACCARD_THRESHOLD."""
+    sizes = _sizes(sh)
+    shared = (
+        cand.join(sh.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .join(
+            sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("s", "s_b"),
+            "b_id",
+        )
+        .filter(F.col("s") == F.col("s_b"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+    Hashing first means the shuffle key is 16 bytes, not the document."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT a_id, b_id,
+           CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by word-3-gram Jaccard >= 0.5 via a
+    shingle inverted-index self-join (no doc×doc cross product)."""
+    sh = _shingles(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("a_id"), "s")
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s_b"))
+    inter = (
+        a.join(b, (a.s == b.s_b) & (a.a_id < b.b_id))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = _sizes(sh)
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    hashes AS (
+      SELECT doc_id, t.i AS i, MIN(md5(CAST(t.i AS VARCHAR) || '|' || s)) AS mh
+      FROM sh, UNNEST(generate_series(0, {N_MINHASH - 1})) t(i)
+      GROUP BY doc_id, t.i),
+    bands AS (
+      SELECT doc_id, i // {N_MINHASH // N_BANDS} AS band,
+             string_agg(mh, '|' ORDER BY i) AS sig
+      FROM hashes GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS shared
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a_id
+      JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+      GROUP BY 1, 2)
+    SELECT i.a_id, i.b_id,
+           CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
+            >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup detection, the 100 TB scale path:
+    16 minhashes -> 4 bands of 4 -> candidates share a band signature ->
+    exact-Jaccard verify. Candidate generation shuffles fixed-width
+    signatures only; the quadratic shingle join runs on candidates, a
+    vanishing fraction of all pairs. Portable hash family (md5 string
+    min) so the oracle reproduces it exactly."""
+    sh = _shingles(spark, sf_dir)
+    rows_per_band = N_MINHASH // N_BANDS
+    hashes = (
+        sh.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("i"),
+            "s",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("s"))).alias(
+                "h"
+            ),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        hashes.withColumn("band", F.expr(f"i DIV {rows_per_band}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("mh")))
+                    ),
+                    lambda st: st.getField("mh"),
+                ),
+                "|",
+            ).alias("sig")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "sig")
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a.band == b.band_b) & (a.sig == b.sig_b) & (a.a_id < b.b_id),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _exact_jaccard(sh, cand)
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+    nib AS (
+      SELECT doc_id, p.p AS p,
+             strpos('0123456789abcdef', substr(md5(t), p.p + 1, 1)) - 1 AS v
+      FROM tok, UNNEST(generate_series(0, 15)) p(p)),
+    bits AS (
+      SELECT doc_id, p, b.b AS b,
+             SUM((v >> b.b) & 1) AS ones, COUNT(*) AS total
+      FROM nib, UNNEST(generate_series(0, 3)) b(b)
+      GROUP BY 1, 2, 3),
+    nibbles AS (
+      SELECT doc_id, p,
+             SUM(CASE WHEN 2 * ones > total THEN 1 << b ELSE 0 END) AS nv
+      FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           string_agg(substr('0123456789abcdef', CAST(nv AS INTEGER) + 1, 1),
+                      '' ORDER BY p) AS simhash
+    FROM nibbles GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (majority vote over the
+    first 16 md5 nibbles of each distinct token), emitted as a 16-char
+    hex string. Near-dup docs differ in a few bits — pair search is
+    then hamming-distance banding over these fixed-width keys."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    nib = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
+        F.md5("t").alias("h"),
+    ).select(
+        "doc_id",
+        "p",
+        F.expr("instr('0123456789abcdef', substring(h, p + 1, 1)) - 1").alias("v"),
+    )
+    bits = (
+        nib.select(
+            "doc_id", "p", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"), "v"
+        )
+        .withColumn("bit", F.expr("shiftright(v, b) & 1"))
+        .groupBy("doc_id", "p", "b")
+        .agg(F.sum("bit").alias("ones"), F.count("*").alias("total"))
+    )
+    nibbles = bits.groupBy("doc_id", "p").agg(
+        F.sum(
+            F.when(2 * F.col("ones") > F.col("total"), F.expr("shiftleft(1, b)")).otherwise(0)
+        ).alias("nv")
+    )
+    return nibbles.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "nv"))),
+                lambda st: F.substring(
+                    F.lit("0123456789abcdef"), st.getField("nv").cast("int") + 1, 1
+                ),
+            ),
+            "",
+        ).alias("simhash")
+    )

@@ -1,0 +1,122 @@
+"""Event-time windows, batch twins of the streaming operators.
+
+Each query here runs the exact operator Structured Streaming uses
+(window / session_window work identically in batch mode), so the
+DuckDB oracle validates the streaming semantics on bounded data; the
+streaming execution itself (watermarks, triggers, state) is exercised
+in streaming/ and its tests.
+
+Scale notes: tumbling/sliding windows are plain hash aggs on a derived
+key — map-side partial agg applies; session windows shuffle by user_id
+then merge sorted runs per key (bounded state per user).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dsum, sql_dsum
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (streaming twin:
+    readStream + withWatermark + identical groupBy)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    SELECT (epoch_us(ts) // 900000000) * 900000000
+             - CAST(o.off AS BIGINT) * 900000000 AS window_start_us,
+           COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+    FROM events
+    CROSS JOIN (VALUES (0),(1),(2),(3)) o(off)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour every 15 min): each event lands in 4
+    windows. Output key is epoch-µs of the window start (integer math
+    on both engines — cross-engine timestamp bucketing is exact)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.unix_micros(F.col("window.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via the native
+    session_window operator (same operator streaming uses; the oracle
+    is the classic gaps-and-islands rewrite). session_window.end =
+    last event + gap, matching MAX(ts) + INTERVAL."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("stream_dedup", oracle="SELECT DISTINCT event_id FROM events")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed deduplication — batch twin of the streaming
+    dropDuplicatesWithinWatermark operator."""
+    return table(spark, sf_dir, "events").select("event_id").dropDuplicates()

@@ -1,0 +1,177 @@
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+Three tiers, mirroring a real ANN stack:
+- sim_topk: brute-force cosine top-k — the exact baseline. At scale
+  this is the verification path, run on samples.
+- sim_pairs_cosine: all pairs above a cosine threshold (embedding
+  near-dup detection). Brute force with a<b halving at test scale;
+  the production path is the bucketed variant below.
+- sim_lsh_bucketed: sign-bit LSH (random-hyperplane family with the
+  coordinate planes): bucket by the sign pattern of the leading
+  dimensions, search only within the bucket. Candidate generation is
+  an equi-join on a fixed-width key -> shuffles keys, not vectors
+  crossed. The trade (recall < 1) is the standard LSH contract.
+
+Cosine is computed in double with an identical sequential fold on both
+engines (zip_with+aggregate vs list_inner_product), formula
+dot / (sqrt(na) * sqrt(nb)); ranking keys round to 6 decimals with a
+unique id tie-break so ordering can't flip on last-ulp noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+TOP_K = 5
+N_QUERIES = 50  # vec_id < 50 are the query vectors
+COS_THRESHOLD = 0.4
+BUCKET_DIMS = 6  # sign-LSH on the first 6 dims -> 64 buckets
+
+
+def _dvec(col: str, alias: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double")).alias(alias)
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a: str = "ea", b: str = "eb") -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_SQL_COS = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+@query(
+    "sim_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND({_SQL_COS.format(a='q.e', b='c.e')}, 6) AS cos_sim
+           FROM q JOIN c ON q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id) AS rnk
+           FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 50 query vectors.
+    Query side broadcasts (bounded); per-query top-k runs as a window
+    group-limit, never materializing a global sort."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding", "ea")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), _dvec("embedding", "eb"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@query(
+    "sim_pairs_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND({_SQL_COS.format(a='a.e', b='b.e')}, 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_SQL_COS.format(a='a.e', b='b.e')} >= {COS_THRESHOLD}
+    """,
+)
+def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= 0.4, a<b halving."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a_id"), _dvec("embedding", "ea"))
+    b = e.select(F.col("vec_id").alias("b_id"), _dvec("embedding", "eb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(_cosine() >= COS_THRESHOLD)
+        .select("a_id", "b_id", F.round(_cosine(), 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "sim_lsh_bucketed",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             array_to_string(list_transform(embedding[1:{BUCKET_DIMS}],
+                             x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')
+               AS bucket
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+             ROUND({_SQL_COS.format(a='q.e', b='c.e')}, 6) AS cos_sim
+      FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, bucket, cos_sim, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via sign-bit LSH buckets: candidates share the
+    sign pattern of the first 6 dims (an equi-join on a 6-char key),
+    so the search space shrinks ~64x before any dot product runs."""
+    e = table(spark, sf_dir, "embeddings")
+    bucket = F.array_join(
+        F.transform(
+            F.slice("embedding", 1, BUCKET_DIMS),
+            lambda x: F.when(x > 0, "1").otherwise("0"),
+        ),
+        "",
+    )
+    v = e.select("vec_id", _dvec("embedding", "e"), bucket.alias("bucket"))
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("ea"), "bucket")
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("eb"),
+        F.col("bucket").alias("bucket_c"),
+    )
+    scored = q.join(
+        c,
+        (F.col("bucket") == F.col("bucket_c"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id", "neighbor_id", "bucket", F.round(_cosine(), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)

@@ -1,0 +1,217 @@
+"""Text analysis over the documents table: tokenization, corpus stats,
+quality scoring, language-ID heuristic, fingerprinting, token counting.
+
+Everything is built-in column expressions (split / explode /
+higher-order array functions / md5) — no Python in the hot path, so
+whole-stage codegen applies and at 100 TB these are one scan + one
+bounded-key hash agg each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# Tiny per-language function-word lexicons for the n-gram/stopword
+# language-ID heuristic. Deterministic scoring; ties break by the
+# fixed language order below.
+_LANG_LEX = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "los", "y", "es", "una"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+_LANG_ORDER = ("en", "de", "fr", "es", "zh")
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "text_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies: tokenize -> explode -> hash agg.
+    Shuffle volume is bounded by vocabulary size, not corpus size."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus statistics."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(_tokens())).cast("long").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+           CAST(list_sum(list_transform(string_split(text, ' '), t -> LENGTH(t)))
+                AS BIGINT) AS sum_token_len,
+           CAST(list_sum(list_transform(string_split(text, ' '), t -> LENGTH(t)))
+                AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the', 'a', 'of', 'and', 'is')))
+                AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS uniq_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length, lexical diversity,
+    stopword density) — the standard pre-training filter features."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is"))
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        sum_len.alias("sum_token_len"),
+        (sum_len.cast("double") / F.size(toks)).alias("avg_token_len"),
+        (stop.cast("double") / F.size(toks)).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+    )
+
+
+def _lex_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_LEX[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN {_lex_sql('en')} >= {_lex_sql('de')}
+              AND {_lex_sql('en')} >= {_lex_sql('fr')}
+              AND {_lex_sql('en')} >= {_lex_sql('es')}
+              AND {_lex_sql('en')} >= {_lex_sql('zh')} THEN 'en'
+             WHEN {_lex_sql('de')} >= {_lex_sql('fr')}
+              AND {_lex_sql('de')} >= {_lex_sql('es')}
+              AND {_lex_sql('de')} >= {_lex_sql('zh')} THEN 'de'
+             WHEN {_lex_sql('fr')} >= {_lex_sql('es')}
+              AND {_lex_sql('fr')} >= {_lex_sql('zh')} THEN 'fr'
+             WHEN {_lex_sql('es')} >= {_lex_sql('zh')} THEN 'es'
+             ELSE 'zh'
+           END AS pred_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language-ID heuristic: score each language by
+    function-word hits, argmax with a fixed tie-break order (first in
+    _LANG_ORDER wins ties — encoded as >= cascading on both engines)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    def _score(lex: tuple[str, ...]):
+        # nb: a 1-arg lambda only — F.filter treats a second parameter
+        # as the positional index column.
+        return F.size(F.filter(toks, lambda t: t.isin(*lex)))
+
+    scores = {lang: _score(lex) for lang, lex in _LANG_LEX.items()}
+    pred = F.lit("zh")
+    # Build the cascade back-to-front so earlier languages win ties.
+    for i in range(len(_LANG_ORDER) - 2, -1, -1):
+        lang = _LANG_ORDER[i]
+        cond = None
+        for other in _LANG_ORDER[i + 1:]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang).otherwise(pred)
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(text)) AS exact_fp,
+           md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+             AS bag_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (case-normalized md5) and
+    bag-of-words (sorted-token md5 — invariant to word order, the
+    'fingerprint clustering' key for fuzzy exact-dedup)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("exact_fp"),
+        F.md5(
+            F.array_join(F.array_sort(F.split(F.lower(F.col("text")), " ")), " ")
+        ).alias("bag_fp"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS INTEGER)
+             AS bpe_ish_tokens,
+           CAST(CEIL(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS byte_est_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex pieces,
+    and the chars/4 estimator used for quick budget math."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0))).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.col("n_chars").cast("double") / 4.0).cast("long").alias(
+            "byte_est_tokens"
+        ),
+    )
