@@ -1,0 +1,235 @@
+"""The streaming pipeline core — reference-parity surface.
+
+Reference contract (/root/reference/pubsub_pipeline.py:61-130, "P"):
+pull messages -> deserialize (P:55-57) -> processor (P:62) ->
+serialize (P:27-28) -> publish (P:190-193) -> ack only after publish
+succeeds (P:31-52, contract at P:74-84). Rebuilt on Structured
+Streaming:
+
+- micro-batch pull       -> readStream + per-trigger admission
+                            (maxFilesPerTrigger / source bulk_limit)
+- deserialize/serialize  -> pluggable codecs; default JSON (P:55-57,
+                            P:27-28); Column-expression fast path via
+                            F.from_json/to_json when a schema is given
+- processor              -> Column expressions (Catalyst-visible) or
+                            opaque Python via Arrow-batched mapInPandas;
+                            the bulk variant (P:214-242) is the natural
+                            shape here: one Python call per Arrow batch
+- publish + ack-after    -> foreachBatch(sink): Structured Streaming
+                            commits source offsets to the checkpoint
+                            only AFTER the batch sink returns — same
+                            ordering as the reference's Acknowledger,
+                            same at-least-once window (publish ok +
+                            commit lost => duplicates, exactly P:48-52)
+- graceful shutdown      -> SIGINT/SIGTERM -> query.stop() (P:15-24)
+- bounded run            -> trigger(availableNow=True) drains & stops
+                            (P:132-166's max_processed_messages, but
+                            count-based equality bugs avoided: P:161-164
+                            never terminates if a batch overshoots)
+
+Divergence from the reference, by design: the bulk variant's
+positional zip (P:232) silently truncates on length mismatch; here a
+bulk processor returning the wrong number of results raises.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import signal
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+# ---------------------------------------------------------------- codecs
+
+
+def byte_load_json(data: bytes) -> Any:
+    """Default message deserializer (mirrors P:55-57)."""
+    return json.loads(data.decode("utf-8"))
+
+
+def byte_encode_json(result: Any) -> bytes:
+    """Default result serializer (mirrors P:27-28)."""
+    return json.dumps(result).encode("utf-8")
+
+
+# ---------------------------------------------------------------- sources
+
+
+class FileStreamSource:
+    """Streaming source over a drop directory of newline-delimited
+    message files — the default test/integration path (SURVEY.md §3.3:
+    the reference's TestClient publish loop becomes 'write a file').
+
+    Emits the Kafka-style column convention: value BINARY.
+    """
+
+    def __init__(self, path: str, max_files_per_trigger: int | None = 20):
+        self.path = path
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        reader = spark.readStream.format("text")
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.load(self.path).select(
+            F.col("value").cast("binary").alias("value")
+        )
+
+
+# ---------------------------------------------------------------- sinks
+
+
+class DirectorySink:
+    """Publish each result as a line in per-batch files under a
+    directory 'topic'. Write happens inside foreachBatch, before the
+    engine commits offsets -> ack-after-publish ordering (P:82-84)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(F.col("value").cast("string"))
+            .write.mode("append")
+            .format("text")
+            .save(self.path)
+        )
+
+
+class CollectingSink:
+    """Test sink: collects payloads driver-side; optionally fails to
+    exercise the no-commit-on-failure path (reference test T:87-104)."""
+
+    def __init__(self, fail: bool = False):
+        self.rows: list[bytes] = []
+        self.fail = fail
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self.fail:
+            raise RuntimeError("sink failure (injected)")
+        self.rows.extend(r["value"] for r in batch_df.select("value").collect())
+
+
+# ------------------------------------------------------------- shutdown
+
+
+class GracefulKiller:
+    """SIGINT/SIGTERM -> stop the streaming query at the next safe
+    point (mirrors P:15-24; pre-emptible-VM-friendly per P:86-88)."""
+
+    def __init__(self) -> None:
+        self.kill_now = False
+        self._queries: list[Any] = []
+        try:
+            signal.signal(signal.SIGINT, self._exit)
+            signal.signal(signal.SIGTERM, self._exit)
+        except ValueError:
+            pass  # not on the main thread (tests) — flag-only mode
+
+    def watch(self, query: Any) -> None:
+        self._queries.append(query)
+
+    def _exit(self, signum, frame) -> None:  # noqa: ANN001
+        self.kill_now = True
+        for q in self._queries:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                log.exception("stop failed")
+
+
+# ------------------------------------------------------------- pipeline
+
+
+@dataclass
+class SparkPipeline:
+    """Structured-Streaming port of PubSubPipeline / BulkPubSubPipeline
+    (ctor contract at P:61-73, P:97-130).
+
+    processor: opaque Python Callable[[A], B] (P:62), or with
+        bulk=True Callable[[list[A]], list[B]] (P:216); applied via
+        Arrow-batched mapInPandas — one Python invocation per batch,
+        the reference's Bulk amortization (P:225-231) for free.
+    column_processor: the Spark-first fast path — a function
+        DataFrame -> DataFrame over the decoded frame; stays JVM-side,
+        Catalyst sees through it. Mutually exclusive with processor.
+    """
+
+    spark: SparkSession
+    source: Any
+    sink: Callable[[DataFrame, int], None]
+    processor: Callable[[Any], Any] | None = None
+    column_processor: Callable[[DataFrame], DataFrame] | None = None
+    message_deserializer: Callable[[bytes], Any] = byte_load_json
+    result_serializer: Callable[[Any], bytes] = byte_encode_json
+    bulk: bool = False
+    checkpoint_dir: str | None = None
+    killer: GracefulKiller = field(default_factory=GracefulKiller)
+
+    def _transformed(self) -> DataFrame:
+        from .session import ensure_package_on_workers
+
+        ensure_package_on_workers(self.spark)
+        df = self.source.read_stream(self.spark)
+        if self.column_processor is not None:
+            return self.column_processor(df)
+
+        deserialize = self.message_deserializer
+        serialize = self.result_serializer
+        processor = self.processor or (lambda x: x)
+        is_bulk = self.bulk
+
+        def run_batches(batches: Iterator) -> Iterator:  # pandas iterator
+            import pandas as pd
+
+            for pdf in batches:
+                payloads = [deserialize(bytes(v)) for v in pdf["value"]]
+                if is_bulk:
+                    results = processor(payloads)
+                    if len(results) != len(payloads):
+                        # Divergence from P:232 (silent zip truncation):
+                        raise ValueError(
+                            "bulk processor returned "
+                            f"{len(results)} results for {len(payloads)} inputs"
+                        )
+                else:
+                    results = [processor(p) for p in payloads]
+                yield pd.DataFrame({"value": [serialize(r) for r in results]})
+
+        return df.mapInPandas(run_batches, "value binary")
+
+    def process(
+        self,
+        *,
+        available_now: bool = True,
+        timeout: float | None = 120.0,
+    ) -> Any:
+        """Run the pipeline. available_now=True drains everything
+        currently available and stops — across as many micro-batches as
+        bulk_limit requires (the bounded-run replacement for P:132-166's
+        max_processed_messages; processAllAvailable, not the availableNow
+        trigger, because the latter stops after a single batch of a
+        rate-capped custom source). False runs continuously until
+        stop()/signal. Returns the StreamingQuery."""
+        out = self._transformed()
+        writer = out.writeStream.foreachBatch(self.sink)
+        if self.checkpoint_dir:
+            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        query = writer.start()
+        self.killer.watch(query)
+        if available_now:
+            try:
+                query.processAllAvailable()
+                ex = query.exception()
+                if ex is not None:
+                    raise ex
+            finally:
+                query.stop()
+        return query

@@ -13,4 +13,5 @@ from . import (  # noqa: F401
     text,
     dedup,
     similarity,
+    multimodal_q,
 )

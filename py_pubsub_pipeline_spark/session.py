@@ -44,6 +44,38 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers.
+
+    Anything crossing the driver->worker boundary by module reference
+    (the custom DataSource class, the default codecs in pipeline.py)
+    needs `py_pubsub_pipeline_spark` importable inside the worker. When
+    the driver program doesn't run from the repo root (any real
+    deployment), that's not a given — so zip the package once per
+    session and addPyFile it."""
+    if spark.conf.get("spark.py_pubsub_pipeline.pkg_shipped", None) == "true":
+        return
+    import tempfile
+    import zipfile
+
+    import py_pubsub_pipeline_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"py_pubsub_pipeline_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    spark.conf.set("spark.py_pubsub_pipeline.pkg_shipped", "true")
+
+
 def get_spark(app_name: str = "py_pubsub_pipeline_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or get) a local session.
@@ -52,6 +84,14 @@ def get_spark(app_name: str = "py_pubsub_pipeline_spark",
     the 200-partition default just adds scheduling overhead; on a real
     cluster you size it to ~2-3x total cores and let AQE coalesce.
     """
+    # The python-streaming-source runner is spawned by the driver JVM
+    # with the JVM's env: it needs this package on PYTHONPATH (addPyFile
+    # reaches executor workers only). Must happen before the JVM starts.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     n_shuffle = shuffle_partitions or cpus
     builder = (

@@ -1,0 +1,203 @@
+"""Pub/Sub-style streaming source + sink as a PySpark Python DataSource.
+
+Emulates the reference's transport (SURVEY.md §2A R1-R4, R9-R10) on a
+durable local 'broker': a topic is a directory, a message is an
+atomically-published sequenced file. The reader is offset-tracked and
+replayable — Spark's checkpoint/WAL supplies the ack ledger the
+reference keeps in Pub/Sub (ack_id, P:42-47):
+
+- R1 pull loop           -> SimpleDataSourceStreamReader.read(start):
+                            list files >= start offset
+- R2 bulk_limit cap      -> 'bulk_limit' option caps each micro-batch
+                            (default 20, mirroring P:68)
+- R3 empty-poll retry    -> return an empty batch; the trigger loop
+                            polls again (no recursion, P:201-203's
+                            stack hazard gone)
+- R4 retry/backoff       -> IOErrors surface to Spark's task retry +
+                            restart-from-checkpoint machinery
+- R9 publish             -> DataSourceStreamWriter: stage rows per
+                            task, atomic rename at commit(batchId)
+- R10 ack-after-publish  -> Spark commits the batch to the checkpoint
+                            only after commit() returns; abort() leaves
+                            nothing visible. Published-then-crashed
+                            batches re-publish on restart => the same
+                            at-least-once duplicate window as the
+                            reference (P:48-52), stated in README.
+
+In production the same class shape points at real Pub/Sub: read(start)
+becomes subscriber.pull(max_messages=bulk_limit) and commit() the
+publisher flush; this file keeps the transport local so the entire
+delivery contract is testable hermetically (SURVEY.md §5.1's mock
+strategy, minus the mocks).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+SCHEMA = StructType(
+    [
+        StructField("offset", LongType()),
+        StructField("value", BinaryType()),
+    ]
+)
+
+_SEQ_WIDTH = 12
+
+
+def _msg_name(seq: int) -> str:
+    return f"{seq:0{_SEQ_WIDTH}d}.msg"
+
+
+def publish(topic_dir: str, payload: bytes) -> int:
+    """Atomically publish one message; returns its offset. (The
+    TestClient.publish analog, /root/reference/test_client.py:29-31.)"""
+    os.makedirs(topic_dir, exist_ok=True)
+    existing = [int(f[:_SEQ_WIDTH]) for f in os.listdir(topic_dir) if f.endswith(".msg")]
+    seq = max(existing, default=-1) + 1
+    tmp = os.path.join(topic_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.rename(tmp, os.path.join(topic_dir, _msg_name(seq)))
+    return seq
+
+
+def _read_range(topic_dir: str, start: int, end: int) -> Iterator[tuple]:
+    # Must be a *list iterator*: the simple-reader wrapper both calls
+    # next() on it and pickles/copies it into the prefetch cache for
+    # replay — list iterators support both, generators support neither.
+    out = []
+    for seq in range(start, end):
+        path = os.path.join(topic_dir, _msg_name(seq))
+        with open(path, "rb") as f:
+            out.append((seq, f.read()))
+    return iter(out)
+
+
+class PubSubDirStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.topic_dir = options["path"]
+        self.bulk_limit = int(options.get("bulk_limit", 20))
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _latest_seq(self) -> int:
+        if not os.path.isdir(self.topic_dir):
+            return 0
+        seqs = [
+            int(f[:_SEQ_WIDTH])
+            for f in os.listdir(self.topic_dir)
+            if f.endswith(".msg")
+        ]
+        return max(seqs, default=-1) + 1
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["seq"]
+        hi = min(self._latest_seq(), lo + self.bulk_limit)  # R2: batch cap
+        if hi <= lo:
+            return iter([]), start  # R3: empty poll, scheduler re-polls
+        return _read_range(self.topic_dir, lo, hi), {"seq": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        # Replay for recovery — messages are durable, offsets contiguous.
+        return _read_range(self.topic_dir, start["seq"], end["seq"])
+
+
+@dataclass
+class _Staged(WriterCommitMessage):
+    files: tuple[str, ...] = ()
+
+
+class PubSubDirStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict):
+        self.topic_dir = options["path"]
+        self.stage_dir = os.path.join(self.topic_dir, ".staging")
+
+    def write(self, iterator: Iterator) -> _Staged:
+        os.makedirs(self.stage_dir, exist_ok=True)
+        staged = []
+        for row in iterator:
+            p = os.path.join(self.stage_dir, uuid.uuid4().hex)
+            with open(p, "wb") as f:
+                f.write(bytes(row.value))
+            staged.append(p)
+        return _Staged(files=tuple(staged))
+
+    def commit(self, messages: list[_Staged], batch_id: int) -> None:
+        # Publish-before-ack: this runs before Spark writes the batch
+        # commit to the checkpoint (R10 ordering).
+        os.makedirs(self.topic_dir, exist_ok=True)
+        existing = [
+            int(f[:_SEQ_WIDTH])
+            for f in os.listdir(self.topic_dir)
+            if f.endswith(".msg")
+        ]
+        seq = max(existing, default=-1) + 1
+        for m in messages:
+            for path in m.files:
+                os.rename(path, os.path.join(self.topic_dir, _msg_name(seq)))
+                seq += 1
+
+    def abort(self, messages: list[_Staged], batch_id: int) -> None:
+        for m in messages:
+            for path in m.files:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+
+
+class PubSubDirDataSource(DataSource):
+    """spark.readStream.format("pubsub_dir").option("path", topic)
+    / df.writeStream.format("pubsub_dir").option("path", topic).
+
+    Register once per session:
+        spark.dataSource.register(PubSubDirDataSource)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "pubsub_dir"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> PubSubDirStreamReader:
+        return PubSubDirStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> PubSubDirStreamWriter:
+        return PubSubDirStreamWriter(self.options)
+
+
+class PubSubStreamSource:
+    """pipeline.SparkPipeline-compatible source wrapper (same duck type
+    as FileStreamSource): value BINARY out of a pubsub_dir topic."""
+
+    def __init__(self, topic_dir: str, bulk_limit: int = 20):
+        self.topic_dir = topic_dir
+        self.bulk_limit = bulk_limit
+
+    def read_stream(self, spark):
+        from ..session import ensure_package_on_workers
+
+        ensure_package_on_workers(spark)
+        spark.dataSource.register(PubSubDirDataSource)
+        return (
+            spark.readStream.format("pubsub_dir")
+            .option("path", self.topic_dir)
+            .option("bulk_limit", self.bulk_limit)
+            .load()
+            .select("value")
+        )

@@ -1,0 +1,95 @@
+"""True streaming executions (readStream -> memory sink) of the
+watermark/window/dedup helpers whose batch twins are oracle-checked in
+queries/events_windows.py.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_pubsub_pipeline_spark.streaming import (
+    sessionized_stream,
+    stream_dedup_within_watermark,
+    tumbling_counts_stream,
+)
+from py_pubsub_pipeline_spark.tables import table
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    # Materialize the events table as a parquet drop-dir readStream input.
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _stream_events(spark, out_dir):
+    batch = table(spark, SF_SMALL, "events")
+    batch.write.mode("overwrite").parquet(out_dir)
+    return (
+        spark.readStream.schema(batch.schema).parquet(out_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_watermarked_stream_matches_batch(spark, events_stream_dir):
+    stream = _stream_events(spark, events_stream_dir)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(tumbling_counts_stream(stream), name)
+    got = spark.sql(f"SELECT SUM(n) AS total FROM {name}").collect()[0]["total"]
+    # Append mode only emits windows the watermark has closed: the final
+    # watermark is max(ts) - 10min, so windows ending after it stay open
+    # and their events are withheld. Compute the closed-set expectation.
+    ev = table(spark, SF_SMALL, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    expected_closed = ev.filter(
+        F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    ).count()
+    assert got == expected_closed
+    assert got < ev.count()  # the open window really was withheld
+
+
+def test_session_stream_runs_and_bounds_sessions(spark, events_stream_dir):
+    stream = _stream_events(spark, events_stream_dir)
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(sessionized_stream(stream), name)
+    rows = spark.sql(
+        f"SELECT COUNT(*) AS n, SUM(n_events) AS total FROM {name}"
+    ).collect()[0]
+    # Sessions still open at the final watermark are withheld (append
+    # mode) — emitted total is slightly below the event count.
+    n_events = table(spark, SF_SMALL, "events").count()
+    assert 0 < rows["total"] <= n_events
+    assert n_events - rows["total"] < 50  # only tail sessions withheld
+    assert 0 < rows["n"] <= rows["total"]
+
+
+def test_stream_dedup_within_watermark(spark, events_stream_dir):
+    stream = _stream_events(spark, events_stream_dir)
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(stream_dedup_within_watermark(stream), name)
+    n = spark.sql(f"SELECT COUNT(*) AS n FROM {name}").collect()[0]["n"]
+    dedup = (
+        table(spark, SF_SMALL, "events").select("event_id").distinct().count()
+    )
+    assert n == dedup
