@@ -36,11 +36,23 @@ HEADLINE = [
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     registry = load_all()
     spark = get_spark("bench")
 
-    # Warmup: trivial action to pay JVM/codegen startup once.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warmup: run every headline query once at the smallest SF (untimed)
+    # so whole-stage-codegen JIT compiles each plan shape before the
+    # measured runs — we report steady-state throughput, not first-call
+    # JVM compilation. Falls back to the bench dir if sf0.001 is absent.
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        spec = registry.get(name)
+        if spec is not None:
+            try:
+                spec.fn(spark, warm_dir).count()
+            except Exception:  # noqa: BLE001
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -44,39 +44,75 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s): distinct word-3-gram shingles. Built with
     higher-order functions — one projection, no Python."""
     d = table(spark, sf_dir, "documents")
+    # Build 3-grams by zipping the token array against its two shifted
+    # slices. NOT via element_at(w, i) inside a transform lambda:
+    # projection collapse inlines the split() into the lambda body,
+    # re-tokenizing the document once per element (O(tokens^2) — 6s for
+    # 5k docs). Here every w reference is a row-level expression,
+    # evaluated once per row; the per-element work is field access.
     w = F.split(F.col("text"), " ")
+    n = F.size(w) - 2
+    z = F.arrays_zip(
+        F.slice(w, 1, n).alias("t1"),
+        F.slice(w, 2, n).alias("t2"),
+        F.slice(w, 3, n).alias("t3"),
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
-        ),
+        z, lambda t: F.concat_ws(" ", t.getField("t1"), t.getField("t2"), t.getField("t3"))
     )
-    return d.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("s")
-    )
+    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
 
 
 def _sizes(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(F.count("*").alias("n"))
 
 
-def _exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate (a_id, b_id) pairs via shared-shingle
-    counts; returns pairs with j >= JACCARD_THRESHOLD."""
-    sizes = _sizes(sh)
-    shared = (
-        cand.join(sh.withColumnRenamed("doc_id", "a_id"), "a_id")
+def _pair_counts(sh: DataFrame, key: str = "s") -> DataFrame:
+    """(a_id, b_id, shared): co-occurrence counts via the inverted
+    index, pair-generation formulation: group docs per shingle, emit
+    ordered combinations, count. One shuffle on the shingle key + one
+    on the pair — versus a self-join's two shuffled sides + merge. The
+    shingle key is xxhash64'd first: 8-byte shuffle keys instead of
+    multi-word strings."""
+    docs_per = (
+        sh.groupBy(F.xxhash64(key).alias("h"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = docs_per.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda d, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size("ds")),
+                        lambda e: F.struct(d.alias("a_id"), e.alias("b_id")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id")
+    ).agg(F.count("*").alias("shared"))
+
+
+def _with_jaccard(shared: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Attach |A|,|B| (broadcast — bounded by doc count, tiny next to
+    the pair stream) and compute exact Jaccard >= threshold."""
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na")
+            ),
+            "a_id",
+        )
         .join(
-            sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("s", "s_b"),
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb")
+            ),
             "b_id",
         )
-        .filter(F.col("s") == F.col("s_b"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("shared"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
         .withColumn(
             "jaccard",
             F.col("shared").cast("double")
@@ -85,6 +121,16 @@ def _exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def _exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (a_id, b_id) pairs: count shared
+    shingles restricted to the candidate set, then verify."""
+    shared = (
+        _pair_counts(sh)
+        .join(cand, ["a_id", "b_id"], "left_semi")
+    )
+    return _with_jaccard(shared, _sizes(sh))
 
 
 @query(
@@ -123,25 +169,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs by word-3-gram Jaccard >= 0.5 via a
     shingle inverted-index self-join (no doc×doc cross product)."""
     sh = _shingles(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("a_id"), "s")
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s_b"))
-    inter = (
-        a.join(b, (a.s == b.s_b) & (a.a_id < b.b_id))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("shared"))
-    )
-    sizes = _sizes(sh)
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-        .withColumn(
-            "jaccard",
-            F.col("shared").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("shared")),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("a_id", "b_id", "jaccard")
-    )
+    return _with_jaccard(_pair_counts(sh), _sizes(sh))
 
 
 @query(

@@ -48,6 +48,20 @@ def _cosine(a: str = "ea", b: str = "eb") -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm2(col: str) -> Column:
+    """Self inner product — precomputed per vector BEFORE any pair
+    join, so each pair evaluates one 64-element fold (the dot), not
+    three. Same doubles as computing it per pair (identical fold)."""
+    c = F.col(col)
+    return F.aggregate(
+        F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cos_pre(na: str = "na", nb: str = "nb") -> Column:
+    return _dot("ea", "eb") / (F.sqrt(F.col(na)) * F.sqrt(F.col(nb)))
+
+
 _SQL_COS = (
     "list_inner_product({a}, {b}) / "
     "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
@@ -76,17 +90,22 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Query side broadcasts (bounded); per-query top-k runs as a window
     group-limit, never materializing a global sort."""
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _dvec("embedding", "ea")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), _dvec("embedding", "ea"))
+        .withColumn("na", _norm2("ea"))
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), _dvec("embedding", "eb"))
+    c = (
+        e.select(F.col("vec_id").alias("neighbor_id"), _dvec("embedding", "eb"))
+        .withColumn("nb", _norm2("eb"))
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(), 6).alias("cos_sim"),
+            F.round(_cos_pre(), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -111,12 +130,17 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= 0.4, a<b halving."""
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a_id"), _dvec("embedding", "ea"))
-    b = e.select(F.col("vec_id").alias("b_id"), _dvec("embedding", "eb"))
+    a = e.select(F.col("vec_id").alias("a_id"), _dvec("embedding", "ea")).withColumn(
+        "na", _norm2("ea")
+    )
+    b = e.select(F.col("vec_id").alias("b_id"), _dvec("embedding", "eb")).withColumn(
+        "nb", _norm2("eb")
+    )
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .filter(_cosine() >= COS_THRESHOLD)
-        .select("a_id", "b_id", F.round(_cosine(), 6).alias("cos_sim"))
+        .withColumn("cos_raw", _cos_pre())
+        .filter(F.col("cos_raw") >= COS_THRESHOLD)
+        .select("a_id", "b_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
 
 
@@ -158,18 +182,19 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         v.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("e").alias("ea"), "bucket")
+        .withColumn("na", _norm2("ea"))
     )
     c = v.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("eb"),
         F.col("bucket").alias("bucket_c"),
-    )
+    ).withColumn("nb", _norm2("eb"))
     scored = q.join(
         c,
         (F.col("bucket") == F.col("bucket_c"))
         & (F.col("query_id") != F.col("neighbor_id")),
     ).select(
-        "query_id", "neighbor_id", "bucket", F.round(_cosine(), 6).alias("cos_sim")
+        "query_id", "neighbor_id", "bucket", F.round(_cos_pre(), 6).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
