@@ -14,4 +14,6 @@ from . import (  # noqa: F401
     dedup,
     similarity,
     multimodal_q,
+    advanced,
+    udfs,
 )

@@ -1,0 +1,195 @@
+"""Advanced relational surface: subqueries (scalar / IN / correlated),
+pivot & unpivot, exact percentiles, lateral explode, extended strings.
+
+Scale notes: scalar/uncorrelated subqueries become broadcast scalar
+plans; the correlated aggregate is decorrelated by Catalyst into a
+join against a grouped aggregate (visible in the optimized plan — no
+per-row re-execution). Pivot compiles to one hash agg with CASE
+projections, identical to the oracle's FILTER form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dsum, sql_dsum
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "subq_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (via Spark SQL)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "subq_in",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_regionkey = (SELECT r_regionkey FROM region
+                                               WHERE r_name = 'EUROPE'))
+    """,
+)
+def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery with a nested scalar subquery."""
+    for t in ("customer", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = (SELECT r_regionkey FROM region
+                                                   WHERE r_name = 'EUROPE'))
+        """
+    )
+
+
+@query(
+    "subq_correlated",
+    oracle="""
+    SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+    FROM lineitem l
+    WHERE l.l_quantity > (SELECT 1.9 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery (TPC-H Q17 shape). Catalyst
+    decorrelates it into one grouped aggregate + join — one pass over
+    lineitem for the averages, not a subquery per row."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+        FROM lineitem l
+        WHERE l.l_quantity > (SELECT 1.9 * AVG(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@query(
+    "pivot_sum",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_F')},
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_O')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on line status: one hash agg with conditional sums (what
+    .pivot() with explicit values compiles to)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey,
+             UNNEST(['acctbal', 'nationkey']) AS metric,
+             UNNEST([c_acctbal, CAST(c_nationkey AS DOUBLE)]) AS val
+      FROM customer)
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) two measures into (metric, val) rows."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, "
+            "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
+        ),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+           ROUND(median(l_quantity), 6) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics on
+    both engines); rounded against interpolation-arithmetic ulps."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+    )
+
+
+@query(
+    "fn_explode_pos",
+    oracle="""
+    SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+    WHERE vec_id < 20
+    """,
+)
+def fn_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral positional explode of an array column."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select(
+        "vec_id", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    ).withColumnRenamed("col", "val")
+
+
+@query(
+    "fn_string_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           CASE WHEN starts_with(p_type, 'ECON') THEN 1 ELSE 0 END AS is_econ,
+           CASE WHEN contains(p_name, 'red') THEN 1 ELSE 0 END AS has_red,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_type, 2) AS type_twice
+    FROM part
+    """,
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction + predicate-style string helpers."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.startswith(F.col("p_type"), F.lit("ECON")).cast("int").alias("is_econ"),
+        F.contains(F.col("p_name"), F.lit("red")).cast("int").alias("has_red"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.col("p_type"), 2).alias("type_twice"),
+    )
