@@ -40,10 +40,9 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): distinct word-3-gram shingles. Built with
+def _grams() -> F.Column:
+    """Column expr: distinct word-3-gram shingles of `text`. Built with
     higher-order functions — one projection, no Python."""
-    d = table(spark, sf_dir, "documents")
     # Build 3-grams by zipping the token array against its two shifted
     # slices. NOT via element_at(w, i) inside a transform lambda:
     # projection collapse inlines the split() into the lambda body,
@@ -57,28 +56,59 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(w, 2, n).alias("t2"),
         F.slice(w, 3, n).alias("t3"),
     )
-    grams = F.transform(
-        z, lambda t: F.concat_ws(" ", t.getField("t1"), t.getField("t2"), t.getField("t3"))
+    return F.array_distinct(
+        F.transform(
+            z,
+            lambda t: F.concat_ws(
+                " ", t.getField("t1"), t.getField("t2"), t.getField("t3")
+            ),
+        )
     )
-    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
 
 
-def _sizes(sh: DataFrame) -> DataFrame:
-    return sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): one row per distinct shingle per doc."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(_grams()).alias("s"))
 
 
-def _pair_counts(sh: DataFrame, key: str = "s") -> DataFrame:
+def _inverted(sh: DataFrame) -> DataFrame:
+    """(h, ds): the shingle inverted index — doc list per hashed
+    shingle. The xxhash64 turns multi-word shingle strings into 8-byte
+    shuffle keys. Both the pair generator and the size computation
+    hang off this one aggregation, so its exchange is built once and
+    reused (ReusedExchange in the physical plan) instead of
+    re-shingling the corpus per consumer."""
+    return sh.groupBy(F.xxhash64("s").alias("h")).agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+
+
+def _sizes(inv: DataFrame) -> DataFrame:
+    """(doc_id, n): per-doc distinct-shingle count, derived from the
+    shared inverted index (sum of memberships). Dim-table-sized — one
+    row per doc — so it broadcasts into the pair stream."""
+    return (
+        inv.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# Pair packing: (a_id, b_id) -> a_id * 2^31 + b_id, one 8-byte shuffle
+# key instead of two. Holds for doc_id < 2^31 (any corpus whose ids fit
+# an int — at larger id spaces widen to a struct key).
+_PACK = 1 << 31
+
+
+def _pair_counts(inv: DataFrame) -> DataFrame:
     """(a_id, b_id, shared): co-occurrence counts via the inverted
     index, pair-generation formulation: group docs per shingle, emit
     ordered combinations, count. One shuffle on the shingle key + one
-    on the pair — versus a self-join's two shuffled sides + merge. The
-    shingle key is xxhash64'd first: 8-byte shuffle keys instead of
-    multi-word strings."""
-    docs_per = (
-        sh.groupBy(F.xxhash64(key).alias("h"))
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
+    on the pair — versus a self-join's two shuffled sides + merge.
+    Each pair packs into a single int64 so the count aggregation
+    hashes one word per probe."""
+    docs_per = inv.filter(F.size("ds") > 1)
     pairs = docs_per.select(
         F.explode(
             F.flatten(
@@ -86,15 +116,21 @@ def _pair_counts(sh: DataFrame, key: str = "s") -> DataFrame:
                     "ds",
                     lambda d, i: F.transform(
                         F.slice(F.col("ds"), i + 2, F.size("ds")),
-                        lambda e: F.struct(d.alias("a_id"), e.alias("b_id")),
+                        lambda e: d * F.lit(_PACK) + e,
                     ),
                 )
             )
-        ).alias("p")
+        ).alias("pk")
     )
-    return pairs.groupBy(
-        F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id")
-    ).agg(F.count("*").alias("shared"))
+    return (
+        pairs.groupBy("pk")
+        .agg(F.count("*").alias("shared"))
+        .select(
+            F.expr(f"pk DIV {_PACK}").alias("a_id"),
+            (F.col("pk") % _PACK).alias("b_id"),
+            "shared",
+        )
+    )
 
 
 def _with_jaccard(shared: DataFrame, sizes: DataFrame) -> DataFrame:
@@ -123,14 +159,14 @@ def _with_jaccard(shared: DataFrame, sizes: DataFrame) -> DataFrame:
     )
 
 
-def _exact_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
+def _exact_jaccard(inv: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (a_id, b_id) pairs: count shared
     shingles restricted to the candidate set, then verify."""
     shared = (
-        _pair_counts(sh)
+        _pair_counts(inv)
         .join(cand, ["a_id", "b_id"], "left_semi")
     )
-    return _with_jaccard(shared, _sizes(sh))
+    return _with_jaccard(shared, _sizes(inv))
 
 
 @query(
@@ -167,9 +203,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs by word-3-gram Jaccard >= 0.5 via a
-    shingle inverted-index self-join (no doc×doc cross product)."""
-    sh = _shingles(spark, sf_dir)
-    return _with_jaccard(_pair_counts(sh), _sizes(sh))
+    shingle inverted index (no doc×doc cross product). Pair counts and
+    set sizes both derive from the one inverted-index aggregation, so
+    the corpus is shingled and shuffled once (ReusedExchange)."""
+    inv = _inverted(_shingles(spark, sf_dir))
+    return _with_jaccard(_pair_counts(inv), _sizes(inv))
 
 
 @query(
@@ -257,7 +295,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    return _exact_jaccard(sh, cand)
+    return _exact_jaccard(_inverted(sh), cand)
 
 
 @query(
