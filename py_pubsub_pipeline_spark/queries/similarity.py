@@ -231,3 +231,152 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+DEDUP_COS_THRESHOLD = 0.45
+IVF_NLIST = 16   # centroids: the first NLIST vectors (deterministic "sample")
+IVF_NPROBE = 2   # cells searched per query
+IVF_N_QUERIES = 20
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE {_SQL_COS.format(a='a.e', b='b.e')} >= {DEDUP_COS_THRESHOLD})
+    SELECT v.vec_id,
+           CAST(COALESCE(MIN(p.a_id), v.vec_id) AS BIGINT) AS keep_id,
+           CASE WHEN MIN(p.a_id) IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM v LEFT JOIN p ON p.b_id = v.vec_id
+    GROUP BY v.vec_id
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: a vector is a duplicate iff
+    some LOWER-id vector sits within cosine >= 0.45; it maps to the
+    smallest such id (its keep candidate), keepers map to themselves.
+
+    This is the single-pass dedup policy (drop b when a more-canonical
+    a exists), not transitive-closure clustering — canonical-id
+    propagation over chains is iterative (connected components) and
+    deliberately out of the one-shot SQL surface. Pair generation here
+    is the exact a<b scan; at corpus scale candidates come from the
+    LSH bucket join (sim_lsh_bucketed) and this operator consumes its
+    pair stream unchanged."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a_id"), _dvec("embedding", "ea")).withColumn(
+        "na", _norm2("ea")
+    )
+    b = e.select(F.col("vec_id").alias("b_id"), _dvec("embedding", "eb")).withColumn(
+        "nb", _norm2("eb")
+    )
+    pairs = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(_cos_pre() >= DEDUP_COS_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+    return (
+        e.select("vec_id")
+        .join(pairs, F.col("vec_id") == F.col("b_id"), "left")
+        .groupBy("vec_id")
+        .agg(
+            F.coalesce(F.min("a_id"), F.first("vec_id")).alias("keep_id"),
+            F.when(F.min("a_id").isNotNull(), 1).otherwise(0).alias("is_dup"),
+        )
+    )
+
+
+@query(
+    "sim_ivf",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cen AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {IVF_NLIST}),
+    asg AS (
+      SELECT v.vec_id, cen.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_SQL_COS.format(a='v.e', b='cen.ce')}, 6) DESC,
+                        cen.cid) AS rn
+      FROM v CROSS JOIN cen),
+    cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid AS cell
+               FROM asg WHERE vec_id < {IVF_N_QUERIES} AND rn <= {IVF_NPROBE}),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN cells c ON c.cell = p.cell
+      WHERE c.vec_id <> p.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND({_SQL_COS.format(a='q.e', b='n.e')}, 6) AS cos_sim
+      FROM cand
+      JOIN v q ON q.vec_id = cand.query_id
+      JOIN v n ON n.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of NLIST
+    centroids (the inverted file); each query probes its NPROBE
+    nearest cells and searches only those exhaustively.
+
+    Centroids here are the first NLIST vectors — a deterministic stand
+    -in for a k-means sample-fit so the oracle can reproduce cell
+    assignment exactly (seeded k-means is engine-specific). The plan
+    shape is the production one: the centroid table broadcasts
+    (NLIST << corpus), assignment is one map-side argmax per vector,
+    and the probe runs as an equi-join on cell id — the corpus is
+    never crossed with itself. Cell sizes concentrate the scan to
+    ~NPROBE/NLIST of the data; recall < 1 is the IVF contract.
+    Ranking rounds to 6 decimals before every argmax/top-k on both
+    engines so ulp noise can't flip cell assignment or ordering."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding", "e")).withColumn("nv", _norm2("e"))
+    cen = (
+        v.filter(F.col("vec_id") < IVF_NLIST)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                F.col("nv").alias("nc"))
+    )
+    cos_vc = F.round(
+        _dot("e", "ce") / (F.sqrt(F.col("nv")) * F.sqrt(F.col("nc"))), 6
+    )
+    asg_w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("cid")
+    )
+    asg = (
+        v.join(F.broadcast(cen))
+        .select("vec_id", "e", "nv", "cid", cos_vc.alias("s"))
+        .withColumn("rn", F.row_number().over(asg_w))
+    )
+    cells = asg.filter(F.col("rn") == 1).select("vec_id", F.col("cid").alias("cell"))
+    probes = (
+        asg.filter((F.col("vec_id") < IVF_N_QUERIES) & (F.col("rn") <= IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    q = v.select(F.col("vec_id").alias("query_id"), F.col("e").alias("ea"),
+                 F.col("nv").alias("na"))
+    n = v.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"),
+                 F.col("nv").alias("nb"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(_cos_pre(), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
