@@ -1,0 +1,104 @@
+"""Custom stateful sessionizer (applyInPandasWithState) verified
+against the engine's own `session_window` on the same bounded input.
+
+Harness: events sorted by ts are split into K sequential parquet
+files; maxFilesPerTrigger=1 + availableNow gives K micro-batches, so
+the event-time watermark ratchets between batches and both close
+paths run — in-batch closes (a key's next event arrives post-gap) and
+event-time-timeout closes (watermark passes end+gap with the key
+idle).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from py_pubsub_pipeline_spark.streaming import stateful_sessionize
+from py_pubsub_pipeline_spark.tables import table
+
+from conftest import SF_SMALL
+
+GAP_S = 1800
+N_FILES = 5
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_sorted"))
+    shutil.rmtree(d)
+    ev = (
+        table(spark, SF_SMALL, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        .orderBy("ts")
+    )
+    # Clean time-ordered split: file i holds the i-th time slice, so no
+    # cross-file late data (in-batch closes then mirror session_window
+    # exactly; cross-watermark lateness is covered by test_streaming).
+    ev.withColumn(
+        "bucket", F.ntile(N_FILES).over(Window.orderBy("ts"))
+    ).write.partitionBy("bucket").mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_sessionizer_matches_session_window(spark, split_events_dir):
+    batch = spark.read.parquet(split_events_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_events_dir)
+        .select("user_id", "ts", "value")
+    )
+    name = "stateful_sessions"
+    q = (
+        stateful_sessionize(stream, gap_seconds=GAP_S, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in spark.table(name).collect()
+    }
+    assert got, "no sessions emitted"
+
+    expected_all = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in (
+            batch.groupBy(
+                "user_id", F.session_window("ts", f"{GAP_S} seconds")
+            )
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                # session_window.end = last_ts + gap; the sessionizer
+                # reports the last event time itself.
+                (
+                    F.col("session_window.end") - F.expr(f"INTERVAL {GAP_S} SECONDS")
+                ).alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    # Every emitted session must be a true session.
+    assert got <= expected_all, f"spurious sessions: {sorted(got - expected_all)[:5]}"
+
+    # Completeness: any session whose close-deadline (end+gap) falls
+    # before the watermark of the final batch must have been emitted.
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    wm_final = max_ts.timestamp() - 600  # 10-minute watermark delay
+    must_emit = {
+        s for s in expected_all if s[2].timestamp() + GAP_S < wm_final
+    }
+    missing = must_emit - got
+    assert not missing, f"sessions past deadline not emitted: {sorted(missing)[:5]}"
