@@ -16,4 +16,5 @@ from . import (  # noqa: F401
     multimodal_q,
     advanced,
     udfs,
+    composite,
 )
