@@ -1,0 +1,84 @@
+"""Batch I/O surface: format roundtrips, partition pruning, and
+shuffle-free bucketed joins — with plan-level assertions, not just
+row counts (the plan IS the scale contract).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_pubsub_pipeline_spark.sources.io import (
+    read_batch,
+    write_bucketed,
+    write_partitioned,
+)
+from py_pubsub_pipeline_spark.tables import table
+
+from conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_json_csv_roundtrip_matches_parquet(spark, tmp_path):
+    src = table(spark, SF_SMALL, "nation")
+    for fmt in ("json", "csv"):
+        p = str(tmp_path / fmt)
+        src.write.format(fmt).option("header", "true").mode("overwrite").save(p)
+        back = read_batch(spark, p, fmt, schema=src.schema)
+        assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_explicit_schema_required_for_text_formats(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_batch(spark, str(tmp_path), "json")
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_batch(spark, str(tmp_path), "avro")
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
+    p = str(tmp_path / "orders_by_status")
+    orders = table(spark, SF_SMALL, "orders")
+    write_partitioned(orders, p, ["o_orderstatus"])
+    back = read_batch(spark, p, "parquet").filter(F.col("o_orderstatus") == "F")
+    back.count()
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # warehouse dir is a static conf — bucketed tables land in the
+    # session's default warehouse and are dropped in the finally block.
+    orders = table(spark, SF_SMALL, "orders")
+    customer = table(spark, SF_SMALL, "customer")
+    write_bucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+                   "b_orders", ["o_custkey"], 8, sort_by=["o_custkey"])
+    write_bucketed(customer.select("c_custkey", "c_name"),
+                   "b_customer", ["c_custkey"], 8, sort_by=["c_custkey"])
+    try:
+        # Disable broadcast so the join exercises the bucketed path.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        n = j.count()
+        plan = _plan(j)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # Same result as the plain (shuffling) join.
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert n == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
