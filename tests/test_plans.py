@@ -1,0 +1,111 @@
+"""Plan-quality gates: the physical plan is the scale contract, so
+assert on it. A query that returns correct rows through a wrong plan
+(full-column scan, unpushed filter, shuffled dim join, interpreted
+hot path) fails here even though the oracle hash matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_pubsub_pipeline_spark.registry import load_all
+from py_pubsub_pipeline_spark.tables import table
+
+from conftest import SF_SMALL
+
+REG = load_all()
+
+
+def _executed(df, spark) -> str:
+    # Materialize THIS DataFrame's queryExecution (not a derived
+    # count()) so AQE has re-planned, then render the formatted
+    # explain (untruncated fields, codegen ids, final adaptive plan).
+    df.collect()
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _final(plan: str) -> str:
+    """The AQE final-plan tree section (before '== Initial Plan ==')."""
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_projection_pushdown_reads_only_needed_columns(spark):
+    plan = _executed(REG["scan_projection_pushdown"].fn(spark, SF_SMALL), spark)
+    read_schema = plan[plan.index("ReadSchema:") :].splitlines()[0]
+    # 3 of 11 lineitem columns: the two projected + the filter column.
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, read_schema
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_filter_reaches_parquet_scan(spark):
+    plan = _executed(REG["filter_pred"].fn(spark, SF_SMALL), spark)
+    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+    assert "[]" not in pushed.split("]")[0] + "]", pushed
+
+
+def test_broadcast_join_plans_broadcast(spark):
+    plan = _executed(REG["join_broadcast"].fn(spark, SF_SMALL), spark)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_join_single_shuffle(spark):
+    # The 5-table chain must run as broadcast joins end-to-end with
+    # exactly ONE shuffle (the final aggregation). Build-side choice
+    # is AQE's from runtime sizes (at sf0.001 everything fits; the
+    # fact-probes-dim orientation is asserted by construction in
+    # joins.py), but a SortMergeJoin or extra exchange here means the
+    # dim chain stopped broadcasting.
+    plan = _executed(REG["join_multiway"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    shuffles = [ln for ln in final.splitlines() if "+- Exchange (" in ln]
+    assert len(shuffles) == 1, final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _executed(REG["limit_topk"].fn(spark, SF_SMALL), spark)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_agg_has_partial_final_split(spark):
+    plan = _executed(REG["agg_group"].fn(spark, SF_SMALL), spark)
+    assert "partial_" in plan, plan  # map-side combine before the shuffle
+    final = _final(plan)
+    shuffles = [ln for ln in final.splitlines() if "+- Exchange (" in ln]
+    assert len(shuffles) <= 2, final  # agg + output sort, nothing else
+
+
+def test_agg_group_stays_in_codegen(spark):
+    plan = _executed(REG["agg_group"].fn(spark, SF_SMALL), spark)
+    assert "[codegen id" in plan  # whole-stage codegen spans
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    # Catalyst must rewrite the per-row subquery into one grouped
+    # aggregate joined back — not re-execute it per outer row.
+    opt = _optimized(REG["subq_correlated"].fn(spark, SF_SMALL))
+    assert "Aggregate" in opt and "Join" in opt, opt
+    plan = _executed(REG["subq_correlated"].fn(spark, SF_SMALL), spark)
+    assert "lineitem.parquet" in plan
+
+
+def test_dedup_ngram_reuses_inverted_index_exchange(spark):
+    plan = _executed(REG["dedup_ngram_jaccard"].fn(spark, SF_SMALL), spark)
+    assert "ReusedExchange" in plan, plan
+
+
+def test_sim_topk_is_arrow_vectorized(spark):
+    plan = _executed(REG["sim_topk"].fn(spark, SF_SMALL), spark)
+    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan  # Arrow batches, not row UDF
