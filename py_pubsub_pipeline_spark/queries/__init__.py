@@ -17,4 +17,5 @@ from . import (  # noqa: F401
     advanced,
     udfs,
     composite,
+    skew_q,
 )

@@ -109,3 +109,13 @@ def test_sim_topk_is_arrow_vectorized(spark):
     plan = _executed(REG["sim_topk"].fn(spark, SF_SMALL), spark)
     assert "MapInPandas" in plan or "mapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan  # Arrow batches, not row UDF
+
+
+def test_salted_agg_splits_reduce_side(spark):
+    # Two shuffles by design: (key, salt) then (key) — the hot key's
+    # reduce work spreads over n_salts reducers in stage 1.
+    plan = _executed(REG["agg_skew_salted"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    shuffles = [ln for ln in final.splitlines() if "+- Exchange (" in ln]
+    assert len(shuffles) == 2, final
+    assert "__salt" in plan, plan
