@@ -10,7 +10,7 @@ rows. Decimal-sum determinism: see functions/exprs.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exprs import davg, dsum, sql_davg, sql_dsum
@@ -237,4 +237,32 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(F.count("*").alias("n_items"), dsum(disc, "revenue"))
         .filter(F.col("n_items") > 550)
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT l_returnflag,
+           MIN_BY(l_orderkey, l_extendedprice) AS cheapest_order,
+           MAX_BY(l_orderkey, l_extendedprice) AS priciest_order,
+           FIRST(l_linestatus ORDER BY l_orderkey, l_linenumber)
+             AS first_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregation (min_by/max_by) + a deterministic
+    any_value. The ordering columns double as tie-breaks: extended
+    prices are distinct-enough in the corpus that min/max_by are
+    unambiguous (verified by the oracle hash at both SFs)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    first_status = F.first("l_linestatus").over(w)
+    base = li.withColumn("first_status", first_status)
+    return base.groupBy("l_returnflag").agg(
+        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        F.first("first_status").alias("first_status"),
     )

@@ -192,3 +192,31 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-06-01 12:30:00").cast("timestamp_ntz").alias("lit_ts"),
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
     )
+
+
+@query(
+    "fn_misc",
+    oracle="""
+    SELECT s_suppkey,
+           COALESCE(NULLIF(s_name, 'Supplier#1'), 'anon') AS name_or_anon,
+           GREATEST(s_acctbal, 0.0) AS bal_floor,
+           LEAST(CAST(s_nationkey AS BIGINT), s_suppkey) AS min_key,
+           CASE WHEN s_acctbal < 0 THEN 'debt' ELSE 'ok' END AS standing
+    FROM supplier
+    """,
+)
+def fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling and variadic comparison scalars: NULLIF/COALESCE
+    round-trip, GREATEST/LEAST, conditional classification."""
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(
+            F.nullif(F.col("s_name"), F.lit("Supplier#1")), F.lit("anon")
+        ).alias("name_or_anon"),
+        F.greatest("s_acctbal", F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("s_nationkey").cast("bigint"), F.col("s_suppkey")).alias(
+            "min_key"
+        ),
+        F.when(F.col("s_acctbal") < 0, "debt").otherwise("ok").alias("standing"),
+    )
