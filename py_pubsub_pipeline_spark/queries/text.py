@@ -215,3 +215,38 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "byte_est_tokens"
         ),
     )
+
+
+ROLL_B, ROLL_M = 131, (1 << 31) - 1
+
+
+@query(
+    "text_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(lower(text), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * {ROLL_B} + c) % {ROLL_M}) AS roll_fp
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin document fingerprint: the polynomial rolling hash
+    h = fold((acc*B + char) mod M) over the lowercased character
+    stream. One map-side fold per row, no shuffle; the same recurrence
+    extended with the B^w subtraction term gives O(1)-per-position
+    substring (chunk) fingerprints for content-defined chunking.
+    B=131, M=2^31-1 keeps acc*B+c < 2^63 (no overflow in either
+    engine's BIGINT)."""
+    codes = F.transform(
+        F.split(F.lower(F.col("text")), ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    h = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_B + c) % ROLL_M,
+    )
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", h.alias("roll_fp"))

@@ -193,3 +193,39 @@ def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_hour,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+             AS sum_prev_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user rolling one-hour count/sum —
+    the frame is bounded by TIME, not row position, so co-timed and
+    bursty events are handled correctly. Runs as one shuffle on
+    user_id + an in-partition ordered scan (no self-join
+    re-materialization of the hour window)."""
+    ev = table(spark, sf_dir, "events")
+    # RANGE with an interval needs the ordering key in seconds.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_prev_hour"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6
+        ).alias("sum_prev_hour"),
+    )
