@@ -1,5 +1,11 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
+Reference parity: the reference treats every payload as opaque bytes
+with pluggable codecs (/root/reference/pubsub_pipeline.py:177 raw
+`message.data`; :66-67 pluggable deserializer/serializer) — this
+module is that same opaque-bytes contract extended to media, where
+the "codec" is a decode/featurize kernel instead of JSON.
+
 The pattern (SURVEY.md §2B): media travel as BINARY columns next to a
 metadata struct; decode/feature-extraction runs as Arrow-batched
 Pandas iterators (mapInPandas) so each Python call sees a columnar
