@@ -120,3 +120,29 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed deduplication — batch twin of the streaming
     dropDuplicatesWithinWatermark operator."""
     return table(spark, sf_dir, "events").select("event_id").dropDuplicates()
+
+
+@query(
+    "join_interval_attrib",
+    oracle="""
+    SELECT c.user_id AS c_user, c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts, p.value AS amount
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 900 SECONDS
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def join_interval_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/joins.stream_stream_interval_join (the
+    click->purchase attribution join): same code path run on a bounded
+    DataFrame, oracle-checked here; the true streaming execution with
+    watermark-bounded state is exercised in tests/test_streaming.py.
+    Equi-key on user_id keeps it a hash join; the time bound is the
+    join residual (and, when streaming, the state-eviction bound)."""
+    from ..streaming.joins import stream_stream_interval_join
+
+    ev = table(spark, sf_dir, "events")
+    return stream_stream_interval_join(ev, ev, within_seconds=900)

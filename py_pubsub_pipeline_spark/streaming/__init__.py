@@ -1,5 +1,6 @@
 """Structured-Streaming helpers: watermarks, windows, stateful dedup."""
 
+from .joins import stream_stream_interval_join  # noqa: F401
 from .stateful import stateful_sessionize  # noqa: F401
 from .windows import (  # noqa: F401
     sessionized_stream,

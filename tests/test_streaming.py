@@ -93,3 +93,30 @@ def test_stream_dedup_within_watermark(spark, events_stream_dir):
         table(spark, SF_SMALL, "events").select("event_id").distinct().count()
     )
     assert n == dedup
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    from py_pubsub_pipeline_spark.streaming import stream_stream_interval_join
+
+    stream = _stream_events(spark, events_stream_dir)
+    q = _run_to_memory(
+        stream_stream_interval_join(stream, stream, within_seconds=900),
+        "ss_join",
+    )
+    got = {
+        (r.c_user, r.click_id, r.purchase_id, round(r.amount, 6))
+        for r in spark.table("ss_join").collect()
+    }
+
+    batch = table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expected = {
+        (r.c_user, r.click_id, r.purchase_id, round(r.amount, 6))
+        for r in stream_stream_interval_join(batch, batch, within_seconds=900)
+        .collect()
+    }
+    # Bounded input, availableNow: the inner join emits exactly the
+    # batch-twin matches (no late data beyond the watermark here).
+    assert got == expected
+    assert expected, "attribution join produced no pairs at sf0.001"
