@@ -120,3 +120,46 @@ def udtf_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         tokenize, "doc_id long, token string, tok_len int"
     )
+
+
+@query(
+    "udtf_lateral",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(w[(c.i * 10 + 1):(c.i * 10 + 10)], ' ') AS chunk,
+           CAST(len(w[(c.i * 10 + 1):(c.i * 10 + 10)]) AS INTEGER) AS n_words,
+           CAST(c.i AS INTEGER) AS idx
+    FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id < 30),
+         UNNEST(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1))
+           c(i)
+    """,
+)
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python UDTF (Spark 4 @udtf): one input row -> N output
+    rows via a class-based table function applied with a LATERAL join
+    — here, fixed-10-word chunking (the context-window prep step of a
+    training-data pipeline). This is the reference's one-to-many
+    enrichment shape as a first-class catalog object (vs
+    udtf_map_batches, which is the same dataflow hand-built on Arrow
+    batches — the UDTF trades some batching for SQL composability)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk string, n_words int, idx int")
+    class ChunkWords:
+        def eval(self, text: str):  # noqa: ANN001
+            words = text.split(" ")
+            for i in range(0, len(words), 10):
+                piece = words[i : i + 10]
+                yield " ".join(piece), len(piece), i // 10
+
+    spark.udtf.register("chunk_words", ChunkWords)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_head")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk, c.n_words, c.idx
+        FROM docs_head, LATERAL chunk_words(text) c
+        """
+    )
