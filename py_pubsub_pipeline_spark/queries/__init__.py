@@ -18,4 +18,5 @@ from . import (  # noqa: F401
     udfs,
     composite,
     skew_q,
+    graph,
 )

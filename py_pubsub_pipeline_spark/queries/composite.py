@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exprs import dsum, sql_dsum
+from ..functions.exprs import dec, dsum, sql_dsum
 from ..registry import query
 from ..tables import table
 
@@ -164,4 +164,107 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
+    )
+
+
+@query(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): revenue by nation where
+    the customer and the supplier share a nation in region ASIA — the
+    classic 6-table snowflake with a cross-dimension equality
+    (c_nationkey = s_nationkey) that makes join ORDER matter. Plan
+    shape: region⋈nation broadcasts (tiny), supplier and customer are
+    dims keyed by nationkey, lineitem⋈orders is the only fact-fact
+    shuffle, and the nationkey equality is applied as a residual on
+    the probe side rather than a second shuffle. The final groupBy has
+    ≤25 groups — partial agg collapses it map-side; the exchange moves
+    one row per partition per nation."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    asian_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    sup = s.join(F.broadcast(asian_nations),
+                 s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    cust = c.join(F.broadcast(asian_nations.select("n_nationkey")),
+                  c.c_nationkey == F.col("n_nationkey")).select(
+        "c_custkey", "c_nationkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(_revenue(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle="""
+    SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,6)) ELSE 0 END)
+           / SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): percent of revenue from
+    PROMO-type parts in a half-year window. A conditional aggregate
+    ratio — both sums come out of ONE scan+join pass (no second
+    subquery over lineitem). `part` broadcasts; the date filter is
+    pushed to the lineitem scan; the division runs on exact DECIMAL
+    partials so both engines agree bit-for-bit."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    rev = dec(_revenue(), 6)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                / F.sum(rev)
+            ).cast("double").alias("promo_share_pct")
+        )
     )

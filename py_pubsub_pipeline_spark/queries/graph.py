@@ -1,0 +1,114 @@
+"""Iterative graph operator: connected components over the near-dup
+pair graph — the step that turns pairwise "A resembles B" into
+dedup CLUSTERS (keep one doc per component). This is the one operator
+family in the inventory that is inherently iterative: no single
+SQL-92 query expresses transitive closure, so the Spark side runs
+min-label propagation to a fixpoint and the DuckDB oracle uses a
+recursive CTE — two independent formulations of the same semantics.
+
+Scale notes:
+- Each round is one shuffle (edges ⋈ labels on the src key) plus one
+  hash agg (min label per vertex); rounds needed = graph diameter.
+  Near-dup graphs are unions of small dense clusters — diameter is
+  tiny (2-4), so this converges in a handful of rounds even at 100 TB
+  corpus scale. For adversarial long-chain graphs the production
+  upgrade is alternating large-star/small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14), which
+  converges in O(log^2 n) rounds with the same per-round shape.
+- `localCheckpoint(eager=True)` after every round truncates the plan
+  lineage — without it the logical plan doubles per iteration and
+  analysis cost explodes (the classic iterative-Spark trap).
+- The convergence test (did any label change?) is a count on the
+  joined old/new frames — one extra small job per round, driver-side
+  control flow only; all data stays distributed.
+
+Mirrors the reference's enrichment-loop role (pubsub_pipeline.py:149
+`while True` driver loop controlling distributed work per iteration)
+in spirit: driver coordinates, executors compute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+from .dedup import JACCARD_THRESHOLD, _SQL_SHINGLES, dedup_ngram_jaccard
+
+MAX_ROUNDS = 20
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """Min-label propagation. vertices: (doc_id); edges: (u, v)
+    undirected (one row per direction). Returns (doc_id, component)
+    where component = min doc_id reachable."""
+    labels = vertices.select("doc_id", F.col("doc_id").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        prop = (
+            edges.join(labels, edges.u == labels.doc_id)
+            .select(F.col("v").alias("doc_id"), "component")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_cc",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a_id, b_id FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
+            >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT node AS doc_id, MIN(label) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components of the word-3-gram
+    Jaccard >= 0.5 near-dup graph, one row per document, component =
+    smallest doc_id in its cluster (singletons map to themselves).
+    Downstream keep-one-per-cluster is `component = doc_id`. Spark
+    side iterates min-label propagation to a fixpoint; DuckDB oracle
+    computes the identical fixpoint with a recursive CTE — fully
+    value-checked despite being non-single-query semantics."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    )
+    return connected_components(docs, edges)

@@ -213,3 +213,21 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_items"), dsum(disc, "revenue"))
     )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product (region x nation, |R|x|N| rows).
+    Plans as BroadcastNestedLoopJoin — the only sane physical shape
+    for a cross join whose one side is tiny. The engine's rule at
+    scale: a cross join is legal only when one side broadcasts;
+    fact-x-fact Cartesian products are a plan bug, not a strategy."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
