@@ -19,4 +19,5 @@ from . import (  # noqa: F401
     composite,
     skew_q,
     graph,
+    quality,
 )

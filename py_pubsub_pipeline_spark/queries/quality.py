@@ -1,0 +1,209 @@
+"""Training-data pipeline utilities: reproducible sampling/splits,
+column profiling, batch sessionization.
+
+These are the everyday ops of a 100 TB corpus pipeline that don't fit
+the classic relational families: carve out a deterministic sample,
+split train/test WITHOUT a random() that varies by engine/run/task
+retry, profile a table before training, and sessionize event logs.
+
+Determinism strategy for sampling: hash-gate on md5 of a stable key.
+Both engines produce the identical hex digest for the identical
+string, so membership is a pure function of the row — reproducible
+across engines, partitionings, retries, and scale factors (a row's
+fate never depends on which task saw it, unlike rand()-based
+sampling). This is how production corpus pipelines pin their
+holdout sets.
+
+Scale notes: every op here is one scan + one (or zero) shuffles.
+sample/split are pure map-side filters/projections — no shuffle at
+all until the summarizing agg; profiling is a single multi-aggregate
+pass (one shuffle of partial agg rows); sessionization shuffles once
+by user_id then runs sorted window + agg inside each partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dsum, sql_dsum
+from ..registry import query
+from ..tables import table
+
+# First two hex chars of md5 < '1a' (26/256) ~ 10.2% sample.
+_SAMPLE_GATE = "1a"
+# First two hex chars < 'cc' (204/256) ~ 79.7% -> train, else test.
+_SPLIT_GATE = "cc"
+
+
+def _hash2(key: F.Column) -> F.Column:
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+@query(
+    "sample_hash",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '{_SAMPLE_GATE}'
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample of orders, gated on the md5 of the
+    key. A pure map-side filter: no shuffle, no state, no seed to
+    disagree about — the same rows are sampled on any engine at any
+    parallelism. (Spark's df.sample() is seeded per-partition, so its
+    output changes with the partitioning; hash-gating is the
+    scale-stable way.)"""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(_hash2(F.col("o_orderkey")) < _SAMPLE_GATE).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+    SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+                     < '{_SPLIT_GATE}'
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~80/20 train/test split by key hash, summarized
+    per split. The split label is a pure function of the row key:
+    re-running at 1000x scale, after repartitioning, or on a
+    different engine assigns every order the same way — the property
+    a training pipeline needs so the holdout never leaks."""
+    o = table(spark, sf_dir, "orders")
+    split = F.when(
+        _hash2(F.col("o_orderkey")) < _SPLIT_GATE, F.lit("train")
+    ).otherwise(F.lit("test"))
+    return (
+        o.select(split.alias("split"), "o_totalprice")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "profile_stats",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(l_quantity) AS nn_qty,
+             COUNT(DISTINCT l_quantity) AS ndv_qty,
+             CAST(MIN(l_quantity) AS VARCHAR) AS min_qty,
+             CAST(MAX(l_quantity) AS VARCHAR) AS max_qty,
+             COUNT(l_extendedprice) AS nn_price,
+             COUNT(DISTINCT l_extendedprice) AS ndv_price,
+             CAST(MIN(l_extendedprice) AS VARCHAR) AS min_price,
+             CAST(MAX(l_extendedprice) AS VARCHAR) AS max_price,
+             COUNT(l_returnflag) AS nn_flag,
+             COUNT(DISTINCT l_returnflag) AS ndv_flag,
+             MIN(l_returnflag) AS min_flag,
+             MAX(l_returnflag) AS max_flag
+      FROM lineitem)
+    SELECT 'l_quantity' AS column_name, n_rows - nn_qty AS n_null,
+           ndv_qty AS n_distinct, min_qty AS min_str, max_qty AS max_str
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', n_rows - nn_price, ndv_price,
+           min_price, max_price FROM m
+    UNION ALL
+    SELECT 'l_returnflag', n_rows - nn_flag, ndv_flag,
+           min_flag, max_flag FROM m
+    """,
+)
+def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the pre-training `ANALYZE`): null count,
+    exact NDV, min/max for three lineitem columns, one output row per
+    column. All thirteen aggregates come out of a SINGLE scan — the
+    stack() pivot to rows happens on the one-row aggregate result,
+    not the fact table. Exact multi-column COUNT(DISTINCT) plans via
+    Spark's expand + two-phase agg; at 100 TB swap NDV to
+    approx_count_distinct (HLL, one pass, mergeable) — the agg_approx
+    query covers that path."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_quantity").alias("nn_qty"),
+        F.countDistinct("l_quantity").alias("ndv_qty"),
+        F.min("l_quantity").cast("string").alias("min_qty"),
+        F.max("l_quantity").cast("string").alias("max_qty"),
+        F.count("l_extendedprice").alias("nn_price"),
+        F.countDistinct("l_extendedprice").alias("ndv_price"),
+        F.min("l_extendedprice").cast("string").alias("min_price"),
+        F.max("l_extendedprice").cast("string").alias("max_price"),
+        F.count("l_returnflag").alias("nn_flag"),
+        F.countDistinct("l_returnflag").alias("ndv_flag"),
+        F.min("l_returnflag").alias("min_flag"),
+        F.max("l_returnflag").alias("max_flag"),
+    )
+    return m.select(
+        F.expr(
+            "stack(3, "
+            " 'l_quantity', n_rows - nn_qty, ndv_qty, min_qty, max_qty,"
+            " 'l_extendedprice', n_rows - nn_price, ndv_price,"
+            "   min_price, max_price,"
+            " 'l_returnflag', n_rows - nn_flag, ndv_flag,"
+            "   min_flag, max_flag)"
+            " AS (column_name, n_null, n_distinct, min_str, max_str)"
+        )
+    )
+
+
+@query(
+    "sessionize_gaps",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min), the window-
+    function formulation: flag session starts with LAG, number
+    sessions with a running sum, aggregate per (user, session). One
+    shuffle on user_id; the two windows and the final agg all share
+    that partitioning (a single exchange in the plan). This is the
+    batch twin of stream_session / the stateful sessionizer — three
+    independent formulations of the same semantics, cross-checked.
+    Ties on ts break by event_id so numbering is deterministic."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = F.col("ts") - F.lag("ts").over(w) <= F.expr(
+        "INTERVAL 30 MINUTES"
+    )
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("is_new"),
+    )
+    numbered = flagged.withColumn(
+        "sess_id",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return numbered.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    ).select("user_id", "session_start", "session_end", "n_events")
