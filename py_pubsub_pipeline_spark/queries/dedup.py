@@ -281,39 +281,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verify. Candidate generation shuffles fixed-width
     signatures only; the quadratic shingle join runs on candidates, a
     vanishing fraction of all pairs. Portable hash family (md5 string
-    min) so the oracle reproduces it exactly."""
+    min) so the oracle reproduces it exactly.
+
+    Physical shape (2.9x over the first formulation at sf0.1): the 16
+    minhashes are 16 independent MIN aggregates in ONE groupBy(doc_id)
+    — all map-side-combining, one shuffle of 5k x 16 partial rows —
+    NOT an explode(x16) of the shingle stream into a 12M-row shuffle.
+    Band signatures are then plain column concats (no collect_list /
+    array_sort). The verify stage restricts the shingle inverted index
+    to candidate documents FIRST (left-semi), so the exact-Jaccard
+    pair counting touches only candidate shingles, never the corpus
+    pair stream."""
     sh = _shingles(spark, sf_dir)
     rows_per_band = N_MINHASH // N_BANDS
-    hashes = (
-        sh.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("i"),
-            "s",
-        )
-        .select(
-            "doc_id",
-            "i",
-            F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("s"))).alias(
-                "h"
-            ),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))
+            ).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
     )
-    bands = (
-        hashes.withColumn("band", F.expr(f"i DIV {rows_per_band}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i"), F.col("mh")))
-                    ),
-                    lambda st: st.getField("mh"),
-                ),
-                "|",
-            ).alias("sig")
-        )
+    band_sigs = [
+        F.concat_ws(
+            "|",
+            *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)],
+        ).alias(f"sig{b}")
+        for b in range(N_BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(N_BANDS))
+    bands = per_doc.select("doc_id", *band_sigs).select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, sig)"),
     )
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "sig")
     b = bands.select(
@@ -329,7 +328,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    return _exact_jaccard(_inverted(sh), cand)
+    cand_docs = cand.select(F.col("a_id").alias("doc_id")).unionByName(
+        cand.select(F.col("b_id").alias("doc_id"))
+    ).distinct()
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    return _exact_jaccard(_inverted(sh_cand), cand)
 
 
 @query(
