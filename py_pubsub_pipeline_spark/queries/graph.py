@@ -110,5 +110,13 @@ def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     ).unionByName(
         pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    ).localCheckpoint(eager=True)
+    # Iterate only over vertices that HAVE edges (the near-dup graph is
+    # a sliver of the corpus); the untouched majority joins in as
+    # their-own-component rows at the end — no per-round work for them.
+    touched = edges.select(F.col("u").alias("doc_id")).distinct()
+    labels = connected_components(touched, edges)
+    singletons = docs.join(touched, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
     )
-    return connected_components(docs, edges)
+    return labels.unionByName(singletons)
