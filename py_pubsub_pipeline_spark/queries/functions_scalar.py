@@ -220,3 +220,32 @@ def fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.col("s_acctbal") < 0, "debt").otherwise("ok").alias("standing"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 170) AS toggled,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: AND/OR/XOR and shifts — the primitives
+    under bitmap indexes, bloom-filter membership, and hash mixing.
+    Pure codegen'd JVM expressions; the filter prunes at the scan."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(170)).alias("toggled"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+    )

@@ -217,3 +217,33 @@ def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     ).select("user_id", "session_start", "session_end", "n_events")
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (the profiling companion
+    to profile_stats): bin id = floor(x / width), one hash agg, a few
+    dozen groups — partial aggregation collapses it map-side, the
+    exchange moves one row per partition per bin. The same shape at
+    100 TB; for data-dependent bins swap the constant width for
+    approx quantile boundaries (agg_percentile covers that path)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
