@@ -119,3 +119,44 @@ def test_salted_agg_splits_reduce_side(spark):
     shuffles = [ln for ln in final.splitlines() if "+- Exchange (" in ln]
     assert len(shuffles) == 2, final
     assert "__salt" in plan, plan
+
+
+def test_sessionize_single_exchange_shared_by_windows_and_agg(spark):
+    # Both window functions and the per-session agg must reuse the ONE
+    # user_id exchange (SCALE.md: "1 Exchange, 1 Sort, 2 Window").
+    plan = _executed(REG["sessionize_gaps"].fn(spark, SF_SMALL), spark)
+    tree = _final(plan)
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 2, tree
+    assert tree.count("Sort") == 1, tree
+
+
+def test_sample_hash_is_shuffle_free(spark):
+    plan = _executed(REG["sample_hash"].fn(spark, SF_SMALL), spark)
+    assert "Exchange" not in _final(plan), _final(plan)
+
+
+def test_sim_pairs_is_cogrouped_block_matmul(spark):
+    plan = _executed(REG["sim_pairs_cosine"].fn(spark, SF_SMALL), spark)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_stats_avoids_sort_aggregate_over_expand(spark):
+    # The COUNT(DISTINCT) branch must stay hash-aggregated: the
+    # first(...)-FILTER fallback plans SortAggregate directly over the
+    # Expand output (the 8x regression documented in SCALE.md).
+    plan = _executed(REG["profile_stats"].fn(spark, SF_SMALL), spark)
+    tree = _final(plan)
+    if "Expand" in tree:
+        expand_ctx = tree[: tree.index("Expand")]
+        # the aggregate consuming Expand output is the node just above
+        consumer = expand_ctx.splitlines()[-2] if expand_ctx.splitlines() else ""
+        assert "SortAggregate" not in consumer, tree
+
+
+def test_cross_join_broadcasts_small_side(spark):
+    plan = _executed(REG["join_cross"].fn(spark, SF_SMALL), spark)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
