@@ -250,3 +250,39 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", h.alias("roll_fp"))
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g'))) AS norm_hash,
+           length(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g'))) AS n_chars_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization before dedup (the step that makes 'Hello,
+    World!' and 'hello  world' the same document): lowercase, map
+    non-alphanumerics to spaces, collapse runs, trim. Output carries
+    the md5 of the normalized text, not the text — downstream exact
+    dedup groups on a 16-byte key and the shuffle never moves
+    documents. Pure codegen'd expressions, shuffle-free, one scan.
+    Both engines use the same POSIX-class-free regexes so Java and
+    RE2-style semantics agree."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).alias("n_chars_norm"),
+    )
