@@ -132,3 +132,35 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.subtract(s)
+
+
+@query(
+    "set_union_byname",
+    oracle="""
+    SELECT o_orderkey AS key, o_totalprice AS amount, o_orderpriority AS priority
+    FROM orders WHERE o_orderkey < 500
+    UNION ALL BY NAME
+    SELECT o_orderkey AS key, o_totalprice AS amount
+    FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+    """,
+)
+def set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: the second input lacks a column (the
+    everyday shape when a corpus adds metadata mid-collection);
+    unionByName(allowMissingColumns=True) aligns by NAME and
+    null-pads — positional unionAll would silently mis-bind columns.
+    Map-side concatenation of scans, no shuffle. Oracle: DuckDB's
+    UNION ALL BY NAME, the identical semantics."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.filter(F.col("o_orderkey") < 500).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    narrow = o.filter(
+        (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)
+    ).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    return wide.unionByName(narrow, allowMissingColumns=True)
