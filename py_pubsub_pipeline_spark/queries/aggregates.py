@@ -266,3 +266,33 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
         F.first("first_status").alias("first_status"),
     )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation via the ANSI FILTER clause — several
+    differently-filtered measures out of ONE scan + ONE hash agg (the
+    alternative, one subquery per predicate, re-scans the fact per
+    measure). Spark evaluates FILTER inside the partial aggregate, so
+    predicates never materialize intermediate rows. Decimal-summed
+    for cross-engine bit-equality."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("COUNT(*)").alias("n_all"),
+        F.expr("COUNT(*) FILTER (WHERE l_quantity > 25)").alias("n_big"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))"
+            " FILTER (WHERE l_discount > 0.05) AS DOUBLE)"
+        ).alias("disc_price"),
+    )
