@@ -38,8 +38,22 @@ def salted_join(
     n_salts sub-keys; `small` replicates n_salts-fold (explode of a
     literal range — cost n_salts * |small|, the price of the cure).
     Each hot key's rows now spread over n_salts reducers instead of
-    one. Output == plain large.join(small, large_key == small_key).
+    one. Output == plain large.join(small, large_key == small_key) for
+    how in {'inner', 'left', 'left_semi', 'left_anti'}: those preserve
+    each `large` row's match set under small-side replication, because
+    a large row carries exactly one salt and meets exactly one replica
+    of each matching small row. 'right'/'full' would emit every
+    UNMATCHED small row once per replica (n_salts null-padded copies),
+    so they are rejected rather than silently wrong.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "leftsemi",
+               "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics: unmatched "
+            f"small-side rows would duplicate n_salts times; use plain "
+            f"join (AQE skew handling) for right/full outer joins"
+        )
     # The salt must vary WITHIN a hot key, so it can never derive from
     # the join key alone — default: hash the whole row.
     salt_cols = salt_from if salt_from is not None else list(large.columns)

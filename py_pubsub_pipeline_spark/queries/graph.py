@@ -46,6 +46,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     where component = min doc_id reachable."""
     labels = vertices.select("doc_id", F.col("doc_id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_rounds):
         prop = (
             edges.join(labels, edges.u == labels.doc_id)
@@ -67,6 +68,15 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # Returning partial labels would be silently WRONG components;
+        # a graph whose diameter exceeds the round budget must fail
+        # loudly (production path for such graphs: large-star/small-star).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            f"rounds (graph diameter exceeds budget); raise max_rounds "
+            f"or use the large-star/small-star formulation"
+        )
     return labels
 
 

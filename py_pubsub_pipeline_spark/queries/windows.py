@@ -203,8 +203,8 @@ def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
              AS sum_prev_hour
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,13 +212,19 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame is bounded by TIME, not row position, so co-timed and
     bursty events are handled correctly. Runs as one shuffle on
     user_id + an in-partition ordered scan (no self-join
-    re-materialization of the hour window)."""
+    re-materialization of the hour window).
+
+    Frame arithmetic is in MICROSECONDS (unix_micros / epoch_us on both
+    sides): events carry sub-second timestamps, and a whole-second
+    ordering key would merge distinct sub-second instants into one
+    RANGE peer group, diverging from the timestamp-precision frame."""
     ev = table(spark, sf_dir, "events")
-    # RANGE with an interval needs the ordering key in seconds.
+    # RANGE needs a numeric ordering key; use microseconds to keep the
+    # full timestamp precision (1 hour = 3_600_000_000 us).
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",

@@ -29,7 +29,9 @@ RUNTIME_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI off: match the reference's permissive dynamic-typing posture
     # (SURVEY.md §1.1 "schema system: none") and DuckDB's non-erroring
-    # casts in the oracle comparisons we control.
+    # casts in the oracle comparisons we control. Spark 4.x defaults
+    # ANSI ON, so this must be set explicitly for permissive casts.
+    "spark.sql.ansi.enabled": "false",
 }
 
 

@@ -60,17 +60,44 @@ def _msg_name(seq: int) -> str:
     return f"{seq:0{_SEQ_WIDTH}d}.msg"
 
 
+def _next_seq(topic_dir: str) -> int:
+    existing = [
+        int(f[:_SEQ_WIDTH]) for f in os.listdir(topic_dir) if f.endswith(".msg")
+    ]
+    return max(existing, default=-1) + 1
+
+
+def _claim_seq(topic_dir: str, staged_path: str, seq_hint: int) -> int:
+    """Atomically claim the next free sequence number for staged_path.
+
+    os.link() to the final name fails with EEXIST if another publisher
+    claimed that seq — we retry with the next one. The old
+    max+1-then-rename scheme let two concurrent publishers pick the
+    same seq and rename() silently OVERWROTE the loser's message on
+    the 'durable' broker; link() never clobbers.
+    """
+    seq = seq_hint
+    while True:
+        target = os.path.join(topic_dir, _msg_name(seq))
+        try:
+            os.link(staged_path, target)
+        except FileExistsError:
+            seq += 1
+            continue
+        os.remove(staged_path)
+        return seq
+
+
 def publish(topic_dir: str, payload: bytes) -> int:
     """Atomically publish one message; returns its offset. (The
-    TestClient.publish analog, /root/reference/test_client.py:29-31.)"""
+    TestClient.publish analog, /root/reference/test_client.py:29-31.)
+    Safe under concurrent publishers: the seq is claimed with an
+    atomic link(), not a clobbering rename."""
     os.makedirs(topic_dir, exist_ok=True)
-    existing = [int(f[:_SEQ_WIDTH]) for f in os.listdir(topic_dir) if f.endswith(".msg")]
-    seq = max(existing, default=-1) + 1
     tmp = os.path.join(topic_dir, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "wb") as f:
         f.write(payload)
-    os.rename(tmp, os.path.join(topic_dir, _msg_name(seq)))
-    return seq
+    return _claim_seq(topic_dir, tmp, _next_seq(topic_dir))
 
 
 def _read_range(topic_dir: str, start: int, end: int) -> Iterator[tuple]:
@@ -139,16 +166,12 @@ class PubSubDirStreamWriter(DataSourceStreamWriter):
         # Publish-before-ack: this runs before Spark writes the batch
         # commit to the checkpoint (R10 ordering).
         os.makedirs(self.topic_dir, exist_ok=True)
-        existing = [
-            int(f[:_SEQ_WIDTH])
-            for f in os.listdir(self.topic_dir)
-            if f.endswith(".msg")
-        ]
-        seq = max(existing, default=-1) + 1
+        seq = _next_seq(self.topic_dir)
         for m in messages:
             for path in m.files:
-                os.rename(path, os.path.join(self.topic_dir, _msg_name(seq)))
-                seq += 1
+                # Atomic claim: never overwrites a concurrent external
+                # publish racing this commit (see _claim_seq).
+                seq = _claim_seq(self.topic_dir, path, seq) + 1
 
     def abort(self, messages: list[_Staged], batch_id: int) -> None:
         for m in messages:
