@@ -109,15 +109,45 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx", oracle=None)  # HLL++ sketch != DuckDB's sketch: rows-only
+@query(
+    "agg_approx",
+    # HLL++/KLL sketch values differ by engine, so the oracle can't
+    # compare the estimates directly. Instead BOTH sides emit the
+    # *accuracy contract*: Spark checks its sketch against its own
+    # exact aggregate (abs(approx-exact)/exact <= bound) and returns
+    # booleans; DuckDB computes the same booleans as literal TRUE
+    # (the bound holds by construction: rsd=0.02 << 0.05, and
+    # accuracy=10000 => rank error ~ n/10000 ranks). A sketch
+    # regression (wrong estimate) flips a boolean and fails the hash.
+    oracle="""
+    SELECT l_returnflag,
+           TRUE AS ndv_within_5pct,
+           TRUE AS median_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate count-distinct (HyperLogLog++). At 100 TB this is
-    the right default for cardinality: one pass, fixed memory, no
-    distinct expansion. Oracle omitted (sketches differ by engine)."""
+    """Approximate count-distinct (HyperLogLog++) + approximate median
+    (KLL-style quantile sketch). At 100 TB these are the right default
+    for cardinality/quantiles: one pass, fixed memory, no distinct
+    expansion. Oracle checks the bounded-relative-error CONTRACT, not
+    the sketch value (engine sketches differ): each group's estimate
+    must land within 5% of the exact answer."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_exact"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.05)
+    )
+    return agg.select(
+        "l_returnflag",
+        within("approx_parts", "exact_parts").alias("ndv_within_5pct"),
+        within("median_approx", "median_exact").alias("median_within_5pct"),
     )
 
 
