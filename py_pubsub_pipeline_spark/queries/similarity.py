@@ -184,6 +184,16 @@ def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     two raw doubles straddling a rounding boundary within ~1 ulp.
     Rounding is floor(x*1e6 + 0.5): half-up matches both engines'
     ROUND for the positive scores that can pass the threshold."""
+    return _blocked_cos_pairs(spark, sf_dir, COS_THRESHOLD)
+
+
+def _blocked_cos_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """All unordered pairs (a_id < b_id) with ROUND(cosine, 6) >=
+    threshold, via the cogrouped block-matmul (see sim_pairs_cosine
+    docstring for the scale analysis). Shared candidate generator for
+    sim_pairs_cosine and dedup_embedding."""
     # Two independent scans (fresh attribute ids per side): cogroup's
     # analyzer rejects sides that share lineage the way a self-join
     # would. The parquet scan is the shared, cheap thing to duplicate.
@@ -221,7 +231,7 @@ def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         S = np.floor((An @ Bn.T) * 1e6 + 0.5) / 1e6  # ROUND(x, 6), half-up
         # Each unordered id pair belongs to exactly one block pair
         # (sorted block ids); emit it once, as (min_id, max_id).
-        mask = (S >= COS_THRESHOLD) & (a_ids[:, None] != b_ids[None, :])
+        mask = (S >= threshold) & (a_ids[:, None] != b_ids[None, :])
         ai, bi = np.nonzero(mask)
         lo = np.minimum(a_ids[ai], b_ids[bi])
         hi = np.maximum(a_ids[ai], b_ids[bi])
@@ -310,7 +320,8 @@ IVF_N_QUERIES = 20
     p AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id
       FROM v a JOIN v b ON a.vec_id < b.vec_id
-      WHERE {_SQL_COS.format(a='a.e', b='b.e')} >= {DEDUP_COS_THRESHOLD})
+      WHERE ROUND({_SQL_COS.format(a='a.e', b='b.e')}, 6)
+            >= {DEDUP_COS_THRESHOLD})
     SELECT v.vec_id,
            CAST(COALESCE(MIN(p.a_id), v.vec_id) AS BIGINT) AS keep_id,
            CASE WHEN MIN(p.a_id) IS NOT NULL THEN 1 ELSE 0 END AS is_dup
@@ -326,21 +337,20 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the single-pass dedup policy (drop b when a more-canonical
     a exists), not transitive-closure clustering — canonical-id
     propagation over chains is iterative (connected components) and
-    deliberately out of the one-shot SQL surface. Pair generation here
-    is the exact a<b scan; at corpus scale candidates come from the
-    LSH bucket join (sim_lsh_bucketed) and this operator consumes its
-    pair stream unchanged."""
+    deliberately out of the one-shot SQL surface.
+
+    Pair generation is the cogrouped BLOCK-MATMUL stream shared with
+    sim_pairs_cosine (_blocked_cos_pairs): shuffle volume O(N *
+    (N_BLOCKS+1)/2) vector replications, quadratic work confined to
+    per-tile BLAS calls — never an all-pairs theta join (the previous
+    a.join(b, a_id < b_id) planned a BroadcastNestedLoopJoin: O(N^2)
+    comparisons AND a full-table broadcast, which OOMs at corpus
+    scale; a plan gate in tests/test_plans.py now locks this out).
+    Both sides round cosine to 6 decimals before the threshold so
+    BLAS-vs-sequential summation order can't flip membership."""
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a_id"), _dvec("embedding", "ea")).withColumn(
-        "na", _norm2("ea")
-    )
-    b = e.select(F.col("vec_id").alias("b_id"), _dvec("embedding", "eb")).withColumn(
-        "nb", _norm2("eb")
-    )
-    pairs = (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .filter(_cos_pre() >= DEDUP_COS_THRESHOLD)
-        .select("a_id", "b_id")
+    pairs = _blocked_cos_pairs(spark, sf_dir, DEDUP_COS_THRESHOLD).select(
+        "a_id", "b_id"
     )
     return (
         e.select("vec_id")

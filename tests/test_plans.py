@@ -143,6 +143,16 @@ def test_sim_pairs_is_cogrouped_block_matmul(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dedup_embedding_is_not_all_pairs(spark):
+    # Candidate generation must come from the cogrouped block-matmul
+    # stream, never an a<b theta self-join (BroadcastNestedLoopJoin =
+    # O(N^2) comparisons + full-table broadcast — OOM at corpus scale).
+    plan = _executed(REG["dedup_embedding"].fn(spark, SF_SMALL), spark)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_profile_stats_avoids_sort_aggregate_over_expand(spark):
     # The COUNT(DISTINCT) branch must stay hash-aggregated: the
     # first(...)-FILTER fallback plans SortAggregate directly over the
