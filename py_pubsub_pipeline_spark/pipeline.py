@@ -117,6 +117,95 @@ class CollectingSink:
         self.rows.extend(r["value"] for r in batch_df.select("value").collect())
 
 
+# ---------------------------------------------------------- observability
+
+
+class PipelineMetricsListener:
+    """R13 observability (reference logs each stage of every cycle:
+    pull P:143-145, process/publish P:156-158, ack P:178-184). The
+    Structured-Streaming analog is a StreamingQueryListener: one
+    progress event per micro-batch carrying rows-in, per-stage
+    durations, and — via the Dataset.observe() hook installed by
+    SparkPipeline — the exact rows-out count the sink published.
+
+    Collected records (``batches``) are plain dicts, queryable by
+    tests and ops tooling; each batch also logs one line at the
+    reference's granularity. onQueryTerminated carries the commit
+    status of the run as a whole (exception => batch NOT committed)."""
+
+    def __init__(self) -> None:
+        self.batches: list[dict] = []
+        self.terminated: dict | None = None
+        self._delegate = None
+
+    # -- StreamingQueryListener protocol (duck-typed via _listener()) --
+
+    def _on_progress(self, progress) -> None:  # noqa: ANN001
+        observed = progress.observedMetrics.get("pipeline")
+        rec = {
+            "batch_id": progress.batchId,
+            "rows_in": progress.numInputRows,
+            "rows_out": observed["rows_out"] if observed is not None else None,
+            "duration_ms": dict(progress.durationMs or {}),
+            "timestamp": progress.timestamp,
+        }
+        self.batches.append(rec)
+        log.info(
+            "batch %d: pulled %d, published %s, committed "
+            "(addBatch %sms, commitOffsets %sms)",
+            rec["batch_id"], rec["rows_in"], rec["rows_out"],
+            rec["duration_ms"].get("addBatch"),
+            rec["duration_ms"].get("commitOffsets"),
+        )
+
+    def _on_terminated(self, event) -> None:  # noqa: ANN001
+        self.terminated = {
+            "query_id": str(event.id),
+            "exception": event.exception,
+            "committed": event.exception is None,
+        }
+        if event.exception is None:
+            log.info("query %s terminated cleanly", event.id)
+        else:
+            log.error("query %s FAILED (batch not committed): %s",
+                      event.id, event.exception)
+
+    def _listener(self):  # noqa: ANN202
+        """Build the pyspark StreamingQueryListener wrapping this
+        collector (kept separate so the collector itself stays a plain
+        picklable object with no JVM references)."""
+        if self._delegate is not None:
+            return self._delegate
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:  # noqa: ANN001
+                log.info("query %s started (run %s)", event.id, event.runId)
+
+            def onQueryProgress(self, event) -> None:  # noqa: ANN001
+                outer._on_progress(event.progress)
+
+            def onQueryIdle(self, event) -> None:  # noqa: ANN001
+                pass
+
+            def onQueryTerminated(self, event) -> None:  # noqa: ANN001
+                outer._on_terminated(event)
+
+        self._delegate = _L()
+        return self._delegate
+
+    # -- convenience for tests/ops --
+
+    def totals(self) -> dict:
+        return {
+            "batches": len(self.batches),
+            "rows_in": sum(b["rows_in"] for b in self.batches),
+            "rows_out": sum(b["rows_out"] or 0 for b in self.batches),
+        }
+
+
 # ------------------------------------------------------------- shutdown
 
 
@@ -172,6 +261,11 @@ class SparkPipeline:
     bulk: bool = False
     checkpoint_dir: str | None = None
     killer: GracefulKiller = field(default_factory=GracefulKiller)
+    # R13: per-batch metrics (rows in/out, stage durations, commit
+    # status) — populated by the listener process() attaches.
+    metrics: PipelineMetricsListener = field(
+        default_factory=PipelineMetricsListener
+    )
 
     def _transformed(self) -> DataFrame:
         from .session import ensure_package_on_workers
@@ -218,7 +312,14 @@ class SparkPipeline:
         trigger, because the latter stops after a single batch of a
         rate-capped custom source). False runs continuously until
         stop()/signal. Returns the StreamingQuery."""
-        out = self._transformed()
+        # observe() rides the batch itself (no extra job): the exact
+        # published-row count lands in each progress event, which the
+        # metrics listener collects (R13; foreachBatch sinks otherwise
+        # report no output-row metric).
+        out = self._transformed().observe(
+            "pipeline", F.count(F.lit(1)).alias("rows_out")
+        )
+        self.spark.streams.addListener(self.metrics._listener())
         writer = out.writeStream.foreachBatch(self.sink)
         if self.checkpoint_dir:
             writer = writer.option("checkpointLocation", self.checkpoint_dir)
@@ -232,4 +333,14 @@ class SparkPipeline:
                     raise ex
             finally:
                 query.stop()
+                # Listener events are delivered async; for the bounded
+                # run give the terminated event a moment to land so
+                # callers can read metrics immediately after process().
+                import time as _t
+
+                for _ in range(50):
+                    if self.metrics.terminated is not None:
+                        break
+                    _t.sleep(0.1)
+                self.spark.streams.removeListener(self.metrics._listener())
         return query

@@ -12,6 +12,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -212,6 +214,64 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(dims, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(F.count("*").alias("n_items"), dsum(disc, "revenue"))
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice', 'sum_price')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via BUCKETING — the 100 TB answer for
+    a JOIN KEY THAT IS USED REPEATEDLY (orders⋈lineitem on orderkey is
+    the workload's hottest edge; see join_multiway's sf1 inflection in
+    SCALE.md). Both facts are written once as bucketed+sorted tables
+    (hash(orderkey) mod N buckets, one file per bucket); every later
+    join on that key reads matching buckets pairwise — ZERO exchange
+    and zero sort at ANY data size, because co-location is a property
+    of the storage layout, not of runtime statistics.
+
+    The bucketed copies are materialized on first call per sf_dir into
+    the session warehouse (a one-time ETL cost, amortized across every
+    subsequent join on the key — exactly how a 100 TB lakehouse lays
+    out its hottest fact tables). Subsequent calls reuse them via the
+    catalog. The plan gate (tests/test_plans.py) disables broadcast
+    and asserts the join runs with no shuffle exchange."""
+    import re
+    import tempfile
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+    n_buckets = 8
+    base = os.path.join(tempfile.gettempdir(), "spark_bucketed", tag)
+    names = {}
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        name = f"{t}_bkt_{tag}"
+        if not spark.catalog.tableExists(name):
+            # External table at an explicit path: a FRESH session (the
+            # driver's) has an empty in-memory catalog but the files may
+            # persist from an earlier run — overwrite re-registers
+            # cleanly, where a managed table would refuse the location.
+            (
+                table(spark, sf_dir, t)
+                .write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .option("path", os.path.join(base, t))
+                .saveAsTable(name)
+            )
+        names[t] = name
+    li = spark.table(names["lineitem"])
+    o = spark.table(names["orders"])
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), dsum(F.col("l_extendedprice"), "sum_price"))
     )
 
 

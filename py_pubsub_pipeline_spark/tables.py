@@ -49,10 +49,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         apply_runtime_confs(spark)
         _CONFED[spark] = True
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # ts arrives as int64 nanoseconds (see session.RUNTIME_CONFS);
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # The driver corpus stores ts as parquet TIMESTAMP(NANOS), which
+        # arrives as int64 nanoseconds (see session.RUNTIME_CONFS);
         # integer-divide to µs (double math would lose precision at
         # 1.7e18) and cast through to NTZ for DuckDB-naive parity.
+        # Derived corpora (scale replicas) already store µs TIMESTAMP_NTZ
+        # and skip the conversion via the dtype check.
         df = df.withColumn(
             "ts", expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
         )

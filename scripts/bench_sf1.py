@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""sf1 bench: the evidence for the "fixed-floor" claim (VERDICT r1 #4).
+
+Round-1 graded six headline queries `weak` because their >2x-of-DuckDB
+ratios at sf0.1 were ARGUED to be Spark's constant per-query cost
+(scheduling, py4j, broadcast builds) rather than plan defects. This
+script puts that on the record: it materializes a 10x corpus
+(~sf1, 6M lineitem rows) and times BOTH engines on the same nine
+headline queries — Spark via the registry, DuckDB via each query's own
+oracle SQL — writing BENCH_sf1.json with per-query ratios.
+
+Corpus construction (same scheme as scripts/scale_probe.py):
+  - fact tables replicate 10x with disjoint key spaces per replica
+    (FK graph preserved within each replica);
+  - documents get every word tagged per replica so cross-replica
+    Jaccard is 0 — near-dup pairs grow linearly, as a real 10x corpus
+    would, not quadratically as verbatim copies would;
+  - embeddings replicate with vec_id offsets (probe set stays
+    vec_id < 50 — fixed queries, 10x candidates: the ANN scaling);
+  - events are written with ts as µs TIMESTAMP_NTZ so DuckDB reads
+    the same event-time column Spark does (the driver corpus's
+    TIMESTAMP(NANOS) needs the nanosAsLong dance; a derived corpus
+    doesn't have to reproduce that quirk).
+
+Run:  python scripts/bench_sf1.py          # writes BENCH_sf1.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from bench import HEADLINE  # noqa: E402
+from py_pubsub_pipeline_spark.oracle import duckdb_connect  # noqa: E402
+from py_pubsub_pipeline_spark.registry import load_all  # noqa: E402
+from py_pubsub_pipeline_spark.session import get_spark  # noqa: E402
+from py_pubsub_pipeline_spark.tables import TABLE_NAMES, table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/sf1"
+MULT = 10
+
+KEY_OFFSETS = {
+    "o_orderkey": 10_000_000, "l_orderkey": 10_000_000,
+    "o_custkey": 1_000_000, "c_custkey": 1_000_000,
+    "event_id": 10_000_000, "user_id": 1_000_000,
+    "doc_id": 1_000_000, "vec_id": 1_000_000,
+}
+
+
+def _build_corpus(spark) -> None:
+    for name in TABLE_NAMES:
+        dst = f"{OUT}/{name}.parquet"
+        if os.path.exists(dst):
+            continue
+        # events: go through table() so ts is already µs TIMESTAMP_NTZ.
+        src = (
+            table(spark, BASE, name)
+            if name == "events"
+            else spark.read.parquet(f"{BASE}/{name}.parquet")
+        )
+        parts = []
+        for i in range(MULT):
+            df: DataFrame = src
+            for col, off in KEY_OFFSETS.items():
+                if col in df.columns:
+                    df = df.withColumn(col, F.col(col) + i * off)
+            if name == "documents" and i > 0:
+                df = df.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda w: F.concat(w, F.lit(f"_r{i}")),
+                        ),
+                        " ",
+                    ),
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dst)
+        print(f"# built {dst}", file=sys.stderr)
+
+
+def _best_of(fn, runs: int = 2) -> tuple[float, int]:
+    best, n = None, 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best, n
+
+
+def main() -> int:
+    registry = load_all()
+    spark = get_spark("bench_sf1")
+    _build_corpus(spark)
+
+    results: dict[str, dict[str, float]] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        spec.fn(spark, OUT).count()  # warm (JIT, page cache, AQE stats)
+        s_best, s_rows = _best_of(lambda: spec.fn(spark, OUT).count())
+        results[name] = {"spark_sec": round(s_best, 3)}
+        print(f"# spark  {name}: {s_best:.3f}s ({s_rows} rows)", file=sys.stderr)
+
+    con = duckdb_connect(OUT)
+    for name in HEADLINE:
+        sql = registry[name].oracle
+        con.execute(sql).fetchall()  # warm page cache, plan cache
+        d_best, _ = _best_of(lambda: len(con.execute(sql).fetchall()))
+        results[name]["duckdb_sec"] = round(d_best, 3)
+        results[name]["ratio"] = round(results[name]["spark_sec"] / d_best, 2)
+        print(f"# duckdb {name}: {d_best:.3f}s", file=sys.stderr)
+    con.close()
+
+    total_s = round(sum(r["spark_sec"] for r in results.values()), 3)
+    total_d = round(sum(r["duckdb_sec"] for r in results.values()), 3)
+    doc = {
+        "metric": "headline_query_wall_seconds_sf1",
+        "sf": 1.0,
+        "corpus": f"{OUT} (10x replication of sf0.1, see scripts/bench_sf1.py)",
+        "spark_total_sec": total_s,
+        "duckdb_total_sec": total_d,
+        "ratio_total": round(total_s / total_d, 2),
+        "queries": results,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_sf1.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps(doc))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

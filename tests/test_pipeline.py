@@ -85,6 +85,42 @@ def test_idle_source_then_data_arrives(spark, tmp_path):
     assert len(sink.rows) == 2
 
 
+def test_metrics_listener_reports_per_batch_rows_and_commit(spark, tmp_path):
+    """R13 observability (reference per-stage logs P:143-184): the
+    pipeline's StreamingQueryListener must report, per micro-batch,
+    rows pulled, rows published (via the observe() hook — foreachBatch
+    sinks have no native output metric), stage durations, and the
+    run's commit status."""
+    tmp = str(tmp_path)
+    _drop(os.path.join(tmp, "in"), 5)
+    sink = CollectingSink()
+    pipe = _pipeline(spark, tmp, sink, processor=lambda m: m)
+    pipe.process()
+
+    totals = pipe.metrics.totals()
+    assert totals["rows_in"] == 5, pipe.metrics.batches
+    assert totals["rows_out"] == 5, pipe.metrics.batches
+    assert totals["batches"] >= 1
+    for b in pipe.metrics.batches:
+        assert "addBatch" in b["duration_ms"], b
+    assert pipe.metrics.terminated is not None
+    assert pipe.metrics.terminated["committed"] is True
+
+
+def test_metrics_listener_marks_failed_run_uncommitted(spark, tmp_path):
+    """Sink failure => terminated event carries the exception and
+    committed=False — the operator-facing signal that the batch will
+    be redelivered."""
+    tmp = str(tmp_path)
+    _drop(os.path.join(tmp, "in"), 2)
+    pipe = _pipeline(spark, tmp, CollectingSink(fail=True))
+    with pytest.raises(Exception, match="sink failure"):
+        pipe.process()
+    assert pipe.metrics.terminated is not None
+    assert pipe.metrics.terminated["committed"] is False
+    assert "sink failure" in (pipe.metrics.terminated["exception"] or "")
+
+
 def test_bulk_processor_one_call_per_batch(spark, tmp_path):
     """BulkPubSubPipeline parity (P:214-242): processor receives the
     whole batch as a list and returns a same-length list."""

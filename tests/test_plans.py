@@ -143,6 +143,23 @@ def test_sim_pairs_is_cogrouped_block_matmul(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_join_has_no_shuffle_even_without_broadcast(spark):
+    # Co-location is a storage property: with broadcast disabled (the
+    # 100 TB case — neither fact fits), the orderkey join must still
+    # plan with ZERO exchange, reading matched bucket files pairwise.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed(REG["join_bucketed"].fn(spark, SF_SMALL), spark)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    final = _final(plan)
+    assert "SortMergeJoin" in final, final
+    # the only allowed exchange is the final agg's — none under the join
+    join_part = final[final.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part, final
+
+
 def test_dedup_embedding_is_not_all_pairs(spark):
     # Candidate generation must come from the cogrouped block-matmul
     # stream, never an a<b theta self-join (BroadcastNestedLoopJoin =
