@@ -112,10 +112,28 @@ def _read_range(topic_dir: str, start: int, end: int) -> Iterator[tuple]:
     return iter(out)
 
 
+# Test-client fault marker: publish this file into a topic dir and the
+# next reader poll consumes it and raises IOError — the hermetic stand-
+# in for a transient broker outage (SURVEY §5.1 mock strategy).
+FAULT_MARKER = ".inject_ioerror"
+
+
 class PubSubDirStreamReader(SimpleDataSourceStreamReader):
+    """R4 retry policy mirrors the reference (pubsub_pipeline.py:71-72,
+    204-211): a transient broker error during the pull either retries
+    in place after `retry_wait_secs` (up to `max_retries`, the
+    DeadlineExceeded-swallowing default posture) or — with
+    `respect_deadline=true` — surfaces immediately, handing recovery
+    to Spark's task retry + restart-from-checkpoint machinery."""
+
     def __init__(self, options: dict):
         self.topic_dir = options["path"]
         self.bulk_limit = int(options.get("bulk_limit", 20))
+        self.max_retries = int(options.get("max_retries", 3))
+        self.retry_wait_secs = float(options.get("retry_wait_secs", 0.1))
+        self.respect_deadline = (
+            str(options.get("respect_deadline", "false")).lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         return {"seq": 0}
@@ -123,6 +141,10 @@ class PubSubDirStreamReader(SimpleDataSourceStreamReader):
     def _latest_seq(self) -> int:
         if not os.path.isdir(self.topic_dir):
             return 0
+        marker = os.path.join(self.topic_dir, FAULT_MARKER)
+        if os.path.exists(marker):
+            os.remove(marker)  # one-shot: consumed on first poll
+            raise IOError("injected broker fault (test client marker)")
         seqs = [
             int(f[:_SEQ_WIDTH])
             for f in os.listdir(self.topic_dir)
@@ -131,11 +153,21 @@ class PubSubDirStreamReader(SimpleDataSourceStreamReader):
         return max(seqs, default=-1) + 1
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        import time
+
         lo = start["seq"]
-        hi = min(self._latest_seq(), lo + self.bulk_limit)  # R2: batch cap
-        if hi <= lo:
-            return iter([]), start  # R3: empty poll, scheduler re-polls
-        return _read_range(self.topic_dir, lo, hi), {"seq": hi}
+        attempt = 0
+        while True:
+            try:
+                hi = min(self._latest_seq(), lo + self.bulk_limit)  # R2 cap
+                if hi <= lo:
+                    return iter([]), start  # R3: empty poll, re-polls
+                return _read_range(self.topic_dir, lo, hi), {"seq": hi}
+            except OSError:
+                if self.respect_deadline or attempt >= self.max_retries:
+                    raise  # surface to Spark retry/restart (R4 strict)
+                attempt += 1
+                time.sleep(self.retry_wait_secs)  # R4 backoff, then re-pull
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
         # Replay for recovery — messages are durable, offsets contiguous.
@@ -208,9 +240,19 @@ class PubSubStreamSource:
     """pipeline.SparkPipeline-compatible source wrapper (same duck type
     as FileStreamSource): value BINARY out of a pubsub_dir topic."""
 
-    def __init__(self, topic_dir: str, bulk_limit: int = 20):
+    def __init__(
+        self,
+        topic_dir: str,
+        bulk_limit: int = 20,
+        max_retries: int = 3,
+        retry_wait_secs: float = 0.1,
+        respect_deadline: bool = False,
+    ):
         self.topic_dir = topic_dir
         self.bulk_limit = bulk_limit
+        self.max_retries = max_retries
+        self.retry_wait_secs = retry_wait_secs
+        self.respect_deadline = respect_deadline
 
     def read_stream(self, spark):
         from ..session import ensure_package_on_workers
@@ -221,6 +263,9 @@ class PubSubStreamSource:
             spark.readStream.format("pubsub_dir")
             .option("path", self.topic_dir)
             .option("bulk_limit", self.bulk_limit)
+            .option("max_retries", self.max_retries)
+            .option("retry_wait_secs", self.retry_wait_secs)
+            .option("respect_deadline", str(self.respect_deadline).lower())
             .load()
             .select("value")
         )

@@ -9,8 +9,12 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from py_pubsub_pipeline_spark.pipeline import CollectingSink, SparkPipeline
 from py_pubsub_pipeline_spark.sources.pubsub import (
+    FAULT_MARKER,
+    PubSubDirStreamReader,
     PubSubStreamSource,
     publish,
 )
@@ -80,6 +84,70 @@ def test_end_to_end_topic_to_topic(spark, tmp_path):
         with open(os.path.join(topic_out, m), "rb") as f:
             payloads.append(json.loads(f.read()))
     assert sorted(p["i"] for p in payloads) == [0, 1, 2]
+
+
+def _inject_fault(topic: str) -> None:
+    with open(os.path.join(topic, FAULT_MARKER), "w") as f:
+        f.write("")
+
+
+def test_reader_retries_transient_broker_fault(tmp_path):
+    """R4 default posture (reference swallows DeadlineExceeded and
+    retries after a wait, pubsub_pipeline.py:204-211): an IOError on
+    the poll is retried in place and the pull succeeds — no task
+    failure, no message loss."""
+    topic = str(tmp_path / "t")
+    for i in range(3):
+        publish(topic, json.dumps({"i": i}).encode())
+    _inject_fault(topic)
+    rdr = PubSubDirStreamReader(
+        {"path": topic, "max_retries": "3", "retry_wait_secs": "0.01"}
+    )
+    it, end = rdr.read({"seq": 0})
+    assert end == {"seq": 3}
+    assert [json.loads(v)["i"] for _, v in it] == [0, 1, 2]
+    assert not os.path.exists(os.path.join(topic, FAULT_MARKER))
+
+
+def test_reader_respect_deadline_surfaces_fault(tmp_path):
+    """R4 strict posture (respect_deadline=True re-raises,
+    pubsub_pipeline.py:206-207): the IOError surfaces to the engine
+    instead of retrying."""
+    topic = str(tmp_path / "t")
+    publish(topic, b"{}")
+    _inject_fault(topic)
+    rdr = PubSubDirStreamReader({"path": topic, "respect_deadline": "true"})
+    with pytest.raises(IOError, match="injected broker fault"):
+        rdr.read({"seq": 0})
+
+
+def test_broker_fault_then_restart_from_checkpoint_no_loss_no_dupes(
+    spark, tmp_path
+):
+    """R4 end-to-end: a broker fault with respect_deadline fails the
+    run; a restart on the SAME checkpoint delivers every message
+    exactly once (the offset ledger in the checkpoint is the ack
+    state — nothing lost, nothing re-acked)."""
+    topic = str(tmp_path / "t")
+    for i in range(4):
+        publish(topic, json.dumps({"i": i}).encode())
+    _inject_fault(topic)
+
+    def pipe(sink):
+        return SparkPipeline(
+            spark=spark,
+            source=PubSubStreamSource(topic, respect_deadline=True),
+            sink=sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+    with pytest.raises(Exception, match="injected broker fault"):
+        pipe(CollectingSink()).process()
+
+    sink = CollectingSink()
+    pipe(sink).process()
+    got = sorted(json.loads(bytes(r))["i"] for r in sink.rows)
+    assert got == [0, 1, 2, 3], "restart must deliver all, exactly once"
 
 
 def test_offset_resume_no_reprocessing(spark, tmp_path):
