@@ -142,10 +142,12 @@ class PipelineMetricsListener:
 
     def _on_progress(self, progress) -> None:  # noqa: ANN001
         observed = progress.observedMetrics.get("pipeline")
+        obs = observed.asDict() if observed is not None else {}
         rec = {
             "batch_id": progress.batchId,
             "rows_in": progress.numInputRows,
-            "rows_out": observed["rows_out"] if observed is not None else None,
+            "rows_out": obs.get("rows_out"),
+            "rows_dlq": obs.get("rows_dlq") or 0,
             "duration_ms": dict(progress.durationMs or {}),
             "timestamp": progress.timestamp,
         }
@@ -203,6 +205,7 @@ class PipelineMetricsListener:
             "batches": len(self.batches),
             "rows_in": sum(b["rows_in"] for b in self.batches),
             "rows_out": sum(b["rows_out"] or 0 for b in self.batches),
+            "rows_dlq": sum(b.get("rows_dlq", 0) for b in self.batches),
         }
 
 
@@ -260,6 +263,14 @@ class SparkPipeline:
     result_serializer: Callable[[Any], bytes] = byte_encode_json
     bulk: bool = False
     checkpoint_dir: str | None = None
+    # Dead-letter queue: when set, a message whose decode/process/
+    # serialize raises is quarantined to this directory (parquet:
+    # value=original payload, error, batch_id) INSTEAD of failing the
+    # micro-batch — the stream keeps committing past poison input.
+    # (The reference crashes on the first bad message, P:57; at 100 TB
+    # a DLQ is table stakes — SURVEY §1.2's _corrupt_record policy.)
+    # None (default) keeps reference-parity fail-the-batch semantics.
+    dead_letter_dir: str | None = None
     killer: GracefulKiller = field(default_factory=GracefulKiller)
     # R13: per-batch metrics (rows in/out, stage durations, commit
     # status) — populated by the listener process() attaches.
@@ -273,31 +284,66 @@ class SparkPipeline:
         ensure_package_on_workers(self.spark)
         df = self.source.read_stream(self.spark)
         if self.column_processor is not None:
+            if self.dead_letter_dir is not None:
+                raise ValueError(
+                    "dead_letter_dir applies to the Python processor path; "
+                    "for column_processor pipelines use from_json's "
+                    "_corrupt_record / try_* expressions instead"
+                )
             return self.column_processor(df)
 
         deserialize = self.message_deserializer
         serialize = self.result_serializer
         processor = self.processor or (lambda x: x)
         is_bulk = self.bulk
+        quarantine = self.dead_letter_dir is not None
+
+        def one(raw: bytes) -> bytes:
+            return serialize(
+                processor([deserialize(raw)])[0]
+                if is_bulk
+                else processor(deserialize(raw))
+            )
 
         def run_batches(batches: Iterator) -> Iterator:  # pandas iterator
             import pandas as pd
 
             for pdf in batches:
-                payloads = [deserialize(bytes(v)) for v in pdf["value"]]
-                if is_bulk:
-                    results = processor(payloads)
-                    if len(results) != len(payloads):
-                        # Divergence from P:232 (silent zip truncation):
-                        raise ValueError(
-                            "bulk processor returned "
-                            f"{len(results)} results for {len(payloads)} inputs"
-                        )
-                else:
-                    results = [processor(p) for p in payloads]
-                yield pd.DataFrame({"value": [serialize(r) for r in results]})
+                raws = [bytes(v) for v in pdf["value"]]
+                values: list[bytes]
+                errors: list[str | None] = [None] * len(raws)
+                try:
+                    payloads = [deserialize(r) for r in raws]
+                    if is_bulk:
+                        results = processor(payloads)
+                        if len(results) != len(payloads):
+                            # Divergence from P:232 (silent zip truncation):
+                            raise ValueError(
+                                "bulk processor returned "
+                                f"{len(results)} results for {len(payloads)} inputs"
+                            )
+                    else:
+                        results = [processor(p) for p in payloads]
+                    values = [serialize(r) for r in results]
+                except Exception:
+                    if not quarantine:
+                        raise
+                    # Poison isolation: re-run per message (bulk
+                    # processors get singleton lists — same contract);
+                    # failures keep the ORIGINAL payload + the error.
+                    values, errors = [], []
+                    for raw in raws:
+                        try:
+                            values.append(one(raw))
+                            errors.append(None)
+                        except Exception as e:  # noqa: BLE001
+                            values.append(raw)
+                            errors.append(f"{type(e).__name__}: {e}")
+                yield pd.DataFrame(
+                    {"value": values, "error": pd.array(errors, dtype=object)}
+                )
 
-        return df.mapInPandas(run_batches, "value binary")
+        return df.mapInPandas(run_batches, "value binary, error string")
 
     def process(
         self,
@@ -316,11 +362,50 @@ class SparkPipeline:
         # published-row count lands in each progress event, which the
         # metrics listener collects (R13; foreachBatch sinks otherwise
         # report no output-row metric).
-        out = self._transformed().observe(
-            "pipeline", F.count(F.lit(1)).alias("rows_out")
-        )
+        out = self._transformed()
+        has_error_col = "error" in out.columns
+        obs = [F.count(F.lit(1)).alias("rows_out")]
+        if has_error_col:
+            obs.append(
+                F.sum(
+                    F.when(F.col("error").isNotNull(), 1).otherwise(0)
+                ).alias("rows_dlq")
+            )
+        out = out.observe("pipeline", *obs)
+
+        sink_fn = self.sink
+        if has_error_col:
+            inner, dlq = self.sink, self.dead_letter_dir
+
+            def sink_fn(batch_df: DataFrame, epoch_id: int) -> None:
+                # Persist: the DLQ write and the sink must not re-run
+                # the processor (double side effects) for each action.
+                batch_df.persist()
+                try:
+                    if dlq is not None:
+                        bad = batch_df.filter(F.col("error").isNotNull())
+                        if bad.limit(1).count():
+                            (
+                                bad.select(
+                                    "value", "error",
+                                    F.lit(epoch_id).alias("batch_id"),
+                                )
+                                .write.mode("append")
+                                .parquet(dlq)
+                            )
+                    # The user sink keeps its value-only contract; the
+                    # DLQ write above happens first, so a sink failure
+                    # still aborts the batch AFTER quarantine is durable.
+                    inner(
+                        batch_df.filter(F.col("error").isNull())
+                        .select("value"),
+                        epoch_id,
+                    )
+                finally:
+                    batch_df.unpersist()
+
         self.spark.streams.addListener(self.metrics._listener())
-        writer = out.writeStream.foreachBatch(self.sink)
+        writer = out.writeStream.foreachBatch(sink_fn)
         if self.checkpoint_dir:
             writer = writer.option("checkpointLocation", self.checkpoint_dir)
         query = writer.start()

@@ -151,6 +151,70 @@ def test_bulk_length_mismatch_raises(spark, tmp_path):
         ).process()
 
 
+def test_dead_letter_quarantines_poison_and_batch_commits(spark, tmp_path):
+    """A malformed message must not stall the stream: with
+    dead_letter_dir set, the poison row is quarantined (original
+    payload + error, durable BEFORE the sink runs), the good rows
+    publish, and the batch COMMITS — the stream progresses."""
+    tmp = str(tmp_path)
+    indir = os.path.join(tmp, "in")
+    _drop(indir, 4)
+    with open(os.path.join(indir, "msg_zz_bad.json"), "w") as f:
+        f.write("{not valid json!\n")
+
+    dlq = os.path.join(tmp, "dlq")
+    sink = CollectingSink()
+    pipe = SparkPipeline(
+        spark=spark,
+        source=FileStreamSource(indir),
+        sink=sink,
+        processor=lambda m: {**m, "ok": True},
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        dead_letter_dir=dlq,
+    )
+    pipe.process()
+
+    assert sorted(json.loads(bytes(r))["i"] for r in sink.rows) == [0, 1, 2, 3]
+    quarantined = spark.read.parquet(dlq).collect()
+    assert len(quarantined) == 1
+    assert b"not valid json" in bytes(quarantined[0]["value"])
+    assert "JSONDecodeError" in quarantined[0]["error"]
+    commits = os.listdir(os.path.join(tmp, "ckpt", "commits"))
+    assert commits, "batch with quarantined poison must still commit"
+    assert pipe.metrics.totals()["rows_dlq"] == 1
+
+
+def test_dead_letter_isolates_poison_in_bulk_processor(spark, tmp_path):
+    """Bulk path: the whole-batch call fails on the poison message, the
+    pipeline falls back to per-message calls (singleton lists — same
+    bulk contract), quarantining exactly the failing one."""
+    tmp = str(tmp_path)
+    _drop(os.path.join(tmp, "in"), 4)
+    dlq = os.path.join(tmp, "dlq")
+
+    def bulk_proc(batch):
+        if any(m["i"] == 2 for m in batch):
+            raise RuntimeError("poison payload i=2")
+        return [{"i": m["i"]} for m in batch]
+
+    sink = CollectingSink()
+    SparkPipeline(
+        spark=spark,
+        source=FileStreamSource(os.path.join(tmp, "in")),
+        sink=sink,
+        processor=bulk_proc,
+        bulk=True,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        dead_letter_dir=dlq,
+    ).process()
+
+    assert sorted(json.loads(bytes(r))["i"] for r in sink.rows) == [0, 1, 3]
+    bad = spark.read.parquet(dlq).collect()
+    assert len(bad) == 1
+    assert json.loads(bytes(bad[0]["value"]))["i"] == 2
+    assert "poison payload" in bad[0]["error"]
+
+
 def test_column_processor_fast_path(spark, tmp_path):
     """The Spark-first path: a Column-expression transform on the
     decoded frame (Catalyst-visible, no Python in the loop)."""
