@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Measure sim_lsh_bucketed's recall@3 against exact ground truth.
+
+Ground truth = sim_topk (brute-force cosine) restricted to rnk <= 3.
+Recall@3 = |LSH top-3 ∩ exact top-3| / |exact top-3|, averaged over
+the N_QUERIES probe vectors. Also reports the single-band number (the
+round-1 formulation) so the OR-construction lift is on the record.
+
+Run:  python scripts/lsh_recall.py [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from py_pubsub_pipeline_spark.registry import load_all  # noqa: E402
+from py_pubsub_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _pairs(df, k: int = 3) -> set:
+    return {
+        (r.query_id, r.neighbor_id) for r in df.collect() if r.rnk <= k
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import py_pubsub_pipeline_spark.queries.similarity as sim
+
+    reg = load_all()
+    spark = get_spark("lsh_recall")
+    exact = _pairs(reg["sim_topk"].fn(spark, args.sf))
+
+    results = {}
+    for n_bands in (1, 4, 8, 16):
+        old = sim.N_BANDS
+        sim.N_BANDS = n_bands
+        try:
+            approx = _pairs(sim.sim_lsh_bucketed(spark, args.sf))
+        finally:
+            sim.N_BANDS = old
+        recall = len(exact & approx) / len(exact)
+        results[n_bands] = recall
+        print(f"bands={n_bands}: recall@3 = {recall:.3f} "
+              f"({len(exact & approx)}/{len(exact)})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
