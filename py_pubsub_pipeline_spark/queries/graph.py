@@ -80,6 +80,90 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     return labels
 
 
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the production formulation for ADVERSARIAL-DIAMETER
+    graphs: converges in O(log^2 n) rounds where min-label propagation
+    (connected_components) needs diameter rounds. Same per-round shape
+    — one shuffle (group Γ(u)) + one projection — and the same output
+    contract: (doc_id, component=min reachable id).
+
+    large-star(u): every neighbor v > u re-points to m = min(Γ(u)∪{u})
+      — long tails collapse onto small ids without ever growing Γ(m)
+      by more than the tail length;
+    small-star(u): every neighbor v <= u (and u itself) re-points to m
+      — flattens the remaining short chains into stars.
+    Both are semantics-preserving (connectivity invariant); the
+    fixpoint is a forest of stars rooted at component minima.
+    """
+    e = _symmetrize(edges).localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(max_rounds):
+        # large-star: emit (v, m) for v in Γ(u), v > u. m is computed
+        # as a per-u aggregate then JOINED back (never a collected
+        # neighborhood array — the component root's Γ is the whole
+        # component near the fixpoint and must stream, not materialize).
+        m_all = e.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        large = (
+            e.join(m_all, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e2 = _symmetrize(large).localCheckpoint(eager=True)
+        # small-star: emit (v, m) for v in Γ(u), v <= u, plus (u, m)
+        le = e2.filter(F.col("v") <= F.col("u"))
+        m_le = le.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        small = (
+            le.join(m_le, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m_le.select("u", F.col("m").alias("v")))
+        )
+        e3 = _symmetrize(small).localCheckpoint(eager=True)
+        rounds += 1
+        # Fixpoint: the edge set is stable (stars everywhere).
+        changed = (
+            e3.exceptAll(e).limit(1).count() + e.exceptAll(e3).limit(1).count()
+        )
+        e = e3
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star CC did not converge within {max_rounds} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # At the fixpoint each non-root points directly at its component
+    # min and the root's min neighbor is larger: component = least(v,
+    # min Γ(v)); vertices without edges are their own component.
+    labels = e.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("component")
+    ).select(F.col("u").alias("doc_id"), "component")
+    singles = vertices.join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("component"))
+    return labels.unionByName(singles)
+
+
 @query(
     "dedup_cc",
     oracle=f"""
