@@ -9,16 +9,23 @@ the "codec" is a decode/featurize kernel instead of JSON.
 The pattern (SURVEY.md §2B): media travel as BINARY columns next to a
 metadata struct; decode/feature-extraction runs as Arrow-batched
 Pandas iterators (mapInPandas) so each Python call sees a columnar
-batch, never a row. The decode kernels themselves are STUBBED here
-(no image/audio libs in this container — clearly marked below); the
-Spark-side plumbing — schema, batch shape, partitioning, UDF
-signatures — is real and tested.
+batch, never a row.
+
+Decode kernels: the container has no image libs (PIL/cv2), so formats
+needing a full codec (JPEG/PNG) raise NotImplementedError loudly. But
+header-structured formats decode in pure stdlib — BMP (little-endian
+BITMAPINFOHEADER) and binary PPM (ASCII header) are REAL decoders
+here, exercised end-to-end: the corpus carries no media, so the asset
+pipeline SYNTHESIZES valid BMP files from document bytes (dimensions
+a deterministic function of doc_id/content so the DuckDB oracle can
+verify what the decoder recovers — the round trip proves the parse,
+not just the plumbing).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
-from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -30,15 +37,17 @@ ASSET_SCHEMA = (
 )
 
 DECODED_SCHEMA = (
-    "asset_id LONG, media_type STRING, n_bytes LONG, "
-    "feature_norm DOUBLE, thumb_bytes LONG"
+    "asset_id LONG, media_type STRING, width INT, height INT, "
+    "bpp INT, n_bytes LONG, feature_norm DOUBLE"
 )
+
+# Deterministic synthetic dimensions (mirrored by the SQL oracle).
+W_MOD, H_MOD = 13, 7
 
 
 def documents_as_assets(docs: DataFrame) -> DataFrame:
-    """Wrap the documents table as binary assets (the corpus carries no
-    real media; text bytes stand in as the opaque payload — the schema
-    and plumbing are what production reuses)."""
+    """Wrap the documents table as binary assets (text bytes as the
+    opaque payload — the schema and plumbing production reuses)."""
     payload = F.col("text").cast("binary")
     return docs.select(
         F.col("doc_id").alias("asset_id"),
@@ -52,37 +61,125 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_image(payload: bytes) -> Any:
-    """STUB: real implementation needs an image codec (PIL/cv2 — not in
-    this container). Raises so accidental use is loud."""
-    raise NotImplementedError("image decode requires an image codec library")
+# ------------------------------------------------------------ encoders
 
 
-def _fake_feature(payload: bytes) -> float:
-    """Deterministic stand-in feature: mean byte value. Replaces the
+def encode_bmp(width: int, height: int, pixel_source: bytes) -> bytes:
+    """A VALID 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up pixel rows, 4-byte row padding).
+    Pixels cycle through pixel_source — any external viewer opens it."""
+    row = ((width * 3 + 3) // 4) * 4
+    data_size = row * height
+    src = pixel_source or b"\x00"
+    px = (src * (data_size // len(src) + 1))[:data_size]
+    file_header = b"BM" + struct.pack("<IHHI", 54 + data_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size,
+        2835, 2835, 0, 0,
+    )
+    return file_header + info_header + px
+
+
+def encode_ppm(width: int, height: int, pixel_source: bytes) -> bytes:
+    """A valid binary PPM (P6): ASCII header, then 3*w*h raw bytes."""
+    data_size = 3 * width * height
+    src = pixel_source or b"\x00"
+    px = (src * (data_size // len(src) + 1))[:data_size]
+    return f"P6\n{width} {height}\n255\n".encode() + px
+
+
+# ------------------------------------------------------------ decoders
+
+
+def decode_image_header(payload: bytes) -> tuple[str, int, int, int]:
+    """REAL pure-stdlib image header decode for BMP and binary PPM:
+    returns (format, width, height, bits-per-pixel). Formats needing a
+    full codec raise — loud, never silently wrong."""
+    if payload[:2] == b"BM":
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        return "bmp", width, abs(height), bpp  # negative height = top-down
+    if payload[:2] == b"P6":
+        magic, w, h, maxval, _ = payload.split(None, 4)
+        return "ppm", int(w), int(h), 24
+    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "JPEG/PNG decode requires an image codec library (PIL/cv2), "
+            "not present in this container"
+        )
+    raise ValueError(f"unrecognized image magic: {payload[:4]!r}")
+
+
+def _mean_byte(payload: bytes) -> float:
+    """Deterministic stand-in feature (mean byte value) replacing the
     embedding-model call so batch plumbing is testable hermetically."""
     return sum(payload) / len(payload) if payload else 0.0
 
 
-def decode_and_featurize(assets: DataFrame, thumb_max: int = 64) -> DataFrame:
-    """The mapInPandas decode/feature/resize pipeline: one Arrow batch
-    per Python call; per-batch vectorized work; constant memory.
-    Decode is faked deterministically (see _fake_feature)."""
+# ------------------------------------------------------------ pipeline
+
+
+def synthesize_bmp_assets(docs: DataFrame) -> DataFrame:
+    """Turn each document into a real BMP asset: width/height derive
+    deterministically from doc_id / content length (so an oracle can
+    predict them), pixels from the document bytes."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf["payload"]]
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode() if isinstance(text, str) else bytes(text)
+                w = 1 + int(doc_id) % W_MOD
+                h = 1 + len(raw) % H_MOD
+                payloads.append(encode_bmp(w, h, raw))
             yield pd.DataFrame(
                 {
-                    "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": [len(p) for p in payloads],
-                    "feature_norm": [_fake_feature(p) for p in payloads],
-                    # 'resize': keep at most thumb_max bytes of payload
-                    "thumb_bytes": [min(len(p), thumb_max) for p in payloads],
+                    "asset_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["image/bmp"] * len(payloads),
                 }
             )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "asset_id LONG, payload BINARY, media_type STRING"
+    )
+
+
+def decode_and_featurize(assets: DataFrame) -> DataFrame:
+    """The mapInPandas decode/featurize pipeline: one Arrow batch per
+    Python call, constant memory. Image assets go through the REAL
+    header decoder (decode_image_header); non-image payloads keep
+    null dimensions and the stand-in feature."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "asset_id", "media_type", "width", "height",
+                    "bpp", "n_bytes", "feature_norm",
+                )
+            }
+            for aid, payload, mt in zip(
+                pdf["asset_id"], pdf["payload"], pdf["media_type"]
+            ):
+                p = bytes(payload)
+                if mt.startswith("image/"):
+                    fmt, w, h, bpp = decode_image_header(p)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["bpp"].append(bpp)
+                else:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["bpp"].append(None)
+                out["asset_id"].append(aid)
+                out["media_type"].append(mt)
+                out["n_bytes"].append(len(p))
+                out["feature_norm"].append(_mean_byte(p))
+            yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, DECODED_SCHEMA)
