@@ -47,10 +47,22 @@ _R1_GREEN = frozenset({
 })
 
 
+# Keys first registered in round 2 (no r1 record exists or is owed):
+# they enumerate AFTER the r1-unrecorded keys — those complete driver
+# coverage of the original 100 — but before the already-green ones.
+_R2_NEW = frozenset({
+    "join_bucketed", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q13",
+    "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
+    "ts_resample_ohlc", "ts_bucket_gapfill", "text_tfidf", "dq_checks",
+})
+
+
 def _ordered():
     specs = load_all()
-    first = [n for n in specs if n not in _R1_GREEN]
-    return {n: specs[n] for n in first + [n for n in specs if n in _R1_GREEN]}
+    tier1 = [n for n in specs if n not in _R1_GREEN and n not in _R2_NEW]
+    tier2 = [n for n in specs if n in _R2_NEW]
+    tier3 = [n for n in specs if n in _R1_GREEN]
+    return {n: specs[n] for n in tier1 + tier2 + tier3}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -20,4 +20,5 @@ from . import (  # noqa: F401
     skew_q,
     graph,
     quality,
+    timeseries,
 )

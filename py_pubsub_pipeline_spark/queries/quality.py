@@ -247,3 +247,82 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "dq_checks",
+    oracle="""
+    SELECT 'orders.pk_unique' AS check_name,
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+             AS n_violations
+    UNION ALL
+    SELECT 'orders.custkey_not_null',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'orders.totalprice_positive',
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'orders.status_in_domain',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+    UNION ALL
+    SELECT 'lineitem.fk_orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.discount_in_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    ORDER BY check_name
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality assertion suite (the pre-training-pipeline gate):
+    primary-key uniqueness, null checks, domain/range checks, and
+    referential integrity — each as a violation COUNT so the output
+    is a small audit table, not a boolean that hides magnitude.
+
+    Plan shape: the four orders checks come out of ONE scan (a single
+    multi-aggregate — Catalyst collapses the branches); the range
+    check is a second single-scan agg on lineitem; RI is a LEFT ANTI
+    join that ships only the two key columns. Nothing here is
+    per-check re-scans: at 100 TB this runs as two fact scans + one
+    key-only anti join regardless of how many checks ride along."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    orders_checks = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("nul"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("pos"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).alias("dom"),
+    )
+    li_range = li.agg(
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("rng")
+    )
+    ri = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("ri"))
+    )
+    wide = orders_checks.join(F.broadcast(li_range)).join(F.broadcast(ri))
+    checks = [
+        ("orders.pk_unique", "pk"),
+        ("orders.custkey_not_null", "nul"),
+        ("orders.totalprice_positive", "pos"),
+        ("orders.status_in_domain", "dom"),
+        ("lineitem.fk_orders", "ri"),
+        ("lineitem.discount_in_range", "rng"),
+    ]
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) AS (check_name, n_violations)".format(
+                n=len(checks),
+                args=", ".join(f"'{name}', {col}" for name, col in checks),
+            )
+        )
+    )
+    return stacked.orderBy("check_name")

@@ -9,7 +9,7 @@ bounded-key hash agg each.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -285,4 +285,58 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("norm_hash"),
         F.length(norm).alias("n_chars_norm"),
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln((1.0 + nd.n) / (1.0 + df.df)), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN nd),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rnk
+      FROM scored)
+    SELECT doc_id, token, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((1+N)/
+    (1+df)), sklearn-style minus the +1). The document-frequency table
+    is VOCABULARY-sized and joins the term-frequency stream on the
+    token key — at corpus scale df is a broadcast dim, tf never
+    re-scans raw text, and the per-doc top-3 is a bounded window.
+    Scores round to 6 before ranking so ln() ulp noise can't flip the
+    order; token tie-break makes the cut total."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df"))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
     )

@@ -1,0 +1,139 @@
+"""Time-series operators over the events stream table: OHLC
+resampling and gap-filled bucketing with LOCF interpolation — the
+hypertable-rollup family a time-series workload expects.
+
+Scale notes:
+- resample_ohlc is ONE shuffle on (user_id, bucket) + an in-partition
+  sort; open/close come from row_number endpoints, never a self-join
+  back to the raw stream.
+- time_bucket_gapfill generates the dense bucket spine DECLARATIVELY
+  (sequence + explode — Catalyst sees the cardinality, no driver
+  loop) and joins sparse aggregates onto it; LOCF is a single
+  ignore-nulls window pass. Spine size = time range / bucket width,
+  independent of event volume — the join is spine-sized, tiny at any
+  corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT user_id, bucket,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           COUNT(*) AS n_events
+    FROM ranked
+    GROUP BY user_id, bucket
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly OHLC resample (open/high/low/close + count) —
+    the downsampling rollup of a metrics/hypertable store. Open and
+    close are the endpoint rows under a TOTAL order (ts, event_id —
+    co-timed events tie-break deterministically), found via
+    row_number, then collapsed in the same grouped aggregate as
+    high/low/count: one shuffle, no raw-stream re-join."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    base = ev.select("user_id", bucket, "value", "ts", "event_id")
+    wa = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        base.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6)
+            .alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6)
+            .alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "ts_bucket_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events WHERE event_type = 'purchase'),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds),
+    sparse AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS hour_sum,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1)
+    SELECT s.bucket,
+           COALESCE(sp.n, 0) AS n_events,
+           CAST(sp.hour_sum AS DOUBLE) AS hour_sum,
+           CAST(LAST_VALUE(sp.hour_sum IGNORE NULLS)
+                OVER (ORDER BY s.bucket) AS DOUBLE) AS hour_sum_locf
+    FROM spine s LEFT JOIN sparse sp USING (bucket)
+    """,
+)
+def ts_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup of purchase events with
+    last-observation-carried-forward interpolation (the TimescaleDB
+    time_bucket_gapfill / locf shape). The dense bucket spine comes
+    from sequence()+explode — declarative, spine-sized (hours in the
+    time range), never a driver loop — sparse per-hour aggregates
+    LEFT-join onto it, and LOCF is one ignore-nulls last() window
+    pass over the spine. That window is deliberately un-partitioned:
+    it orders the SPINE (one row per hour in the range — bounded,
+    ~9k rows/year), never event rows, so the single-partition sort is
+    a constant-size tail however large the corpus; partition it by a
+    series key when gapfilling many series."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    sparse = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6).alias("hour_sum"),
+        F.count("*").alias("n"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    w = Window.orderBy("bucket")
+    return (
+        spine.join(sparse, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("hour_sum").cast("double").alias("hour_sum"),
+            F.last(F.col("hour_sum"), ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("hour_sum_locf"),
+        )
+    )
