@@ -54,6 +54,7 @@ _R2_NEW = frozenset({
     "join_bucketed", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q13",
     "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     "ts_resample_ohlc", "ts_bucket_gapfill", "text_tfidf", "dq_checks",
+    "cdc_latest_state", "scd2_intervals",
 })
 
 

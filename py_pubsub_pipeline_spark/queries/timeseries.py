@@ -137,3 +137,76 @@ def ts_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hour_sum_locf"),
         )
     )
+
+
+@query(
+    "cdc_latest_state",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, ROUND(value, 6) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (upsert latest-wins): collapse a change
+    stream to one CURRENT row per key — the merge/upsert materialize
+    step of a lakehouse pipeline, expressed engine-agnostically as
+    top-1-per-key under the total order (ts, event_id). One shuffle
+    on the key; row_number + rn=1 lets Spark's window top-k filter
+    prune per partition. At 100 TB the same plan compacts a day's CDC
+    into the snapshot — no MERGE primitive needed for append-only
+    logs."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream: each
+    change row becomes a validity interval [valid_from, valid_to)
+    closed by the NEXT change for the same key (lead over the same
+    total order as cdc_latest_state); the open interval is flagged
+    current. One shuffle + one in-partition sort serves the whole
+    history rebuild — the pattern that turns an event log into a
+    point-in-time-joinable dimension (join_asof then queries it)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
