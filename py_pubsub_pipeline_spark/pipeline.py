@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import signal
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
@@ -100,6 +101,30 @@ class DirectorySink:
             .write.mode("append")
             .format("text")
             .save(self.path)
+        )
+
+
+class IdempotentParquetSink:
+    """Effectively-once sink (the R10 upgrade path SURVEY §2A names):
+    each micro-batch writes to a BATCH-ID-KEYED directory with
+    overwrite semantics, so a replayed batch (publish succeeded,
+    offset commit lost — the at-least-once window) overwrites its own
+    previous output instead of appending a duplicate. Batch id is
+    stable across restarts from the same checkpoint, which is what
+    makes the overwrite idempotent."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(os.path.join(self.path, f"batch={epoch_id}"))
+        )
+
+    def read_all(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.path).parquet(
+            os.path.join(self.path, "batch=*")
         )
 
 

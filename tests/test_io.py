@@ -82,3 +82,29 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: when the fact is PARTITIONED on the join key and the dim
+    carries a selective filter, the runtime must prune fact partitions
+    from the dim's build-side values (dynamicpruningexpression in the
+    scan) — at 100 TB this is the difference between scanning one
+    date's partitions and the whole table. Static pruning can't do it:
+    the qualifying keys are only known after filtering the dim."""
+    p = str(tmp_path / "orders_by_status")
+    orders = table(spark, SF_SMALL, "orders")
+    write_partitioned(orders, p, ["o_orderstatus"])
+    fact = read_batch(spark, p, "parquet")
+    # The dim filter must sit on a NON-join attribute: a filter on the
+    # join column itself gets constant-propagated into a STATIC
+    # partition filter (strictly better, no DPP needed) — the runtime
+    # subquery only appears when the qualifying keys are join-derived.
+    dim = spark.createDataFrame(
+        [("F", "terminal"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, lifecycle string",
+    ).filter(F.col("lifecycle") == "terminal")
+    j = fact.join(dim, "o_orderstatus")
+    n = j.count()
+    plan = _plan(j)
+    assert "dynamicpruningexpression" in plan, plan
+    assert n == orders.filter(F.col("o_orderstatus") == "F").count()

@@ -13,6 +13,7 @@ import pytest
 from py_pubsub_pipeline_spark.pipeline import (
     CollectingSink,
     FileStreamSource,
+    IdempotentParquetSink,
     SparkPipeline,
 )
 
@@ -83,6 +84,47 @@ def test_idle_source_then_data_arrives(spark, tmp_path):
     _drop(os.path.join(tmp, "in"), 2)
     _pipeline(spark, tmp, sink).process()
     assert len(sink.rows) == 2
+
+
+def test_idempotent_sink_survives_replay_without_duplicates(spark, tmp_path):
+    """Effectively-once (R10 upgrade): simulate the at-least-once
+    failure window — batch published, offset commit LOST — by deleting
+    the checkpoint's commit record and re-running. The batch replays
+    with the SAME batch id; the id-keyed overwrite sink absorbs the
+    replay, so output rows appear exactly once."""
+    tmp = str(tmp_path)
+    _drop(os.path.join(tmp, "in"), 3)
+    sink = IdempotentParquetSink(os.path.join(tmp, "out"))
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def run():
+        SparkPipeline(
+            spark=spark,
+            source=FileStreamSource(os.path.join(tmp, "in")),
+            sink=sink,
+            processor=lambda m: {"i": m["i"]},
+            checkpoint_dir=ckpt,
+        ).process()
+
+    run()
+    first = sorted(
+        json.loads(bytes(r["value"]))["i"]
+        for r in sink.read_all(spark).collect()
+    )
+    assert first == [0, 1, 2]
+
+    # Crash window: publish happened, commit lost -> replay on restart.
+    # (Remove the .crc shadows too: a stale checksum next to a missing
+    # log entry reads as concurrent checkpoint use, not a lost commit.)
+    commits = os.path.join(ckpt, "commits")
+    for f in os.listdir(commits):
+        os.remove(os.path.join(commits, f))
+    run()
+    replayed = sorted(
+        json.loads(bytes(r["value"]))["i"]
+        for r in sink.read_all(spark).collect()
+    )
+    assert replayed == [0, 1, 2], "replayed batch must overwrite, not append"
 
 
 def test_metrics_listener_reports_per_batch_rows_and_commit(spark, tmp_path):
