@@ -55,6 +55,7 @@ _R2_NEW = frozenset({
     "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
     "ts_resample_ohlc", "ts_bucket_gapfill", "text_tfidf", "dq_checks",
     "cdc_latest_state", "scd2_intervals",
+    "stream_topk_windowed", "join_range_band", "fn_try", "agg_mode",
 })
 
 

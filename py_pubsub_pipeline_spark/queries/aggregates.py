@@ -326,3 +326,43 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             " FILTER (WHERE l_discount > 0.05) AS DOUBLE)"
         ).alias("disc_price"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                   ORDER BY n DESC, l_linestatus) AS rn
+      FROM counts)
+    SELECT l_returnflag, l_linestatus AS mode_status, n AS mode_n
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group, built EXPLICITLY as
+    count + top-1 with a total tie-break order instead of the built-in
+    mode() — both engines implement mode() with engine-specific tie
+    handling, which would make the result nondeterministic across
+    engines; the explicit form pins ties to the smallest value. Two
+    hash aggs over (flag, status) — the second input is
+    cardinality-of-domain sized, not data sized."""
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), "l_linestatus"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("mode_status"),
+            F.col("n").alias("mode_n"),
+        )
+    )

@@ -146,3 +146,47 @@ def join_interval_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return stream_stream_interval_join(ev, ev, within_seconds=900)
+
+
+@query(
+    "stream_topk_windowed",
+    oracle=f"""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS window_start, user_id,
+             COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY sum_value DESC, user_id) AS rnk
+      FROM agg)
+    SELECT window_start, user_id, n, sum_value, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by spend per tumbling hour — the leaderboard shape
+    a streaming dashboard materializes per window close. Batch twin of
+    the streaming plan (windowed agg -> per-window rank); in streaming
+    this runs as the windowed aggregation with the rank applied in
+    foreachBatch on closed windows (rank over open windows would need
+    retraction). Two shuffles total: (window, user) agg, then the
+    window-keyed rank whose input is already one row per (window,
+    user) — aggregate-sized, not event-sized."""
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    agg = (
+        e.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id", "n", "sum_value",
+        )
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.col("sum_value").desc(), "user_id"
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )

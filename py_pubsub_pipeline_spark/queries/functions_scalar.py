@@ -249,3 +249,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shl2"),
         F.shiftright(k, 3).alias("shr3"),
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+           ROUND(o_totalprice / NULLIF(o_orderkey % 3, 0), 6) AS per_mod,
+           TRY_CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 3) AS BIGINT)
+             AS price_head
+    FROM orders
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* error-safe expressions — the engine's permissive-typing
+    posture (SURVEY §1.1: the reference has no schema system, bad data
+    must degrade to NULL, never kill a 100 TB job): try_cast on
+    non-numeric strings, try_divide absorbing division by zero. Each
+    maps to a plain NULL-producing expression in ANSI SQL, so the
+    oracle is exact."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3), 6
+        ).alias("per_mod"),
+        F.substring(F.col("o_totalprice").cast("string"), 1, 3)
+        .try_cast("bigint")
+        .alias("price_head"),
+    )

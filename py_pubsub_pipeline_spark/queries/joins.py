@@ -291,3 +291,48 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
     return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@query(
+    "join_range_band",
+    oracle="""
+    SELECT t.tier, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS tier_total
+    FROM orders o
+    JOIN (VALUES ('small', 0.0, 100000.0),
+                 ('mid', 100000.0, 250000.0),
+                 ('large', 250000.0, 1e18)) t(tier, lo, hi)
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier
+    ORDER BY t.tier
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: facts land in value tiers defined by
+    [lo, hi) intervals — the binning-by-lookup-table shape (rate
+    cards, SLA tiers, histogram specs). With a SMALL interval table
+    the only sane plan is broadcast nested-loop: each fact row tests a
+    handful of banded predicates map-side, no shuffle of the fact.
+    The engine rule from join_cross applies: a range join is legal
+    when one side broadcasts; two FACT tables range-joined need an
+    equi prefix (join_theta) or interval bucketing first."""
+    o = table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 1e5), ("mid", 1e5, 2.5e5), ("large", 2.5e5, 1e18)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(tiers),
+            (o.o_totalprice >= F.col("lo")) & (o.o_totalprice < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("tier_total"),
+        )
+        .orderBy("tier")
+    )

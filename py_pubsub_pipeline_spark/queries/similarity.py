@@ -290,8 +290,8 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability multiplies across bands ((1-p^r)^b), which is what
     lifts recall without widening any one bucket. Measured at sf0.01
     vs exact ground truth (sim_topk rnk<=3, scripts/lsh_recall.py):
-    recall@3 = 0.90 at (r=4, b=16) vs 0.31 at round-1's effective
-    single-wide-band setting. The candidate fraction at that recall is
+    recall@3 = 0.90 at (r=4, b=16) vs 0.04 at round-1's single
+    6-dim band. The candidate fraction at that recall is
     ~64% on THIS corpus — the synthetic embeddings are uniform on the
     sphere (exact top-3 averages cosine 0.34), the adversarial case
     for any LSH family; on clustered real-embedding corpora the same
