@@ -214,3 +214,50 @@ def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id").alias("component")
     )
     return labels.unionByName(singletons)
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    e AS (
+      SELECT a_id AS u, b_id AS v FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
+            >= {JACCARD_THRESHOLD})
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup graph — the clustering-
+    coefficient primitive (how clique-like are the dup clusters?).
+    Edges are kept DIRECTED lowest-id-first (u < v), so each triangle
+    a<b<c is counted exactly once as (a,b)+(b,c)+(a,c) with no
+    factorial overcount and no symmetric edge blowup: two self-joins
+    on an edge list that is already a sliver of the corpus. At scale
+    the first join keys on edge endpoints (shuffle = |E|), and
+    high-degree hubs are the known hazard — production mitigations
+    (degree-ordered orientation, which this lowest-id orientation
+    approximates) keep per-key fan-in bounded."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).localCheckpoint(eager=True)
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )

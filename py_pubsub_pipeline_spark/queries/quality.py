@@ -326,3 +326,43 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked.orderBy("check_name")
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_sampled,
+           COUNT(DISTINCT o_orderkey) AS n_keys
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <
+          CASE o_orderstatus
+            WHEN 'F' THEN '0d'  -- ~5%
+            WHEN 'O' THEN '1a'  -- ~10%
+            ELSE '80'           -- ~50%
+          END
+    GROUP BY o_orderstatus
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with PER-STRATUM rates (the sampleBy shape:
+    downsample the majority class, keep the rare one) — but md5-gated
+    like sample_hash, so membership is a pure function of the key:
+    identical across engines, partitionings, retries, and runs. The
+    gate is a map-side filter — no shuffle, no rand(), and the stratum
+    rates are data (a literal map), not code."""
+    o = table(spark, sf_dir, "orders")
+    gate = (
+        F.when(F.col("o_orderstatus") == "F", "0d")
+        .when(F.col("o_orderstatus") == "O", "1a")
+        .otherwise("80")
+    )
+    return (
+        o.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < gate
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+    )

@@ -79,3 +79,41 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a dataset into
+    ceil(bytes / target_file_mb) files of ~target size. Streaming
+    sinks and fine-grained partitioned writes accrete thousands of
+    KB-sized files; at 100 TB that is planning-time death (file
+    listing, footer reads, task-per-file scheduling). Returns the
+    output file count.
+
+    Repartition uses round-robin (no column) — compaction must not
+    skew by any key — and writes to a staging dir then swaps, so a
+    reader never sees a half-compacted dataset. The swap is the
+    same stage-then-rename discipline as the pubsub sink commit."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+    staging = path.rstrip("/") + ".compacting"
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(staging)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return n_files

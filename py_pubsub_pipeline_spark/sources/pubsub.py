@@ -40,6 +40,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamWriter,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -214,9 +215,52 @@ class PubSubDirStreamWriter(DataSourceStreamWriter):
                     pass
 
 
+class PubSubDirBatchReader(DataSourceReader):
+    """Batch BACKFILL/REPLAY path: read a topic's full durable history
+    (or an offset range) as a bounded DataFrame — the ops story for
+    reprocessing a topic through a fixed pipeline without standing up
+    a stream. Partitioned by contiguous offset ranges so the replay
+    parallelizes across executors; each partition opens only its own
+    message files."""
+
+    N_SLICES = 8
+
+    def __init__(self, options: dict):
+        self.topic_dir = options["path"]
+        self.start = int(options.get("start_offset", 0))
+        end = options.get("end_offset")
+        if end is not None:
+            self.end = int(end)
+        else:
+            seqs = [
+                int(f[:_SEQ_WIDTH])
+                for f in os.listdir(self.topic_dir)
+                if f.endswith(".msg")
+            ] if os.path.isdir(self.topic_dir) else []
+            self.end = max(seqs, default=-1) + 1
+
+    def partitions(self):  # noqa: ANN201
+        from pyspark.sql.datasource import InputPartition
+
+        total = max(0, self.end - self.start)
+        if total == 0:
+            return [InputPartition((self.start, self.start))]
+        step = max(1, total // self.N_SLICES)
+        bounds = list(range(self.start, self.end, step)) + [self.end]
+        return [
+            InputPartition((lo, hi))
+            for lo, hi in zip(bounds, bounds[1:])
+        ]
+
+    def read(self, partition) -> Iterator[tuple]:  # noqa: ANN001
+        lo, hi = partition.value
+        return _read_range(self.topic_dir, lo, hi)
+
+
 class PubSubDirDataSource(DataSource):
     """spark.readStream.format("pubsub_dir").option("path", topic)
-    / df.writeStream.format("pubsub_dir").option("path", topic).
+    / df.writeStream.format("pubsub_dir").option("path", topic)
+    / spark.read.format("pubsub_dir").option("path", topic)  (backfill).
 
     Register once per session:
         spark.dataSource.register(PubSubDirDataSource)
@@ -228,6 +272,9 @@ class PubSubDirDataSource(DataSource):
 
     def schema(self) -> StructType:
         return SCHEMA
+
+    def reader(self, schema: StructType) -> PubSubDirBatchReader:
+        return PubSubDirBatchReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> PubSubDirStreamReader:
         return PubSubDirStreamReader(self.options)

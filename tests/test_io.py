@@ -5,6 +5,8 @@ row counts (the plan IS the scale contract).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -108,3 +110,20 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     plan = _plan(j)
     assert "dynamicpruningexpression" in plan, plan
     assert n == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_compact_files_reduces_file_count_preserving_rows(spark, tmp_path):
+    from py_pubsub_pipeline_spark.sources.io import compact_files
+
+    p = str(tmp_path / "fragmented")
+    orders = table(spark, SF_SMALL, "orders")
+    # simulate a small-files mess: 64 files for a tiny dataset
+    orders.repartition(64).write.parquet(p)
+    n_before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_before >= 64
+    n_expected = orders.count()
+
+    n_files = compact_files(spark, p, target_file_mb=128)
+    n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_after == n_files == 1  # tiny dataset -> one right-sized file
+    assert spark.read.parquet(p).count() == n_expected

@@ -150,6 +150,34 @@ def test_broker_fault_then_restart_from_checkpoint_no_loss_no_dupes(
     assert got == [0, 1, 2, 3], "restart must deliver all, exactly once"
 
 
+def test_batch_backfill_reads_topic_history(spark, tmp_path):
+    """Backfill/replay: the same pubsub_dir source reads as a BOUNDED
+    DataFrame (spark.read), full history or an offset range,
+    partitioned by offset slices for parallel replay."""
+    from py_pubsub_pipeline_spark.session import ensure_package_on_workers
+    from py_pubsub_pipeline_spark.sources.pubsub import PubSubDirDataSource
+
+    topic = str(tmp_path / "t")
+    for i in range(10):
+        publish(topic, json.dumps({"i": i}).encode())
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(PubSubDirDataSource)
+
+    full = spark.read.format("pubsub_dir").option("path", topic).load()
+    got = sorted(json.loads(bytes(r.value))["i"] for r in full.collect())
+    assert got == list(range(10))
+
+    sliced = (
+        spark.read.format("pubsub_dir")
+        .option("path", topic)
+        .option("start_offset", 3)
+        .option("end_offset", 7)
+        .load()
+    )
+    got = sorted(r.offset for r in sliced.collect())
+    assert got == [3, 4, 5, 6]
+
+
 def test_offset_resume_no_reprocessing(spark, tmp_path):
     """Checkpointed offsets: a second run only sees messages published
     after the first run (the ack ledger lives in the checkpoint)."""
