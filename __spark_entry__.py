@@ -56,7 +56,7 @@ _R2_NEW = frozenset({
     "ts_resample_ohlc", "ts_bucket_gapfill", "text_tfidf", "dq_checks",
     "cdc_latest_state", "scd2_intervals",
     "stream_topk_windowed", "join_range_band", "fn_try", "agg_mode",
-    "graph_triangles", "sample_stratified",
+    "graph_triangles", "sample_stratified", "text_er_blocked",
 })
 
 

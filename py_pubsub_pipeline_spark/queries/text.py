@@ -340,3 +340,60 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "text_er_blocked",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, substr(text, 1, 40) AS head
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             levenshtein(a.head, b.head) AS dist
+      FROM d a JOIN d b
+        ON a.lang = b.lang
+       AND a.n_chars // 8 = b.n_chars // 8
+       AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id, dist FROM pairs WHERE dist <= 12
+    """,
+)
+def text_er_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching with BLOCKING — the standard
+    ER recipe: candidate pairs come from an equi-join on cheap
+    blocking keys (language + length band), and the expensive edit
+    distance runs only within blocks. The blocking key turns an
+    O(N²) all-pairs Levenshtein into a shuffle on a fixed-width key
+    plus per-block work quadratic only in block size — the same
+    shape as dedup_ngram's inverted index, with the standard ER
+    trade: pairs straddling a band boundary are missed (recall < 1;
+    widen with overlapping bands when that matters). Distance runs
+    on a 40-char prefix so per-pair cost is bounded regardless of
+    document length."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.substring("text", 1, 40).alias("head")
+    )
+    a = d.select(
+        F.col("doc_id").alias("a_id"), "lang",
+        (F.col("n_chars") / 8).cast("long").alias("band"),
+        F.col("head").alias("head_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("lang").alias("lang_b"),
+        (F.col("n_chars") / 8).cast("long").alias("band_b"),
+        F.col("head").alias("head_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.band == b.band_b)
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(
+            "a_id", "b_id",
+            F.levenshtein("head_a", "head_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 12)
+    )
