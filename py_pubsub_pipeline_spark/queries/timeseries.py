@@ -210,3 +210,101 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id)
+    SELECT
+      COUNT(*) AS n_users,
+      COUNT(t_view) AS n_viewed,
+      COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after_view,
+      COUNT(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 END)
+        AS n_full_funnel,
+      COUNT(CASE WHEN t_buy > t_click AND t_click > t_view
+                  AND t_buy <= t_view + INTERVAL 24 HOUR THEN 1 END)
+        AS n_full_funnel_24h
+    FROM firsts
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (view -> click -> purchase, ordered, with a
+    24h completion bound): the canonical product-analytics composite.
+    ONE scan + one (user, conditional-min) hash agg builds each
+    user's first-touch timestamps; every funnel stage is then a
+    COUNT over that user-sized frame — no per-stage self-joins of the
+    event log (the naive N-stage formulation joins events N times).
+    Conditional aggregation keeps NULL semantics exact: a user
+    missing a stage has NULL there, and NULL comparisons drop them
+    from later stages on both engines identically."""
+    ev = table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_buy"),
+    )
+    after = F.col("t_buy") > F.col("t_click")
+    mid = F.col("t_click") > F.col("t_view")
+    within = F.col("t_buy") <= F.col("t_view") + F.expr("INTERVAL 24 HOUR")
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(mid, 1)).alias("n_clicked_after_view"),
+        F.count(F.when(after & mid, 1)).alias("n_full_funnel"),
+        F.count(F.when(after & mid & within, 1)).alias("n_full_funnel_24h"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id)
+    SELECT cohort_day, day_offset, COUNT(*) AS n_active
+    FROM activity
+    WHERE day_offset BETWEEN 0 AND 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, one
+    row per (cohort, day-offset 0..7) with active-user counts. Two
+    aggs + one key-only join: first_seen is user-sized and joins the
+    event log on user_id (at scale: the smaller side broadcasts or
+    the join co-partitions with the later distinct's shuffle); the
+    distinct collapses to (user, offset) before the final
+    cohort-sized count."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
