@@ -52,20 +52,30 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             edges.join(labels, edges.u == labels.doc_id)
             .select(F.col("v").alias("doc_id"), "component")
         )
-        new = (
-            labels.unionByName(prop)
+        # The old label rides the union into the SAME grouped agg
+        # (is_old flag), so convergence detection is a tiny filter on
+        # the already-checkpointed result instead of a second shuffle
+        # joining new labels back to old — halves the per-round cost.
+        merged = (
+            labels.select("doc_id", "component", F.lit(True).alias("is_old"))
+            .unionByName(
+                prop.select("doc_id", "component", F.lit(False).alias("is_old"))
+            )
             .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_old"), F.col("component"))).alias(
+                    "old_component"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            merged.filter(F.col("component") < F.col("old_component"))
             .limit(1)
             .count()
         )
-        labels = new
+        labels = merged.select("doc_id", "component")
         if changed == 0:
             break
     if changed != 0:
