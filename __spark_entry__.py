@@ -57,7 +57,7 @@ _R2_NEW = frozenset({
     "cdc_latest_state", "scd2_intervals",
     "stream_topk_windowed", "join_range_band", "fn_try", "agg_mode",
     "graph_triangles", "sample_stratified", "text_er_blocked",
-    "funnel_conversion", "retention_cohorts",
+    "funnel_conversion", "retention_cohorts", "dedup_substring",
 })
 
 

@@ -401,3 +401,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("simhash")
     )
+
+
+SPAN_W = 8  # tokens per exact-substring window
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wins AS (
+      SELECT doc_id,
+             UNNEST(CASE WHEN len(t) < {SPAN_W} THEN []
+                    ELSE list_transform(
+                      generate_series(1, len(t) - {SPAN_W - 1}),
+                      i -> md5(array_to_string(t[i : i + {SPAN_W - 1}], ' ')))
+                    END) AS w
+      FROM toks)
+    SELECT w AS span_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM wins
+    GROUP BY w
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring duplication detection (the Lee et al.
+    'Deduplicating Training Data' ExactSubstr shape, re-expressed
+    relationally): every {SPAN_W}-token window fingerprints to a
+    16-byte md5; a window hash appearing in >= 2 distinct documents
+    is a duplicated span (boilerplate, licenses, templated text) that
+    near-dup doc-level methods miss when the surrounding document
+    differs. The suffix-array formulation is pointer-chasing and
+    single-machine; the window-hash formulation is one explode + one
+    hash agg — shuffle volume is DISTINCT-window-sized (16-byte keys,
+    never text), and the {SPAN_W}-token stride-1 blowup is bounded at
+    ~1 hash per token, i.e. O(corpus tokens) — linear, the same cost
+    class as tokenization itself."""
+    d = table(spark, sf_dir, "documents")
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) < {SPAN_W} THEN array() "
+                f"ELSE transform(sequence(1, size(split(text, ' ')) - {SPAN_W - 1}), "
+                f"i -> md5(array_join(slice(split(text, ' '), i, {SPAN_W}), ' '))) "
+                f"END"
+            )
+        ).alias("w"),
+    )
+    return (
+        wins.groupBy(F.col("w").alias("span_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
