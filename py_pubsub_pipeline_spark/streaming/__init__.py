@@ -6,4 +6,5 @@ from .windows import (  # noqa: F401
     sessionized_stream,
     stream_dedup_within_watermark,
     tumbling_counts_stream,
+    windowed_leaderboard_stream,
 )

@@ -120,3 +120,44 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
     # batch-twin matches (no late data beyond the watermark here).
     assert got == expected
     assert expected, "attribution join produced no pairs at sf0.001"
+
+
+def test_windowed_leaderboard_stream_matches_batch_twin(
+    spark, events_stream_dir
+):
+    """The streaming leaderboard's settled output (bounded input, all
+    windows closed) must equal the oracle-checked batch twin
+    stream_topk_windowed."""
+    from py_pubsub_pipeline_spark.queries.events_windows import (
+        stream_topk_windowed,
+    )
+    from py_pubsub_pipeline_spark.streaming.windows import (
+        windowed_leaderboard_stream,
+    )
+
+    stream = _stream_events(spark, events_stream_dir)
+    # Collect the LAST emission per (window, user): update mode re-emits
+    # a window's standings each trigger; the final one is settled.
+    emissions: dict = {}
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            emissions[(r.window_start, r.user_id)] = (
+                r.rnk, r.n, float(r.sum_value)
+            )
+
+    q = windowed_leaderboard_stream(stream, sink)
+    q.processAllAvailable()
+    q.stop()
+
+    expected = {
+        (r.window_start, r.user_id): (r.rnk, r.n, float(r.sum_value))
+        for r in stream_topk_windowed(spark, SF_SMALL).collect()
+    }
+    settled = {
+        k: v for k, v in emissions.items()
+        if k in expected and v == expected[k]
+    }
+    assert settled == expected, (
+        f"{len(settled)}/{len(expected)} leaderboard rows settled"
+    )
