@@ -193,3 +193,80 @@ def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("p_brand").alias("brand_rev"),
         F.repeat(F.col("p_type"), 2).alias("type_twice"),
     )
+
+
+@query(
+    "subq_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rnk
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2) t
+    WHERE c.c_nationkey = 3
+    """,
+)
+def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: top-2 orders PER customer, the
+    row-parameterized-subquery surface (SQL:1999 LATERAL, Spark 3.2+).
+    Catalyst decorrelates it to a window-rank over the join — visible
+    as one DomainJoin-free plan with a rank filter, not a per-customer
+    re-execution of orders. The selective nationkey filter pushes into
+    the customer scan; orders shuffles once on the correlation key."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rnk
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rnk
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) t
+        WHERE c.c_nationkey = 3
+        """
+    )
+
+
+@query(
+    "agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
+                AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS wavg_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS effective_discount_keep
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted averages (quantity-weighted unit price; revenue-
+    weighted discount retention) — the ratio-of-sums form, NOT
+    avg(x*w): both numerator and denominator are exact DECIMAL sums
+    so the division is performed once on exact partials and the
+    result is bit-identical across engines and parallelism. The two
+    exact sums cast to double BEFORE the division (one IEEE divide of
+    identical operands) — decimal division itself has engine-specific
+    result scales that a post-division cast cannot reconcile."""
+    li = table(spark, sf_dir, "lineitem")
+    d = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        (d(F.col("l_extendedprice") * F.col("l_quantity"))
+         / d(F.col("l_quantity"))).alias("wavg_price"),
+        (d(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+         / d(F.col("l_extendedprice")))
+        .alias("effective_discount_keep"),
+    )
