@@ -460,3 +460,69 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+DF_CAP = 50  # drop shingles appearing in more than this many docs
+
+
+@query(
+    "dedup_ngram_capped",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    kept AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+      WHERE df.df <= {DF_CAP}),
+    ksz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.a_id, i.b_id,
+           CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
+    FROM inter i
+    JOIN ksz sa ON sa.doc_id = i.a_id
+    JOIN ksz sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency-capped n-gram Jaccard — the TURNKEY form of
+    dedup_ngram_jaccard for adversarial corpora (the r1-documented
+    hazard made safe): the inverted-index join is quadratic in
+    per-shingle df, so one boilerplate shingle shared by 1M docs
+    produces 5·10^11 pairs. Here shingles with df > {DF_CAP} are
+    dropped BEFORE pair generation — join output is bounded by
+    sum(df²) <= |shingles|·{DF_CAP} — and Jaccard is DEFINED over the
+    capped shingle sets (both engines, same definition, exact oracle).
+    Rationale: a shingle in >{DF_CAP} docs is boilerplate with no
+    discriminative value; dropping it removes noise pairs as well as
+    the blowup. The df pass itself is one vocab-bounded hash agg."""
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    df_tbl = sh.groupBy("h").agg(F.count("*").alias("df"))
+    kept = (
+        sh.join(df_tbl.filter(F.col("df") <= DF_CAP), "h")
+        .select("doc_id", "h")
+        .hint("SHUFFLE_HASH")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select((F.col("a.doc_id") * _PACK + F.col("b.doc_id")).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("shared"))
+        .select(
+            F.expr(f"pk DIV {_PACK}").alias("a_id"),
+            (F.col("pk") % _PACK).alias("b_id"),
+            "shared",
+        )
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return _with_jaccard(shared, sizes)
