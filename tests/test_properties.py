@@ -88,3 +88,40 @@ def test_salted_join_equals_plain_join(sp, data, n_salts):
         .collect()
     }
     assert salted == plain
+
+
+def test_df_cap_defuses_boilerplate_blowup(spark, tmp_path):
+    """Adversarial corpus: DF_CAP+10 docs share one boilerplate sentence but
+    have unique content. Uncapped ngram Jaccard must pair-join every
+    boilerplate co-occurrence; the capped variant (df > DF_CAP
+    shingles dropped) both (a) produces no spurious near-dup pairs —
+    boilerplate-only overlap is not similarity — and (b) still finds
+    the one genuinely duplicated document pair."""
+    import os
+
+    from py_pubsub_pipeline_spark.queries.dedup import (
+        DF_CAP,
+        dedup_ngram_capped,
+        dedup_ngram_jaccard,
+    )
+
+    n_docs = DF_CAP + 10  # boilerplate df must exceed the cap
+    boiler = "all rights reserved contact us for terms of service apply"
+    docs = [
+        (i, f"{boiler} unique content {i} alpha{i} beta{i} gamma{i} "
+            f"delta{i} epsilon{i} zeta{i}")
+        for i in range(n_docs)
+    ]
+    docs.append((100, docs[7][1]))  # a true duplicate of doc 7
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+
+    capped = {(r.a_id, r.b_id) for r in dedup_ngram_capped(spark, sf).collect()}
+    assert capped == {(7, 100)}, capped
+
+    uncapped = {
+        (r.a_id, r.b_id) for r in dedup_ngram_jaccard(spark, sf).collect()
+    }
+    assert (7, 100) in uncapped
