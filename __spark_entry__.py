@@ -58,7 +58,7 @@ _R2_NEW = frozenset({
     "stream_topk_windowed", "join_range_band", "fn_try", "agg_mode",
     "graph_triangles", "sample_stratified", "text_er_blocked",
     "funnel_conversion", "retention_cohorts", "dedup_substring",
-    "subq_lateral", "agg_weighted", "dedup_ngram_capped",
+    "subq_lateral", "agg_weighted", "dedup_ngram_capped", "join_asof_forward",
 })
 
 

@@ -80,3 +80,66 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("matched_view_ts").cast("timestamp"))
         ).alias("gap_us"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT v.event_id, v.user_id, v.ts AS view_ts,
+           p.ts AS next_purchase_ts,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lead_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for each view, the next purchase by the same
+    user at or after it (time-to-conversion attribution). Same merged
+    -timeline trick as join_asof with the frame reversed: first(...,
+    ignorenulls) over currentRow..unboundedFollowing carries the
+    nearest FUTURE purchase backward. At equal timestamps the
+    purchase sorts after the view (side ordering), so a same-instant
+    purchase is matched — DuckDB ASOF's <= semantics. Still one
+    shuffle + one per-key sort, no row expansion."""
+    e = table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    left = views.select(
+        "user_id",
+        F.col("view_ts").alias("t"),
+        F.lit(0).alias("side"),
+        "event_id",
+        "view_ts",
+        F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    right = purchases.select(
+        "user_id",
+        F.col("purchase_ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("view_ts"),
+        "purchase_ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = left.unionByName(right).withColumn(
+        "next_purchase_ts", F.first("purchase_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 0).select(
+        "event_id",
+        "user_id",
+        "view_ts",
+        "next_purchase_ts",
+        (
+            F.unix_micros(F.col("next_purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("lead_us"),
+    )
