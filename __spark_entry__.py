@@ -59,6 +59,8 @@ _R2_NEW = frozenset({
     "graph_triangles", "sample_stratified", "text_er_blocked",
     "funnel_conversion", "retention_cohorts", "dedup_substring",
     "subq_lateral", "agg_weighted", "dedup_ngram_capped", "join_asof_forward",
+    "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
+    "tpch_q16", "tpch_q20",
 })
 
 
