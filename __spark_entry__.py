@@ -61,6 +61,8 @@ _R2_NEW = frozenset({
     "subq_lateral", "agg_weighted", "dedup_ngram_capped", "join_asof_forward",
     "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     "tpch_q16", "tpch_q20",
+    "pack_sequences", "decontaminate_ngram", "text_pii_redact",
+    "sample_balanced",
 })
 
 

@@ -1,0 +1,266 @@
+"""Training-data pipeline operators, batch 2: sequence packing,
+benchmark decontamination, PII detection/redaction, and
+language-balanced sampling.
+
+These are the corpus-preparation steps between "deduplicated documents"
+and "token stream on the trainer": pack documents into fixed-token
+sequences, drop eval-set contamination, scrub PII, and rebalance the
+language mix.  Everything is built-in column expressions + window
+functions — no Python in the hot path — and every shuffle is keyed on
+bounded-cardinality or hash-sharded keys (per-query notes below).
+
+Determinism: all arithmetic is integer (token counts, offsets, ranks);
+hash gates and rank keys use md5 (cross-engine, unlike xxhash64 which
+DuckDB lacks); every windowed ORDER BY ends in a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+PACK_BUDGET = 128  # tokens per packed training sequence
+
+_NGRAM = 8          # decontamination n-gram width
+_BENCH_GATE = "08"  # md5-prefix gate: ~3% of docs form the "eval set"
+
+_EMAIL_RE = "[a-z0-9]+@[a-z.]+[a-z]"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, shard, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+      FROM t)
+    SELECT doc_id, lang, shard, n_tok,
+           cum_excl // {PACK_BUDGET} AS seq_id,
+           cum_excl % {PACK_BUDGET} AS seq_off
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing (concat-and-chunk): documents
+    are laid end-to-end in doc_id order within a (lang, shard) stream
+    and chunked into {PACK_BUDGET}-token training sequences; each doc
+    gets the sequence id and offset where it starts.  This is the
+    packing layout LLM trainers consume (no padding waste), expressed
+    as ONE exclusive running sum — no Python, no iteration.
+
+    Scale: the running sum needs a total order, which would serialize
+    on a single partition corpus-wide; sharding the stream by a 16-way
+    md5 prefix (lang, shard) bounds every window partition to ~1/16 of
+    a language while keeping assignment deterministic — at 100 TB,
+    widen the prefix to 2-3 hex chars (256/4096-way).  One sort-shuffle
+    on (lang, shard), then pure map-side arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_excl"),
+    ).select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tok",
+        F.expr(f"cum_excl DIV {PACK_BUDGET}").alias("seq_id"),
+        (F.col("cum_excl") % PACK_BUDGET).alias("seq_off"),
+    )
+
+
+def _ngrams8() -> F.Column:
+    """Distinct word-8-grams of `text`, built by zipping the token
+    array against its 8 shifted slices (row-level expressions — NOT
+    element_at inside a transform lambda, which projection collapse
+    would inline into an O(tokens^2) re-tokenize; see dedup._grams)."""
+    w = F.split(F.col("text"), " ")
+    n = F.size(w) - (_NGRAM - 1)
+    z = F.arrays_zip(
+        *[F.slice(w, i + 1, n).alias(f"t{i}") for i in range(_NGRAM)]
+    )
+    return F.array_distinct(
+        F.transform(
+            z,
+            lambda t: F.concat_ws(
+                " ", *[t.getField(f"t{i}") for i in range(_NGRAM)]
+            ),
+        )
+    )
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    gr AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+{_NGRAM - 1}], ' ') AS g
+      FROM tok, UNNEST(generate_series(1, len(w) - {_NGRAM - 1})) t(i)),
+    bench AS (
+      SELECT DISTINCT g FROM gr
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_BENCH_GATE}')
+    SELECT gr.doc_id, COUNT(*) AS n_shared
+    FROM gr JOIN bench USING (g)
+    WHERE substr(md5(CAST(gr.doc_id AS VARCHAR)), 1, 2) >= '{_BENCH_GATE}'
+    GROUP BY gr.doc_id
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents that share any
+    word-{_NGRAM}-gram with the held-out eval set (an md5-gated ~3% of
+    docs standing in for an external benchmark), with the count of
+    shared distinct n-grams — the standard exact-overlap contamination
+    check run before training.
+
+    Scale: the eval set's distinct n-grams are corpus-fraction-sized
+    and BROADCAST; training docs stream past them map-side, so the
+    only shuffle is the final per-doc count.  At 100 TB with a big
+    benchmark, hash the grams to 8-byte keys and fall back to a
+    shuffled semi-join — same plan shape, no quadratic anywhere."""
+    d = table(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    grams = d.select(
+        "doc_id", gate.alias("gate"), F.explode(_ngrams8()).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("gate") < _BENCH_GATE)
+        .select("g")
+        .distinct()
+        .withColumnRenamed("g", "bg")
+    )
+    return (
+        grams.filter(F.col("gate") >= _BENCH_GATE)
+        .join(F.broadcast(bench), F.col("g") == F.col("bg"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' call +1-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and mask email/phone patterns
+    per document.  The synthetic corpus contains no PII, so both
+    engines first inject deterministic markers (a function of doc_id)
+    into a subset of docs — the detection/redaction path itself is the
+    production regex kernel.  Patterns are restricted to the
+    RE2-and-Java-compatible subset (no lookaround, no backrefs) so
+    both engines match identically; the redacted text is compared by
+    md5 to keep the result row narrow.
+
+    Scale: pure map-side column expressions in whole-stage codegen —
+    one scan, zero shuffles; regex cost is linear per byte."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"), did,
+                        F.lit("@mail.example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" call +1-555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"))).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@query(
+    "sample_balanced",
+    oracle="""
+    WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tgt AS (SELECT MIN(n) AS t FROM cnt),
+    rk AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM documents)
+    SELECT rk.doc_id, rk.lang
+    FROM rk, tgt
+    WHERE rk.r <= tgt.t
+    """,
+)
+def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsampling: keep the same number of docs per
+    language (the smallest language's count), choosing each language's
+    keepers by md5 rank — a deterministic, engine- and
+    partitioning-invariant lottery (df.sample() is seeded
+    per-partition; hash-rank sampling survives repartitioning and
+    reruns, which is what keeps a training mix reproducible).
+
+    Scale: one shuffle on lang for the rank window.  A language is a
+    BIG partition at 100 TB — swap the exact rank for the hash-gate
+    rate filter (threshold = target/count, computed from the same
+    group counts) to make it embarrassingly parallel; the exact-rank
+    form here is what makes the per-group quota precise."""
+    d = table(spark, sf_dir, "documents")
+    tgt = d.groupBy("lang").count().agg(F.min("count").alias("t"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("r"))
+        .join(F.broadcast(tgt))
+        .filter(F.col("r") <= F.col("t"))
+        .select("doc_id", "lang")
+    )
