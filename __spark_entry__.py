@@ -62,7 +62,7 @@ _R2_NEW = frozenset({
     "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
     "tpch_q16", "tpch_q20",
     "pack_sequences", "decontaminate_ngram", "text_pii_redact",
-    "sample_balanced",
+    "sample_balanced", "scan_jsonl", "scan_csv", "scan_partition_pruned",
 })
 
 

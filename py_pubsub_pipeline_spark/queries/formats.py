@@ -1,0 +1,173 @@
+"""Source-format coverage: JSONL and CSV scans, and hive-partitioned
+layout with partition-pruned reads.
+
+The reference's data boundary is JSON bytes (byte_load_json /
+byte_encode_json, pubsub_pipeline.py:27-28,55-57); the engine's
+streaming path already covers that codec (pipeline.py).  These queries
+cover the BATCH format surface: each materializes a derived copy of a
+parquet table in the format under test (one-time, cached per sf_dir
+under /tmp), reads it back through the Spark source, and aggregates —
+while the DuckDB oracle reads the ORIGINAL parquet, so a pass proves
+the write+read roundtrip is lossless, not just self-consistent.
+
+Determinism notes: JSON/CSV serialize doubles via Java's
+shortest-roundtrip representation (Double.toString), so
+double -> text -> double is bit-exact; JSON preserves unicode (the zh
+documents) as UTF-8; explicit StructType schemas on read — the engine
+NEVER infers schemas at the boundary (SURVEY §1.2 policy), inference
+is a full extra pass at 100 TB and type-drifts between runs.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exprs import dsum, sql_dsum
+from ..registry import query
+from ..tables import table
+
+
+def _cache_dir(sf_dir: str, kind: str) -> str:
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+    return os.path.join(tempfile.gettempdir(), "spark_formats", tag, kind)
+
+
+def _materialize(spark: SparkSession, sf_dir: str, kind: str, tbl: str,
+                 writer) -> str:
+    """Write the derived copy once per (sf_dir, kind); Spark's own
+    _SUCCESS marker is the done-flag (a torn earlier write without it
+    is overwritten)."""
+    path = _cache_dir(sf_dir, kind)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        writer(table(spark, sf_dir, tbl), path)
+    return path
+
+
+@query(
+    "scan_jsonl",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT doc_id) AS n_ids,
+           md5(string_agg(text, '' ORDER BY doc_id)) AS text_md5
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source: documents round-tripped parquet -> JSONL ->
+    DataFrame with an EXPLICIT schema (no inference pass), then
+    aggregated per (lang, source) including an order-insensitive
+    md5-of-concatenated-text so the hash check covers every byte of
+    every document — unicode, escapes, and all.  The oracle reads the
+    original parquet: a pass certifies the JSON write+parse is
+    lossless.
+
+    Scale: JSONL is splittable (line-delimited), so the scan
+    parallelizes like parquet minus column pruning; the agg is a
+    bounded-key hash agg.  Parse mode is the engine boundary policy:
+    explicit schema + PERMISSIVE with _corrupt_record quarantine
+    (exercised in the pipeline DLQ tests)."""
+    path = _materialize(
+        spark, sf_dir, "jsonl", "documents",
+        lambda df, p: df.write.mode("overwrite").json(p),
+    )
+    schema = table(spark, sf_dir, "documents").schema
+    d = spark.read.schema(schema).json(path)
+    w = F.struct("doc_id", "text")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("doc_id").alias("n_ids"),
+            F.md5(
+                F.aggregate(
+                    F.array_sort(F.collect_list(w)),
+                    F.lit(""),
+                    lambda acc, x: F.concat(acc, x.getField("text")),
+                )
+            ).alias("text_md5"),
+        )
+    )
+
+
+@query(
+    "scan_csv",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           {sql_dsum('c_acctbal', 'sum_bal')},
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           MIN(c_name) AS first_name, MAX(c_name) AS last_name
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source: customer round-tripped parquet -> CSV (header,
+    quoted) -> DataFrame with an explicit schema, aggregated per
+    market segment with exact DECIMAL sums over the re-parsed doubles.
+    The oracle reads the original parquet: doubles survive because
+    Spark writes shortest-roundtrip representations.
+
+    Scale: CSV splits on line boundaries so the scan parallelizes,
+    but it reads every column regardless of projection — the
+    docstring-level advice the engine gives users: CSV is an ingest
+    format; convert to parquet (io.compact_files) before querying."""
+    path = _materialize(
+        spark, sf_dir, "csv", "customer",
+        lambda df, p: df.write.mode("overwrite")
+        .option("header", True).csv(p),
+    )
+    schema = table(spark, sf_dir, "customer").schema
+    c = spark.read.schema(schema).option("header", True).csv(path)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dsum("c_acctbal", "sum_bal"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.min("c_name").alias("first_name"),
+            F.max("c_name").alias("last_name"),
+        )
+    )
+
+
+@query(
+    "scan_partition_pruned",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + static partition pruning: orders
+    is laid out once as parquet partitioned by o_orderstatus (the
+    coarse-grained key a 100 TB lakehouse partitions its facts by —
+    date in production, status here), and the o_orderstatus = 'F'
+    read touches ONLY that partition's directory: pruning happens at
+    file listing, before any I/O, visible as PartitionFilters in the
+    scan node (plan-gated in tests/test_plans.py).
+
+    The partition column comes back from the directory name as a
+    string regardless of its original type — the engine re-selects it
+    explicitly; at the boundary that's part of the layout contract."""
+    path = _materialize(
+        spark, sf_dir, "orders_by_status", "orders",
+        lambda df, p: df.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(p),
+    )
+    o = spark.read.parquet(path)
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )

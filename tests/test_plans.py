@@ -187,3 +187,31 @@ def test_cross_join_broadcasts_small_side(spark):
     plan = _executed(REG["join_cross"].fn(spark, SF_SMALL), spark)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_scan_prunes_at_listing(spark):
+    # scan_partition_pruned's status filter must prune to ONE hive
+    # partition directory at file listing (PartitionFilters on the
+    # scan), not post-read.
+    plan = _executed(REG["scan_partition_pruned"].fn(spark, SF_SMALL), spark)
+    pf = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "o_orderstatus" in pf, pf
+    assert "= F" in pf or "equal" in pf.lower(), pf
+
+
+def test_pack_sequences_single_exchange(spark):
+    # One sort-shuffle on (lang, shard); the chunk arithmetic is
+    # map-side — a second exchange would mean the window repartitioned.
+    plan = _executed(REG["pack_sequences"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert final.count("Exchange") == 1, final
+    assert "BatchEvalPython" not in final
+
+
+def test_pii_redact_is_shuffle_free_codegen(spark):
+    # Pure map-side regex kernel: no exchange, no Python in the plan.
+    plan = _executed(REG["text_pii_redact"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "Exchange" not in final, final
+    assert "BatchEvalPython" not in final
+    assert "codegen id" in final
