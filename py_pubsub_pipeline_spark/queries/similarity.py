@@ -493,3 +493,83 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings),
+    mx AS (
+      SELECT vec_id, x,
+             GREATEST(list_max(list_transform(x, v -> abs(v))), 1e-30) AS m
+      FROM x),
+    q AS (
+      SELECT vec_id, x, m,
+             list_transform(x,
+               v -> CAST(FLOOR(v * 127.0 / m + 0.5) AS BIGINT)) AS q
+      FROM mx)
+    SELECT vec_id, m AS scale_max,
+           md5(array_to_string(q, ',')) AS q_md5,
+           CAST(list_aggregate(
+             list_transform(generate_series(1, len(x)),
+               i -> CAST((x[i] - q[i] * m / 127.0)
+                         * (x[i] - q[i] * m / 127.0)
+                         AS DECIMAL(18,12))),
+             'sum') AS DOUBLE) AS sq_err
+    FROM q
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the 4x
+    storage-compression path a 100 TB embedding corpus ships before
+    ANN (ADC-style search reads int8 codes + one float scale per
+    vector).  Per vector: symmetric max-abs scale, q_i =
+    floor(x_i*127/m + 0.5), plus the exact squared reconstruction
+    error.  Every step is double arithmetic specified identically in
+    both engines (cast-to-double FIRST, floor(+0.5) instead of
+    round-mode-dependent round()), the quantized codes hash via a
+    canonical comma-join, and the error sums through DECIMAL so the
+    64-term accumulation is order-independent — a fully
+    oracle-hash-checked numeric kernel.
+
+    Scale: pure map-side per-row array math (one scan, zero
+    shuffles).  Higher-order-function folds are interpreted, not
+    codegen — fine at profile time; the production encode path is the
+    same arithmetic as an Arrow-batched mapInPandas kernel
+    (multimodal.py pattern) when encoding TBs."""
+    e = table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    d = e.select("vec_id", x.alias("x"))
+    m = F.greatest(
+        F.array_max(F.transform(F.col("x"), F.abs)), F.lit(1e-30)
+    )
+    d = d.select("vec_id", "x", m.alias("m"))
+    q = F.transform(
+        F.col("x"),
+        lambda v: F.floor(v * 127.0 / F.col("m") + 0.5).cast("long"),
+    )
+    d = d.select("vec_id", "x", "m", q.alias("q"))
+    err_terms = F.zip_with(
+        F.col("x"), F.col("q"),
+        lambda xv, qv: (
+            (xv - qv * F.col("m") / 127.0) * (xv - qv * F.col("m") / 127.0)
+        ).cast("decimal(18,12)"),
+    )
+    return d.select(
+        "vec_id",
+        F.col("m").alias("scale_max"),
+        F.md5(F.concat_ws(",", F.transform(F.col("q"),
+                                           lambda v: v.cast("string")))
+              ).alias("q_md5"),
+        F.aggregate(
+            err_terms,
+            F.lit(0).cast("decimal(18,12)"),
+            # decimal + widens to (19,12); fold state must keep the
+            # zero's type, so narrow back each step (no overflow: 64
+            # terms, each < 1e6 at scale 12).
+            lambda acc, v: (acc + v).cast("decimal(18,12)"),
+        ).cast("double").alias("sq_err"),
+    )

@@ -49,9 +49,20 @@ MULT = 10
 KEY_OFFSETS = {
     "o_orderkey": 10_000_000, "l_orderkey": 10_000_000,
     "o_custkey": 1_000_000, "c_custkey": 1_000_000,
+    "p_partkey": 1_000_000, "l_partkey": 1_000_000,
+    "s_suppkey": 100_000, "l_suppkey": 100_000,
     "event_id": 10_000_000, "user_id": 1_000_000,
     "doc_id": 1_000_000, "vec_id": 1_000_000,
 }
+
+# TPC-H semantics: nation and region do NOT scale with SF — they stay
+# single-copy.  (The first cut of this script replicated them with
+# un-offset keys, so every fact><dim join matched 10 identical dim
+# copies — a 10x fan-out that inflated join_multiway's sf1 time ~7x
+# and misread as "Spark degrades at scale".  Likewise part/supplier
+# keys were not offset.  The corpus bug, not the engine, was the
+# regression.)
+SINGLETON = {"nation", "region"}
 
 
 def _build_corpus(spark) -> None:
@@ -65,6 +76,10 @@ def _build_corpus(spark) -> None:
             if name == "events"
             else spark.read.parquet(f"{BASE}/{name}.parquet")
         )
+        if name in SINGLETON:
+            src.write.mode("overwrite").parquet(dst)
+            print(f"# built {dst} (singleton dim)", file=sys.stderr)
+            continue
         parts = []
         for i in range(MULT):
             df: DataFrame = src
