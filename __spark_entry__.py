@@ -63,7 +63,7 @@ _R2_NEW = frozenset({
     "tpch_q16", "tpch_q20",
     "pack_sequences", "decontaminate_ngram", "text_pii_redact",
     "sample_balanced", "scan_jsonl", "scan_csv", "scan_partition_pruned",
-    "layout_zorder", "emb_quantize_int8",
+    "layout_zorder", "emb_quantize_int8", "graph_pagerank",
 })
 
 

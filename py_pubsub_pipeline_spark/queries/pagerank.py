@@ -1,0 +1,172 @@
+"""PageRank over the customer↔supplier purchase graph — the
+link-analysis primitive a web-scale training corpus uses for
+quality-weighted sampling (rank pages by endorsement, sample
+high-rank first; the CommonCrawl-style pipeline step).
+
+This is the second inherently ITERATIVE operator in the inventory
+(with connected components, graph.py): no single SQL query expresses
+the fixpoint, so the contract is a FIXED iteration count — the Spark
+side runs N_ITER Pregel-style rounds and the DuckDB oracle unrolls
+the same N_ITER rounds as chained CTEs. Two independent formulations,
+hash-matched to the last bit.
+
+Determinism contract (see README "Determinism contract"): per-edge
+contribution rank/outdeg is plain double arithmetic (bit-identical in
+both engines), then snapped to fixed-point via floor(x*1e12 + 0.5) —
+an INTEGER-VALUED double, exact in both engines — before the decimal
+cast, and the per-vertex SUM runs over DECIMAL(28,0) (exact,
+order-independent). A direct double→DECIMAL(28,16) cast is NOT safe
+cross-engine: quotients of doubles are dyadic rationals whose exact
+decimal expansion can terminate with a '5' at the cut digit, and
+Spark (HALF_UP) and DuckDB then round that tie differently — observed
+as 1-4 ulp drift by iteration 6 in the first cut of this query. The
+damping update 0.15 + 0.85 * (sum::double / 1e12) is again plain
+double ops, so every iteration's rank vector is bit-identical across
+engines, and iteration N is too.
+
+Scale notes:
+- Per round: one join edges⋈ranks on the source key + one hash agg on
+  the destination key — the canonical two-shuffle PageRank profile.
+  The edge list is repartitioned on `u` ONCE and localCheckpoint'ed,
+  so every round's join reuses that layout and only the (small,
+  vertex-cardinality) rank table moves; the groupBy(v) shuffle
+  carries 24-byte (id, decimal) rows, never adjacency.
+- `localCheckpoint(eager=True)` per round truncates lineage —
+  without it the plan doubles per iteration (the iterative-Spark
+  trap, same as connected_components).
+- Dangling mass: the graph is symmetrized (u→v and v→u), so every
+  vertex with an edge has out-degree ≥ 1; isolated vertices get the
+  bare teleport 0.15 each round. This is the undirected-PageRank
+  simplification — no global dangling-mass redistribution term, which
+  would need one extra scalar agg per round.
+
+Mirrors the reference's driver-coordinates/executors-compute loop
+(pubsub_pipeline.py:149) like connected_components does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+N_ITER = 6
+DAMPING = 0.85
+TELEPORT = 0.15
+SUPP_OFFSET = 10_000_000  # supplier ids live above customer ids
+
+
+def _oracle_sql() -> str:
+    """Unrolled N_ITER-iteration PageRank as chained CTEs (no
+    recursive CTE: DuckDB restricts aggregates in recursive terms;
+    unrolling keeps the oracle a plain, obviously-correct query)."""
+    iters = []
+    for i in range(1, N_ITER + 1):
+        iters.append(f"""
+    r{i} AS (
+      SELECT vt.node,
+             {TELEPORT} + {DAMPING}
+               * (COALESCE(CAST(s.s AS DOUBLE), 0.0) / 1000000000000.0) AS pr
+      FROM verts vt LEFT JOIN (
+        SELECT e.v AS node,
+               SUM(CAST(FLOOR((r.pr / d.outdeg) * 1000000000000.0 + 0.5)
+                        AS DECIMAL(28,0))) AS s
+        FROM r{i - 1} r
+        JOIN edges e ON e.u = r.node
+        JOIN deg d ON d.u = r.node
+        GROUP BY e.v) s ON s.node = vt.node)""")
+    return f"""
+    WITH eb AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT cust AS u, supp + {SUPP_OFFSET} AS v FROM eb
+      UNION ALL
+      SELECT supp + {SUPP_OFFSET} AS u, cust AS v FROM eb),
+    deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS outdeg
+            FROM edges GROUP BY u),
+    verts AS (
+      SELECT c_custkey AS node FROM customer
+      UNION
+      SELECT s_suppkey + {SUPP_OFFSET} AS node FROM supplier),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM verts),
+    {','.join(iters)}
+    SELECT node, pr FROM r{N_ITER}
+    """
+
+
+@query("graph_pagerank", oracle=_oracle_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-iteration damped PageRank (d=0.85) on the symmetrized
+    bipartite customer↔supplier graph (edge = 'customer bought from
+    supplier', via orders⋈lineitem). Returns (node, pr) for every
+    customer and supplier; supplier ids are offset by 10M into a
+    disjoint id space."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    edges = eb.select(
+        F.col("cust").alias("u"),
+        (F.col("supp") + SUPP_OFFSET).alias("v"),
+    ).unionByName(
+        eb.select(
+            (F.col("supp") + SUPP_OFFSET).alias("u"),
+            F.col("cust").alias("v"),
+        )
+    )
+    deg = edges.groupBy("u").agg(F.count("*").cast("double").alias("outdeg"))
+    # Edge list with out-degree attached, laid out by source key once;
+    # every iteration's join reuses this partitioning (only ranks move).
+    ed = (
+        edges.join(deg, "u")
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("node"))
+        .unionByName(
+            table(spark, sf_dir, "supplier").select(
+                (F.col("s_suppkey") + SUPP_OFFSET).alias("node")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = verts.select("node", F.lit(1.0).cast("double").alias("pr"))
+    for _ in range(N_ITER):
+        sums = (
+            ed.join(ranks, ed.u == ranks.node)
+            .select(
+                F.col("v"),
+                F.floor(
+                    (F.col("pr") / F.col("outdeg")) * F.lit(1e12) + F.lit(0.5)
+                )
+                .cast("decimal(28,0)")
+                .alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            verts.join(sums, verts.node == sums.v, "left")
+            .select(
+                "node",
+                (
+                    F.lit(TELEPORT)
+                    + F.lit(DAMPING)
+                    * (
+                        F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                        / F.lit(1e12)
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
