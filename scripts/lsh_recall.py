@@ -50,6 +50,31 @@ def main() -> int:
         results[n_bands] = recall
         print(f"bands={n_bands}: recall@3 = {recall:.3f} "
               f"({len(exact & approx)}/{len(exact)})")
+
+    # ADC int8 recall@3 — ground truth is the exact full-precision DOT
+    # ranking (ADC approximates dot product, not cosine), computed
+    # driver-side over the collected corpus (bounded: recall harness
+    # runs at probe scale, not corpus scale).
+    import numpy as np
+
+    from py_pubsub_pipeline_spark.tables import table
+
+    rows = table(spark, args.sf, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    qsel = ids < sim.N_QUERIES
+    D = X[qsel] @ X.T
+    D[np.equal.outer(ids[qsel], ids)] = -np.inf
+    exact_dot = set()
+    for qi, qid in enumerate(ids[qsel]):
+        top = np.lexsort((ids, -D[qi]))[:3]
+        exact_dot.update((qid, ids[t]) for t in top)
+    adc = _pairs(sim.sim_adc_int8(spark, args.sf))
+    r_adc = len(exact_dot & adc) / len(exact_dot)
+    print(f"adc_int8: recall@3 = {r_adc:.3f} "
+          f"({len(exact_dot & adc)}/{len(exact_dot)})")
     return 0
 
 
