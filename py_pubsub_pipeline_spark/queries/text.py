@@ -397,3 +397,102 @@ def text_er_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 12)
     )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wc AS (
+      SELECT doc_id, t, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(w) AS t FROM tok)
+      GROUP BY doc_id, t),
+    ws AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM wc GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+      FROM tok, UNNEST(generate_series(1, len(w) - 1)) t(i)),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    bs AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS max_bigram
+      FROM bc GROUP BY doc_id)
+    SELECT w.doc_id, w.n_tokens,
+           CAST(1 AS DOUBLE)
+             - CAST(w.n_distinct AS DOUBLE) / CAST(w.n_tokens AS DOUBLE)
+             AS dup_word_frac,
+           COALESCE(CAST(b.max_bigram AS DOUBLE)
+                      / CAST(b.n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac,
+           (CAST(1 AS DOUBLE)
+              - CAST(w.n_distinct AS DOUBLE) / CAST(w.n_tokens AS DOUBLE)
+              <= 0.82
+            AND COALESCE(CAST(b.max_bigram AS DOUBLE)
+                           / CAST(b.n_bigrams AS DOUBLE), 0.0) <= 0.08)
+             AS keep
+    FROM ws w LEFT JOIN bs b ON b.doc_id = w.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/MassiveText rule
+    family): per document, the duplicate-word fraction
+    (1 - distinct/total) and the top-bigram fraction (occurrences of
+    the most frequent 2-gram over all 2-grams), plus the keep/drop
+    verdict. Boilerplate, templated spam, and degenerate generations
+    score high on both and are dropped before training.
+
+    Scale shape: two explode -> hash-agg pipelines (words, bigrams),
+    both keyed by (doc_id, gram) — partial aggregation collapses
+    per-doc repeats map-side, so the shuffle carries at most the
+    per-doc DISTINCT gram sets, and the second agg reduces to one row
+    per doc. No Python, no window over the corpus; bigrams are built
+    from row-level slices (see queries/dedup.py's projection-collapse
+    pitfall note). Thresholds (0.82 / 0.08) sit inside this synthetic
+    corpus's score distribution so both branches are exercised."""
+    docs = table(spark, sf_dir, "documents")
+    w = _tokens()
+    tok = docs.select("doc_id", w.alias("w"))
+    ws = (
+        tok.select("doc_id", F.explode("w").alias("t"))
+        .groupBy("doc_id", "t")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    n = F.size(F.col("w")) - 1
+    z = F.arrays_zip(
+        F.slice(F.col("w"), 1, n).alias("t1"),
+        F.slice(F.col("w"), 2, n).alias("t2"),
+    )
+    big = F.transform(z, lambda p: F.concat_ws(" ", p["t1"], p["t2"]))
+    bs = (
+        tok.select("doc_id", F.explode(big).alias("b"))
+        .groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_bigrams"),
+            F.max("count").alias("max_bigram"),
+        )
+    )
+    dup = F.lit(1).cast("double") - (
+        F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    )
+    top_bg = F.coalesce(
+        F.col("max_bigram").cast("double") / F.col("n_bigrams").cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        ws.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup.alias("dup_word_frac"),
+            top_bg.alias("top_bigram_frac"),
+            ((dup <= 0.82) & (top_bg <= 0.08)).alias("keep"),
+        )
+    )
