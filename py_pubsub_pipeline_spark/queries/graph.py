@@ -271,3 +271,83 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+@query(
+    "dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a_id, b_id FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
+            >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component
+      FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.component, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_docs
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT component, doc_id AS survivor_id, n_chars AS survivor_chars,
+           n_docs
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: dedup's LAST step. dedup_cc turns
+    near-dup pairs into clusters; this picks WHICH document each
+    cluster keeps — the longest one (n_chars DESC), ties to the
+    smallest doc_id — instead of the naive min-id, because near-dup
+    clusters typically contain one full document plus truncated or
+    boilerplate-wrapped copies, and training wants the full one.
+    Returns one row per cluster (singletons included): the component
+    id, the surviving doc, and the cluster size.
+
+    Scale shape: everything up to labels is dedup_cc (sliver-sized
+    iterative CC over edge-touched vertices only); the selection adds
+    ONE window over (component) — a shuffle keyed by component id
+    whose payload is (doc_id, n_chars), 24 bytes/doc, nothing
+    text-sized. At 100 TB the same selection runs as max_by in a hash
+    agg if the rank/count columns aren't needed; the window form keeps
+    cluster size in the same pass."""
+    labels = dedup_cc(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        labels.join(docs, "doc_id")
+        .select(
+            "component",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n_docs"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("n_chars").alias("survivor_chars"),
+            "n_docs",
+        )
+    )
