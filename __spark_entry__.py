@@ -65,6 +65,7 @@ _R2_NEW = frozenset({
     "sample_balanced", "scan_jsonl", "scan_csv", "scan_partition_pruned",
     "layout_zorder", "emb_quantize_int8", "graph_pagerank",
     "sim_adc_int8", "text_repetition", "dedup_canonical",
+    "mm_audio_decode",
 })
 
 

@@ -116,6 +116,133 @@ def _mean_byte(payload: bytes) -> float:
     return sum(payload) / len(payload) if payload else 0.0
 
 
+# ------------------------------------------------------------- audio
+
+SAMPLE_RATES = (8000, 16000, 44100)  # picked by doc_id % 3
+FRAME_MOD = 251  # n_frames = 1 + content_bytes % FRAME_MOD
+
+
+def encode_wav(sample_rate: int, samples: bytes) -> bytes:
+    """A VALID RIFF/WAVE file: 16-bit mono PCM, with a LIST/INFO chunk
+    between fmt and data — so a correct reader must WALK chunks, not
+    assume data starts at byte 44. Any audio player opens it."""
+    n = len(samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", n) + samples
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL pure-stdlib WAV decode: walks RIFF chunks (skipping
+    unknown ones, honoring word alignment), parses the fmt chunk, and
+    reads the PCM samples. Returns (sample_rate, n_channels, bits,
+    n_frames, sum_abs) where sum_abs is the sum of |sample| over the
+    signed 16-bit samples — a DATA-level statistic, so a decoder that
+    only parses headers (or mis-handles signedness) fails the oracle."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:4]!r}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit PCM decodes here (format={audio_format}, "
+            f"bits={bits}); compressed codecs need a library"
+        )
+    n_frames = len(data) // block_align
+    sum_abs = 0
+    for k in range(n_frames * n_channels):
+        (v,) = struct.unpack_from("<h", data, 2 * k)
+        sum_abs += abs(v)
+    return sample_rate, n_channels, bits, n_frames, sum_abs
+
+
+def synthesize_wav_assets(docs: DataFrame) -> DataFrame:
+    """Turn each document into a real WAV asset: sample rate picked by
+    doc_id % 3, frame count 1 + content_bytes % FRAME_MOD, samples
+    from the document bytes cycled — with every stream byte at
+    position j ≡ 1 (mod 3) XOR'd with 0x80 so roughly a third of the
+    int16 samples come out NEGATIVE (the corpus is ASCII, all bytes
+    < 0x80; without the flip every sample would be positive and a
+    decoder that read the samples unsigned would still pass)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode() if isinstance(text, str) else bytes(text)
+                src = raw or b"\x00"
+                n_frames = 1 + len(raw) % FRAME_MOD
+                rate = SAMPLE_RATES[int(doc_id) % 3]
+                data = bytes(
+                    src[j % len(src)] ^ (0x80 if j % 3 == 1 else 0)
+                    for j in range(2 * n_frames)
+                )
+                payloads.append(encode_wav(rate, data))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["audio/wav"] * len(payloads),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "asset_id LONG, payload BINARY, media_type STRING"
+    )
+
+
+AUDIO_SCHEMA = (
+    "asset_id LONG, media_type STRING, sample_rate INT, n_channels INT, "
+    "bits INT, n_frames LONG, sum_abs LONG"
+)
+
+
+def decode_audio(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio decode: one Python call per batch, each
+    payload parsed by the real chunk-walking WAV decoder."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "asset_id", "media_type", "sample_rate", "n_channels",
+                    "bits", "n_frames", "sum_abs",
+                )
+            }
+            for aid, payload, mt in zip(
+                pdf["asset_id"], pdf["payload"], pdf["media_type"]
+            ):
+                rate, ch, bits, frames, sabs = decode_wav(bytes(payload))
+                out["asset_id"].append(aid)
+                out["media_type"].append(mt)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["bits"].append(bits)
+                out["n_frames"].append(frames)
+                out["sum_abs"].append(sabs)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, AUDIO_SCHEMA)
+
+
 # ------------------------------------------------------------ pipeline
 
 

@@ -14,10 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..multimodal import (
+    FRAME_MOD,
     H_MOD,
+    SAMPLE_RATES,
     W_MOD,
     decode_and_featurize,
+    decode_audio,
     synthesize_bmp_assets,
+    synthesize_wav_assets,
 )
 from ..registry import query
 from ..tables import table
@@ -77,3 +81,48 @@ def mm_decode_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "asset_id", "media_type", "width", "height", "bpp", "n_bytes"
     )
+
+
+@query(
+    "mm_audio_decode",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS L,
+             1 + length(text) % {FRAME_MOD} AS n_frames,
+             CAST(CASE doc_id % 3 WHEN 0 THEN {SAMPLE_RATES[0]}
+                                  WHEN 1 THEN {SAMPLE_RATES[1]}
+                                  ELSE {SAMPLE_RATES[2]} END AS INT)
+               AS sample_rate
+      FROM documents),
+    samp AS (
+      SELECT doc_id,
+             (ascii(substr(text, ((2*k) % L) + 1, 1))
+                + CASE WHEN (2*k) % 3 = 1 THEN 128 ELSE 0 END)
+             + 256 * (ascii(substr(text, ((2*k+1) % L) + 1, 1))
+                + CASE WHEN (2*k+1) % 3 = 1 THEN 128 ELSE 0 END) AS x
+      FROM b, UNNEST(generate_series(0, n_frames - 1)) t(k)),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(ABS(CASE WHEN x < 32768 THEN x ELSE x - 65536 END))
+                  AS BIGINT) AS sum_abs
+      FROM samp GROUP BY doc_id)
+    SELECT b.doc_id AS asset_id, 'audio/wav' AS media_type, b.sample_rate,
+           CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits,
+           CAST(b.n_frames AS BIGINT) AS n_frames, a.sum_abs
+    FROM b JOIN agg a ON a.doc_id = b.doc_id
+    """,
+)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column pipeline, oracle-checked end to end: every
+    document becomes a REAL 16-bit mono PCM WAV (RIFF with a LIST
+    chunk between fmt and data, samples from document bytes with every
+    third stream byte bit-flipped so ~1/3 of samples are negative);
+    the decode stage walks the RIFF chunks, parses fmt, and sums
+    |sample| over the signed PCM data. The oracle reconstructs the
+    same sample stream arithmetically from the text bytes (the corpus
+    is ASCII: ascii(substr(..)) IS the byte), so a decoder that skips
+    the LIST chunk wrong, assumes data at offset 44, or reads samples
+    unsigned all hash-mismatch — this verifies the decoder at the
+    SAMPLE level, not just the header."""
+    docs = table(spark, sf_dir, "documents")
+    return decode_audio(synthesize_wav_assets(docs))

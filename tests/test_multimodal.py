@@ -8,6 +8,8 @@ from __future__ import annotations
 import pytest
 
 from py_pubsub_pipeline_spark.multimodal import (
+    decode_wav,
+    encode_wav,
     decode_image_header,
     encode_bmp,
     encode_ppm,
@@ -57,3 +59,55 @@ def test_jpeg_png_raise_not_implemented():
 def test_unknown_magic_raises_value_error():
     with pytest.raises(ValueError, match="unrecognized image magic"):
         decode_image_header(b"GIF89a...")
+
+
+def test_wav_roundtrip_signed_samples():
+    import struct
+
+    samples = struct.pack("<4h", 100, -200, 32767, -32768)
+    rate, ch, bits, frames, sum_abs = decode_wav(encode_wav(16000, samples))
+    assert (rate, ch, bits, frames) == (16000, 1, 16, 4)
+    assert sum_abs == 100 + 200 + 32767 + 32768  # signed, not unsigned
+
+
+def test_wav_decoder_walks_chunks_not_offset_44():
+    # encode_wav puts a LIST chunk between fmt and data; a reader that
+    # assumes samples start at byte 44 reads the LIST header as data.
+    payload = encode_wav(8000, b"\x01\x00")
+    assert payload[36:40] != b"data"
+    rate, _, _, frames, sum_abs = decode_wav(payload)
+    assert (rate, frames, sum_abs) == (8000, 1, 1)
+
+
+def test_wav_odd_chunk_word_alignment():
+    # A 3-byte odd-sized unknown chunk is padded to a word boundary;
+    # the walker must skip the pad byte to find data.
+    import struct
+
+    data = b"\x05\x00"
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (
+        b"junk" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert decode_wav(payload) == (8000, 1, 16, 1, 5)
+
+
+def test_wav_non_pcm_raises():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)  # 85 = mp3
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(NotImplementedError, match="16-bit PCM"):
+        decode_wav(payload)
+
+
+def test_non_riff_raises_value_error():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")
