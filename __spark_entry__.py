@@ -24,17 +24,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return pricing_summary(spark, _SF0001)
 
 
-# Round-1's driver recorded CORRECTNESS rows for exactly the first 50
-# keys of queries() (all green except agg_approx, which was a no-oracle
-# err row).  The other 50 passed the judge's own parity re-run but have
-# no driver record.  Names are stable; only the ENUMERATION ORDER below
-# changes: the previously-unrecorded keys (plus the reworked
-# agg_approx) come first, so a capped driver run records them this
-# round and r1+r2 driver files jointly cover all 100 keys.
-_R1_GREEN = frozenset({
-    "agg_collect", "agg_cube", "agg_distinct", "agg_filter_clause",
-    "agg_global", "agg_group", "agg_groupingsets", "agg_having",
-    "agg_minmax_by", "agg_rollup", "agg_stats", "case_when",
+# The driver records CORRECTNESS rows for roughly the first 50 keys of
+# queries() per round.  _DRIVER_RECORDED is the literal union of the key
+# sets in CORRECTNESS_r01.json + CORRECTNESS_r02.json (99 keys, all
+# green).  Enumeration order: (1) keys still owed a driver record from
+# rounds 1-2 — 52 of them, so ~2 spill to round 4; (2) keys first
+# registered in round 3 (_R3_NEW — append every new key here!); (3) the
+# already-recorded greens.  Jointly, r01+r02+r03 then cover the whole
+# registry.
+_DRIVER_RECORDED = frozenset({
+    # --- CORRECTNESS_r01.json ---
+    "agg_approx", "agg_collect", "agg_cube", "agg_distinct",
+    "agg_filter_clause", "agg_global", "agg_group", "agg_groupingsets",
+    "agg_having", "agg_minmax_by", "agg_rollup", "agg_stats", "case_when",
     "filter_between_like", "filter_null", "filter_pred", "fn_array",
     "fn_bitwise", "fn_cast", "fn_date", "fn_map_json", "fn_math",
     "fn_misc", "fn_string", "join_anti", "join_broadcast", "join_cross",
@@ -44,36 +46,35 @@ _R1_GREEN = frozenset({
     "set_union_all", "set_union_byname", "set_union_distinct",
     "sort_multi", "win_analytic", "win_dist", "win_frame_range",
     "win_frame_rows", "win_rank", "win_time_range", "win_topk_per_group",
+    # --- CORRECTNESS_r02.json (agg_approx re-recorded there too) ---
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
+    "join_interval_attrib", "join_asof", "text_tokens", "text_lang_stats",
+    "text_quality", "text_langid", "text_fingerprint", "text_token_count",
+    "text_rolling_hash", "text_normalize", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_topk", "sim_pairs_cosine", "sim_lsh_bucketed", "dedup_embedding",
+    "sim_ivf", "mm_binary_meta", "mm_decode_featurize", "subq_scalar",
+    "subq_in", "subq_correlated", "pivot_sum", "unpivot_stack",
+    "agg_percentile", "fn_explode_pos", "fn_string_regex",
+    "udf_pandas_scalar", "udaf_grouped_pandas", "udtf_map_batches",
+    "udtf_lateral", "tpch_q3", "tpch_q10", "tpch_q18", "tpch_q5",
+    "tpch_q14", "agg_skew_salted", "join_skew_salted", "dedup_cc",
+    "sample_hash", "split_train_test", "profile_stats", "sessionize_gaps",
 })
 
 
-# Keys first registered in round 2 (no r1 record exists or is owed):
-# they enumerate AFTER the r1-unrecorded keys — those complete driver
-# coverage of the original 100 — but before the already-green ones.
-_R2_NEW = frozenset({
-    "join_bucketed", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q13",
-    "tpch_q17", "tpch_q19", "tpch_q21", "tpch_q22",
-    "ts_resample_ohlc", "ts_bucket_gapfill", "text_tfidf", "dq_checks",
-    "cdc_latest_state", "scd2_intervals",
-    "stream_topk_windowed", "join_range_band", "fn_try", "agg_mode",
-    "graph_triangles", "sample_stratified", "text_er_blocked",
-    "funnel_conversion", "retention_cohorts", "dedup_substring",
-    "subq_lateral", "agg_weighted", "dedup_ngram_capped", "join_asof_forward",
-    "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q15",
-    "tpch_q16", "tpch_q20",
-    "pack_sequences", "decontaminate_ngram", "text_pii_redact",
-    "sample_balanced", "scan_jsonl", "scan_csv", "scan_partition_pruned",
-    "layout_zorder", "emb_quantize_int8", "graph_pagerank",
-    "sim_adc_int8", "text_repetition", "dedup_canonical",
-    "mm_audio_decode",
+# Keys first registered in round 3: enumerate after the rounds-1-2
+# backlog (which must drain first) but before the recorded greens.
+_R3_NEW = frozenset({
 })
 
 
 def _ordered():
     specs = load_all()
-    tier1 = [n for n in specs if n not in _R1_GREEN and n not in _R2_NEW]
-    tier2 = [n for n in specs if n in _R2_NEW]
-    tier3 = [n for n in specs if n in _R1_GREEN]
+    tier1 = [n for n in specs
+             if n not in _DRIVER_RECORDED and n not in _R3_NEW]
+    tier2 = [n for n in specs if n in _R3_NEW]
+    tier3 = [n for n in specs if n in _DRIVER_RECORDED]
     return {n: specs[n] for n in tier1 + tier2 + tier3}
 
 
