@@ -66,6 +66,7 @@ _DRIVER_RECORDED = frozenset({
 # Keys first registered in round 3: enumerate after the rounds-1-2
 # backlog (which must drain first) but before the recorded greens.
 _R3_NEW = frozenset({
+    "sample_balanced_exact", "sim_topk_bucketed",
 })
 
 

@@ -148,6 +148,103 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_topk_bucketed",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND({_SQL_COS.format(a='q.e', b='c.e')}, 6) AS cos_sim
+           FROM q JOIN c ON q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id) AS rnk
+           FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5, PROBE SET AS A DATAFRAME: same answer
+    (and oracle) as sim_topk, but the query vectors never pass through
+    the driver — no .collect(), no 'probe set fits driver memory'
+    assumption. The probes replicate to each candidate block via a
+    broadcast block-id cross join (|probes| x N_BLOCKS tiny rows), the
+    candidates hash into N_BLOCKS cogroup tasks, and each task scores
+    its tile with ONE BLAS matmul — the sim_pairs_cosine block pattern
+    pointed at an asymmetric (probe x candidate) product.
+
+    Scale shape: shuffle volume is one pass of the candidate vectors
+    (the blk hash partition) plus |probes| x N_BLOCKS probe rows; each
+    tile emits only its block-local top-k per probe, so the final
+    window sees O(N_BLOCKS * k) rows per probe. When the probe set
+    outgrows broadcast, drop the replication and bucket BOTH sides by
+    a probe-block key — same cogroup kernel, no driver involvement
+    either way. Rounding/tie-break contract identical to sim_topk
+    (floor(x*1e6 + 0.5), neighbor_id ASC), so block-local cuts agree
+    with the final ranking."""
+    # Two independent scans (fresh attribute ids per side): cogroup's
+    # analyzer rejects sides sharing lineage like a self-join would
+    # (same workaround as _blocked_cos_pairs). Explicit schema so the
+    # scans launch no footer-inference job — query CONSTRUCTION runs
+    # zero driver jobs (gated in test_plans.py).
+    import os as _os
+
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    _sch = "vec_id long, embedding array<float>, label int"
+    blocks = spark.range(N_BLOCKS).select(F.col("id").cast("int").alias("blk"))
+    probes = (
+        spark.read.schema(_sch).parquet(path)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .crossJoin(F.broadcast(blocks))
+    )
+    cands = spark.read.schema(_sch).parquet(path).select(
+        "vec_id", "embedding", (F.col("vec_id") % N_BLOCKS).cast("int").alias("blk")
+    )
+
+    def score_tile(q_pdf, c_pdf):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        if q_pdf.empty or c_pdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+        Q = np.array(list(q_pdf["embedding"]), dtype=np.float64)
+        C = np.array(list(c_pdf["embedding"]), dtype=np.float64)
+        q_ids = q_pdf["vec_id"].to_numpy()
+        ids = c_pdf["vec_id"].to_numpy()
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        S = Qn @ Cn.T
+        S[q_ids[:, None] == ids[None, :]] = -np.inf  # drop self-pairs
+        Sr = np.floor(S * 1e6 + 0.5) / 1e6  # ROUND(x, 6), half-up
+        k = min(TOP_K, S.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(S.shape[0]):
+            idx = np.lexsort((ids, -Sr[qi]))[:k]
+            keep = Sr[qi][idx] > -np.inf
+            out_q.extend([q_ids[qi]] * int(keep.sum()))
+            out_n.extend(ids[idx][keep])
+            out_s.extend(Sr[qi][idx][keep])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+        )
+
+    scored = (
+        probes.groupby("blk")
+        .cogroup(cands.groupby("blk"))
+        .applyInPandas(score_tile, "query_id long, neighbor_id long, cos_sim double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 N_BLOCKS = 8  # block-matmul decomposition for all-pairs cosine
 
 

@@ -228,6 +228,55 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_balanced",
     oracle="""
     WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tgt AS (SELECT MIN(n) AS t FROM cnt)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN cnt ON cnt.lang = d.lang, tgt
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) * cnt.n
+          < tgt.t * 4294967296
+    """,
+)
+def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsampling via a HASH-GATE RATE FILTER:
+    every language keeps docs at rate t/n (t = the smallest language's
+    count, n = this language's count), gated on the md5 of the doc id
+    — a deterministic, engine- and partitioning-invariant lottery
+    (df.sample() is seeded per-partition; hash-gating survives
+    repartitioning and reruns, which is what keeps a training mix
+    reproducible).
+
+    The gate is exact integer arithmetic on both engines: u = the
+    first 8 md5 hex chars as an integer (uniform on [0, 2^32)), keep
+    iff u * n < t * 2^32 — no float-boundary row can flip between
+    engines.  Per-language kept counts are Binomial(n, t/n) ≈ t, the
+    standard trade for an embarrassingly parallel sampler; the exact-
+    quota form is sample_balanced_exact below.
+
+    Scale: the per-language counts are a tiny broadcast; the gate is a
+    pure MAP-SIDE filter — no window, no per-language partition, no
+    serialization point.  This is the form that survives a language
+    with 10^10 documents.  (At extreme n, widen u*n to decimal — both
+    factors are < 2^32 and < corpus size, so decimal(38,0) never
+    overflows.)"""
+    d = table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tgt = cnt.agg(F.min("n").alias("t"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        d.select("doc_id", "lang", u.alias("u"))
+        .join(F.broadcast(cnt), "lang")
+        .join(F.broadcast(tgt))
+        .filter(F.col("u") * F.col("n") < F.col("t") * F.lit(4294967296))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "sample_balanced_exact",
+    oracle="""
+    WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
     tgt AS (SELECT MIN(n) AS t FROM cnt),
     rk AS (
       SELECT doc_id, lang,
@@ -240,19 +289,14 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk.r <= tgt.t
     """,
 )
-def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-balanced downsampling: keep the same number of docs per
-    language (the smallest language's count), choosing each language's
-    keepers by md5 rank — a deterministic, engine- and
-    partitioning-invariant lottery (df.sample() is seeded
-    per-partition; hash-rank sampling survives repartitioning and
-    reruns, which is what keeps a training mix reproducible).
-
-    Scale: one shuffle on lang for the rank window.  A language is a
-    BIG partition at 100 TB — swap the exact rank for the hash-gate
-    rate filter (threshold = target/count, computed from the same
-    group counts) to make it embarrassingly parallel; the exact-rank
-    form here is what makes the per-group quota precise."""
+def sample_balanced_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language quota variant of sample_balanced: each
+    language keeps precisely t docs (t = the smallest language's
+    count), chosen by md5 rank.  Deterministic like the hash-gate form,
+    but the rank window serializes each language onto one task — use
+    when language cardinality × per-language size is small (quota
+    precision matters more than parallelism); the hash-gate rate
+    filter above is the 100 TB default."""
     d = table(spark, sf_dir, "documents")
     tgt = d.groupBy("lang").count().agg(F.min("count").alias("t"))
     w = Window.partitionBy("lang").orderBy(

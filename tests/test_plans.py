@@ -208,6 +208,33 @@ def test_pack_sequences_single_exchange(spark):
     assert "BatchEvalPython" not in final
 
 
+def test_sample_balanced_has_no_per_language_window(spark):
+    # The hash-gate rate filter must be a map-side gate behind two
+    # broadcast joins: a Window over lang = one task per language at
+    # 100 TB (the serialization the exact variant accepts knowingly).
+    plan = _executed(REG["sample_balanced"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "Window" not in final, final
+    assert "BroadcastHashJoin" in final or "BroadcastNestedLoopJoin" in final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_sim_topk_bucketed_builds_without_driver_jobs(spark):
+    # The probe set must stay a DataFrame: constructing the query may
+    # launch NO Spark job (a .collect() of the probes would).
+    sc = spark.sparkContext
+    sc.setJobGroup("sim_topk_bucketed_build", "plan-gate")
+    try:
+        df = REG["sim_topk_bucketed"].fn(spark, SF_SMALL)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("sim_topk_bucketed_build")
+    assert not jobs, f"query construction launched driver jobs: {jobs}"
+    plan = _executed(df, spark)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_pii_redact_is_shuffle_free_codegen(spark):
     # Pure map-side regex kernel: no exchange, no Python in the plan.
     plan = _executed(REG["text_pii_redact"].fn(spark, SF_SMALL), spark)
