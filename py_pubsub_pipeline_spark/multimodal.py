@@ -92,9 +92,10 @@ def encode_ppm(width: int, height: int, pixel_source: bytes) -> bytes:
 
 
 def decode_image_header(payload: bytes) -> tuple[str, int, int, int]:
-    """REAL pure-stdlib image header decode for BMP and binary PPM:
-    returns (format, width, height, bits-per-pixel). Formats needing a
-    full codec raise — loud, never silently wrong."""
+    """REAL pure-stdlib image header decode for BMP, binary PPM, and
+    PNG: returns (format, width, height, bits-per-pixel). Formats
+    needing a full codec library (JPEG's DCT entropy coding) raise —
+    loud, never silently wrong."""
     if payload[:2] == b"BM":
         width, height = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
@@ -102,12 +103,235 @@ def decode_image_header(payload: bytes) -> tuple[str, int, int, int]:
     if payload[:2] == b"P6":
         magic, w, h, maxval, _ = payload.split(None, 4)
         return "ppm", int(w), int(h), 24
-    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+    if payload[:8] == PNG_SIG:
+        # IHDR is mandated to be the first chunk: length at 8, type at
+        # 12, fields at 16 (width, height big-endian, then depth/type).
+        w, h = struct.unpack_from(">II", payload, 16)
+        depth, ctype = payload[24], payload[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        return "png", w, h, depth * channels
+    if payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "JPEG/PNG decode requires an image codec library (PIL/cv2), "
+            "JPEG decode requires an image codec library (PIL/cv2), "
             "not present in this container"
         )
     raise ValueError(f"unrecognized image magic: {payload[:4]!r}")
+
+
+# ------------------------------------------------------------ png
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): pick whichever of left /
+    up / up-left is closest to a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pixel_source: bytes) -> bytes:
+    """A VALID 8-bit RGB PNG (signature, IHDR, zlib IDAT, IEND) — any
+    viewer opens it. Pixels cycle through pixel_source. Deliberately
+    adversarial to lazy decoders: scanline y uses filter type y % 5,
+    so ALL FIVE filters (None/Sub/Up/Average/Paeth) appear in any
+    image ≥5 rows and a decoder that skips un-filtering reads garbage
+    pixels; the IDAT stream is split into TWO chunks, so a decoder
+    that inflates only the first chunk truncates."""
+    import zlib
+
+    stride = width * 3
+    src = pixel_source or b"\x00"
+    raw = (src * (stride * height // len(src) + 1))[: stride * height]
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = raw[y * stride:(y + 1) * stride]
+        ft = y % 5
+        out.append(ft)
+        if ft == 0:    # None
+            out += row
+        elif ft == 1:  # Sub: predict from the pixel to the left
+            out += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up: predict from the pixel above
+            out += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average of left and up
+            out += bytes(
+                (row[i] - (((row[i - 3] if i >= 3 else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:          # Paeth
+            out += bytes(
+                (row[i] - _paeth(
+                    row[i - 3] if i >= 3 else 0,
+                    prev[i],
+                    prev[i - 3] if i >= 3 else 0,
+                )) & 0xFF
+                for i in range(stride)
+            )
+        prev = row
+    comp = zlib.compress(bytes(out))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    mid = max(1, len(comp) // 2)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:mid])
+        + _png_chunk(b"IDAT", comp[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL pure-stdlib PNG decode: walks chunks (verifying each
+    CRC32), concatenates every IDAT, zlib-inflates, and UN-FILTERS all
+    five scanline filter types to recover the raw pixel bytes. Returns
+    (width, height, bits-per-pixel, sum_px) where sum_px is the sum of
+    all decoded pixel bytes — a DATA-level statistic, so a decoder
+    that skips un-filtering, drops the second IDAT chunk, or misparses
+    a chunk boundary fails the oracle, not just the header parse.
+    Supports the 8-bit RGB non-interlaced subset this pipeline emits;
+    everything else raises loudly."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError(f"not a PNG payload: {payload[:4]!r}")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            f"only 8-bit RGB non-interlaced PNG decodes here (depth="
+            f"{depth}, color_type={ctype}, interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * w
+    if len(raw) != h * (stride + 1):
+        raise ValueError("inflated IDAT length mismatch")
+    prev = bytes(stride)
+    sum_px = 0
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:    # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                c = prev[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown scanline filter {ft}")
+        sum_px += sum(line)
+        prev = bytes(line)
+    return w, h, 24, sum_px
+
+
+def synthesize_png_assets(docs: DataFrame) -> DataFrame:
+    """Turn each document into a real PNG asset, same deterministic
+    geometry as the BMP path (width = 1 + doc_id % W_MOD, height = 1 +
+    content_bytes % H_MOD, pixels = document bytes cycled) so the SQL
+    oracle can predict both the dimensions AND the decoded pixel sum."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode() if isinstance(text, str) else bytes(text)
+                w = 1 + int(doc_id) % W_MOD
+                h = 1 + len(raw) % H_MOD
+                payloads.append(encode_png(w, h, raw))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["image/png"] * len(payloads),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "asset_id LONG, payload BINARY, media_type STRING"
+    )
+
+
+PNG_SCHEMA = (
+    "asset_id LONG, media_type STRING, width INT, height INT, "
+    "bpp INT, sum_px LONG"
+)
+
+
+def decode_png_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched PNG decode: one Python call per batch, each
+    payload inflated and un-filtered by the real decoder."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "asset_id", "media_type", "width", "height",
+                    "bpp", "sum_px",
+                )
+            }
+            for aid, payload, mt in zip(
+                pdf["asset_id"], pdf["payload"], pdf["media_type"]
+            ):
+                w, h, bpp, sum_px = decode_png(bytes(payload))
+                out["asset_id"].append(aid)
+                out["media_type"].append(mt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bpp"].append(bpp)
+                out["sum_px"].append(sum_px)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, PNG_SCHEMA)
 
 
 def _mean_byte(payload: bytes) -> float:

@@ -20,7 +20,9 @@ from ..multimodal import (
     W_MOD,
     decode_and_featurize,
     decode_audio,
+    decode_png_assets,
     synthesize_bmp_assets,
+    synthesize_png_assets,
     synthesize_wav_assets,
 )
 from ..registry import query
@@ -81,6 +83,43 @@ def mm_decode_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "asset_id", "media_type", "width", "height", "bpp", "n_bytes"
     )
+
+
+@query(
+    "mm_png_decode",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS L,
+             1 + doc_id % {W_MOD} AS w,
+             1 + octet_length(encode(text)) % {H_MOD} AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id,
+             ascii(substr(text, CAST(j % L AS INT) + 1, 1)) AS v
+      FROM b, UNNEST(generate_series(0, 3 * w * h - 1)) t(j)),
+    agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_px
+            FROM px GROUP BY doc_id)
+    SELECT b.doc_id AS asset_id, 'image/png' AS media_type,
+           CAST(b.w AS INT) AS width, CAST(b.h AS INT) AS height,
+           CAST(24 AS INT) AS bpp, a.sum_px
+    FROM b JOIN agg a ON a.doc_id = b.doc_id
+    """,
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG-column pipeline, oracle-checked at the PIXEL level: every
+    document becomes a REAL 8-bit RGB PNG (zlib IDAT split across two
+    chunks; scanline y filtered with type y % 5, so all five PNG
+    filters appear), then the decode stage walks chunks, checks CRCs,
+    inflates, and UN-FILTERS to recover the raw pixels. The oracle
+    reconstructs the expected pixel-byte sum arithmetically from the
+    text bytes (pixels = document bytes cycled to 3*w*h; the corpus is
+    ASCII so ascii(substr(..)) IS the byte) — a decoder that skips
+    un-filtering, drops an IDAT chunk, or misparses chunk boundaries
+    hash-mismatches. This closes the PNG gap: of the image stack only
+    JPEG (DCT entropy coding) still needs a codec library."""
+    docs = table(spark, sf_dir, "documents")
+    return decode_png_assets(synthesize_png_assets(docs))
 
 
 @query(

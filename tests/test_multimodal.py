@@ -8,11 +8,13 @@ from __future__ import annotations
 import pytest
 
 from py_pubsub_pipeline_spark.multimodal import (
-    decode_wav,
-    encode_wav,
     decode_image_header,
+    decode_png,
+    decode_wav,
     encode_bmp,
+    encode_png,
     encode_ppm,
+    encode_wav,
 )
 
 
@@ -49,11 +51,65 @@ def test_top_down_bmp_height_normalized():
     assert (w, h) == (4, 3)
 
 
-def test_jpeg_png_raise_not_implemented():
+def test_jpeg_raises_not_implemented():
     with pytest.raises(NotImplementedError, match="image codec library"):
         decode_image_header(b"\xff\xd8\xff\xe0rest-of-jpeg")
-    with pytest.raises(NotImplementedError, match="image codec library"):
-        decode_image_header(b"\x89PNG\r\n\x1a\nrest-of-png")
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (13, 7), (5, 6), (3, 100)])
+def test_png_roundtrip_recovers_geometry_and_pixels(w, h):
+    src = b"the quick brown fox \x01\x02\xfe"
+    payload = encode_png(w, h, src)
+    gw, gh, bpp, sum_px = decode_png(payload)
+    assert (gw, gh, bpp) == (w, h, 24)
+    raw = (src * (3 * w * h // len(src) + 1))[: 3 * w * h]
+    assert sum_px == sum(raw)  # un-filtered pixels, not filtered bytes
+    assert decode_image_header(payload) == ("png", w, h, 24)
+
+
+def test_png_decoder_exercises_all_five_filters():
+    # 5+ rows => scanlines carry filter types 0..4; a decoder that
+    # returns filtered bytes unmodified gets the wrong pixel sum.
+    import struct
+    import zlib
+
+    payload = encode_png(4, 10, bytes(range(64)))
+    pos, idat = 8, bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4:pos + 8]
+        if typ == b"IDAT":
+            idat += payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    stride = 4 * 3
+    filters = {raw[y * (stride + 1)] for y in range(10)}
+    assert filters == {0, 1, 2, 3, 4}, filters
+
+
+def test_png_corrupted_chunk_fails_crc():
+    payload = bytearray(encode_png(4, 5, b"corruption test"))
+    payload[45] ^= 0xFF
+    with pytest.raises(ValueError, match="bad CRC"):
+        decode_png(bytes(payload))
+
+
+def test_png_unsupported_subset_raises():
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # RGBA
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    comp = zlib.compress(b"\x00" * 9)
+    idat = (
+        struct.pack(">I", len(comp)) + b"IDAT" + comp
+        + struct.pack(">I", zlib.crc32(b"IDAT" + comp))
+    )
+    with pytest.raises(NotImplementedError, match="8-bit RGB"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk + idat)
 
 
 def test_unknown_magic_raises_value_error():
