@@ -108,7 +108,9 @@ def decode_image_header(payload: bytes) -> tuple[str, int, int, int]:
         # 12, fields at 16 (width, height big-endian, then depth/type).
         w, h = struct.unpack_from(">II", payload, 16)
         depth, ctype = payload[24], payload[25]
-        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if channels is None:
+            raise ValueError(f"invalid PNG color type {ctype}")
         return "png", w, h, depth * channels
     if payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(

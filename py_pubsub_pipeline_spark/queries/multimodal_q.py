@@ -95,8 +95,11 @@ def mm_decode_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
              1 + octet_length(encode(text)) % {H_MOD} AS h
       FROM documents),
     px AS (
+      -- GREATEST(L, 1): an empty document would make j % L a modulo
+      -- by zero; with L=1 substr('',1,1)='' and ascii('')=0, matching
+      -- encode_png's b'\\x00' pixel fallback (sum_px = 0)
       SELECT doc_id,
-             ascii(substr(text, CAST(j % L AS INT) + 1, 1)) AS v
+             ascii(substr(text, CAST(j % GREATEST(L, 1) AS INT) + 1, 1)) AS v
       FROM b, UNNEST(generate_series(0, 3 * w * h - 1)) t(j)),
     agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_px
             FROM px GROUP BY doc_id)

@@ -46,9 +46,13 @@ _PHONE_RE = "\\+1-555-[0-9]{4}"
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_excl
       FROM t)
+    -- CAST: DuckDB types the windowed SUM as HUGEINT (int128), which
+    -- its pandas/arrow fetch path converts to float64 — a hash over
+    -- stringified values then sees 3.0 vs Spark's 3.  BIGINT keeps the
+    -- fetch integral on every client path.
     SELECT doc_id, lang, shard, n_tok,
-           cum_excl // {PACK_BUDGET} AS seq_id,
-           cum_excl % {PACK_BUDGET} AS seq_off
+           CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(cum_excl % {PACK_BUDGET} AS BIGINT) AS seq_off
     FROM c
     """,
 )
@@ -231,9 +235,9 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt AS (SELECT MIN(n) AS t FROM cnt)
     SELECT d.doc_id, d.lang
     FROM documents d JOIN cnt ON cnt.lang = d.lang, tgt
-    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
-               AS BIGINT) * cnt.n
-          < tgt.t * 4294967296
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS DECIMAL(38,0)) * cnt.n
+          < CAST(tgt.t AS DECIMAL(38,0)) * 4294967296
     """,
 )
 def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,9 +259,9 @@ def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the per-language counts are a tiny broadcast; the gate is a
     pure MAP-SIDE filter — no window, no per-language partition, no
     serialization point.  This is the form that survives a language
-    with 10^10 documents.  (At extreme n, widen u*n to decimal — both
-    factors are < 2^32 and < corpus size, so decimal(38,0) never
-    overflows.)"""
+    with 10^10 documents: the gate multiplies through decimal(38,0) on
+    both engines (u,t < 2^32 and n < corpus size, so the product never
+    overflows decimal — while long*long would wrap past n ~ 2^31)."""
     d = table(spark, sf_dir, "documents")
     cnt = d.groupBy("lang").agg(F.count("*").alias("n"))
     tgt = cnt.agg(F.min("n").alias("t"))
@@ -268,7 +272,15 @@ def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", u.alias("u"))
         .join(F.broadcast(cnt), "lang")
         .join(F.broadcast(tgt))
-        .filter(F.col("u") * F.col("n") < F.col("t") * F.lit(4294967296))
+        # decimal widening: u < 2^32 but n is unbounded — long*long
+        # silently wraps past 2^63 with ANSI off, corrupting the gate
+        # at exactly the 10^10-docs-per-language scale this targets;
+        # decimal(38,0) products can never overflow here (u,t < 2^32,
+        # n < corpus size => product < 10^29)
+        .filter(
+            F.col("u").cast("decimal(38,0)") * F.col("n")
+            < F.col("t").cast("decimal(38,0)") * F.lit(4294967296)
+        )
         .select("doc_id", "lang")
     )
 
