@@ -183,17 +183,64 @@ def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     a probe-block key — same cogroup kernel, no driver involvement
     either way. Rounding/tie-break contract identical to sim_topk
     (floor(x*1e6 + 0.5), neighbor_id ASC), so block-local cuts agree
-    with the final ranking."""
-    # Two independent scans (fresh attribute ids per side): cogroup's
-    # analyzer rejects sides sharing lineage like a self-join would
-    # (same workaround as _blocked_cos_pairs). Explicit schema so the
-    # scans launch no footer-inference job — query CONSTRUCTION runs
-    # zero driver jobs (gated in test_plans.py).
+    with the final ranking.
+
+    The tile kernel is shared with sim_adc_int8 (_probe_topk_bucketed
+    — one harness, pluggable score matrix)."""
+    return _probe_topk_bucketed(spark, sf_dir, _score_cosine, "cos_sim")
+
+
+def _score_cosine(Q, C):  # type: ignore[no-untyped-def]
+    """Tile scorer: ROUND(cosine, 6) via one BLAS matmul.  Rounds
+    half-up (floor(x*1e6 + 0.5)) BEFORE the top-k cut so block-local
+    rankings agree with the final window at rounding-tie boundaries."""
+    import numpy as np
+
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return np.floor((Qn @ Cn.T) * 1e6 + 0.5) / 1e6
+
+
+def _int8_codes(X):  # type: ignore[no-untyped-def]
+    """Symmetric max-abs int8 quantization (emb_quantize_int8's
+    arithmetic): codes = floor(x*127/m + 0.5) as integer-valued
+    float64, plus the per-vector scale m."""
+    import numpy as np
+
+    m = np.maximum(np.max(np.abs(X), axis=1), 1e-30)
+    return np.floor(X * 127.0 / m[:, None] + 0.5), m
+
+
+def _score_adc_int8(Q, C):  # type: ignore[no-untyped-def]
+    """Tile scorer: asymmetric-distance dot over int8 codes.  Exact in
+    float64 regardless of summation order (64 integer products
+    <= 127^2 each), so no rounding is needed."""
+    Qc, Qm = _int8_codes(Q)
+    Cc, Cm = _int8_codes(C)
+    return (Qc @ Cc.T) * ((Qm[:, None] * Cm[None, :]) / 16129.0)
+
+
+def _probe_topk_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    scorer,  # type: ignore[no-untyped-def]
+    out_col: str,
+) -> DataFrame:
+    """Shared driver-free probe-vs-corpus top-k harness: probes
+    replicate to every candidate block (broadcast block-id cross
+    join), candidates hash into N_BLOCKS cogroup tasks, each tile is
+    scored by `scorer(Q, C) -> score matrix` in one vectorized call,
+    and only block-local top-k rows reach the final window.  Query
+    CONSTRUCTION launches zero Spark jobs (explicit scan schema, no
+    .collect() — gated in test_plans.py for both consumers)."""
     import os as _os
 
     path = _os.path.join(sf_dir, "embeddings.parquet")
     _sch = "vec_id long, embedding array<float>, label int"
     blocks = spark.range(N_BLOCKS).select(F.col("id").cast("int").alias("blk"))
+    # Two independent scans (fresh attribute ids per side): cogroup's
+    # analyzer rejects sides sharing lineage like a self-join would
+    # (same workaround as _blocked_cos_pairs).
     probes = (
         spark.read.schema(_sch).parquet(path)
         .filter(F.col("vec_id") < N_QUERIES)
@@ -209,35 +256,34 @@ def sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         if q_pdf.empty or c_pdf.empty:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], out_col: []})
         Q = np.array(list(q_pdf["embedding"]), dtype=np.float64)
         C = np.array(list(c_pdf["embedding"]), dtype=np.float64)
         q_ids = q_pdf["vec_id"].to_numpy()
         ids = c_pdf["vec_id"].to_numpy()
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        S = Qn @ Cn.T
+        S = scorer(Q, C)
         S[q_ids[:, None] == ids[None, :]] = -np.inf  # drop self-pairs
-        Sr = np.floor(S * 1e6 + 0.5) / 1e6  # ROUND(x, 6), half-up
         k = min(TOP_K, S.shape[1])
         out_q, out_n, out_s = [], [], []
         for qi in range(S.shape[0]):
-            idx = np.lexsort((ids, -Sr[qi]))[:k]
-            keep = Sr[qi][idx] > -np.inf
+            idx = np.lexsort((ids, -S[qi]))[:k]
+            keep = S[qi][idx] > -np.inf
             out_q.extend([q_ids[qi]] * int(keep.sum()))
             out_n.extend(ids[idx][keep])
-            out_s.extend(Sr[qi][idx][keep])
+            out_s.extend(S[qi][idx][keep])
         return pd.DataFrame(
-            {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            {"query_id": out_q, "neighbor_id": out_n, out_col: out_s}
         )
 
     scored = (
         probes.groupby("blk")
         .cogroup(cands.groupby("blk"))
-        .applyInPandas(score_tile, "query_id long, neighbor_id long, cos_sim double")
+        .applyInPandas(
+            score_tile, f"query_id long, neighbor_id long, {out_col} double"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+        F.col(out_col).desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -708,72 +754,24 @@ def sim_adc_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     products as int_dot * (m_q*m_c/127^2), and never touches the
     full-precision embeddings.
 
-    Same harness shape as sim_topk (probe set closed over mapInPandas,
-    one integer matmul per Arrow batch, batch-local top-k under the
-    same (score DESC, id) total order as the final window). Exactness
+    One integer matmul per cogroup tile, tile-local top-k under the
+    same (score DESC, id) total order as the final window. Exactness
     across engines: quantized codes are integer-valued doubles
     (floor(+0.5) of identical IEEE expressions), the code-dot is a sum
     of 64 integer products <= 127^2 — exact in float64 regardless of
     order — and the scale factor is one double multiply/divide chain
     written identically in both engines. No rounding needed anywhere.
 
-    The quantization here is inline (one pass over the batch before
-    the matmul); production amortizes it by materializing codes once
-    via emb_quantize_int8's kernel. Measured recall@3 vs the exact
+    The quantization here is inline (one tile pass before the matmul);
+    production amortizes it by materializing codes once via
+    emb_quantize_int8's kernel. Measured recall@3 vs the exact
     full-precision dot ranking: 0.973 at sf0.01
     (scripts/lsh_recall.py) — int8 scalar quantization loses almost
-    nothing at 64 dims, vs 0.900 for 16-band sign-LSH."""
-    e = table(spark, sf_dir, "embeddings")
-    qrows = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    assert len(qrows) <= N_QUERIES
+    nothing at 64 dims, vs 0.900 for 16-band sign-LSH.
 
-    import numpy as np
-
-    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    Q = np.array([r.embedding for r in qrows], dtype=np.float64)
-
-    def _codes(X):  # type: ignore[no-untyped-def]
-        import numpy as np
-
-        m = np.maximum(np.max(np.abs(X), axis=1), 1e-30)
-        return np.floor(X * 127.0 / m[:, None] + 0.5), m
-
-    Qc, Qm = _codes(Q)
-
-    def score(batches):  # type: ignore[no-untyped-def]
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            C = np.array(list(pdf["embedding"]), dtype=np.float64)
-            ids = pdf["vec_id"].to_numpy()
-            Cc, Cm = _codes(C)
-            D = Qc @ Cc.T  # exact: integer-valued float64 products
-            S = D * ((Qm[:, None] * Cm[None, :]) / 16129.0)
-            S[q_ids[:, None] == ids[None, :]] = -np.inf  # drop self
-            k = min(TOP_K, S.shape[1])
-            out_q, out_n, out_s = [], [], []
-            for qi in range(S.shape[0]):
-                idx = np.lexsort((ids, -S[qi]))[:k]
-                keep = S[qi][idx] > -np.inf
-                out_q.extend([q_ids[qi]] * int(keep.sum()))
-                out_n.extend(ids[idx][keep])
-                out_s.extend(S[qi][idx][keep])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "adc_dot": out_s}
-            )
-
-    scored = e.select("vec_id", "embedding").mapInPandas(
-        score, "query_id long, neighbor_id long, adc_dot double"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dot").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-    )
+    Runs on the shared driver-free cogrouped tile harness
+    (_probe_topk_bucketed, same as sim_topk_bucketed): the probe set
+    stays a DataFrame end to end — no .collect(), no 'probes fit
+    driver memory' assumption, zero Spark jobs at query construction
+    (plan-gated in test_plans.py)."""
+    return _probe_topk_bucketed(spark, sf_dir, _score_adc_int8, "adc_dot")

@@ -219,16 +219,19 @@ def test_sample_balanced_has_no_per_language_window(spark):
     assert "SortMergeJoin" not in final, final
 
 
-def test_sim_topk_bucketed_builds_without_driver_jobs(spark):
-    # The probe set must stay a DataFrame: constructing the query may
-    # launch NO Spark job (a .collect() of the probes would).
+@pytest.mark.parametrize("key", ["sim_topk_bucketed", "sim_adc_int8"])
+def test_probe_topk_builds_without_driver_jobs(spark, key):
+    # Both consumers of the shared cogrouped tile harness
+    # (_probe_topk_bucketed): the probe set must stay a DataFrame —
+    # constructing the query may launch NO Spark job (a .collect() of
+    # the probes would).
     sc = spark.sparkContext
-    sc.setJobGroup("sim_topk_bucketed_build", "plan-gate")
+    sc.setJobGroup(f"{key}_build", "plan-gate")
     try:
-        df = REG["sim_topk_bucketed"].fn(spark, SF_SMALL)
+        df = REG[key].fn(spark, SF_SMALL)
     finally:
         sc.setJobGroup(None, None)
-    jobs = sc.statusTracker().getJobIdsForGroup("sim_topk_bucketed_build")
+    jobs = sc.statusTracker().getJobIdsForGroup(f"{key}_build")
     assert not jobs, f"query construction launched driver jobs: {jobs}"
     plan = _executed(df, spark)
     assert "FlatMapCoGroupsInPandas" in plan
