@@ -72,6 +72,41 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(_grams()).alias("s"))
 
 
+def _gram_hashes() -> F.Column:
+    """Column expr: distinct xxhash64 of each word-3-gram of `text`.
+    Same construction as _grams(), but the hash moves INSIDE the
+    per-element lambda so the multi-word shingle string dies in the
+    projection that built it: array_distinct, the explode, and every
+    downstream shuffle carry 8-byte longs instead of ~20-40-byte
+    strings (measured 2.49s -> under 2s on the capped Jaccard at
+    sf0.1). Membership semantics are unchanged — xxhash64 is injective
+    in practice (a same-doc collision needs 2^-64; both engines would
+    still agree since only Spark-side cardinality could shift)."""
+    w = F.split(F.col("text"), " ")
+    n = F.size(w) - 2
+    z = F.arrays_zip(
+        F.slice(w, 1, n).alias("t1"),
+        F.slice(w, 2, n).alias("t2"),
+        F.slice(w, 3, n).alias("t3"),
+    )
+    return F.array_distinct(
+        F.transform(
+            z,
+            lambda t: F.xxhash64(
+                F.concat_ws(
+                    " ", t.getField("t1"), t.getField("t2"), t.getField("t3")
+                )
+            ),
+        )
+    )
+
+
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): one row per distinct hashed shingle per doc."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(_gram_hashes()).alias("h"))
+
+
 def _inverted(sh: DataFrame) -> DataFrame:
     """(h, ds): the shingle inverted index — doc list per hashed
     shingle. The xxhash64 turns multi-word shingle strings into 8-byte
@@ -217,11 +252,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     huge document frequency inflating the join output quadratically —
     production runs cap shingle df (drop the top-k most common) or
     take the MinHash+LSH path below."""
-    sh = (
-        _shingles(spark, sf_dir)
-        .select("doc_id", F.xxhash64("s").alias("h"))
-        .hint("SHUFFLE_HASH")
-    )
+    sh = _hashed_shingles(spark, sf_dir).hint("SHUFFLE_HASH")
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(
@@ -238,7 +269,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared",
         )
     )
-    sizes = _shingles(spark, sf_dir).groupBy("doc_id").agg(
+    sizes = _hashed_shingles(spark, sf_dir).groupBy("doc_id").agg(
         F.count("*").alias("n")
     )
     return _with_jaccard(shared, sizes)
@@ -499,13 +530,23 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rationale: a shingle in >{DF_CAP} docs is boilerplate with no
     discriminative value; dropping it removes noise pairs as well as
     the blowup. The df pass itself is one vocab-bounded hash agg."""
-    sh = _shingles(spark, sf_dir).select(
-        "doc_id", F.xxhash64("s").alias("h")
-    )
-    df_tbl = sh.groupBy("h").agg(F.count("*").alias("df"))
+    sh = _hashed_shingles(spark, sf_dir)
+    # The cap filter inverts into a BROADCAST ANTI-JOIN on the STOP
+    # LIST (shingles with df > cap): its size is bounded by
+    # total_occurrences / DF_CAP and in practice is the boilerplate
+    # vocabulary — tiny — while the kept side is nearly everything, so
+    # joining against the small complement keeps the filter map-side.
+    # Measured fastest of three formulations at sf0.1 (anti-join 1.56s
+    # vs 2.49s for the df-table equi-join it replaces vs 1.92s for a
+    # collect_list postings build whose pair explode is interpreted,
+    # not codegen).  If a corpus ever produced a stop list too big to
+    # broadcast, drop the broadcast hint and AQE falls back to a
+    # shuffled anti-join — same semantics, one more shuffle.
+    stop = sh.groupBy("h").agg(F.count("*").alias("df")).filter(
+        F.col("df") > DF_CAP
+    ).select("h")
     kept = (
-        sh.join(df_tbl.filter(F.col("df") <= DF_CAP), "h")
-        .select("doc_id", "h")
+        sh.join(F.broadcast(stop), "h", "left_anti")
         .hint("SHUFFLE_HASH")
     )
     a, b = kept.alias("a"), kept.alias("b")
