@@ -31,12 +31,13 @@ from py_pubsub_pipeline_spark.registry import load_all  # noqa: E402
 from py_pubsub_pipeline_spark.session import get_spark  # noqa: E402
 
 # Headline set: one representative per operator family, heaviest first.
-# Near-dup runs the df-CAPPED inverted-index form (dedup_ngram_capped):
-# it is the variant a 100 TB corpus can actually run — candidate pairs
-# are bounded by |shingles|·DF_CAP instead of quadratic in per-shingle
-# document frequency — so it is the one whose throughput matters.  The
-# uncapped dedup_ngram_jaccard stays registered as an exact diagnostic
-# for corpora known to be boilerplate-free.
+# Near-dup runs BOTH forms: dedup_ngram_capped is the variant a 100 TB
+# corpus can actually run (candidate pairs bounded by |shingles|·DF_CAP
+# instead of quadratic in per-shingle document frequency) and
+# dedup_ngram_jaccard is the uncapped exact diagnostic — keeping both
+# in the basket restores round-over-round comparability after round 3
+# swapped one for the other (rounds 1-2 timed jaccard, round 3 timed
+# capped; round 4+ times both).
 HEADLINE = [
     "agg_group",            # scan+filter+hash agg (TPC-H Q1 style)
     "join_multiway",        # 5-table join chain
@@ -44,6 +45,7 @@ HEADLINE = [
     "win_rank",             # window functions
     "limit_topk",           # global top-k
     "dedup_ngram_capped",   # df-capped shingle inverted-index near-dup
+    "dedup_ngram_jaccard",  # uncapped exact near-dup diagnostic
     "sim_topk",             # brute-force cosine top-k
     "text_tokens",          # tokenize+explode+count
     "stream_tumbling",      # time-window agg (batch twin)

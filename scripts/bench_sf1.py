@@ -46,6 +46,15 @@ BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/sf1"
 MULT = 10
 
+# Bump whenever the corpus construction scheme changes.  The per-table
+# "exists -> skip" rebuild cache once silently reused a corpus built
+# by an OLDER scheme: round 3's "regenerated on the fixed corpus"
+# artifact was in fact measured on the stale pre-fix corpus (the fix
+# landed mid-round while /tmp/sf1 already existed), which overstated
+# both engines' dedup times ~10x and flipped the headline ratio.  A
+# version stamp makes the cache key the scheme, not the path.
+CORPUS_VERSION = "v2-singleton-dims-offset-keys"
+
 KEY_OFFSETS = {
     "o_orderkey": 10_000_000, "l_orderkey": 10_000_000,
     "o_custkey": 1_000_000, "c_custkey": 1_000_000,
@@ -66,6 +75,16 @@ SINGLETON = {"nation", "region"}
 
 
 def _build_corpus(spark) -> None:
+    import shutil
+
+    stamp = os.path.join(OUT, "_CORPUS_VERSION")
+    have = None
+    if os.path.exists(stamp):
+        with open(stamp) as fh:
+            have = fh.read().strip()
+    if have != CORPUS_VERSION:
+        shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
     for name in TABLE_NAMES:
         dst = f"{OUT}/{name}.parquet"
         if os.path.exists(dst):
@@ -103,6 +122,8 @@ def _build_corpus(spark) -> None:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(dst)
         print(f"# built {dst}", file=sys.stderr)
+    with open(stamp, "w") as fh:
+        fh.write(CORPUS_VERSION + "\n")
 
 
 def _best_of(fn, runs: int = 2) -> tuple[float, int]:
