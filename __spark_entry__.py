@@ -82,7 +82,10 @@ _DRIVER_RECORDED = frozenset({
 
 # Keys first registered in round 4: enumerate after the backlog (which
 # must drain first) but before the recorded greens.
-_R4_NEW = frozenset()
+_R4_NEW = frozenset({
+    "shuffle_deterministic", "mix_domain_weights", "quantile_bucketize",
+    "corr_matrix", "text_winnow",
+})
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this
 # round number; tests derive the expected set from those artifacts

@@ -1,0 +1,309 @@
+"""Corpus-curation operators, batch 3 (round 4): deterministic
+training shuffle, domain-mix weighting, quantile feature binning,
+one-pass correlation matrix, and winnowing fingerprints.
+
+These fill the remaining gaps between "filtered, deduplicated corpus"
+and "batches on the trainer": a reproducible global shuffle, the
+domain mixing computation (how much of each source to sample),
+numeric feature binning for quality-score calibration, the standard
+one-pass statistics sweep, and the winnowing fingerprint scheme
+(Schleimer/Wilkerson/Aiken, the MOSS algorithm) whose guarantees
+doc-level MinHash doesn't give (any shared run of >= w+k-1 tokens is
+detected through a SHARED fingerprint).
+
+Determinism: hash keys are md5 (portable across engines), every
+window ORDER BY ends in a unique key, floating outputs round to 6
+decimals on both sides, counts cast to BIGINT explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+N_SHARDS = 16     # shuffle output shards (first md5 hex char)
+WINNOW_W = 4      # winnowing window: min-hash over 4 consecutive grams
+N_BUCKETS = 10    # quantile bins
+
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "shuffle_deterministic",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5('shuf|' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents),
+    s AS (
+      SELECT doc_id, key,
+             strpos('0123456789abcdef', substr(key, 1, 1)) - 1 AS shard
+      FROM k)
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: every document gets a
+    reproducible (shard, pos) slot — shard from the first hex char of
+    a salted md5, position by rank of the full hash within the shard.
+    This is the pre-training shuffle a reproducible data pipeline
+    needs: the order is a pure function of doc_id (stable across
+    reruns, partitioning, and engines), unlike ORDER BY rand(seed),
+    which Spark evaluates per-partition and DuckDB can't reproduce.
+
+    Scale: one shuffle on the shard key; each shard sorts
+    independently (16-way here — widen the prefix to 2-3 hex chars
+    for 256/4096 shards so per-shard sort stays executor-sized).  No
+    global total order is ever materialized; trainers read shards in
+    shard-id order and rows in pos order, which IS the global
+    permutation."""
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+    s = d.select(
+        "doc_id",
+        key.alias("key"),
+    ).withColumn(
+        "shard",
+        (F.instr(F.lit(_HEX), F.substring("key", 1, 1)) - 1).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return s.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@query(
+    "mix_domain_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    z AS (SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS z FROM s)
+    SELECT s.source, s.n_docs, s.n_tokens,
+           ROUND(sqrt(CAST(s.n_tokens AS DOUBLE)) / z.z, 6) AS mix_weight
+    FROM s, z
+    """,
+)
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights by temperature sampling (tau = 0.5, the
+    sqrt rule): each source's share of the training mix is
+    sqrt(tokens) / sum(sqrt(tokens)) — the standard compromise between
+    proportional sampling (drowns small domains) and uniform (repeats
+    tiny ones).  Output is the per-source plan the sampler
+    (sample_balanced's hash gate with per-source rates) consumes.
+
+    Scale: one hash agg over the corpus (map-side partials), then a
+    sources-sized (i.e. tiny) broadcast of the normalizer; sqrt is
+    correctly-rounded IEEE on both engines and the final ratio rounds
+    to 6 so the few-term normalizer sum can't leak ulp noise."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
+        .alias("n_tokens"),
+    )
+    z = s.agg(F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"))
+    return (
+        s.join(F.broadcast(z))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(
+                F.sqrt(F.col("n_tokens").cast("double")) / F.col("z"), 6
+            ).alias("mix_weight"),
+        )
+    )
+
+
+@query(
+    "quantile_bucketize",
+    oracle=f"""
+    WITH b AS (
+      SELECT quantile_disc(l_extendedprice,
+               [{", ".join(str(k / 10.0) for k in range(1, N_BUCKETS))}])
+             AS bnds
+      FROM lineitem),
+    assigned AS (
+      SELECT l_extendedprice AS v,
+             CAST(len(list_filter(b.bnds, x -> x <= l_extendedprice))
+                  AS INT) AS bucket
+      FROM lineitem, b)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS min_price, MAX(v) AS max_price
+    FROM assigned GROUP BY bucket
+    """,
+)
+def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature binning (the quality-score calibration shape):
+    compute the 9 exact decile boundaries of l_extendedprice with
+    percentile_disc — DISCRETE percentiles pick actual data values, so
+    both engines select the identical double and no interpolation
+    arithmetic can diverge — then assign every row its bucket as the
+    count of boundaries <= value, and profile each bucket.
+
+    Scale: boundaries are one aggregate (exact percentile buffers per
+    partition here; at 100 TB swap in approx_percentile with a bounded
+    error and re-derive the same plan — the bucket-assign stage is
+    unchanged), then a 9-element array broadcast into a map-side
+    projection; the per-bucket profile is a 10-group hash agg.  No
+    global sort, no window."""
+    li = table(spark, sf_dir, "lineitem")
+    bnds = li.agg(
+        F.array(*[
+            F.expr(
+                f"percentile_disc({k / 10.0}) WITHIN GROUP "
+                f"(ORDER BY l_extendedprice)"
+            )
+            for k in range(1, N_BUCKETS)
+        ]).alias("bnds")
+    )
+    assigned = li.select(F.col("l_extendedprice").alias("v")).join(
+        F.broadcast(bnds)
+    ).select(
+        "v",
+        F.size(F.filter(F.col("bnds"), lambda x: x <= F.col("v")))
+        .cast("int").alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("v").alias("min_price"),
+        F.max("v").alias("max_price"),
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "corr_matrix",
+    oracle=f"""
+    WITH c AS (
+      SELECT
+        {",".join(
+            f"ROUND(corr({a}, {b}), 6) AS r_{a[2:]}_{b[2:]}"
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1:]
+        )}
+      FROM lineitem)
+    {" UNION ALL ".join(
+        f"SELECT '{a[2:]}|{b[2:]}' AS pair, r_{a[2:]}_{b[2:]} AS r FROM c"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )}
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures in ONE scan: all 6 upper-triangle corr() aggregates run
+    in a single hash-agg pass (each keeps its own (n, sum, sumsq,
+    sumxy) state), then the 1-row result unpivots to (pair, r) rows.
+    The naive form — one scan per pair — reads the fact table 6 times;
+    this is the feature-statistics sweep a training pipeline runs per
+    snapshot, at one-scan cost.
+
+    Scale: map-side partial correlation states (a few doubles per
+    pair), one exchange of ONE row; the unpivot is driver-free
+    (stack on the aggregated row).  Rounds to 6 before comparison on
+    both engines because summation order differs (Spark merges
+    per-partition states; DuckDB streams)."""
+    li = table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    agg = li.agg(*[
+        F.round(F.corr(a, b), 6).alias(f"r_{a[2:]}_{b[2:]}")
+        for a, b in pairs
+    ])
+    stack_args = ", ".join(
+        f"'{a[2:]}|{b[2:]}', r_{a[2:]}_{b[2:]}" for a, b in pairs
+    )
+    return agg.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (pair, r)")
+    )
+
+
+@query(
+    "text_winnow",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, t.i AS i,
+             CAST(('0x' || substr(
+               md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))
+               AS BIGINT) AS h
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) t(i)),
+    m AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                          AND CURRENT ROW) AS fp
+      FROM g)
+    SELECT DISTINCT doc_id, fp FROM m WHERE i >= {WINNOW_W}
+    """,
+)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    local fingerprinting scheme): hash every word-3-gram in POSITION
+    order, slide a window of {WINNOW_W} consecutive hashes, and keep
+    the window minimum — the selected fingerprint set per document.
+    The winnowing guarantee doc-level MinHash can't give: any shared
+    token run of length >= w + k - 1 (= {WINNOW_W + 2} words) between
+    two documents yields at least one SHARED selected fingerprint, so
+    an inverted index on (fp -> docs) finds local overlap (quotes,
+    boilerplate, partial plagiarism) with a bounded fraction (~2/(w+1))
+    of all gram hashes stored.
+
+    Hashes are the first 60 bits of md5 (engine-portable, same trick
+    as the hash-gate samplers); positions keep gram order (this is NOT
+    the distinct-shingle set dedup uses — winnowing is positional),
+    and only full windows (position >= {WINNOW_W}) select, matching
+    the oracle's 1-based indexing exactly.
+
+    Scale: one projection builds the in-order gram-hash array
+    row-level (the arrays_zip-of-slices trick — no O(tokens^2)
+    re-tokenize), posexplode streams it, the window min runs on a
+    (doc_id, pos) sort that shares the doc_id exchange, and the
+    DISTINCT is a hash agg on (doc_id, 8-byte fp)."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w) - 2
+    z = F.arrays_zip(
+        F.slice(w, 1, n).alias("t1"),
+        F.slice(w, 2, n).alias("t2"),
+        F.slice(w, 3, n).alias("t3"),
+    )
+    grams = F.transform(
+        z,
+        lambda t: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    " ", t.getField("t1"), t.getField("t2"), t.getField("t3")
+                )),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    g = d.select("doc_id", F.posexplode(grams).alias("pos", "h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    return (
+        g.select("doc_id", "pos", F.min("h").over(win).alias("fp"))
+        # pos is 0-based; full windows start once WINNOW_W hashes are
+        # in frame: pos >= WINNOW_W - 1, i.e. oracle's 1-based i >= W
+        .filter(F.col("pos") >= WINNOW_W - 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )

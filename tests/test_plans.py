@@ -238,6 +238,17 @@ def test_probe_topk_builds_without_driver_jobs(spark, key):
     assert "BatchEvalPython" not in plan
 
 
+def test_shuffle_deterministic_is_sharded_not_global_sort(spark):
+    # The reproducible corpus shuffle must rank WITHIN md5 shards (16
+    # parallel windows), never through a single-partition global sort
+    # — the difference between a trainer-ready permutation and a
+    # one-task bottleneck at corpus scale.
+    plan = _executed(REG["shuffle_deterministic"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "SinglePartition" not in final, final
+    assert "Window" in final
+
+
 def test_pii_redact_is_shuffle_free_codegen(spark):
     # Pure map-side regex kernel: no exchange, no Python in the plan.
     plan = _executed(REG["text_pii_redact"].fn(spark, SF_SMALL), spark)
