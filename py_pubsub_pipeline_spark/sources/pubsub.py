@@ -283,6 +283,79 @@ class PubSubDirDataSource(DataSource):
         return PubSubDirStreamWriter(self.options)
 
 
+class PubSubClientStreamReader(SimpleDataSourceStreamReader):
+    """The REAL-TRANSPORT seam, made concrete: the same reader contract
+    as PubSubDirStreamReader, but against an INJECTED client object
+    with google-cloud-pubsub-shaped signatures — the mapping the module
+    header documents, as code instead of prose:
+
+        read(start)   -> client.pull(subscription=...,
+                                     max_messages=bulk_limit)
+                         (reference P:195-200's wait_for_messages)
+        commit(end)   -> client.acknowledge(subscription=...,
+                                            ack_ids=[...])
+                         (reference P:37-52's Acknowledger — Spark
+                         calls reader.commit only AFTER the batch's
+                         sink commit, so ack-after-publish ordering
+                         (P:82-84) is engine-guaranteed)
+
+    Offsets are synthetic and contiguous (Pub/Sub has no offsets; the
+    ack ledger is the broker's); pulled-but-unacked payloads are
+    retained for readBetweenOffsets replay, mirroring the broker's
+    redelivery window, and dropped once acked.  Proven hermetically in
+    tests/test_pubsub_source.py against an in-memory fake exposing the
+    real client surface — no network, no emulator (SURVEY §5.1's mock
+    strategy applied to the transport seam)."""
+
+    def __init__(self, client, subscription: str, bulk_limit: int = 20):
+        self.client = client
+        self.subscription = subscription
+        self.bulk_limit = bulk_limit
+        self._pending: dict[int, str] = {}    # offset -> ack_id
+        self._replay: dict[int, bytes] = {}   # offset -> unacked payload
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["seq"]
+        resp = self.client.pull(
+            subscription=self.subscription, max_messages=self.bulk_limit
+        )
+        msgs = list(resp.received_messages)[: self.bulk_limit]  # R2 cap
+        if not msgs:
+            return iter([]), start  # R3: empty poll, trigger re-polls
+        rows = []
+        for i, m in enumerate(msgs):
+            off = lo + i
+            self._pending[off] = m.ack_id
+            self._replay[off] = m.message.data
+            rows.append((off, m.message.data))
+        return iter(rows), {"seq": lo + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        # Recovery replay from the unacked retention window (the
+        # broker's redelivery contract keeps these alive until ack).
+        return [
+            (off, self._replay[off])
+            for off in range(start["seq"], end["seq"])
+            if off in self._replay
+        ]
+
+    def commit(self, end: dict) -> None:
+        # Runs only after the sink's batch commit: the R10 ordering.
+        acked = sorted(o for o in self._pending if o < end["seq"])
+        if not acked:
+            return
+        self.client.acknowledge(
+            subscription=self.subscription,
+            ack_ids=[self._pending[o] for o in acked],
+        )
+        for o in acked:
+            del self._pending[o]
+            self._replay.pop(o, None)
+
+
 class PubSubStreamSource:
     """pipeline.SparkPipeline-compatible source wrapper (same duck type
     as FileStreamSource): value BINARY out of a pubsub_dir topic."""

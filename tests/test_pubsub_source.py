@@ -198,3 +198,119 @@ def test_offset_resume_no_reprocessing(spark, tmp_path):
     pipe.process()
     got = sorted(json.loads(bytes(r))["i"] for r in sink.rows)
     assert got == [0, 1], "already-acked message 0 must not be redelivered"
+
+
+# --------------------------------------------------------------------
+# Real-transport seam contract (PubSubClientStreamReader): the reader
+# against an in-memory fake exposing google-cloud-pubsub-SHAPED
+# signatures — pull(subscription=, max_messages=) returning
+# .received_messages[*].ack_id / .message.data, and
+# acknowledge(subscription=, ack_ids=).  Proves the documented
+# "read(start) becomes subscriber.pull, commit(end) becomes
+# acknowledge-after-sink-commit" mapping without any network.
+# --------------------------------------------------------------------
+
+from types import SimpleNamespace
+
+from py_pubsub_pipeline_spark.sources.pubsub import (  # noqa: E402
+    PubSubClientStreamReader,
+)
+
+
+class FakePubSubClient:
+    """In-memory broker with the real client's call surface.  Messages
+    stay redeliverable until acknowledged (at-least-once); the call
+    log records pull/acknowledge ordering for the R10 assertion."""
+
+    def __init__(self, payloads):
+        self._queue = [
+            SimpleNamespace(
+                ack_id=f"ack-{i}",
+                message=SimpleNamespace(data=p),
+            )
+            for i, p in enumerate(payloads)
+        ]
+        self._delivered: set = set()
+        self.acked: list = []
+        self.calls: list = []
+
+    def pull(self, *, subscription, max_messages):
+        self.calls.append(("pull", subscription, max_messages))
+        out = [
+            m for m in self._queue
+            if m.ack_id not in self._delivered
+            and m.ack_id not in self.acked
+        ][:max_messages]
+        self._delivered |= {m.ack_id for m in out}
+        return SimpleNamespace(received_messages=out)
+
+    def acknowledge(self, *, subscription, ack_ids):
+        self.calls.append(("acknowledge", subscription, list(ack_ids)))
+        self.acked.extend(ack_ids)
+
+    def redeliver_unacked(self):
+        """Ack-deadline expiry: delivered-but-unacked messages become
+        pullable again (the broker's redelivery contract)."""
+        self._delivered = {a for a in self._delivered if a in self.acked}
+
+
+def test_client_reader_pull_maps_to_read_with_bulk_limit_cap():
+    fake = FakePubSubClient([b"m0", b"m1", b"m2", b"m3", b"m4"])
+    r = PubSubClientStreamReader(fake, "projects/p/subscriptions/s",
+                                 bulk_limit=2)
+    rows, end = r.read(r.initialOffset())
+    rows = list(rows)
+    assert [(o, bytes(v)) for o, v in rows] == [(0, b"m0"), (1, b"m1")]
+    assert end == {"seq": 2}
+    # the cap travels to the broker as max_messages (R2 = P:68, P:199)
+    assert fake.calls[0] == ("pull", "projects/p/subscriptions/s", 2)
+
+
+def test_client_reader_empty_poll_keeps_offset():
+    fake = FakePubSubClient([])
+    r = PubSubClientStreamReader(fake, "s", bulk_limit=20)
+    rows, end = r.read({"seq": 7})
+    assert list(rows) == []
+    assert end == {"seq": 7}, "empty poll must not advance the offset"
+
+
+def test_client_reader_acks_only_on_commit_and_in_order():
+    fake = FakePubSubClient([b"a", b"b", b"c"])
+    r = PubSubClientStreamReader(fake, "s", bulk_limit=2)
+    _, end = r.read(r.initialOffset())
+    assert fake.acked == [], "no ack before the engine commits (R10)"
+    r.commit(end)
+    assert fake.acked == ["ack-0", "ack-1"]
+    # the broker call log shows pull strictly before acknowledge
+    assert [c[0] for c in fake.calls] == ["pull", "acknowledge"]
+    # next batch: remaining message, next contiguous offsets
+    rows, end2 = r.read(end)
+    assert [(o, bytes(v)) for o, v in rows] == [(2, b"c")]
+    r.commit(end2)
+    assert fake.acked == ["ack-0", "ack-1", "ack-2"]
+
+
+def test_client_reader_replays_unacked_range_until_commit():
+    fake = FakePubSubClient([b"x", b"y"])
+    r = PubSubClientStreamReader(fake, "s", bulk_limit=20)
+    _, end = r.read(r.initialOffset())
+    # recovery path: the unacked window replays byte-identically
+    replay = r.readBetweenOffsets({"seq": 0}, end)
+    assert [(o, bytes(v)) for o, v in replay] == [(0, b"x"), (1, b"y")]
+    r.commit(end)
+    assert r.readBetweenOffsets({"seq": 0}, end) == [], (
+        "acked messages leave the retention window"
+    )
+
+
+def test_client_reader_redelivery_after_deadline_is_at_least_once():
+    fake = FakePubSubClient([b"only"])
+    r = PubSubClientStreamReader(fake, "s", bulk_limit=20)
+    _, end = r.read(r.initialOffset())
+    # crash before commit: a fresh reader (restarted query) pulls the
+    # same message again once the broker's ack deadline expires
+    fake.redeliver_unacked()
+    r2 = PubSubClientStreamReader(fake, "s", bulk_limit=20)
+    rows, _ = r2.read(r2.initialOffset())
+    assert [bytes(v) for _, v in rows] == [b"only"]
+    assert fake.acked == [], "duplicate window exists until an ack lands"
