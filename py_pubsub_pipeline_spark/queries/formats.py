@@ -139,6 +139,49 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_orc",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source: orders round-tripped parquet -> ORC -> DataFrame
+    (explicit schema), aggregated per order status with exact DECIMAL
+    sums, distinct counts, and timestamp min/max.  ORC is Spark's
+    second first-class columnar format (built-in, no extra package):
+    columnar + striped with min/max indexes, so — unlike the CSV/JSONL
+    ingest formats above — projection and predicates push down the
+    same way parquet's do.  The oracle reads the original parquet: a
+    pass certifies the ORC write+read preserves doubles (binary, no
+    text roundtrip), timestamps (µs), and strings losslessly.
+
+    Scale: same pruning/pushdown story as parquet (stripe-level
+    min/max), so the engine treats ORC as a peer storage format;
+    parquet stays the default for ecosystem reach, not capability."""
+    path = _materialize(
+        spark, sf_dir, "orc", "orders",
+        lambda df, p: df.write.mode("overwrite").orc(p),
+    )
+    schema = table(spark, sf_dir, "orders").schema
+    o = spark.read.schema(schema).orc(path)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+    )
+
+
+@query(
     "scan_partition_pruned",
     oracle=f"""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
