@@ -84,7 +84,8 @@ _DRIVER_RECORDED = frozenset({
 # must drain first) but before the recorded greens.
 _R4_NEW = frozenset({
     "shuffle_deterministic", "mix_domain_weights", "quantile_bucketize",
-    "corr_matrix", "text_winnow", "scan_orc",
+    "corr_matrix", "text_winnow", "scan_orc", "agg_sketch_rollup",
+    "text_html_strip", "dedup_url_normalize",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

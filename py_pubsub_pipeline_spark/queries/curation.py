@@ -232,6 +232,195 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_sketch_rollup",
+    # Engine sketches differ, so the oracle checks the bounded-error
+    # CONTRACT (same device as agg_approx): the NDV recovered by
+    # MERGING per-(flag,status) sketches must land within 5% of the
+    # exact per-flag distinct count.  DuckDB emits the same booleans
+    # as literal TRUE (HLL rsd at lgK=12 is ~1.6% << 5%); a merge
+    # regression (double-counted or dropped sketch state) flips a
+    # boolean and fails the hash.
+    oracle="""
+    SELECT l_returnflag, TRUE AS merged_ndv_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the property that matters at 100 TB:
+    build an HLL sketch per fine-grained group ONCE (here per
+    (returnflag, linestatus); in production per day/partition), then
+    answer coarser-grain NDV questions by UNIONING the sketch bytes —
+    no re-scan of the fact data, which is how a lakehouse serves
+    "distinct users this month" from daily sketch tables.  The query
+    merges the per-status sketches up to per-flag NDV and verifies
+    each merged estimate against the exact distinct count computed
+    from the raw data.
+
+    Scale: stage 1 is a map-side-combining sketch agg (fixed bytes per
+    group, never a distinct expansion); stage 2 shuffles only sketch
+    blobs (KBs per group).  The exact countDistinct here is the test
+    harness, not the production path."""
+    li = table(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = sk.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact")
+    )
+    return (
+        merged.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            (
+                F.abs(F.col("approx") - F.col("exact")) / F.col("exact")
+                <= F.lit(0.05)
+            ).alias("merged_ndv_within_5pct"),
+        )
+    )
+
+
+_TAG_RE = "<[^>]*>"
+_SCRIPT_RE = "<script>.*?</script>"
+
+
+@query(
+    "text_html_strip",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             '<p class="d' || CAST(doc_id AS VARCHAR) || '">'
+             || CASE WHEN doc_id % 3 = 0
+                THEN '<b>hdr</b><script>var x=1;</script>' ELSE '' END
+             || text || '</p>' AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_TAG_RE}')) AS BIGINT)
+             AS n_tags,
+           md5(trim(regexp_replace(
+                 regexp_replace(t, '{_SCRIPT_RE}', ' ', 'g'),
+                 '{_TAG_RE}', ' ', 'g'))) AS stripped_md5
+    FROM aug
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first transform every
+    web-crawl corpus runs: drop <script> blocks WITH their contents,
+    then strip remaining tags, keeping text.  The synthetic corpus has
+    no markup, so both engines first wrap documents in deterministic
+    tags (a function of doc_id) — the strip path itself is the
+    production kernel.  Patterns are RE2-and-Java-safe (non-greedy
+    span, no lookaround); the stripped text is compared by md5.
+
+    Scale: pure map-side regex in whole-stage codegen — one scan, zero
+    shuffles, linear per byte (same plan class as text_pii_redact)."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.lit('<p class="d'), did, F.lit('">'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("<b>hdr</b><script>var x=1;</script>"))
+        .otherwise(F.lit("")),
+        F.col("text"), F.lit("</p>"),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    stripped = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _SCRIPT_RE, " "),
+            _TAG_RE, " ",
+        )
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_TAG_RE), F.lit(0)))
+        .cast("long").alias("n_tags"),
+        F.md5(stripped).alias("stripped_md5"),
+    )
+
+
+@query(
+    "dedup_url_normalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+             || '.COM/Path/' || CAST(doc_id % 50 AS VARCHAR)
+             || '/?utm_source=x&id=' || CAST(doc_id % 10 AS VARCHAR)
+             || '&utm_campaign=y#frag' AS url
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[a-zA-Z]+://[^/]+'))
+             || regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        substr(url,
+                               len(regexp_extract(url, '^[a-zA-Z]+://[^/]+'))
+                               + 1),
+                        '#.*$', ''),
+                      'utm_[a-z]+=[^&]*&?', '', 'g'),
+                    '/\\?', '?'),
+                  '[?&]+$', '') AS canonical
+      FROM u)
+    SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keep_id
+    FROM c GROUP BY canonical
+    """,
+)
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier/document-key
+    step: scheme+host lowercased (case-insensitive per RFC 3986),
+    fragment dropped (never sent to the server), utm_* tracking params
+    stripped, empty query tails and the pre-query trailing slash
+    tidied — then exact dedup on the canonical key.  Synthetic URLs
+    are derived from doc_id (the corpus has none), mapping 500 raw
+    URLs onto their canonical classes; path case and the non-tracking
+    id= param survive, as they must.
+
+    Scale: canonicalization is map-side regex/string codegen; the
+    dedup is one hash agg on the canonical key (same shape as
+    dedup_exact — group on a short derived key, never the payload)."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), (did % 7).cast("string"),
+        F.lit(".COM/Path/"), (did % 50).cast("string"),
+        F.lit("/?utm_source=x&id="), (did % 10).cast("string"),
+        F.lit("&utm_campaign=y#frag"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    scheme_host = F.regexp_extract(F.col("url"), "^[a-zA-Z]+://[^/]+", 0)
+    rest = F.expr(
+        "substring(url, length(regexp_extract(url, '^[a-zA-Z]+://[^/]+', 0))"
+        " + 1)"
+    )
+    canonical = F.concat(
+        F.lower(scheme_host),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(rest, "#.*$", ""),
+                    "utm_[a-z]+=[^&]*&?", "",
+                ),
+                "/\\?", "?",
+            ),
+            "[?&]+$", "",
+        ),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+@query(
     "text_winnow",
     oracle=f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
