@@ -46,7 +46,7 @@ Mirrors the reference's driver-coordinates/executors-compute loop
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -95,6 +95,114 @@ def _oracle_sql() -> str:
     {','.join(iters)}
     SELECT node, pr FROM r{N_ITER}
     """
+
+
+N_LPA_ITER = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation: per iteration, each
+    node adopts the most frequent label among its neighbors plus
+    itself (self-vote), ties broken by the SMALLEST label — fully
+    deterministic, so the oracle replays the identical sequence."""
+    iters = []
+    for i in range(1, N_LPA_ITER + 1):
+        iters.append(f"""
+    cnt{i} AS (
+      SELECT node, lbl, COUNT(*) AS c FROM (
+        SELECT e.v AS node, r.lbl FROM l{i - 1} r
+        JOIN edges e ON e.u = r.node
+        UNION ALL
+        SELECT node, lbl FROM l{i - 1}
+      ) GROUP BY node, lbl),
+    l{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM cnt{i}) WHERE rn = 1)""")
+    return f"""
+    WITH eb AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT cust AS u, supp + {SUPP_OFFSET} AS v FROM eb
+      UNION ALL
+      SELECT supp + {SUPP_OFFSET} AS u, cust AS v FROM eb),
+    verts AS (
+      SELECT c_custkey AS node FROM customer
+      UNION
+      SELECT s_suppkey + {SUPP_OFFSET} AS node FROM supplier),
+    l0 AS (SELECT node, node AS lbl FROM verts),
+    {','.join(iters)}
+    SELECT node, lbl AS community FROM l{N_LPA_ITER}
+    """
+
+
+@query("graph_label_prop", oracle=_lpa_oracle())
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{N_LPA_ITER}-round synchronous label propagation (community
+    detection) on the symmetrized customer↔supplier purchase graph:
+    labels start as node ids; each round every node adopts the most
+    frequent label among its neighbors AND itself (the self-vote damps
+    the oscillation synchronous LPA exhibits on bipartite graphs),
+    with ties broken by the smallest label.  Unlike dedup_cc's
+    min-label propagation (which converges to connected components),
+    frequency voting splits a component into densely-knit communities
+    — the curation use is grouping documents/users into clusters for
+    stratified sampling and leakage-safe train/eval splits.
+
+    Scale: per round, one shuffle of (node, lbl) vote pairs (8-byte
+    ids both), a count agg with map-side partials, and a bounded
+    top-1 window per node; lineage truncates per round via
+    localCheckpoint (the iterative-algorithm pattern shared with
+    graph_pagerank — without it the plan doubles per round).
+    Determinism: the vote multiset and tie-break are engine-
+    independent, so the oracle replays the exact label sequence."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    edges = eb.select(
+        F.col("cust").alias("u"),
+        (F.col("supp") + SUPP_OFFSET).alias("v"),
+    ).unionByName(
+        eb.select(
+            (F.col("supp") + SUPP_OFFSET).alias("u"),
+            F.col("cust").alias("v"),
+        )
+    ).repartition("u").localCheckpoint(eager=True)
+    verts = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("node"))
+        .unionByName(
+            table(spark, sf_dir, "supplier").select(
+                (F.col("s_suppkey") + SUPP_OFFSET).alias("node")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = verts.select("node", F.col("node").alias("lbl"))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(N_LPA_ITER):
+        votes = (
+            edges.join(lbl.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), "lbl")
+            .unionByName(lbl)
+        )
+        cnt = votes.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        lbl = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return lbl.select("node", F.col("lbl").alias("community"))
 
 
 @query("graph_pagerank", oracle=_oracle_sql())
