@@ -420,6 +420,75 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARA_W = 20  # tokens per synthetic paragraph
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    par AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               w[{PARA_W}*j+1 : {PARA_W}*j+{PARA_W}], ' ')) AS ph
+      FROM tok, UNNEST(generate_series(
+        0, CAST(ceil(len(w) / {PARA_W}.0) AS BIGINT) - 1)) t(j)),
+    df AS (SELECT ph, COUNT(DISTINCT doc_id) AS nd FROM par GROUP BY ph)
+    SELECT par.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_paras,
+           ROUND(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS dup_frac
+    FROM par JOIN df USING (ph)
+    GROUP BY par.doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level duplication profile — the CCNet/RefinedWeb step
+    between exact doc dedup and near-dup: hash each paragraph, count
+    how many DISTINCT documents share it, and report per document the
+    fraction of its paragraphs that are cross-document duplicates
+    (boilerplate headers, licenses, navigation chrome).  The corpus
+    has no paragraph breaks, so paragraphs are deterministic
+    {PARA_W}-token chunks — the hash/df/flag pipeline is the
+    production kernel; swap the chunker for split-on-blank-line on a
+    real corpus.
+
+    Scale: paragraphs hash to 16-byte keys before any shuffle; the df
+    table is paragraph-vocabulary-sized.  At 100 TB the duplicated
+    subset (df >= 2) is the small side — broadcast it and left-join
+    for the flag (the decontaminate_ngram shape); the inner df join
+    here keeps the oracle exactly mirrored at test scale."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size(w) / F.lit(float(PARA_W))).cast("long") - 1,
+        ),
+        lambda j: F.md5(
+            F.array_join(F.slice(w, j * PARA_W + 1, PARA_W), " ")
+        ),
+    )
+    par = d.select("doc_id", F.explode(chunks).alias("ph"))
+    df_tbl = par.groupBy("ph").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup_flag = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        par.join(df_tbl, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(dup_flag).cast("long").alias("n_dup_paras"),
+            F.round(
+                F.sum(dup_flag) * F.lit(1.0) / F.count("*"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 @query(
     "text_winnow",
     oracle=f"""

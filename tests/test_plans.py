@@ -249,10 +249,27 @@ def test_shuffle_deterministic_is_sharded_not_global_sort(spark):
     assert "Window" in final
 
 
-def test_pii_redact_is_shuffle_free_codegen(spark):
-    # Pure map-side regex kernel: no exchange, no Python in the plan.
-    plan = _executed(REG["text_pii_redact"].fn(spark, SF_SMALL), spark)
+@pytest.mark.parametrize("key", ["text_pii_redact", "text_html_strip"])
+def test_regex_kernels_are_shuffle_free_codegen(spark, key):
+    # Pure map-side regex kernels: no exchange, no Python in the plan.
+    plan = _executed(REG[key].fn(spark, SF_SMALL), spark)
     final = _final(plan)
     assert "Exchange" not in final, final
     assert "BatchEvalPython" not in final
     assert "codegen id" in final
+
+
+def test_url_normalize_groups_on_derived_key_once(spark):
+    # Canonicalization is map-side; the dedup is ONE hash agg on the
+    # canonical key (two exchanges max: partial->final agg).
+    plan = _executed(REG["dedup_url_normalize"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert final.count("Exchange") <= 1, final
+    assert "BatchEvalPython" not in final
+
+
+def test_mix_domain_weights_broadcasts_normalizer(spark):
+    # The normalizer is one tiny row — must broadcast, never SMJ.
+    plan = _executed(REG["mix_domain_weights"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "SortMergeJoin" not in final, final
