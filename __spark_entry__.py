@@ -86,7 +86,7 @@ _R4_NEW = frozenset({
     "shuffle_deterministic", "mix_domain_weights", "quantile_bucketize",
     "corr_matrix", "text_winnow", "scan_orc", "agg_sketch_rollup",
     "text_html_strip", "dedup_url_normalize", "graph_label_prop",
-    "dedup_paragraph",
+    "dedup_paragraph", "subq_recursive_cte", "agg_bitmap_rollup",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -270,3 +270,79 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
          / d(F.col("l_extendedprice")))
         .alias("effective_discount_keep"),
     )
+
+
+_RC_DEPTH = 2  # recursion bound: supplier seeds -> customers -> suppliers
+
+
+@query(
+    "subq_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE eb AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT cust AS u, supp + 10000000 AS v FROM eb
+      UNION ALL
+      SELECT supp + 10000000 AS u, cust AS v FROM eb),
+    seeds AS (
+      SELECT s_suppkey + 10000000 AS node FROM supplier
+      WHERE s_nationkey = 0),
+    reach(node, depth) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT e.v, r.depth + 1
+      FROM reach r JOIN edges e ON e.u = r.node
+      WHERE r.depth < {_RC_DEPTH}
+    )
+    SELECT CAST(depth AS INT) AS dist, COUNT(*) AS n_nodes
+    FROM (SELECT node, MIN(depth) AS depth FROM reach GROUP BY node)
+    GROUP BY depth
+    """,
+)
+def subq_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4): bounded-depth BFS over
+    the customer<->supplier purchase graph from the nation-0 supplier
+    seed set — nodes grouped by their minimum hop distance.  This is
+    the declarative form of the iterative-driver-loop algorithms
+    elsewhere in the repo (graph_pagerank, graph_label_prop): the
+    ENGINE owns the fixpoint loop, and the recursion bound is a WHERE
+    predicate on the recursive term, exactly as the oracle states it.
+
+    Scale: each recursion step is one equi-join of the frontier
+    against the edge list (shuffle on the 8-byte node key) — the same
+    per-round cost as the manual loop, minus the driver round-trips;
+    the depth bound caps total work at depth * |edges|.  The engine
+    materializes each step's result, so memory is frontier-sized, not
+    closure-sized."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    # Recursive CTEs are a SQL-surface feature: register per-call
+    # views (idempotent names, overwritten each call) and let the
+    # engine run the very statement the oracle runs.
+    o.createOrReplaceTempView("rc_orders")
+    li.createOrReplaceTempView("rc_lineitem")
+    s.createOrReplaceTempView("rc_supplier")
+    return spark.sql(f"""
+    WITH RECURSIVE eb AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM rc_orders JOIN rc_lineitem ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT cust AS u, supp + 10000000 AS v FROM eb
+      UNION ALL
+      SELECT supp + 10000000 AS u, cust AS v FROM eb),
+    seeds AS (
+      SELECT s_suppkey + 10000000 AS node FROM rc_supplier
+      WHERE s_nationkey = 0),
+    reach(node, depth) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT e.v, r.depth + 1
+      FROM reach r JOIN edges e ON e.u = r.node
+      WHERE r.depth < {_RC_DEPTH}
+    )
+    SELECT CAST(depth AS INT) AS dist, COUNT(*) AS n_nodes
+    FROM (SELECT node, MIN(depth) AS depth FROM reach GROUP BY node)
+    GROUP BY depth
+    """)

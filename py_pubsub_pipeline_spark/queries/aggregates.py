@@ -366,3 +366,44 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_n"),
         )
     )
+
+
+@query(
+    "agg_bitmap_rollup",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_ndv
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count via bitmaps — the precise
+    complement of agg_sketch_rollup's approximate HLL union: per
+    (returnflag, linestatus, bucket) bitmaps are built once
+    (bitmap_bucket_number partitions the key space into 32k-bit
+    buckets), OR-merged up to (returnflag, bucket) WITHOUT touching
+    the fact rows again, counted, and summed across buckets — buckets
+    partition the id space, so the sum of per-bucket counts IS the
+    exact NDV.  The hash check compares the recovered NDV against the
+    oracle's COUNT(DISTINCT) — exact, no error contract needed.
+
+    Scale: this is how a lakehouse serves exact "distinct parts per
+    flag" from pre-aggregated bitmap tables (daily -> monthly rollup
+    with OR, no re-scan); state per group is a fixed 4 KB bucket
+    bitmap instead of a distinct expansion.  Works when keys are
+    dense integers (ids); for arbitrary keys, dictionary-encode first
+    or fall back to the HLL sketch path."""
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("bitmap_bucket_number(l_partkey)").alias("b"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+        .alias("bm")
+    )
+    merged = per.groupBy("l_returnflag", "b").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c")
+    )
+    return merged.groupBy("l_returnflag").agg(
+        F.sum("c").cast("long").alias("exact_ndv")
+    )
