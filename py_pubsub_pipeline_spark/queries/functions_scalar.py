@@ -280,3 +280,134 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("bigint")
         .alias("price_head"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (Spark 4): parse the JSON props column ONCE
+    into the binary VARIANT encoding, then extract typed fields with
+    variant_get path expressions — the semi-structured story that
+    replaces per-access get_json_object re-parsing (fn_map_json's
+    shape): parse cost is paid once per row, every subsequent path
+    access is a binary traversal.  The oracle reads the same numbers
+    through DuckDB's JSON extraction, so a variant encode/decode bug
+    surfaces as a value mismatch.
+
+    Scale: parse_json + variant_get are codegen'd column expressions
+    (one scan, no Python); at 100 TB the VARIANT column is what you
+    PERSIST (shredded parquet), so the parse happens at ingest, not
+    per query."""
+    e = table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_price,
+           MIN(o_orderkey) AS min_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML column pipeline (Spark 4 from_xml): serialize each order
+    row into an XML fragment, parse it back with an explicit schema,
+    and aggregate the RECOVERED fields — the oracle computes the same
+    aggregates from the original columns, so the hash certifies the
+    XML encode+parse roundtrip (element order, numeric text, escaping)
+    rather than trusting the parser.  This is the synthesize->decode->
+    verify pattern the multimodal codecs use, applied to the one
+    ingest format the format matrix (parquet/JSONL/CSV/ORC) lacked.
+
+    Scale: both directions are map-side column expressions; XML is an
+    ingest boundary format — parse at the edge with an explicit
+    schema, persist columnar (same engine policy as CSV/JSONL)."""
+    o = table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"), F.col("o_totalprice").cast("string"),
+        F.lit("</p><s>"), F.col("o_orderstatus"), F.lit("</s></o>"),
+    )
+    parsed = o.select(
+        F.from_xml(xml, "k BIGINT, p DOUBLE, s STRING").alias("x")
+    )
+    return (
+        parsed.select("x.k", "x.p", "x.s")
+        .groupBy(F.col("s").alias("status"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("p").cast("decimal(18,6)")).cast("double")
+            .alias("sum_price"),
+            F.min("k").alias("min_key"),
+        )
+    )
+
+
+@query(
+    "fn_collate",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg2,
+             c_acctbal
+      FROM customer)
+    SELECT lower(seg2) AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+    FROM mixed GROUP BY lower(seg2)
+    """,
+)
+def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): group a deliberately case-mangled
+    segment column under the UTF8_LCASE collation, so 'BUILDING' and
+    'building' land in ONE group without rewriting the data through
+    lower() — collation-aware comparison is the engine-level form of
+    case-insensitive semantics (it also drives joins, ORDER BY, and
+    DISTINCT; lower()-wrapping only fixes equality and loses the
+    original bytes).  The output key is lower(representative), which
+    is identical regardless of which case variant the engine kept, so
+    the hash is deterministic; the oracle is the classic lower()
+    rewrite.
+
+    Scale: collation-aware grouping hashes collation keys directly —
+    one hash agg, no derived-column materialization."""
+    c = table(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment")).alias("seg2"),
+        "c_acctbal",
+    )
+    return (
+        mixed.groupBy(F.expr("collate(seg2, 'UTF8_LCASE')").alias("segc"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            .alias("sum_bal"),
+        )
+        .select(
+            F.lower(F.col("segc").cast("string")).alias("seg"), "n", "sum_bal"
+        )
+    )
