@@ -775,3 +775,149 @@ def sim_adc_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver memory' assumption, zero Spark jobs at query construction
     (plan-gated in test_plans.py)."""
     return _probe_topk_bucketed(spark, sf_dir, _score_adc_int8, "adc_dot")
+
+
+KM_K = 4        # clusters (init = first KM_K vectors, deterministic)
+KM_ITERS = 2    # Lloyd iterations (unrolled in the oracle)
+
+_SQL_D2 = (
+    "ROUND(list_inner_product({v}, {v}) - 2 * list_inner_product({v}, {c})"
+    " + list_inner_product({c}, {c}), 6)"
+)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled KM_ITERS-iteration Lloyd's algorithm. Determinism:
+    distances are sequential 64-element folds (identical order both
+    engines) rounded to 6 before the argmin (ties -> smallest k);
+    centroid updates sum through DECIMAL(28,12) (order-independent)
+    and divide as double once; the reported centroid hash is over
+    FLOOR(val*1e6+0.5) integers, never double-to-string formatting
+    (Java and DuckDB disagree on scientific notation)."""
+    steps = ["c0 AS (SELECT vec_id AS k, e AS c FROM v WHERE vec_id < %d)"
+             % KM_K]
+    for i in range(1, KM_ITERS + 1):
+        steps.append(f"""
+    a{i} AS (
+      SELECT vec_id, e, k FROM (
+        SELECT v.vec_id, v.e, c.k,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_SQL_D2.format(v='v.e', c='c.c')}, c.k) AS rn
+        FROM v CROSS JOIN c{i - 1} c) WHERE rn = 1),
+    u{i} AS (
+      SELECT k, d.i AS pos,
+             CAST(SUM(CAST(e[d.i] AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS val
+      FROM a{i}, UNNEST(generate_series(1, len(e))) d(i)
+      GROUP BY k, d.i),
+    c{i} AS (SELECT k, list(val ORDER BY pos) AS c FROM u{i} GROUP BY k)""")
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    {','.join(steps)},
+    sizes AS (SELECT k, COUNT(*) AS n FROM a{KM_ITERS} GROUP BY k)
+    SELECT s.k AS cluster, CAST(s.n AS BIGINT) AS n_vecs,
+           md5((SELECT string_agg(
+                  CAST(CAST(FLOOR(u.val * 1000000 + 0.5) AS BIGINT)
+                       AS VARCHAR), ',' ORDER BY u.pos)
+                FROM u{KM_ITERS} u WHERE u.k = s.k)) AS centroid_md5
+    FROM sizes s
+    """
+
+
+@query("ml_kmeans_train", oracle=_kmeans_oracle())
+def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus — the TRAINING step
+    sim_ivf stubs out (its centroids are the first NLIST vectors "as a
+    deterministic stand-in for a k-means sample-fit"); this closes the
+    loop: deterministic init (first {KM_K} vectors), {KM_ITERS}
+    assignment/update rounds, output = cluster sizes + a quantized
+    centroid fingerprint the oracle reproduces bit-exactly.
+
+    Engine-portable determinism, the part seeded-ML libraries can't
+    give: distances fold sequentially (same IEEE order both engines)
+    and round to 6 before the argmin with a smallest-k tie-break;
+    centroid means sum per-dimension through DECIMAL(28,12) (order-
+    independent) and divide once as double; the fingerprint hashes
+    FLOOR(val*1e6+0.5) integers because double->string formatting
+    diverges across engines (Java scientific notation).
+
+    Scale: centroids are a K x dim broadcast (KBs); assignment is one
+    map-side argmin pass over the corpus; the update is a (K*dim)-key
+    hash agg with map-side partials — one shuffle per iteration, the
+    canonical distributed k-means.  At 100 TB you run this on a
+    sample, then IVF-assign the full corpus with the trained centroids
+    (sim_ivf's plan, pointed at c{KM_ITERS})."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding", "e"))
+
+    def ip(a, b):  # type: ignore[no-untyped-def]
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    cent = v.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("k"), F.col("e").alias("c")
+    )
+    assigned = None
+    for _ in range(KM_ITERS):
+        d2 = F.round(
+            ip(F.col("e"), F.col("e")) - 2 * ip(F.col("e"), F.col("c"))
+            + ip(F.col("c"), F.col("c")), 6,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("k"))
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .select("vec_id", "e", "k", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "e", "k")
+        )
+        upd = (
+            assigned.select("k", F.posexplode("e").alias("pos0", "x"))
+            .groupBy("k", (F.col("pos0") + 1).alias("pos"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ).alias("val")
+            )
+        )
+        cent = upd.groupBy("k").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda st: st.getField("val"),
+            ).alias("c")
+        )
+    sizes = assigned.groupBy("k").agg(F.count("*").cast("long").alias("n_vecs"))
+    fp = (
+        assigned.select("k", F.posexplode("e").alias("pos0", "x"))
+        .groupBy("k", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("val")
+        )
+        .groupBy("k")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                        lambda st: F.floor(
+                            st.getField("val") * 1e6 + 0.5
+                        ).cast("long").cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("centroid_md5")
+        )
+    )
+    return (
+        sizes.join(fp, "k")
+        .select(F.col("k").alias("cluster"), "n_vecs", "centroid_md5")
+    )
