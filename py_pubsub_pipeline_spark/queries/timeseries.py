@@ -308,3 +308,71 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_active"))
     )
+
+
+EWMA_W = 8  # finite EWMA horizon (rows)
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT event_id, user_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {EWMA_W - 1} PRECEDING AND CURRENT ROW) AS arr
+      FROM events)
+    SELECT event_id, user_id,
+           ROUND(
+             list_sum(list_transform(arr,
+               (x, i) -> x * pow(0.5, len(arr) - i)))
+             / list_sum(list_transform(arr,
+               (x, i) -> pow(0.5, len(arr) - i))),
+             6) AS ewma
+    FROM arrs
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (finite
+    {EWMA_W}-row horizon, newest-heaviest): the standard smoothing
+    transform for metric streams, expressed as a windowed collect +
+    weighted fold rather than the unbounded recurrence (which has no
+    relational form and serializes per key).
+
+    Determinism is engineered, not hoped for: alpha = 0.5 makes every
+    weight pow(0.5, k) an EXACT power of two, so each x*w product is
+    an exact IEEE scaling (no libm variance, unlike pow(0.7, k) which
+    may differ in the last ulp across runtimes); both engines fold the
+    same frame-ordered array left-to-right (Spark transform is
+    0-indexed, DuckDB 1-indexed — the exponent n-i aligns them), and
+    the quotient rounds to 6.
+
+    Scale: one shuffle on user_id; the frame carries at most {EWMA_W}
+    doubles per row — window state is bounded, the same plan class as
+    win_frame_rows."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_W - 1), 0)
+    )
+    arr = F.collect_list("value").over(w)
+    d = e.select("event_id", "user_id", arr.alias("arr"))
+    n = F.size("arr")
+    num = F.aggregate(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: x * F.pow(F.lit(0.5), (n - 1 - i).cast("double")),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.pow(F.lit(0.5), (n - 1 - i).cast("double")),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return d.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )
