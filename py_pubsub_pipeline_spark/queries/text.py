@@ -496,3 +496,80 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((dup <= 0.82) & (top_bg <= 0.08)).alias("keep"),
         )
     )
+
+
+@query(
+    "quality_gate",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             list_sum(list_transform(string_split(text, ' '),
+                                     t -> LENGTH(t))) AS sum_len,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of', 'and', 'is')))
+               AS n_stop
+      FROM documents)
+    SELECT doc_id,
+           CAST(
+             CASE WHEN n_tok < 25 THEN 1 ELSE 0 END
+             + CASE WHEN n_uniq * 10 < n_tok * 3 THEN 2 ELSE 0 END
+             + CASE WHEN n_stop * 100 < n_tok * 2 THEN 4 ELSE 0 END
+             + CASE WHEN sum_len < 3 * n_tok OR sum_len > 10 * n_tok
+                    THEN 8 ELSE 0 END
+           AS INT) AS reason_mask,
+           (n_tok >= 25 AND n_uniq * 10 >= n_tok * 3
+            AND n_stop * 100 >= n_tok * 2
+            AND sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok) AS keep
+    FROM m
+    """,
+)
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality GATE (the C4/Gopher-style keep/drop decision
+    the per-signal queries feed): minimum length, lexical diversity
+    >= 0.3, stopword density >= 2%, mean word length in [3, 10] —
+    emitted as a keep boolean plus a reason BITMASK so downstream
+    reporting can attribute every drop (bit 0 = too short, 1 = low
+    diversity, 2 = no stopwords, 3 = word length out of range).
+
+    Every threshold compares INTEGERS via cross-multiplication
+    (n_uniq*10 >= n_tok*3, not n_uniq/n_tok >= 0.3): no float
+    division means no engine can disagree at a ratio boundary — the
+    same exactness discipline as the md5 hash-gate samplers.
+
+    Scale: one scan, zero shuffles, all codegen; the gate composes
+    with sample_balanced/mix_domain_weights as the filter stage ahead
+    of them."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is"))
+    )
+    m = d.select(
+        "doc_id", n_tok.alias("n_tok"), n_uniq.alias("n_uniq"),
+        sum_len.alias("sum_len"), n_stop.alias("n_stop"),
+    )
+    r1 = F.col("n_tok") < 25
+    r2 = F.col("n_uniq") * 10 < F.col("n_tok") * 3
+    r3 = F.col("n_stop") * 100 < F.col("n_tok") * 2
+    r4 = (F.col("sum_len") < 3 * F.col("n_tok")) | (
+        F.col("sum_len") > 10 * F.col("n_tok")
+    )
+    mask = (
+        F.when(r1, 1).otherwise(0)
+        + F.when(r2, 2).otherwise(0)
+        + F.when(r3, 4).otherwise(0)
+        + F.when(r4, 8).otherwise(0)
+    )
+    return m.select(
+        "doc_id",
+        mask.cast("int").alias("reason_mask"),
+        (~r1 & ~r2 & ~r3 & ~r4).alias("keep"),
+    )
