@@ -88,7 +88,7 @@ _R4_NEW = frozenset({
     "text_html_strip", "dedup_url_normalize", "graph_label_prop",
     "dedup_paragraph", "subq_recursive_cte", "agg_bitmap_rollup",
     "fn_variant", "fn_xml", "fn_collate", "ml_kmeans_train", "ts_ewma",
-    "quality_gate",
+    "quality_gate", "join_asof_nearest",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

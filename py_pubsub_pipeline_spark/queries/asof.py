@@ -143,3 +143,93 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("view_ts").cast("timestamp"))
         ).alias("lead_us"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    b AS (SELECT p.event_id, p.user_id, p.ts, vb.ts AS prev_ts
+          FROM p ASOF LEFT JOIN v vb
+            ON p.user_id = vb.user_id AND p.ts >= vb.ts),
+    f AS (SELECT p.event_id, vf.ts AS next_ts
+          FROM p ASOF LEFT JOIN v vf
+            ON p.user_id = vf.user_id AND p.ts <= vf.ts),
+    c AS (
+      SELECT b.event_id, b.user_id, b.ts,
+             CASE
+               WHEN prev_ts IS NULL THEN next_ts
+               WHEN next_ts IS NULL THEN prev_ts
+               WHEN epoch_us(b.ts) - epoch_us(prev_ts)
+                    <= epoch_us(next_ts) - epoch_us(b.ts) THEN prev_ts
+               ELSE next_ts END AS nearest_ts
+      FROM b JOIN f USING (event_id))
+    SELECT event_id, user_id, ts AS purchase_ts,
+           nearest_ts AS nearest_view_ts,
+           abs(epoch_us(ts) - epoch_us(nearest_ts)) AS gap_us
+    FROM c
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of: for each purchase, the temporally closest view
+    by the same user in EITHER direction, ties to the earlier view —
+    completing the as-of family (backward join_asof, forward
+    join_asof_forward).  Both directional candidates come from the
+    same merged per-user timeline: one shuffle, ONE sort, two window
+    passes over the identical (user_id, t, side) order (the physical
+    plan shares the exchange and sort), then a pure map-side pick of
+    the smaller microsecond gap.  The oracle runs two native ASOF
+    joins and the same CASE — integer microsecond arithmetic on both
+    sides, so the tie-break can never diverge."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    left = purchases.select(
+        "user_id",
+        F.col("purchase_ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        "purchase_ts",
+        F.lit(None).cast("timestamp_ntz").alias("view_ts"),
+    )
+    right = views.select(
+        "user_id",
+        F.col("view_ts").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+        "view_ts",
+    )
+    base = Window.partitionBy("user_id").orderBy("t", "side")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged = (
+        left.unionByName(right)
+        .withColumn("prev_ts", F.last("view_ts", ignorenulls=True).over(wb))
+        .withColumn("next_ts", F.first("view_ts", ignorenulls=True).over(wf))
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    back_gap = us("purchase_ts") - us("prev_ts")
+    fwd_gap = us("next_ts") - us("purchase_ts")
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(back_gap <= fwd_gap, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        nearest.alias("nearest_view_ts"),
+        F.abs(
+            us("purchase_ts")
+            - F.unix_micros(nearest.cast("timestamp"))
+        ).alias("gap_us"),
+    )
