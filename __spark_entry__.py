@@ -88,7 +88,8 @@ _R4_NEW = frozenset({
     "text_html_strip", "dedup_url_normalize", "graph_label_prop",
     "dedup_paragraph", "subq_recursive_cte", "agg_bitmap_rollup",
     "fn_variant", "fn_xml", "fn_collate", "ml_kmeans_train", "ts_ewma",
-    "quality_gate", "join_asof_nearest",
+    "quality_gate", "join_asof_nearest", "bm25_score", "rank_fusion_rrf",
+    "feature_hashing", "text_perplexity_lm",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -1,0 +1,346 @@
+"""Text retrieval & featurization over the documents corpus: BM25
+scoring, reciprocal-rank fusion, the feature-hashing trick, and a
+bigram-LM perplexity filter (the CCNet-style quality gate).
+
+These close the "search/score the corpus" leg of an LLM data
+pipeline — the reference (`/root/reference/pubsub_pipeline.py`) has no
+retrieval surface at all (P:1-243 is transport only); this module is
+part of the mandated LLM-pipeline operator family.
+
+Scale posture (100 TB):
+  * Corpus-wide statistics (N, avgdl, df, unigram/bigram counts,
+    vocabulary size) are VOCABULARY-sized, not corpus-sized — they
+    reduce to tiny aggregates that broadcast back over the document
+    stream, so each query is one corpus scan + bounded-size dims.
+  * Ranking never windows over the whole corpus: top-k lists come
+    from orderBy().limit(k) (TakeOrderedAndProject — per-partition
+    heaps + driver merge of k rows), and RRF assigns ranks only
+    within the two already-bounded candidate lists.
+  * Feature hashing aggregates on (doc_id, bucket): partial
+    aggregation collapses each doc to <= N_BUCKETS rows map-side
+    before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# Fixed query-term set for the BM25 / fusion demos. Deterministic and
+# present in the synthetic corpus vocabulary.
+_QUERY_TERMS = ("join", "vector", "stream")
+_K1 = 1.2
+_B = 0.75
+_TOPK = 20
+_CAND = 100  # per-ranker candidate-list size for fusion
+_RRF_K = 60  # the standard RRF dampening constant
+
+
+def _toks(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Okapi BM25 score for the fixed query terms.
+
+    Everything before the final top-k is map-side over one corpus
+    scan: per-doc term frequencies come from size(filter(tokens)) —
+    no explode, no shuffle — and the corpus stats (N, avgdl, one df
+    per query term) are a single 1-row aggregate broadcast back.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    def _tf(term: str):
+        # NB: a 2-arg lambda here would flip F.filter into its
+        # (element, index) calling convention — keep it unary.
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [
+        _tf(term).cast("double").alias(f"tf_{i}")
+        for i, term in enumerate(_QUERY_TERMS)
+    ]
+    per_doc = d.select(
+        "doc_id", F.size(toks).cast("double").alias("dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(_QUERY_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_QUERY_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{i}")
+        term_score = idf * tf * (_K1 + 1.0) / (
+            tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        per_doc.join(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+    )
+
+
+@query(
+    "bm25_score",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+             {', '.join(
+                 f"CAST(len(list_filter(string_split(text, ' '), "
+                 f"t -> t = '{t}')) AS DOUBLE) AS tf_{i}"
+                 for i, t in enumerate(_QUERY_TERMS))}
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+             {', '.join(
+                 f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) "
+                 f"AS DOUBLE) AS df_{i}"
+                 for i in range(len(_QUERY_TERMS)))}
+      FROM per_doc)
+    SELECT doc_id,
+           ROUND({' + '.join(
+               f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+               f" * tf_{i} * ({_K1} + 1.0)"
+               f" / (tf_{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))"
+               for i in range(len(_QUERY_TERMS)))}, 6) AS bm25
+    FROM per_doc, stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_TOPK}
+    """,
+)
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-20 for a fixed 3-term query.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term tf comes from a
+    map-side array filter (no tokenize-explode shuffle). The plan is
+    one corpus scan + a 1-row broadcast stats dim +
+    TakeOrderedAndProject — no global rank window, so it survives any
+    corpus size. Scores round to 6 before ranking; doc_id tie-break
+    makes the cut total."""
+    scored = _bm25_scored(spark, sf_dir)
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_TOPK)
+
+
+@query(
+    "rank_fusion_rrf",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+             {', '.join(
+                 f"CAST(len(list_filter(string_split(text, ' '), "
+                 f"t -> t = '{t}')) AS DOUBLE) AS tf_{i}"
+                 for i, t in enumerate(_QUERY_TERMS))}
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+             {', '.join(
+                 f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) "
+                 f"AS DOUBLE) AS df_{i}"
+                 for i in range(len(_QUERY_TERMS)))}
+      FROM per_doc),
+    bm25 AS (
+      SELECT doc_id,
+             ROUND({' + '.join(
+                 f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+                 f" * tf_{i} * ({_K1} + 1.0)"
+                 f" / (tf_{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))"
+                 for i in range(len(_QUERY_TERMS)))}, 6) AS s
+      FROM per_doc, stats
+      ORDER BY s DESC, doc_id LIMIT {_CAND}),
+    quality AS (
+      SELECT doc_id,
+             ROUND(CAST(len(list_distinct(string_split(text, ' ')))
+                        AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS s
+      FROM documents
+      ORDER BY s DESC, doc_id LIMIT {_CAND}),
+    ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+                  AS r FROM bm25),
+    rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+                  AS r FROM quality)
+    SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + ra.r), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + rb.r), 0.0), 6) AS rrf
+    FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT {_TOPK}
+    """,
+)
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrieval lists: BM25 and
+    a lexical-diversity quality ranking.
+
+    The real-world RRF shape: each ranker contributes only its top-C
+    candidate list (TakeOrderedAndProject, bounded), ranks are
+    assigned WITHIN those <=C-row lists (the unpartitioned window is
+    bounded by C, never corpus-sized), and the fusion is a full outer
+    join of two k-row sets — absent docs contribute 0. No corpus-wide
+    window or shuffle anywhere."""
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    bm = (
+        _bm25_scored(spark, sf_dir)
+        .withColumnRenamed("bm25", "s")
+        .orderBy(F.col("s").desc(), "doc_id").limit(_CAND)
+    )
+    qual = (
+        d.select(
+            "doc_id",
+            F.round(
+                F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks), 6,
+            ).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "doc_id").limit(_CAND)
+    )
+    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    ra = bm.select("doc_id", F.row_number().over(w).alias("ra"))
+    rb = qual.select("doc_id", F.row_number().over(w).alias("rb"))
+    fused = (
+        ra.join(rb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_TOPK)
+
+
+_N_BUCKETS = 16
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      FROM documents)
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+                % {_N_BUCKETS} AS BIGINT) AS bucket,
+           CAST(SUM(CASE WHEN substr(md5(token), 9, 1) < '8'
+                         THEN 1 ELSE -1 END) AS BIGINT) AS val
+    FROM tok
+    GROUP BY doc_id, bucket
+    """,
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens -> 16 signed buckets per document
+    (Weinberger et al.'s feature hashing, the fixed-width featurizer
+    that needs no vocabulary pass).
+
+    bucket = first 8 md5 hex chars as u32 mod 16; sign = +-1 from the
+    9th hex char — exact integer arithmetic, identical on both
+    engines, partitioning-invariant. The groupBy key includes doc_id,
+    so map-side partial aggregation collapses every doc to <=16 rows
+    before the one shuffle; output is corpus-sized but narrow."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("token"))
+    h = F.md5(F.col("token"))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _N_BUCKETS
+    )
+    sign = F.when(F.substring(h, 9, 1) < "8", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("long").alias("val"))
+    )
+
+
+@query(
+    "text_perplexity_lm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]))
+               AS p
+      FROM t WHERE len(toks) >= 2),
+    db AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM db GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM db GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT token) AS v FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS token
+            FROM documents)),
+    scored AS (
+      SELECT db.doc_id,
+             ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
+      FROM db JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+              JOIN c1 ON db.w1 = c1.w1
+              CROSS JOIN v)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(lp) / COUNT(*), 6) AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained bigram LM
+    with add-one smoothing — the CCNet-style perplexity quality
+    filter, self-trained so it needs no external model.
+
+    p(w2|w1) = (c2(w1,w2)+1) / (c1(w1)+V) where c1 counts w1 as a
+    bigram HISTORY (so the denominator sums over the smoothed row),
+    V = corpus vocabulary. avg_nll = -mean ln p over the doc's
+    bigrams; lower = more in-distribution.
+
+    Scale: the count tables are vocabulary-sized (c2 <= V^2 observed
+    bigrams, c1 <= V) — broadcast dims against the corpus-sized
+    bigram stream; one scan builds both via exchange reuse, and the
+    final per-doc agg partial-aggregates map-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(F.col("toks"))
+    base = d.select("doc_id", toks.alias("toks")).filter(
+        F.size(F.col("toks")) >= 2
+    )
+    pairs = F.arrays_zip(
+        F.slice(F.col("toks"), 1, n - 1),
+        F.slice(F.col("toks"), 2, n - 1),
+    )
+    db = base.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    c2 = db.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = db.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = (
+        d.select(F.explode(toks).alias("token"))
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    scored = (
+        db.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(-F.sum("lp") / F.count("*"), 6).alias("avg_nll"),
+    )

@@ -273,3 +273,45 @@ def test_mix_domain_weights_broadcasts_normalizer(spark):
     plan = _executed(REG["mix_domain_weights"].fn(spark, SF_SMALL), spark)
     final = _final(plan)
     assert "SortMergeJoin" not in final, final
+
+
+def test_bm25_has_no_corpus_window_and_takes_ordered_topk(spark):
+    # BM25 ranks via TakeOrderedAndProject (per-partition heaps), and
+    # nothing in the plan windows over the whole corpus — the
+    # difference between top-k and a single-task global rank.
+    plan = _executed(REG["bm25_score"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "TakeOrderedAndProject" in final, final
+    assert "Window" not in final, final
+    assert "BatchEvalPython" not in final
+
+
+def test_rank_fusion_windows_only_bounded_candidate_lists(spark):
+    # RRF rank windows sit ABOVE the top-C candidate cuts: every
+    # Window input comes from a TakeOrderedAndProject/limit, so the
+    # single-partition rank touches <= C rows, never the corpus.
+    plan = _executed(REG["rank_fusion_rrf"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "TakeOrderedAndProject" in final, final
+    assert "BatchEvalPython" not in final
+
+
+def test_feature_hashing_partial_aggregates_per_doc(spark):
+    # (doc_id, bucket) hash agg: map-side partials collapse each doc
+    # to <= 16 rows before the single exchange.
+    plan = _executed(REG["feature_hashing"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "partial_" in plan, plan
+    assert final.count("Exchange") <= 1, final
+    assert "BatchEvalPython" not in final
+
+
+def test_perplexity_lm_count_tables_broadcast(spark):
+    # The bigram/unigram count tables are vocabulary-sized dims: they
+    # must broadcast against the corpus-sized bigram stream, never
+    # sort-merge it.
+    plan = _executed(REG["text_perplexity_lm"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+    assert "partial_" in plan
