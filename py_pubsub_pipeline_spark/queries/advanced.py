@@ -346,3 +346,36 @@ def subq_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT node, MIN(depth) AS depth FROM reach GROUP BY node)
     GROUP BY depth
     """)
+
+
+@query(
+    "ml_linreg_ols",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, EXTRACT(hour FROM ts)) AS BIGINT) AS n,
+           ROUND(regr_slope(value, EXTRACT(hour FROM ts)), 6) AS slope,
+           ROUND(regr_intercept(value, EXTRACT(hour FROM ts)), 6)
+             AS intercept,
+           ROUND(regr_r2(value, EXTRACT(hour FROM ts)), 6) AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ml_linreg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form OLS: regress event value on hour-of-day per
+    event type with the ANSI REGR_* aggregate family (one-pass
+    co-moment accumulation — the distributed normal-equations path, no
+    iteration, no driver round trips).
+
+    This is the degenerate-but-load-bearing end of the ML surface: a
+    single hash aggregate whose partials merge associatively, so it
+    scales exactly like agg_stats; ml_kmeans_train covers the
+    iterative end. Moments round to 6 on both engines."""
+    e = table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    return e.groupBy("event_type").agg(
+        F.regr_count("value", x).cast("long").alias("n"),
+        F.round(F.regr_slope("value", x), 6).alias("slope"),
+        F.round(F.regr_intercept("value", x), 6).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    )

@@ -376,3 +376,74 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "event_id", "user_id", F.round(num / den, 6).alias("ewma")
     )
+
+
+ROLL_W = 10  # rolling-distinct frame width (rows)
+
+
+@query(
+    "win_rolling_distinct",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLL_W - 1} PRECEDING AND CURRENT ROW)
+             AS INTEGER) AS n_types
+    FROM events
+    """,
+)
+def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count per key — how many distinct event types
+    in the user's last {ROLL_W} events. Spark has no COUNT(DISTINCT)
+    OVER, so the engine expresses it as a windowed collect_list +
+    array_distinct: the frame is ROWS-bounded, so the carried state is
+    at most {ROLL_W} short strings per row and the whole query is one
+    shuffle on user_id — the same plan class as any bounded-frame
+    window. (An unbounded-frame distinct would NOT scale this way;
+    bounding the frame is what keeps it 100 TB-safe.)"""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_W - 1), 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .alias("n_types"),
+    )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sd, 6) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS(ROUND((e.value - s.mu) / s.sd, 6)) > 2.5
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection: flag events whose value deviates
+    more than 2.5 sigma from their event-type's distribution.
+
+    The stats table is one tiny grouped aggregate (cardinality = #
+    event types) broadcast back over the stream, so the detector is
+    one corpus scan + one map-side join — no window, no second pass
+    over raw data. The gate compares the ROUNDED z on both engines so
+    a boundary row can't flip on one-pass-moment ulp noise."""
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )

@@ -315,3 +315,32 @@ def test_perplexity_lm_count_tables_broadcast(spark):
     assert "BroadcastHashJoin" in final, final
     assert "SortMergeJoin" not in final, final
     assert "partial_" in plan
+
+
+def test_rolling_distinct_is_one_bounded_window_shuffle(spark):
+    # Bounded ROWS frame -> one exchange on user_id; the distinct is
+    # computed inside the frame, never via a corpus-wide distinct.
+    plan = _executed(REG["win_rolling_distinct"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "Window" in final
+    assert final.count("Exchange") <= 1, final
+    assert "BatchEvalPython" not in final
+
+
+def test_anomaly_zscore_broadcasts_stats_no_window(spark):
+    # The per-type stats dim must broadcast back over the stream; the
+    # detector is scan + map-side join, no window pass.
+    plan = _executed(REG["ts_anomaly_zscore"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final
+    assert "Window" not in final
+
+
+def test_linreg_partial_aggregates(spark):
+    # REGR_* co-moments must merge associatively: partial_ before the
+    # exchange, whole-stage codegen, no Python.
+    plan = _executed(REG["ml_linreg_ols"].fn(spark, SF_SMALL), spark)
+    assert "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "[codegen id" in plan
