@@ -90,7 +90,7 @@ _R4_NEW = frozenset({
     "fn_variant", "fn_xml", "fn_collate", "ml_kmeans_train", "ts_ewma",
     "quality_gate", "join_asof_nearest", "bm25_score", "rank_fusion_rrf",
     "feature_hashing", "text_perplexity_lm", "win_rolling_distinct",
-    "ts_anomaly_zscore", "ml_linreg_ols",
+    "ts_anomaly_zscore", "ml_linreg_ols", "mm_video_framesample",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

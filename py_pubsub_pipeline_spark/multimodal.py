@@ -536,3 +536,156 @@ def decode_and_featurize(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, DECODED_SCHEMA)
+
+
+# ------------------------------------------------------------- video
+
+VID_W_MOD = 3   # width  = 2 + doc_id % 3
+VID_H_MOD = 3   # height = 2 + (doc_id // 3) % 3
+VID_F_MOD = 17  # n_frames = 1 + content_bytes % 17
+VID_SAMPLE_EVERY = 2  # keep frames 0, 2, 4, ...
+
+
+def encode_y4m(width: int, height: int, frames: list[bytes]) -> bytes:
+    """A VALID YUV4MPEG2 (.y4m) stream: plain-text stream header, then
+    one FRAME marker line per frame followed by the raw plane bytes
+    (C444: full-resolution Y, U, V planes = 3*w*h bytes). ffmpeg/
+    mplayer open these directly — it is the standard uncompressed
+    interchange format, and the whole container is stdlib-writable."""
+    head = (
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n".encode()
+    )
+    parts = [head]
+    for fr in frames:
+        if len(fr) != 3 * width * height:
+            raise ValueError("frame size mismatch")
+        parts.append(b"FRAME\n")
+        parts.append(fr)
+    return b"".join(parts)
+
+
+def decode_y4m_sample(
+    payload: bytes, every: int = VID_SAMPLE_EVERY
+) -> tuple[int, int, int, int, int]:
+    """REAL pure-stdlib Y4M decode + frame sampling: parses the stream
+    header tokens (W/H/C), then WALKS the FRAME markers (each may
+    carry parameters up to its newline, so the walk must scan for the
+    terminator, not assume 6 bytes), slicing each frame's 3*w*h plane
+    bytes. Every `every`-th frame is 'sampled': counted and its pixel
+    bytes summed — the data-level statistic that catches a walker
+    that drifts out of frame alignment.
+
+    Returns (width, height, n_frames, n_sampled, sum_px_sampled)."""
+    nl = payload.index(b"\n")
+    tokens = payload[:nl].decode("ascii").split(" ")
+    if tokens[0] != "YUV4MPEG2":
+        raise ValueError(f"not a YUV4MPEG2 stream: {tokens[0]!r}")
+    width = height = None
+    colorspace = "420"  # the spec default when no C tag is present
+    for tok in tokens[1:]:
+        if tok.startswith("W"):
+            width = int(tok[1:])
+        elif tok.startswith("H"):
+            height = int(tok[1:])
+        elif tok.startswith("C"):
+            colorspace = tok[1:]
+    if width is None or height is None:
+        raise ValueError("stream header missing W or H")
+    if colorspace != "444":
+        raise NotImplementedError(
+            f"only C444 plane layout decodes here (got C{colorspace}); "
+            "subsampled layouts need fractional plane arithmetic"
+        )
+    fsize = 3 * width * height
+    pos = nl + 1
+    n_frames = n_sampled = sum_px = 0
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        end = payload.index(b"\n", pos)
+        data = payload[end + 1:end + 1 + fsize]
+        if len(data) != fsize:
+            raise ValueError("truncated frame plane data")
+        if n_frames % every == 0:
+            n_sampled += 1
+            sum_px += sum(data)
+        n_frames += 1
+        pos = end + 1 + fsize
+    return width, height, n_frames, n_sampled, sum_px
+
+
+def synthesize_y4m_assets(docs: DataFrame) -> DataFrame:
+    """Turn each document into a real .y4m video asset: geometry from
+    doc_id, frame count 1 + content_bytes % VID_F_MOD, plane bytes =
+    the document bytes cycled across the WHOLE stream (position j in
+    the concatenated frames reads src[j % L]) — so an oracle can
+    predict any frame's pixel sum arithmetically."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode() if isinstance(text, str) else bytes(text)
+                src = raw or b"\x00"
+                did = int(doc_id)
+                w = 2 + did % VID_W_MOD
+                h = 2 + (did // VID_W_MOD) % VID_H_MOD
+                n_frames = 1 + len(raw) % VID_F_MOD
+                fsize = 3 * w * h
+                stream = bytes(
+                    src[j % len(src)] for j in range(n_frames * fsize)
+                )
+                frames = [
+                    stream[f * fsize:(f + 1) * fsize]
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_y4m(w, h, frames))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": ["video/x-yuv4mpeg"] * len(payloads),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "asset_id LONG, payload BINARY, media_type STRING"
+    )
+
+
+VIDEO_SCHEMA = (
+    "asset_id LONG, media_type STRING, width INT, height INT, "
+    "n_frames INT, n_sampled INT, sum_px BIGINT"
+)
+
+
+def decode_video_framesample(assets: DataFrame) -> DataFrame:
+    """Arrow-batched video decode + frame sampling: one Python call
+    per batch; each payload goes through the real Y4M walker."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "asset_id", "media_type", "width", "height",
+                    "n_frames", "n_sampled", "sum_px",
+                )
+            }
+            for aid, payload, mt in zip(
+                pdf["asset_id"], pdf["payload"], pdf["media_type"]
+            ):
+                w, h, nf, ns, spx = decode_y4m_sample(bytes(payload))
+                out["asset_id"].append(aid)
+                out["media_type"].append(mt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["n_sampled"].append(ns)
+                out["sum_px"].append(spx)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, VIDEO_SCHEMA)

@@ -17,12 +17,18 @@ from ..multimodal import (
     FRAME_MOD,
     H_MOD,
     SAMPLE_RATES,
+    VID_F_MOD,
+    VID_H_MOD,
+    VID_SAMPLE_EVERY,
+    VID_W_MOD,
     W_MOD,
     decode_and_featurize,
     decode_audio,
     decode_png_assets,
+    decode_video_framesample,
     synthesize_bmp_assets,
     synthesize_png_assets,
+    synthesize_y4m_assets,
     synthesize_wav_assets,
 )
 from ..registry import query
@@ -168,3 +174,52 @@ def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAMPLE level, not just the header."""
     docs = table(spark, sf_dir, "documents")
     return decode_audio(synthesize_wav_assets(docs))
+
+
+@query(
+    "mm_video_framesample",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS L,
+             2 + doc_id % {VID_W_MOD} AS w,
+             2 + (doc_id // {VID_W_MOD}) % {VID_H_MOD} AS h,
+             1 + octet_length(encode(text)) % {VID_F_MOD} AS n_frames
+      FROM documents),
+    px AS (
+      -- stream position j cycles the document bytes; frame f = j //
+      -- (3*w*h); sampled frames are f % {VID_SAMPLE_EVERY} = 0
+      SELECT doc_id,
+             ascii(substr(text, CAST(j % GREATEST(L, 1) AS INT) + 1, 1))
+               AS v
+      FROM b, UNNEST(generate_series(0, n_frames * 3 * w * h - 1)) t(j)
+      WHERE (j // (3 * w * h)) % {VID_SAMPLE_EVERY} = 0),
+    agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_px
+            FROM px GROUP BY doc_id)
+    SELECT b.doc_id AS asset_id, 'video/x-yuv4mpeg' AS media_type,
+           CAST(b.w AS INT) AS width, CAST(b.h AS INT) AS height,
+           CAST(b.n_frames AS INT) AS n_frames,
+           CAST((b.n_frames + {VID_SAMPLE_EVERY} - 1)
+                // {VID_SAMPLE_EVERY} AS INT) AS n_sampled,
+           a.sum_px
+    FROM b JOIN agg a ON a.doc_id = b.doc_id
+    """,
+)
+def mm_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column pipeline, oracle-checked at the PIXEL level: every
+    document becomes a REAL YUV4MPEG2 stream (text header + FRAME
+    markers + C444 planes — ffmpeg opens it), then the decode stage
+    parses the header, walks the FRAME markers, and samples every
+    {VID_SAMPLE_EVERY}nd frame, summing the sampled plane bytes. The
+    oracle reconstructs geometry, frame count, sample count, and the
+    sampled-pixel sum arithmetically from the text bytes (ASCII corpus:
+    ascii(substr(..)) IS the byte), so a walker that drifts out of
+    frame alignment or samples the wrong frames hash-mismatches.
+
+    This completes the multimodal triad (image / audio / video). The
+    Spark-side plumbing — BINARY payload column, typed metadata,
+    Arrow-batched mapInPandas with constant memory per batch — is the
+    real 100 TB shape; a GPU/codec featurizer slots into the same
+    mapInPandas seam."""
+    docs = table(spark, sf_dir, "documents")
+    return decode_video_framesample(synthesize_y4m_assets(docs))

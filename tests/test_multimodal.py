@@ -167,3 +167,55 @@ def test_wav_non_pcm_raises():
 def test_non_riff_raises_value_error():
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"OggS....")
+
+
+# ------------------------------------------------------------- video
+
+
+def test_y4m_roundtrip_and_sampling():
+    from py_pubsub_pipeline_spark.multimodal import (
+        decode_y4m_sample,
+        encode_y4m,
+    )
+
+    w, h = 2, 3
+    fsize = 3 * w * h
+    frames = [bytes([f] * fsize) for f in range(5)]
+    payload = encode_y4m(w, h, frames)
+    # sampled frames 0, 2, 4 -> sums 0, 2*fsize, 4*fsize
+    assert decode_y4m_sample(payload, every=2) == (
+        w, h, 5, 3, (0 + 2 + 4) * fsize,
+    )
+
+
+def test_y4m_frame_marker_with_parameters_still_walks():
+    # FRAME lines may carry parameters up to the newline; a walker
+    # that assumes the marker is exactly 6 bytes drifts off-plane.
+    from py_pubsub_pipeline_spark.multimodal import decode_y4m_sample
+
+    head = b"YUV4MPEG2 W1 H1 F25:1 Ip A1:1 C444\n"
+    payload = head + b"FRAME Xmeta\n" + bytes([7, 8, 9])
+    assert decode_y4m_sample(payload, every=1) == (1, 1, 1, 1, 24)
+
+
+def test_y4m_subsampled_colorspace_raises():
+    from py_pubsub_pipeline_spark.multimodal import decode_y4m_sample
+
+    payload = b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + b"\x00" * 6
+    with pytest.raises(NotImplementedError, match="C444"):
+        decode_y4m_sample(payload)
+
+
+def test_y4m_truncated_frame_raises():
+    from py_pubsub_pipeline_spark.multimodal import decode_y4m_sample
+
+    payload = b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + b"\x00" * 5
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m_sample(payload)
+
+
+def test_y4m_non_y4m_raises():
+    from py_pubsub_pipeline_spark.multimodal import decode_y4m_sample
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m_sample(b"RIFF....\n")
