@@ -336,3 +336,111 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+_BLOOM_BITS = 1 << 16  # 65536 bits = 1024 words
+_BLOOM_PRICE = 400000.0
+
+
+def _bloom_pos(key, salt: str):
+    """Bloom bit position: first 8 md5 hex chars of salt||key as u32,
+    mod the filter width. Engine-side only — correctness never depends
+    on it (the exact semi join below kills false positives), so no
+    oracle twin is needed."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % _BLOOM_BITS
+    )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT l.l_returnflag, COUNT(*) AS n,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_totalprice > {_BLOOM_PRICE})
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a hand-built bloom filter: the build
+    side's keys fold into a 65536-bit bitmap (1024 bigint words,
+    bit_or-aggregated — a tiny broadcastable dim no matter how many
+    keys), the fact side tests its two hash bits MAP-SIDE against the
+    broadcast words and only surviving rows reach the exact semi join
+    that removes false positives. Result is exactly the plain semi
+    join (the oracle), but the fact-side shuffle into that join
+    carries only bloom-surviving rows.
+
+    This is the manual form of what InjectRuntimeFilter does for
+    SMJ-sized builds: at 100 TB, when the dim's KEYS don't broadcast
+    but their bloom does, the probe shuffle shrinks by the filter's
+    selectivity. Two md5 hashes, OR-construction; false negatives are
+    impossible (same hash both passes), so correctness is oracle-exact
+    regardless of fill factor."""
+    ordr = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _BLOOM_PRICE
+    )
+    keys = ordr.select("o_orderkey")
+    k = F.col("o_orderkey")
+    bloom = (
+        keys.select(
+            F.explode(
+                F.array(_bloom_pos(k, "b0"), _bloom_pos(k, "b1"))
+            ).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("int").alias("word"),
+            (F.col("p") % 64).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .alias("bits")
+        )
+    )
+    li = table(spark, sf_dir, "lineitem")
+    lk = F.col("l_orderkey")
+    probe = li.select(
+        "l_orderkey", "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("revenue"),
+        _bloom_pos(lk, "b0").alias("p0"),
+        _bloom_pos(lk, "b1").alias("p1"),
+    )
+    b0 = bloom.select(
+        F.col("word").alias("word0"), F.col("bits").alias("bits0")
+    )
+    b1 = bloom.select(
+        F.col("word").alias("word1"), F.col("bits").alias("bits1")
+    )
+    cand = (
+        probe.join(
+            F.broadcast(b0),
+            (F.col("p0") / 64).cast("int") == F.col("word0"),
+        )
+        .filter(
+            F.expr("shiftrightunsigned(bits0, CAST(p0 % 64 AS INT)) & 1")
+            == 1
+        )
+        .join(
+            F.broadcast(b1),
+            (F.col("p1") / 64).cast("int") == F.col("word1"),
+        )
+        .filter(
+            F.expr("shiftrightunsigned(bits1, CAST(p1 % 64 AS INT)) & 1")
+            == 1
+        )
+    )
+    return (
+        cand.join(keys, cand.l_orderkey == keys.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), dsum("revenue", "revenue"))
+    )

@@ -447,3 +447,80 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
     )
+
+
+@query(
+    "cdc_apply_merge",
+    oracle="""
+    WITH snap AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 4 != 0)
+      WHERE rn = 1),
+    chg AS (
+      SELECT user_id, value,
+             CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op
+      FROM (
+        SELECT user_id, value, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 4 = 0)
+      WHERE rn = 1)
+    SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+           CASE WHEN c.user_id IS NOT NULL THEN 'change'
+                ELSE 'snapshot' END AS src,
+           ROUND(CASE WHEN c.user_id IS NOT NULL THEN c.value
+                      ELSE s.value END, 6) AS value
+    FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op != 'D'
+    """,
+)
+def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE semantics (insert / update / delete) applied
+    relationally — the lakehouse MERGE INTO, expressed as compaction +
+    one full outer join, so it runs on any engine with no MERGE
+    primitive.
+
+    The change batch is carved deterministically from the stream
+    (event_id % 4 = 0; 'click' changes are deletes, the rest
+    upserts); both snapshot and batch compact latest-wins per key
+    first (bounded window top-1), then a single key-partitioned full
+    outer join applies: matched+D -> drop, matched+U -> update,
+    unmatched-change -> insert, untouched -> carry forward. Scale: two
+    window passes + one join, all hash-partitioned on the same key —
+    AQE coalesces; no row ever visits the driver."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snap = (
+        ev.filter(F.col("event_id") % 4 != 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "value")
+    )
+    chg = (
+        ev.filter(F.col("event_id") % 4 == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("value").alias("c_value"),
+            F.when(F.col("event_type") == "click", F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+        )
+    )
+    merged = snap.join(
+        chg, snap.user_id == chg.c_user_id, "full_outer"
+    ).filter(F.col("op").isNull() | (F.col("op") != "D"))
+    has_chg = F.col("c_user_id").isNotNull()
+    return merged.select(
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+        F.when(has_chg, F.lit("change")).otherwise(F.lit("snapshot"))
+        .alias("src"),
+        F.round(
+            F.when(has_chg, F.col("c_value")).otherwise(F.col("value")), 6
+        ).alias("value"),
+    )

@@ -344,3 +344,23 @@ def test_linreg_partial_aggregates(spark):
     assert "partial_" in plan, plan
     assert "BatchEvalPython" not in plan
     assert "[codegen id" in plan
+
+
+def test_bloom_prefilter_tests_bits_before_exact_join(spark):
+    # Both bloom-word joins must broadcast (the bitmap dim is 1024
+    # rows at ANY build size); nothing sort-merges at this SF, and no
+    # Python appears anywhere in the pipeline.
+    plan = _executed(REG["join_bloom_prefilter"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert final.count("BroadcastHashJoin") >= 2, final
+    assert "BatchEvalPython" not in final
+
+
+def test_cdc_merge_is_two_windows_one_join(spark):
+    # Compaction windows + ONE full outer join, all partitioned on the
+    # key; no nested-loop and no Python.
+    plan = _executed(REG["cdc_apply_merge"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "FullOuter" in final or "full_outer" in final.lower(), final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "BatchEvalPython" not in final
