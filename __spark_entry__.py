@@ -91,7 +91,8 @@ _R4_NEW = frozenset({
     "quality_gate", "join_asof_nearest", "bm25_score", "rank_fusion_rrf",
     "feature_hashing", "text_perplexity_lm", "win_rolling_distinct",
     "ts_anomaly_zscore", "ml_linreg_ols", "mm_video_framesample",
-    "join_bloom_prefilter", "cdc_apply_merge",
+    "join_bloom_prefilter", "cdc_apply_merge", "ts_gapfill_linear",
+    "agg_countmin_topk",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -565,3 +565,69 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_TOPK = 10
+
+
+@query(
+    "agg_countmin_topk",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS est
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY est DESC, token
+    LIMIT {_CMS_TOPK}
+    """,
+)
+def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a REAL count-min sketch: the token stream
+    folds into a {_CMS_DEPTH}x{_CMS_WIDTH} counter grid (one hash row
+    per salt), candidates read back est = min over rows of their
+    counter — the classic Cormode-Muthukrishnan estimator, built
+    entirely from groupBy/join so the sketch is mergeable (counter
+    grids from two corpus shards ADD).
+
+    The oracle is the EXACT top-{_CMS_TOPK}: CMS guarantees est >=
+    true with overestimation only on hash collisions, and at width
+    {_CMS_WIDTH} against this vocabulary the collision mass is zero —
+    the sketch answer IS the exact answer, which is precisely the
+    regime a production sketch is sized for (width ~ e/eps). The
+    candidate set here is the distinct-token dim; at 100 TB you'd
+    carry a space-saving candidate list beside the grid instead of
+    re-deriving distinct tokens.
+
+    Scale: sketch build = one explode + a {_CMS_DEPTH}x-fanout
+    hash-agg onto <= {_CMS_DEPTH * _CMS_WIDTH} cells (map-side
+    partials collapse each task to the grid size); estimate = two
+    broadcast joins of grid-sized dims; top-k = TakeOrdered."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    r = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
+    ).alias("r")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.col("token"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % _CMS_WIDTH
+    )
+    cells = tok.select("token", r).select(
+        "r", pos.alias("pos"), "token"
+    )
+    sketch = cells.groupBy("r", "pos").agg(F.count("*").alias("c"))
+    cand = tok.distinct().select("token", r).select(
+        "token", "r", pos.alias("pos")
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["r", "pos"])
+        .groupBy("token")
+        .agg(F.min("c").cast("long").alias("est"))
+    )
+    return est.orderBy(F.col("est").desc(), "token").limit(_CMS_TOPK)

@@ -524,3 +524,112 @@ def cdc_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(has_chg, F.col("c_value")).otherwise(F.col("value")), 6
         ).alias("value"),
     )
+
+
+@query(
+    "ts_gapfill_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events WHERE event_type = 'purchase'),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds),
+    sparse AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1),
+    j AS (
+      SELECT s.bucket, CAST(sp.v AS DOUBLE) AS v,
+             CAST(epoch(s.bucket) AS BIGINT) AS e
+      FROM spine s LEFT JOIN sparse sp USING (bucket)),
+    w AS (
+      SELECT bucket, v, e,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+               OVER (ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pe,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+               OVER (ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS ne
+      FROM j)
+    SELECT bucket, v AS hour_sum,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (e - pe) / (ne - pe)
+           END, 6) AS hour_sum_interp
+    FROM w
+    """,
+)
+def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup with LINEAR interpolation (the
+    time_bucket_gapfill / interpolate shape): missing buckets take
+    the time-weighted blend of the nearest observed values on either
+    side; leading/trailing gaps degrade to nearest-neighbor.
+
+    Two ignore-nulls window passes over the SPINE (one backward, one
+    forward — both on the bounded one-row-per-hour spine, never on
+    event rows, same single-partition-tail argument as
+    ts_bucket_gapfill); the blend weight is exact integer epoch
+    arithmetic, and the result rounds to 6 on both engines."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    sparse = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6).alias("v")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    j = spine.join(sparse, "bucket", "left").select(
+        "bucket",
+        F.col("v").cast("double").alias("v"),
+        F.unix_timestamp("bucket").alias("e"),
+    )
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.orderBy("bucket").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    e_obs = F.when(F.col("v").isNotNull(), F.col("e"))
+    w = j.select(
+        "bucket", "v", "e",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(e_obs, ignorenulls=True).over(wb).alias("pe"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(e_obs, ignorenulls=True).over(wf).alias("ne"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("e") - F.col("pe"))
+            / (F.col("ne") - F.col("pe"))
+        )
+    )
+    return w.select(
+        "bucket",
+        F.col("v").alias("hour_sum"),
+        F.round(interp, 6).alias("hour_sum_interp"),
+    )

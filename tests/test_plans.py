@@ -364,3 +364,24 @@ def test_cdc_merge_is_two_windows_one_join(spark):
     assert "FullOuter" in final or "full_outer" in final.lower(), final
     assert "BroadcastNestedLoopJoin" not in final
     assert "BatchEvalPython" not in final
+
+
+def test_countmin_sketch_joins_broadcast_and_topk_takes_ordered(spark):
+    # The counter grid is <= depth*width rows: estimate joins must
+    # broadcast it, and the heavy-hitter cut is TakeOrdered, not a
+    # global sort.
+    plan = _executed(REG["agg_countmin_topk"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final
+    assert "TakeOrderedAndProject" in final
+    assert "partial_" in plan
+
+
+def test_gapfill_linear_windows_only_the_spine(spark):
+    # Both ignore-nulls passes run over the hour spine (bounded),
+    # after the sparse agg — event rows never enter a window.
+    plan = _executed(REG["ts_gapfill_linear"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "Window" in final
+    assert "BatchEvalPython" not in final
