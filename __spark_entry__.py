@@ -92,7 +92,7 @@ _R4_NEW = frozenset({
     "feature_hashing", "text_perplexity_lm", "win_rolling_distinct",
     "ts_anomaly_zscore", "ml_linreg_ols", "mm_video_framesample",
     "join_bloom_prefilter", "cdc_apply_merge", "ts_gapfill_linear",
-    "agg_countmin_topk",
+    "agg_countmin_topk", "win_streaks",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

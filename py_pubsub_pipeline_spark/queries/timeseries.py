@@ -633,3 +633,62 @@ def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("hour_sum"),
         F.round(interp, 6).alias("hour_sum_interp"),
     )
+
+
+@query(
+    "win_streaks",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id,
+                                CASE WHEN event_type = 'error'
+                                     THEN 1 ELSE 0 END
+                                ORDER BY ts, event_id) AS rn_c
+      FROM events),
+    runs AS (
+      SELECT user_id, COUNT(*) AS run_len
+      FROM seq WHERE is_err = 1
+      GROUP BY user_id, rn - rn_c)
+    SELECT user_id,
+           CAST(MAX(run_len) AS BIGINT) AS max_error_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_error_runs
+    FROM runs
+    GROUP BY user_id
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-condition run per key (gaps-and-islands on
+    a predicate): the rn - rn_cond difference is constant within each
+    unbroken run of error events, so one grouped count per (user,
+    diff) recovers every run length without self-joins or iteration.
+
+    Scale: both row_number windows share the same (user_id) partition
+    ordering — ONE shuffle, one in-partition sort, then two hash aggs
+    whose keys are run-bounded. Per-key window state is a counter, not
+    history. The classic sessionize-adjacent shape (sessionize_gaps
+    islands on TIME gaps; this islands on a PREDICATE)."""
+    ev = table(spark, sf_dir, "events")
+    is_err = (F.col("event_type") == "error").cast("int")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cond = Window.partitionBy("user_id", "is_err").orderBy(
+        "ts", "event_id"
+    )
+    seq = ev.select(
+        "user_id", "event_id", "ts", is_err.alias("is_err")
+    ).select(
+        "user_id", "is_err",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_cond).alias("rn_c"),
+    )
+    runs = (
+        seq.filter(F.col("is_err") == 1)
+        .groupBy("user_id", (F.col("rn") - F.col("rn_c")).alias("grp"))
+        .agg(F.count("*").alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("max_error_streak"),
+        F.count("*").cast("long").alias("n_error_runs"),
+    )

@@ -385,3 +385,13 @@ def test_gapfill_linear_windows_only_the_spine(spark):
     final = _final(plan)
     assert "Window" in final
     assert "BatchEvalPython" not in final
+
+
+def test_streaks_share_one_exchange_across_both_windows(spark):
+    # HashPartitioning(user_id) satisfies the (user_id, is_err)
+    # clustering too, so both row_number windows ride ONE shuffle;
+    # the run aggs partial-aggregate after it.
+    plan = _executed(REG["win_streaks"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert final.count("Exchange") <= 2, final  # window + final agg
+    assert "BatchEvalPython" not in final
