@@ -92,7 +92,8 @@ _R4_NEW = frozenset({
     "feature_hashing", "text_perplexity_lm", "win_rolling_distinct",
     "ts_anomaly_zscore", "ml_linreg_ols", "mm_video_framesample",
     "join_bloom_prefilter", "cdc_apply_merge", "ts_gapfill_linear",
-    "agg_countmin_topk", "win_streaks",
+    "agg_countmin_topk", "win_streaks", "join_asof_tolerance",
+    "sample_importance",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -233,3 +233,66 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(nearest.cast("timestamp"))
         ).alias("gap_us"),
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= {_ASOF_TOL_US}
+                THEN v.ts END AS view_ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= {_ASOF_TOL_US}
+                THEN epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pd.merge_asof's `tolerance`):
+    the nearest-prior view still matches only if it happened within
+    1 hour of the purchase; staler matches degrade to NULL exactly as
+    an unmatched row would. Same single-shuffle union+last(ignorenulls)
+    timeline as join_asof — the tolerance is a pure map-side gate on
+    the carried match, so the plan (and its 100 TB behavior) is
+    unchanged from the base as-of."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    left = purchases.select(
+        "user_id", F.col("purchase_ts").alias("t"),
+        F.lit(1).alias("side"), "event_id", "purchase_ts",
+        F.lit(None).cast("timestamp_ntz").alias("view_ts"),
+    )
+    right = views.select(
+        "user_id", F.col("view_ts").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+        "view_ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "matched_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    gap = (
+        F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+        - F.unix_micros(F.col("matched_view_ts").cast("timestamp"))
+    )
+    in_tol = gap <= _ASOF_TOL_US
+    return merged.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "purchase_ts",
+        F.when(in_tol, F.col("matched_view_ts")).alias("view_ts"),
+        F.when(in_tol, gap).alias("gap_us"),
+    )

@@ -366,3 +366,48 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_keys"),
         )
     )
+
+
+@query(
+    "sample_importance",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents)
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS DECIMAL(38,0)) * n_tok
+          < CAST(n_uniq AS DECIMAL(38,0)) * 4294967296
+    """,
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with a PER-ROW keep probability: each doc
+    survives with probability equal to its lexical-diversity score
+    (n_uniq / n_tokens) — the quality-weighted downsampling step of a
+    data-mixing pipeline (cf. per-GROUP rates in sample_balanced).
+
+    The gate is exact integer arithmetic end to end: u (md5 of the
+    doc id, uniform on [0, 2^32)) keeps iff u * n_tok < n_uniq * 2^32
+    — the score never materializes as a float, so no boundary row can
+    flip between engines; decimal(38,0) widening forbids int64 wrap.
+    Map-side only: no shuffle, partitioning- and retry-invariant."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id", "lang",
+            F.size(F.array_distinct(toks)).alias("n_uniq"),
+            F.size(toks).alias("n_tok"),
+            u.alias("u"),
+        )
+        .filter(
+            F.col("u").cast("decimal(38,0)") * F.col("n_tok")
+            < F.col("n_uniq").cast("decimal(38,0)") * F.lit(4294967296)
+        )
+        .select("doc_id", "lang")
+    )

@@ -395,3 +395,11 @@ def test_streaks_share_one_exchange_across_both_windows(spark):
     final = _final(plan)
     assert final.count("Exchange") <= 2, final  # window + final agg
     assert "BatchEvalPython" not in final
+
+
+def test_sample_importance_is_shuffle_free(spark):
+    # Per-row md5 gate: pure map-side filter, no exchange, no Python.
+    plan = _executed(REG["sample_importance"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "Exchange" not in final, final
+    assert "BatchEvalPython" not in final
