@@ -631,3 +631,60 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("long").alias("est"))
     )
     return est.orderBy(F.col("est").desc(), "token").limit(_CMS_TOPK)
+
+
+@query(
+    "agg_bitmap_intersect",
+    oracle="""
+    SELECT
+      (SELECT COUNT(DISTINCT user_id) FROM events
+        WHERE event_type = 'purchase') AS n_purchase,
+      (SELECT COUNT(DISTINCT user_id) FROM events
+        WHERE event_type = 'view') AS n_view,
+      (SELECT COUNT(*) FROM
+        (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'view') t)
+        AS n_both
+    """,
+)
+def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience overlap through mergeable bitmaps: each side's
+    user set folds into (word = id//64, bits = bit_or(1<<id%64)) — the
+    roaring-bitmap shape on plain longs — then one word-aligned join
+    ANDs the sides and popcounts (the OR twin is agg_bitmap_rollup).
+
+    Why not COUNT(DISTINCT a) + INTERSECT? Those re-shuffle raw user
+    ids per question; the bitmap form is a reusable, ADDITIVE artifact
+    — shards bit_or in, every boolean audience question after that is
+    word-local bit math on dims 64x smaller than the id sets. The
+    oracle asks DuckDB the same three questions the exact way, so the
+    whole bitmap pipeline is verified against set semantics."""
+    e = table(spark, sf_dir, "events")
+
+    def bitmap(event_type: str, bits_name: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .select(
+                (F.col("user_id") / 64).cast("long").alias("word"),
+                (F.col("user_id") % 64).cast("int").alias("bit"),
+            )
+            .groupBy("word")
+            .agg(
+                F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                .alias(bits_name)
+            )
+        )
+
+    p = bitmap("purchase", "pbits")
+    v = bitmap("view", "vbits")
+    j = p.join(v, "word", "full_outer").select(
+        F.coalesce(F.col("pbits"), F.lit(0)).alias("pbits"),
+        F.coalesce(F.col("vbits"), F.lit(0)).alias("vbits"),
+    )
+    return j.agg(
+        F.sum(F.bit_count("pbits")).cast("long").alias("n_purchase"),
+        F.sum(F.bit_count("vbits")).cast("long").alias("n_view"),
+        F.sum(F.bit_count(F.col("pbits").bitwiseAND(F.col("vbits"))))
+        .cast("long").alias("n_both"),
+    )

@@ -403,3 +403,13 @@ def test_sample_importance_is_shuffle_free(spark):
     final = _final(plan)
     assert "Exchange" not in final, final
     assert "BatchEvalPython" not in final
+
+
+def test_bitmap_intersect_aggregates_words_not_ids(spark):
+    # Both sides collapse to word-keyed bitmaps before any join —
+    # partial bit_or map-side; the overlap math is one word join plus
+    # a scalar agg, no raw-id distinct anywhere.
+    plan = _executed(REG["agg_bitmap_intersect"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in final
