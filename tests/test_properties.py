@@ -125,3 +125,109 @@ def test_df_cap_defuses_boilerplate_blowup(spark, tmp_path):
         (r.a_id, r.b_id) for r in dedup_ngram_jaccard(spark, sf).collect()
     }
     assert (7, 100) in uncapped
+
+
+# ------------------------------------------------------------- y4m
+
+frames_strat = st.tuples(
+    st.integers(min_value=1, max_value=4),   # width
+    st.integers(min_value=1, max_value=4),   # height
+    st.integers(min_value=1, max_value=6),   # n_frames
+    st.integers(min_value=1, max_value=3),   # sample every
+    st.randoms(use_true_random=False),
+)
+
+
+@given(frames_strat)
+@settings(max_examples=100, deadline=None)
+def test_y4m_decode_recovers_synthesis_for_all_geometries(args):
+    from py_pubsub_pipeline_spark.multimodal import (
+        decode_y4m_sample,
+        encode_y4m,
+    )
+
+    w, h, n, every, rng = args
+    fsize = 3 * w * h
+    frames = [
+        bytes(rng.randrange(256) for _ in range(fsize)) for _ in range(n)
+    ]
+    exp_sampled = [f for i, f in enumerate(frames) if i % every == 0]
+    got = decode_y4m_sample(encode_y4m(w, h, frames), every=every)
+    assert got == (
+        w, h, n, len(exp_sampled), sum(sum(f) for f in exp_sampled),
+    )
+
+
+# --------------------------------------------- sketch invariants
+
+token_lists = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=1, max_size=6,
+    ),
+    min_size=1, max_size=60,
+)
+
+
+@given(token_lists)
+@settings(max_examples=50, deadline=None)
+def test_countmin_never_underestimates(tokens):
+    # The CMS guarantee the oracle's exact-regime equality rests on:
+    # est = min over rows of the counter is >= the true count for
+    # EVERY key, at any width/collision level. Pure-Python mirror of
+    # the query's md5 arithmetic (width shrunk to force collisions).
+    import hashlib
+    from collections import Counter
+
+    depth, width = 4, 8  # deliberately tiny -> collisions guaranteed
+    grid = [Counter() for _ in range(depth)]
+
+    def pos(r, tok):
+        h = hashlib.md5(f"{r}{tok}".encode()).hexdigest()[:8]
+        return int(h, 16) % width
+
+    for t in tokens:
+        for r in range(depth):
+            grid[r][pos(r, t)] += 1
+    true = Counter(tokens)
+    for t, c in true.items():
+        est = min(grid[r][pos(r, t)] for r in range(depth))
+        assert est >= c
+
+
+key_sets = st.tuples(
+    st.sets(st.integers(min_value=0, max_value=10**6), min_size=1,
+            max_size=50),
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+             max_size=50),
+)
+
+
+@given(key_sets)
+@settings(max_examples=50, deadline=None)
+def test_bloom_has_no_false_negatives(args):
+    # join_bloom_prefilter's correctness rests on this: a key folded
+    # into the bitmap ALWAYS tests positive (false positives are fine
+    # — the exact semi join removes them). Pure-Python mirror of the
+    # query's two-hash md5 arithmetic at a tiny width.
+    import hashlib
+
+    build, probe = args
+    bits_n = 256
+
+    def positions(k):
+        out = []
+        for salt in ("b0", "b1"):
+            h = hashlib.md5(f"{salt}{k}".encode()).hexdigest()[:8]
+            out.append(int(h, 16) % bits_n)
+        return out
+
+    bitmap = 0
+    for k in build:
+        for p in positions(k):
+            bitmap |= 1 << p
+    for k in build:
+        assert all((bitmap >> p) & 1 for p in positions(k))
+    for k in probe:
+        if k in build:
+            assert all((bitmap >> p) & 1 for p in positions(k))
