@@ -93,7 +93,7 @@ _R4_NEW = frozenset({
     "ts_anomaly_zscore", "ml_linreg_ols", "mm_video_framesample",
     "join_bloom_prefilter", "cdc_apply_merge", "ts_gapfill_linear",
     "agg_countmin_topk", "win_streaks", "join_asof_tolerance",
-    "sample_importance", "agg_bitmap_intersect",
+    "sample_importance", "agg_bitmap_intersect", "scan_binaryfile",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -281,3 +281,62 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("b").alias("min_b"), F.max("b").alias("max_b"),
         )
     )
+
+
+_NBIN = 200  # binary assets materialized (bounded at every sf)
+
+
+@query(
+    "scan_binaryfile",
+    oracle=f"""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id < {_NBIN}
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binaryFile source — Spark's ingestion path for opaque media
+    assets (one row per file: path, length, content BINARY), i.e. how
+    image/audio/video bytes enter the multimodal pipeline from an
+    object store. A bounded set of per-document .bin files is
+    materialized once (executor-side foreachPartition — the write is
+    harness scaffolding, the graded surface is the scan), then read
+    back with a pathGlobFilter and verified byte-for-byte via md5
+    against the source table.
+
+    Scale: binaryFile lists then reads whole files (no splitting —
+    one task per file); the engine guidance is the same as every
+    object store's: batch small assets into archives/parquet BINARY
+    columns (mm_* queries) for the hot path, use binaryFile for
+    ingest."""
+    path = _cache_dir(sf_dir, "binfiles")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(path, exist_ok=True)
+        src = (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _NBIN)
+            .select("doc_id", "text")
+        )
+
+        def write_part(rows):
+            for r in rows:
+                with open(
+                    os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb"
+                ) as f:
+                    f.write(r["text"].encode())
+
+        src.foreachPartition(write_part)
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+    b = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return b.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long").alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
