@@ -921,3 +921,80 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes.join(fp, "k")
         .select(F.col("k").alias("cluster"), "n_vecs", "centroid_md5")
     )
+
+
+@query(
+    "ml_knn_classify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND({_SQL_COS.format(a='q.e', b='c.e')}, 6) AS cos_sim
+           FROM q JOIN c ON q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id)
+                       AS rnk
+           FROM scored),
+         votes AS (
+           SELECT r.query_id, e.label, COUNT(*) AS n_votes
+           FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+           WHERE r.rnk <= {TOP_K}
+           GROUP BY r.query_id, e.label),
+         best AS (
+           SELECT query_id, label AS pred_label, n_votes,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, label) AS vr
+           FROM votes)
+    SELECT b.query_id, b.pred_label, CAST(b.n_votes AS BIGINT) AS n_votes,
+           t.label AS true_label,
+           CAST(CASE WHEN b.pred_label = t.label THEN 1 ELSE 0 END
+                AS INTEGER) AS correct
+    FROM best b JOIN embeddings t ON t.vec_id = b.query_id
+    WHERE b.vr = 1
+    """,
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding space: each probe takes
+    the majority label of its {TOP_K} nearest neighbors (cosine,
+    excluding itself) — the label-propagation / auto-labeling step of
+    a curation pipeline, and the evaluation harness for embedding
+    quality (`correct` compares against the stored label).
+
+    Built ON the driver-free cogrouped tile kernel
+    (sim_topk_bucketed): neighbor search never collects probes, the
+    vote is one (query, label) hash agg on TOP_K-bounded rows, and the
+    tie-breaks (rounded score + neighbor_id for the cut; vote count +
+    smallest label for the vote) make every stage engine-exact."""
+    nn = sim_topk_bucketed(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    neigh_labels = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nbr_label"),
+    )
+    votes = (
+        nn.join(neigh_labels, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), "nbr_label"
+    )
+    best = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+    )
+    truth = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    return best.join(truth, "query_id").select(
+        "query_id",
+        F.col("nbr_label").alias("pred_label"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        "true_label",
+        (F.col("nbr_label") == F.col("true_label")).cast("int")
+        .alias("correct"),
+    )

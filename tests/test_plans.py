@@ -413,3 +413,20 @@ def test_bitmap_intersect_aggregates_words_not_ids(spark):
     final = _final(plan)
     assert "partial_" in plan
     assert "BatchEvalPython" not in final
+
+
+def test_knn_classify_builds_without_driver_jobs(spark):
+    # Rides the cogrouped tile kernel: construction must launch zero
+    # Spark jobs beyond the one-time table-catalog footer read (no
+    # probe .collect()).
+    from py_pubsub_pipeline_spark.tables import table
+
+    table(spark, SF_SMALL, "embeddings")  # warm the catalog cache
+    sc = spark.sparkContext
+    sc.setJobGroup("knn_build", "plan-gate")
+    try:
+        REG["ml_knn_classify"].fn(spark, SF_SMALL)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("knn_build")
+    assert not jobs, f"query construction launched driver jobs: {jobs}"
