@@ -344,3 +344,102 @@ def text_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(-F.sum("lp") / F.count("*"), 6).alias("avg_nll"),
     )
+
+
+@query(
+    "ml_naive_bayes",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS token
+      FROM documents),
+    ct AS (SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY lang, token),
+    cl AS (SELECT lang, COUNT(*) AS n FROM tok GROUP BY lang),
+    v AS (SELECT COUNT(DISTINCT token) AS v FROM tok),
+    pri AS (
+      SELECT lang, ln(CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM documents)) AS lp
+      FROM documents GROUP BY lang),
+    cond AS (
+      SELECT cl.lang, t.token,
+             ln((COALESCE(ct.c, 0) + 1.0) / (cl.n + v.v)) AS lp
+      FROM (SELECT DISTINCT token FROM tok) t
+      CROSS JOIN cl
+      LEFT JOIN ct ON ct.lang = cl.lang AND ct.token = t.token
+      CROSS JOIN v),
+    scored AS (
+      SELECT tok.doc_id, cond.lang,
+             ROUND(SUM(cond.lp) + ANY_VALUE(pri.lp), 6) AS score
+      FROM tok
+      JOIN cond ON cond.token = tok.token
+      JOIN pri ON pri.lang = cond.lang
+      GROUP BY tok.doc_id, cond.lang),
+    best AS (
+      SELECT doc_id, lang AS pred_lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS r
+      FROM scored)
+    SELECT b.doc_id, b.pred_lang, b.score, d.lang AS true_lang,
+           CAST(CASE WHEN b.pred_lang = d.lang THEN 1 ELSE 0 END
+                AS INTEGER) AS correct
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE b.r = 1
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes, trained AND applied in one relational
+    plan: add-one-smoothed token likelihoods per language + log
+    priors, each document classified by the argmax of its summed
+    log-probabilities — the classic text classifier as pure
+    groupBy/join algebra, no ML library, no iteration.
+
+    Scale: the model is a (lang x vocab) dim built from one token agg
+    — vocabulary-sized, broadcast back over the token stream (the
+    same shape as text_perplexity_lm's count dims); scoring is one
+    (doc, lang) hash agg with 5x token fan-out; the argmax is a
+    per-doc bounded window. Scores round to 6 before ranking with a
+    language tie-break so the argmax is engine-exact."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_toks()).alias("token"))
+    ct = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    cl = tok.groupBy("lang").agg(F.count("*").alias("n"))
+    v = tok.agg(F.countDistinct("token").alias("v"))
+    pri = (
+        d.groupBy("lang").agg(F.count("*").alias("nd"))
+        .join(F.broadcast(d.agg(F.count("*").alias("nt"))))
+        .select("lang", F.log(F.col("nd") / F.col("nt")).alias("prior_lp"))
+    )
+    vocab = tok.select("token").distinct()
+    cond = (
+        vocab.crossJoin(F.broadcast(cl))
+        .join(F.broadcast(ct), ["lang", "token"], "left")
+        .join(F.broadcast(v))
+        .select(
+            "lang", "token",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("n") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(cond), "token")
+        .groupBy("doc_id", cond.lang)
+        .agg(F.sum("lp").alias("sum_lp"))
+        .join(F.broadcast(pri), "lang")
+        .select(
+            "doc_id", "lang",
+            F.round(F.col("sum_lp") + F.col("prior_lp"), 6).alias("score"),
+        )
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    best = scored.withColumn("r", F.row_number().over(wb)).filter(
+        F.col("r") == 1
+    )
+    truth = d.select("doc_id", F.col("lang").alias("true_lang"))
+    return best.join(truth, "doc_id").select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        "score",
+        "true_lang",
+        (F.col("lang") == F.col("true_lang")).cast("int").alias("correct"),
+    )

@@ -430,3 +430,13 @@ def test_knn_classify_builds_without_driver_jobs(spark):
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup("knn_build")
     assert not jobs, f"query construction launched driver jobs: {jobs}"
+
+
+def test_naive_bayes_model_dims_broadcast(spark):
+    # The (lang x vocab) likelihood dim and priors must broadcast
+    # against the token stream — the model is vocabulary-sized, the
+    # data is not.
+    plan = _executed(REG["ml_naive_bayes"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "BroadcastHashJoin" in final, final
+    assert "BatchEvalPython" not in final
