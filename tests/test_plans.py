@@ -440,3 +440,13 @@ def test_naive_bayes_model_dims_broadcast(spark):
     final = _final(plan)
     assert "BroadcastHashJoin" in final, final
     assert "BatchEvalPython" not in final
+
+
+def test_asof_tolerance_keeps_single_timeline_shuffle(spark):
+    # The tolerance gate must not change the as-of plan: one exchange
+    # for the per-key timeline window, no join node at all.
+    plan = _executed(REG["join_asof_tolerance"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert final.count("Exchange") <= 1, final
+    assert "Join" not in final, final
+    assert "Window" in final
