@@ -94,7 +94,8 @@ _R4_NEW = frozenset({
     "join_bloom_prefilter", "cdc_apply_merge", "ts_gapfill_linear",
     "agg_countmin_topk", "win_streaks", "join_asof_tolerance",
     "sample_importance", "agg_bitmap_intersect", "scan_binaryfile",
-    "ml_knn_classify", "ml_naive_bayes",
+    "ml_knn_classify", "ml_naive_bayes", "join_interval_outer",
+    "dq_drift_psi",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -190,3 +190,49 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "join_interval_outer",
+    oracle="""
+    SELECT c.user_id AS c_user, c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.value AS amount
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 900 SECONDS
+    """,
+)
+def join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join — attribution that also KEEPS the
+    unconverted clicks (purchase columns null), the batch twin of a
+    watermarked stream-stream outer join where the null row emits at
+    watermark expiry. Same equi-key hash join as the inner form
+    (user_id carries the shuffle; the time band is the join residual);
+    the outer side adds no shuffle, only null-row emission."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 900 SECONDS")
+        ),
+        "left",
+    )
+    return joined.select(
+        "c_user", "click_id", "click_ts", "purchase_id", "amount"
+    )

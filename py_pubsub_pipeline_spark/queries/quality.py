@@ -411,3 +411,118 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
+
+
+_PSI_BUCKETS = 10
+
+
+@query(
+    "dq_drift_psi",
+    oracle=f"""
+    WITH vmax AS (SELECT MAX(value) AS m FROM events),
+    b AS (
+      SELECT event_type, event_id % 2 AS half,
+             LEAST({_PSI_BUCKETS - 1},
+                   CAST(FLOOR(value / (m / {_PSI_BUCKETS})) AS INT))
+               AS bucket
+      FROM events, vmax),
+    cnt AS (
+      SELECT event_type, half, bucket, COUNT(*) AS n
+      FROM b GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT event_type, half, SUM(n) AS t FROM cnt GROUP BY 1, 2),
+    spine AS (
+      SELECT DISTINCT c.event_type, g.bucket
+      FROM cnt c, UNNEST(generate_series(0, {_PSI_BUCKETS - 1})) g(bucket)),
+    p AS (
+      SELECT s.event_type, s.bucket,
+             (COALESCE(r.n, 0) + 1.0)
+               / (rt.t + {_PSI_BUCKETS}) AS p_ref,
+             (COALESCE(c.n, 0) + 1.0)
+               / (ct.t + {_PSI_BUCKETS}) AS p_cur
+      FROM spine s
+      LEFT JOIN cnt r ON r.event_type = s.event_type
+                     AND r.bucket = s.bucket AND r.half = 0
+      LEFT JOIN cnt c ON c.event_type = s.event_type
+                     AND c.bucket = s.bucket AND c.half = 1
+      JOIN tot rt ON rt.event_type = s.event_type AND rt.half = 0
+      JOIN tot ct ON ct.event_type = s.event_type AND ct.half = 1)
+    SELECT event_type,
+           ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
+    FROM p
+    GROUP BY event_type
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two halves of the stream —
+    the standard drift monitor between a reference window and a
+    current window, per event type. Values bucket into {_PSI_BUCKETS}
+    fixed-width bins (edges from the global max, an exact 1-row
+    scalar), proportions take add-one smoothing so empty bins can't
+    blow up the log, and psi = sum((p_cur - p_ref) * ln(p_cur/p_ref)).
+
+    Scale: two bounded hash aggs (cells <= types x halves x bins) on
+    one scan, a bin-spine outer join of dim-sized tables, and a
+    final bounded agg — nothing event-sized past the first agg. The
+    halves here split on event_id parity for determinism; production
+    splits on time windows, same plan."""
+    ev = table(spark, sf_dir, "events")
+    vmax = ev.agg(F.max("value").alias("m"))
+    b = ev.join(F.broadcast(vmax)).select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.least(
+            F.lit(_PSI_BUCKETS - 1),
+            F.floor(F.col("value") / (F.col("m") / _PSI_BUCKETS))
+            .cast("int"),
+        ).alias("bucket"),
+    )
+    cnt = b.groupBy("event_type", "half", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    tot = cnt.groupBy("event_type", "half").agg(F.sum("n").alias("t"))
+    spine = (
+        cnt.select("event_type").distinct()
+        .crossJoin(
+            spark.range(_PSI_BUCKETS)
+            .select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    r = cnt.filter(F.col("half") == 0).select(
+        "event_type", "bucket", F.col("n").alias("n_ref")
+    )
+    c = cnt.filter(F.col("half") == 1).select(
+        "event_type", "bucket", F.col("n").alias("n_cur")
+    )
+    rt = tot.filter(F.col("half") == 0).select(
+        "event_type", F.col("t").alias("t_ref")
+    )
+    ct = tot.filter(F.col("half") == 1).select(
+        "event_type", F.col("t").alias("t_cur")
+    )
+    p = (
+        spine.join(r, ["event_type", "bucket"], "left")
+        .join(c, ["event_type", "bucket"], "left")
+        .join(rt, "event_type")
+        .join(ct, "event_type")
+        .select(
+            "event_type",
+            (
+                (F.coalesce(F.col("n_ref"), F.lit(0)) + F.lit(1.0))
+                / (F.col("t_ref") + _PSI_BUCKETS)
+            ).alias("p_ref"),
+            (
+                (F.coalesce(F.col("n_cur"), F.lit(0)) + F.lit(1.0))
+                / (F.col("t_cur") + _PSI_BUCKETS)
+            ).alias("p_cur"),
+        )
+    )
+    return p.groupBy("event_type").agg(
+        F.round(
+            F.sum(
+                (F.col("p_cur") - F.col("p_ref"))
+                * F.log(F.col("p_cur") / F.col("p_ref"))
+            ),
+            6,
+        ).alias("psi")
+    )

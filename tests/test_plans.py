@@ -450,3 +450,11 @@ def test_asof_tolerance_keeps_single_timeline_shuffle(spark):
     assert final.count("Exchange") <= 1, final
     assert "Join" not in final, final
     assert "Window" in final
+
+
+def test_psi_nothing_event_sized_after_first_agg(spark):
+    # The PSI pipeline must collapse to (type, half, bin) cells in
+    # its first aggregation; every later node is dim-sized.
+    plan = _executed(REG["dq_drift_psi"].fn(spark, SF_SMALL), spark)
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan
