@@ -231,3 +231,39 @@ def test_bloom_has_no_false_negatives(args):
     for k in probe:
         if k in build:
             assert all((bitmap >> p) & 1 for p in positions(k))
+
+
+# --------------------------------------------------------- psi
+
+half_counts = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=10,
+             max_size=10),
+    st.lists(st.integers(min_value=0, max_value=100), min_size=10,
+             max_size=10),
+)
+
+
+def _psi(ref, cur):
+    import math
+
+    tr, tc = sum(ref), sum(cur)
+    out = 0.0
+    for r, c in zip(ref, cur):
+        pr = (r + 1.0) / (tr + 10)
+        pc = (c + 1.0) / (tc + 10)
+        out += (pc - pr) * math.log(pc / pr)
+    return out
+
+
+@given(half_counts)
+@settings(max_examples=100, deadline=None)
+def test_psi_is_nonnegative_and_zero_iff_identical(args):
+    # The invariants dq_drift_psi's alerting semantics rest on:
+    # each term (pc-pr)*ln(pc/pr) has matching signs -> PSI >= 0,
+    # with equality exactly when the smoothed distributions agree.
+    ref, cur = args
+    psi = _psi(ref, cur)
+    assert psi >= -1e-12
+    assert abs(_psi(ref, ref)) < 1e-12
+    # symmetry of the smoothed form
+    assert abs(psi - _psi(cur, ref)) < 1e-9
