@@ -1,6 +1,9 @@
 """Structured-Streaming helpers: watermarks, windows, stateful dedup."""
 
-from .joins import stream_stream_interval_join  # noqa: F401
+from .joins import (  # noqa: F401
+    stream_stream_interval_join,
+    stream_stream_interval_outer_join,
+)
 from .stateful import stateful_sessionize  # noqa: F401
 from .windows import (  # noqa: F401
     sessionized_stream,

@@ -161,3 +161,76 @@ def test_windowed_leaderboard_stream_matches_batch_twin(
     assert settled == expected, (
         f"{len(settled)}/{len(expected)} leaderboard rows settled"
     )
+
+
+def test_stream_stream_outer_join_emits_nulls_past_watermark(
+    spark, events_stream_dir
+):
+    """The LEFT OUTER interval join: matched rows equal the inner
+    join's; null rows appear exactly for unmatched clicks whose
+    no-match deadline (click_ts + 900s) the final watermark has
+    passed — the withheld tail is the watermark contract at work."""
+    from py_pubsub_pipeline_spark.streaming import (
+        stream_stream_interval_outer_join,
+    )
+
+    stream = _stream_events(spark, events_stream_dir)
+    name = f"sso_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        stream_stream_interval_outer_join(stream, stream,
+                                          within_seconds=900),
+        name,
+    )
+    rows = spark.table(name).collect()
+    got_matched = {
+        (r.c_user, r.click_id, r.purchase_id)
+        for r in rows if r.purchase_id is not None
+    }
+    got_null_clicks = {
+        r.click_id for r in rows if r.purchase_id is None
+    }
+
+    batch = table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    from py_pubsub_pipeline_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    inner = stream_stream_interval_join(
+        batch, batch, within_seconds=900
+    ).collect()
+    exp_matched = {(r.c_user, r.click_id, r.purchase_id) for r in inner}
+    assert got_matched == exp_matched
+
+    ev = table(spark, SF_SMALL, "events")
+    # The query's event-time watermark is the MIN across the two
+    # watermarked sides — each tracks ITS OWN column's max — so the
+    # final watermark is min(max click_ts, max purchase_ts) - 10min,
+    # not the global event max.
+    final_wm = min(
+        ev.filter(F.col("event_type") == t)
+        .agg(F.max("ts")).collect()[0][0]
+        for t in ("click", "purchase")
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    matched_click_ids = {c for (_, c, _) in exp_matched}
+    unmatched = clicks.filter(
+        ~F.col("event_id").isin(*matched_click_ids)
+    )
+    # Null row emitted once the final watermark passes the deadline.
+    # The engine applies a small state-eviction allowance at the exact
+    # boundary, so the must-emit set takes a 1-minute safety margin;
+    # the upper bound (every null row is truly unmatched) stays tight.
+    evictable = {
+        r.event_id
+        for r in unmatched.filter(
+            F.col("ts") + F.expr("INTERVAL 900 SECONDS")
+            < F.lit(final_wm) - F.expr("INTERVAL 11 MINUTES")
+        ).collect()
+    }
+    all_unmatched = {r.event_id for r in unmatched.collect()}
+    assert evictable <= got_null_clicks <= all_unmatched
+    assert evictable, "no evictable unmatched clicks at sf0.001"
+    # and no matched click ever produced a null row
+    assert not (got_null_clicks & matched_click_ids)
