@@ -128,6 +128,61 @@ class IdempotentParquetSink:
         )
 
 
+class MergeUpsertSink:
+    """Streaming MERGE materialization (the lakehouse upsert view,
+    batch twin: queries/timeseries.cdc_latest_state): each micro-batch
+    folds into a key-compacted latest-wins snapshot via
+    stage-then-atomic-swap, so concurrent readers never observe
+    partial state and a replayed batch (the at-least-once window)
+    CONVERGES instead of duplicating — max-by merge is idempotent:
+    merge(snapshot, batch) == merge(merge(snapshot, batch), batch).
+
+    Scale: each trigger re-compacts snapshot ∪ batch with one window
+    pass partitioned on the key — the plain-parquet analog of a
+    Delta/Iceberg MERGE INTO; for snapshots too large to rewrite per
+    trigger, partition the snapshot by key-hash and rewrite only the
+    partitions the batch touches (same swap discipline per
+    partition)."""
+
+    def __init__(self, path: str, key: str, order: list[str]):
+        self.path = path
+        self.key = key
+        self.order = order  # total order; latest (max) wins
+
+    def _snapshot_dir(self) -> str:
+        return os.path.join(self.path, "current")
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        cur_dir = self._snapshot_dir()
+        merged = batch_df
+        if os.path.exists(os.path.join(cur_dir, "_SUCCESS")):
+            merged = spark.read.parquet(cur_dir).unionByName(batch_df)
+        w = Window.partitionBy(self.key).orderBy(
+            *[F.col(c).desc() for c in self.order]
+        )
+        compacted = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        stage = os.path.join(self.path, f"stage-{epoch_id}")
+        compacted.write.mode("overwrite").parquet(stage)
+        old = os.path.join(self.path, f"old-{epoch_id}")
+        if os.path.exists(cur_dir):
+            os.rename(cur_dir, old)
+        os.rename(stage, cur_dir)
+        if os.path.exists(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+
+    def read_snapshot(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._snapshot_dir())
+
+
 class CollectingSink:
     """Test sink: collects payloads driver-side; optionally fails to
     exercise the no-commit-on-failure path (reference test T:87-104)."""

@@ -234,3 +234,54 @@ def test_stream_stream_outer_join_emits_nulls_past_watermark(
     assert evictable, "no evictable unmatched clicks at sf0.001"
     # and no matched click ever produced a null row
     assert not (got_null_clicks & matched_click_ids)
+
+
+def test_merge_upsert_sink_materializes_latest_state_and_converges(
+    spark, events_stream_dir, tmp_path
+):
+    """Streaming MERGE materialization: after draining the stream the
+    snapshot equals the oracle-checked batch compaction
+    (cdc_latest_state's latest-wins semantics), and replaying the
+    final batch converges (idempotent merge, no duplicates)."""
+    from py_pubsub_pipeline_spark.pipeline import MergeUpsertSink
+
+    stream = _stream_events(spark, events_stream_dir)
+    sink = MergeUpsertSink(
+        str(tmp_path / "merge"), key="user_id", order=["ts", "event_id"]
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.event_id)
+        for r in sink.read_snapshot(spark)
+        .select("user_id", "event_id").collect()
+    }
+    ev = table(spark, SF_SMALL, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expected = {
+        (r.user_id, r.event_id)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").select("user_id", "event_id").collect()
+    }
+    assert got == expected
+
+    # replay: re-applying the whole input as one batch must converge
+    sink(ev.withColumn("ts", F.col("ts").cast("timestamp")), 999)
+    again = {
+        (r.user_id, r.event_id)
+        for r in sink.read_snapshot(spark)
+        .select("user_id", "event_id").collect()
+    }
+    assert again == expected
