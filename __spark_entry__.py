@@ -95,7 +95,7 @@ _R4_NEW = frozenset({
     "agg_countmin_topk", "win_streaks", "join_asof_tolerance",
     "sample_importance", "agg_bitmap_intersect", "scan_binaryfile",
     "ml_knn_classify", "ml_naive_bayes", "join_interval_outer",
-    "dq_drift_psi",
+    "dq_drift_psi", "win_rolling_median", "join_scd2_pit",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

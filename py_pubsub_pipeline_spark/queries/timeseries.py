@@ -692,3 +692,106 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("max_error_streak"),
         F.count("*").cast("long").alias("n_error_runs"),
     )
+
+
+MED_W = 5  # rolling-median frame width (rows)
+
+
+@query(
+    "win_rolling_median",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {MED_W - 1} PRECEDING AND CURRENT ROW),
+             6) AS med
+    FROM events
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a bounded ROWS frame — the robust
+    smoother (immune to the spikes ts_ewma averages in). Spark has no
+    median window aggregate, so the engine sorts the {MED_W}-element
+    frame array and interpolates the middle (even frames average the
+    two central values, matching DuckDB's interpolated median).
+
+    Scale: one shuffle on user_id; the frame carries at most {MED_W}
+    doubles per row, and the per-row sort is O(W log W) on a
+    constant-W array — bounded state, same plan class as ts_ewma."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MED_W - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n - 1) / 2).cast("int") + 1)
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round((lo + hi) / 2.0, 6).alias("med"),
+    )
+
+
+@query(
+    "join_scd2_pit",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_id AS state_id, value AS state_value,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'click'),
+    fact AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id,
+           d.state_id, ROUND(d.state_value, 6) AS state_value
+    FROM fact f
+    JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension: each purchase
+    joins the click-state row whose validity interval [valid_from,
+    valid_to) contains the purchase time — the lakehouse temporal-
+    dimension join (scd2_intervals builds the dimension; this
+    consumes it). Intervals partition each key's timeline, so every
+    fact matches at most one dimension row — no fan-out.
+
+    Scale: the equi key (user_id) carries the shuffle; the interval
+    containment is a join residual evaluated inside the hash match,
+    not a nested loop. A dimension too hot for that residual
+    (millions of versions per key) wants the as-of formulation
+    (join_asof's union+last timeline) — same answer, one sort instead
+    of a probe per version."""
+    ev = table(spark, sf_dir, "events")
+    wd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_id").alias("state_id"),
+            F.col("value").alias("state_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wd).alias("valid_to"),
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = fact.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return j.select(
+        "event_id", "user_id", "state_id",
+        F.round("state_value", 6).alias("state_value"),
+    )

@@ -458,3 +458,20 @@ def test_psi_nothing_event_sized_after_first_agg(spark):
     plan = _executed(REG["dq_drift_psi"].fn(spark, SF_SMALL), spark)
     assert "partial_" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rolling_median_single_window_shuffle(spark):
+    plan = _executed(REG["win_rolling_median"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "Window" in final
+    assert final.count("Exchange") <= 1, final
+    assert "BatchEvalPython" not in final
+
+
+def test_scd2_pit_is_hash_join_with_residual_not_nlj(spark):
+    # Interval containment must ride the user_id equi key as a join
+    # residual — a BroadcastNestedLoopJoin here would be quadratic.
+    plan = _executed(REG["join_scd2_pit"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "BroadcastNestedLoopJoin" not in final, final
+    assert "BatchEvalPython" not in final
