@@ -379,3 +379,94 @@ def ml_linreg_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", x), 6).alias("intercept"),
         F.round(F.regr_r2("value", x), 6).alias("r2"),
     )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(o_orderpriority, '-') END AS parts
+      FROM orders WHERE o_orderkey < 2000),
+    ex AS (
+      SELECT o_orderkey,
+             UNNEST(CASE WHEN len(parts) = 0
+                         THEN [CAST(NULL AS VARCHAR)]
+                         ELSE parts END) AS part
+      FROM src)
+    SELECT o_orderkey, part FROM ex
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-preserving generator semantics: explode_outer keeps the
+    parent row (with a null element) when the array is empty — the
+    LEFT-JOIN-shaped lateral that plain explode silently drops.
+    Urgent orders get an empty array by construction, so the corpus
+    exercises both branches; DuckDB emulates the outer form with a
+    CASE-to-[NULL] (its UNNEST is inner). The difference is exactly
+    one row per empty array — easy to lose in a refactor, which is
+    why it's pinned by an oracle."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    src = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.array().cast("array<string>"),
+        )
+        .otherwise(F.split("o_orderpriority", "-"))
+        .alias("parts"),
+    )
+    return src.select(
+        "o_orderkey", F.explode_outer("parts").alias("part")
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus = 'F', FALSE)
+               AS flag
+      FROM orders WHERE o_orderkey < 3000),
+    b AS (
+      SELECT o_orderkey AS b_key,
+             NULLIF(o_orderstatus = 'F', FALSE) AS b_flag
+      FROM orders WHERE o_orderkey < 3000)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN a.flag IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_matches
+    FROM a JOIN b
+      ON a.flag IS NOT DISTINCT FROM b.b_flag
+     AND a.o_orderkey = b.b_key
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    matches NULL, which a plain equi-join silently drops — the
+    three-valued-logic trap in any key column with missing values.
+    The NULLIF construction makes most flags NULL, so the null-match
+    path carries the bulk of the result: a regression to `=` would
+    collapse n_null_matches to zero and fail the hash.
+
+    Scale note: Spark plans <=> as a HASH join key (null hashes like
+    a value), so the null-safe form costs the same shuffle as `=` —
+    it is NOT the cross-product trap that `OR (a IS NULL AND b IS
+    NULL)` predicates fall into."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    flag = F.nullif(F.col("o_orderstatus") == "F", F.lit(False))
+    a = o.select("o_orderkey", flag.alias("flag"))
+    b = o.select(
+        F.col("o_orderkey").alias("b_key"), flag.alias("b_flag")
+    )
+    j = a.join(
+        b,
+        F.col("flag").eqNullSafe(F.col("b_flag"))
+        & (F.col("o_orderkey") == F.col("b_key")),
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("flag").isNull().cast("long")).cast("long")
+        .alias("n_null_matches"),
+    )

@@ -475,3 +475,12 @@ def test_scd2_pit_is_hash_join_with_residual_not_nlj(spark):
     final = _final(plan)
     assert "BroadcastNestedLoopJoin" not in final, final
     assert "BatchEvalPython" not in final
+
+
+def test_null_safe_join_hashes_not_nested_loop(spark):
+    # <=> must plan as a hash-join key (null hashes like a value) —
+    # the cross-product trap would show as BroadcastNestedLoopJoin.
+    plan = _executed(REG["join_null_safe"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "BroadcastNestedLoopJoin" not in final, final
+    assert "Join" in final
