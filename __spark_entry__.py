@@ -96,7 +96,7 @@ _R4_NEW = frozenset({
     "sample_importance", "agg_bitmap_intersect", "scan_binaryfile",
     "ml_knn_classify", "ml_naive_bayes", "join_interval_outer",
     "dq_drift_psi", "win_rolling_median", "join_scd2_pit",
-    "fn_explode_outer", "join_null_safe",
+    "fn_explode_outer", "join_null_safe", "dedup_minhash_estimate",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

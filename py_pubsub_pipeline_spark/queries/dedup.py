@@ -567,3 +567,91 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     return _with_jaccard(shared, sizes)
+
+
+N_EST_HASHES = 32  # minhash slots for the Jaccard estimator
+
+
+@query(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.a_id, i.b_id,
+             CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
+               AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id
+      WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
+            >= {JACCARD_THRESHOLD}),
+    hashes AS (
+      SELECT doc_id, t.i AS i,
+             MIN(md5(CAST(t.i AS VARCHAR) || '|' || s)) AS mh
+      FROM sh, UNNEST(generate_series(0, {N_EST_HASHES - 1})) t(i)
+      GROUP BY doc_id, t.i),
+    agree AS (
+      SELECT p.a_id, p.b_id,
+             SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS mh_agree
+      FROM pairs p
+      JOIN hashes ha ON ha.doc_id = p.a_id
+      JOIN hashes hb ON hb.doc_id = p.b_id AND hb.i = ha.i
+      GROUP BY 1, 2)
+    SELECT p.a_id, p.b_id, p.jaccard,
+           CAST(g.mh_agree AS BIGINT) AS mh_agree,
+           g.mh_agree / {N_EST_HASHES}.0 AS mh_est
+    FROM pairs p
+    JOIN agree g ON g.a_id = p.a_id AND g.b_id = p.b_id
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as a Jaccard ESTIMATOR, validated against the exact
+    value on every near-dup pair: est = (agreeing slots)/{N_EST_HASHES}
+    with E[est] = J — the property the entire MinHash+LSH stack rests
+    on, here surfaced as data (jaccard vs mh_est side by side) rather
+    than assumed. The hash family is the portable md5 one
+    (min over shingles of md5('i|'||shingle)), so the estimate is
+    bit-identical cross-engine and the oracle checks it EXACTLY — no
+    tolerance contract needed.
+
+    Scale: signatures are {N_EST_HASHES} independent MIN aggregates in
+    ONE groupBy(doc_id) (map-side combining, one shuffle of fixed-
+    width partials — never an explode of the shingle stream); the
+    pair set is the exact near-dup output, and the agreement count is
+    two broadcast-sized signature joins. At 100 TB you run this on a
+    PAIR SAMPLE as the estimator-calibration audit (is my banding
+    threshold where I think it is?) — same plan, sampled pairs."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    sh = _shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))))
+            .alias(f"mh{i}")
+            for i in range(N_EST_HASHES)
+        ]
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_EST_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_EST_HASHES)],
+    )
+    agree = None
+    for i in range(N_EST_HASHES):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+        agree = term if agree is None else agree + term
+    return (
+        pairs.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .select(
+            "a_id", "b_id", "jaccard",
+            agree.alias("mh_agree"),
+            (agree / float(N_EST_HASHES)).alias("mh_est"),
+        )
+    )
