@@ -97,6 +97,7 @@ _R4_NEW = frozenset({
     "ml_knn_classify", "ml_naive_bayes", "join_interval_outer",
     "dq_drift_psi", "win_rolling_median", "join_scd2_pit",
     "fn_explode_outer", "join_null_safe", "dedup_minhash_estimate",
+    "scan_schema_evolution", "text_pseudonymize", "ts_lagged_corr",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

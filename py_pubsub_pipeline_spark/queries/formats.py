@@ -340,3 +340,60 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal END)
+                AS BIGINT) AS n_with_bal,
+           CAST(SUM(CASE WHEN c_custkey % 2 = 0
+                         THEN CAST(c_acctbal AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS even_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion: the customer table split into two
+    parquet generations — the odd-key half written WITHOUT the
+    c_acctbal column (the pre-drift schema), the even-key half with
+    it — read back as ONE dataset via mergeSchema, the missing column
+    null-filled. The oracle reads the unsplit original and predicts
+    the same aggregates (n_with_bal counts only the generation that
+    has the column), so a reader that drops either generation or
+    misaligns columns by POSITION instead of NAME fails the hash.
+
+    Scale: mergeSchema unions footer schemas at planning time (cost
+    is per-FILE, not per-row); the engine guidance is explicit
+    schemas at the boundary, with mergeSchema reserved for controlled
+    generation transitions exactly like this one."""
+    path = _cache_dir(sf_dir, "schema_evo")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        c = table(spark, sf_dir, "customer")
+        old_gen = c.filter(F.col("c_custkey") % 2 == 1).drop("c_acctbal")
+        new_gen = c.filter(F.col("c_custkey") % 2 == 0)
+        old_gen.write.mode("overwrite").parquet(
+            os.path.join(path, "gen=0")
+        )
+        new_gen.write.mode("overwrite").parquet(
+            os.path.join(path, "gen=1")
+        )
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .parquet(os.path.join(path, "gen=0"), os.path.join(path, "gen=1"))
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("c_acctbal").cast("long").alias("n_with_bal"),
+        F.sum(
+            F.when(
+                F.col("c_custkey") % 2 == 0,
+                F.col("c_acctbal").cast("decimal(18,6)"),
+            )
+        ).cast("double").alias("even_bal"),
+    )

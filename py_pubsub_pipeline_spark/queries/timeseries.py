@@ -795,3 +795,65 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "state_id",
         F.round("state_value", 6).alias("state_value"),
     )
+
+
+N_LAGS = 4  # cross-correlation lags 0..3 hours
+
+
+@query(
+    "ts_lagged_corr",
+    oracle=f"""
+    WITH px AS (
+      SELECT date_trunc('hour', ts) AS b,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    cy AS (
+      SELECT date_trunc('hour', ts) AS b,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events WHERE event_type = 'click' GROUP BY 1)
+    SELECT lag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(px.x, cy.y), 6) AS xcorr
+    FROM UNNEST(generate_series(0, {N_LAGS - 1})) l(lag)
+    JOIN px ON TRUE
+    JOIN cy ON cy.b = px.b - lag * INTERVAL 1 HOUR
+    GROUP BY lag
+    """,
+)
+def ts_lagged_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event series — does click
+    volume LEAD purchase value, and by how many hours? The standard
+    lead/lag discovery step before building a forecasting feature.
+
+    Both series aggregate to the hourly spine first (exact decimal
+    sums), then one equi-join per lag aligns y[t - lag] under x[t]
+    and a corr aggregate scores it. Scale: everything after the two
+    bounded hourly aggs is SPINE-sized (hours x {N_LAGS} rows) — the
+    lag fan-out multiplies the spine, never the event stream."""
+    ev = table(spark, sf_dir, "events")
+    px = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("x")
+        )
+    )
+    cy = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    lags = spark.range(N_LAGS).select(F.col("id").cast("int").alias("lag"))
+    joined = (
+        px.crossJoin(F.broadcast(lags))
+        .join(
+            cy.select(F.col("b").alias("yb"), "y"),
+            F.col("yb")
+            == F.col("b") - F.col("lag") * F.expr("INTERVAL 1 HOUR"),
+        )
+    )
+    return joined.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.corr("x", "y"), 6).alias("xcorr"),
+    )

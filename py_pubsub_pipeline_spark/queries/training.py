@@ -320,3 +320,80 @@ def sample_balanced_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= F.col("t"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "text_pseudonymize",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id % 10 AS VARCHAR)
+                     || '@mail.example.com' ELSE '' END AS t
+      FROM documents),
+    ex AS (
+      SELECT doc_id, t,
+             NULLIF(regexp_extract(t, '{_EMAIL_RE}'), '') AS email
+      FROM aug),
+    ps AS (
+      SELECT doc_id, t, email,
+             CASE WHEN email IS NOT NULL
+                  THEN 'user-' || substr(md5(email), 1, 8)
+                       || '@anon.invalid' END AS pseudo
+      FROM ex)
+    SELECT doc_id, email, pseudo,
+           md5(CASE WHEN email IS NOT NULL
+                    THEN replace(t, email, pseudo) ELSE t END)
+             AS pseudonymized_md5
+    FROM ps
+    """,
+)
+def text_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-preserving pseudonymization — the privacy transform that
+    KEEPS joinability: each detected email maps to a STABLE hash-
+    derived pseudonym (same address -> same pseudonym, across
+    documents and across runs), unlike text_pii_redact's destructive
+    <EMAIL> masking. The injected addresses reuse 10 identities
+    across docs, so the stability property is observable in the
+    output (10 distinct pseudonyms); the full pseudonymized text is
+    md5-compared so a replacement drift fails the hash.
+
+    Scale: pure map-side regex + hash expressions in codegen — zero
+    shuffle, linear per byte; the pseudonym needs no lookup table
+    (the hash IS the mapping), which is what makes it work at
+    corpus scale with no coordination."""
+    d = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    email = F.nullif(
+        F.regexp_extract(F.col("t"), _EMAIL_RE, 0), F.lit("")
+    )
+    withx = t.select("doc_id", "t", email.alias("email"))
+    pseudo = F.when(
+        F.col("email").isNotNull(),
+        F.concat(
+            F.lit("user-"),
+            F.substring(F.md5(F.col("email")), 1, 8),
+            F.lit("@anon.invalid"),
+        ),
+    )
+    ps = withx.withColumn("pseudo", pseudo)
+    out_text = F.when(
+        F.col("email").isNotNull(),
+        F.replace(F.col("t"), F.col("email"), F.col("pseudo")),
+    ).otherwise(F.col("t"))
+    return ps.select(
+        "doc_id", "email", "pseudo",
+        F.md5(out_text).alias("pseudonymized_md5"),
+    )

@@ -484,3 +484,22 @@ def test_null_safe_join_hashes_not_nested_loop(spark):
     final = _final(plan)
     assert "BroadcastNestedLoopJoin" not in final, final
     assert "Join" in final
+
+
+def test_pseudonymize_is_shuffle_free_codegen(spark):
+    # Hash-derived pseudonyms need no lookup table: the whole
+    # transform must stay map-side in codegen.
+    plan = _executed(REG["text_pseudonymize"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "Exchange" not in final, final
+    assert "BatchEvalPython" not in final
+    assert "codegen id" in final
+
+
+def test_lagged_corr_fans_out_spine_not_events(spark):
+    # The lag cross join multiplies the hourly SPINE (broadcast of a
+    # 4-row dim), never the event stream.
+    plan = _executed(REG["ts_lagged_corr"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in final
