@@ -655,3 +655,82 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree / float(N_EST_HASHES)).alias("mh_est"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.a_id, i.b_id,
+           CAST(i.shared AS DOUBLE) / sa.n AS containment,
+           CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.shared AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment: |A∩B| / |A| — the measure that catches
+    a document CONTAINED in another (quotes, excerpts, supersets)
+    where Jaccard stays low because the container is much larger.
+    Pairs are ORDERED (a contained-in b is not b contained-in a), so
+    the join keeps both directions and reports Jaccard alongside for
+    the contrast.
+
+    Scale: the same inverted-index shuffle as the Jaccard family —
+    shared counts on hashed shingles, sizes broadcast — with the
+    ordered (no a<b halving) pair stream costing 2x the symmetric
+    form; the same df-cap mitigation applies verbatim when a
+    boilerplate shingle shows up."""
+    sh = _hashed_shingles(spark, sf_dir).hint("SHUFFLE_HASH")
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = _hashed_shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "a_id")
+                .withColumnRenamed("n", "na")
+            ),
+            "a_id",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "b_id")
+                .withColumnRenamed("n", "nb")
+            ),
+            "b_id",
+        )
+        .withColumn(
+            "containment", F.col("shared").cast("double") / F.col("na")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("a_id", "b_id", "containment", "jaccard")
+    )

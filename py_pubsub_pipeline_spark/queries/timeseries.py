@@ -857,3 +857,66 @@ def ts_lagged_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.round(F.corr("x", "y"), 6).alias("xcorr"),
     )
+
+
+CP_W = 24       # trailing window (hours) for the change-point baseline
+CP_SIGMA = 3.0  # deviation gate
+
+
+@query(
+    "ts_change_detect",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS b,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    scored AS (
+      SELECT b, x,
+             AVG(x) OVER (ORDER BY b
+                          ROWS BETWEEN {CP_W} PRECEDING AND 1 PRECEDING)
+               AS mu,
+             stddev_samp(x) OVER (ORDER BY b
+                          ROWS BETWEEN {CP_W} PRECEDING AND 1 PRECEDING)
+               AS sd,
+             COUNT(*) OVER (ORDER BY b
+                          ROWS BETWEEN {CP_W} PRECEDING AND 1 PRECEDING)
+               AS n_hist
+      FROM hourly)
+    SELECT b, ROUND(x, 6) AS x,
+           ROUND((x - mu) / sd, 6) AS dev
+    FROM scored
+    WHERE n_hist >= {CP_W}
+      AND ABS(ROUND((x - mu) / sd, 6)) > {CP_SIGMA}
+    """,
+)
+def ts_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point flagging: an hour whose purchase volume deviates
+    more than {CP_SIGMA} trailing standard deviations from its own
+    {CP_W}-hour history (frame excludes the current row, so the
+    baseline can't absorb the anomaly it is judging; warm-up hours
+    with short history are suppressed).
+
+    Scale: one bounded hourly agg, then a single ROWS-frame window
+    over the SPINE (one row per hour — constant state per row). The
+    gate compares the ROUNDED deviation on both engines, the same
+    boundary discipline as ts_anomaly_zscore."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("b")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double").alias("x")
+    )
+    w = Window.orderBy("b").rowsBetween(-CP_W, -1)
+    scored = hourly.select(
+        "b", "x",
+        F.avg("x").over(w).alias("mu"),
+        F.stddev_samp("x").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_hist"),
+    )
+    dev = F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        scored.filter(F.col("n_hist") >= CP_W)
+        .select("b", F.round("x", 6).alias("x"), dev.alias("dev"))
+        .filter(F.abs(F.col("dev")) > CP_SIGMA)
+    )
