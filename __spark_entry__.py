@@ -98,7 +98,8 @@ _R4_NEW = frozenset({
     "dq_drift_psi", "win_rolling_median", "join_scd2_pit",
     "fn_explode_outer", "join_null_safe", "dedup_minhash_estimate",
     "scan_schema_evolution", "text_pseudonymize", "ts_lagged_corr",
-    "dedup_containment", "ts_change_detect",
+    "dedup_containment", "ts_change_detect", "dedup_span_fraction",
+    "agg_means_family",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

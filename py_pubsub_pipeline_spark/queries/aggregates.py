@@ -407,3 +407,32 @@ def agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("l_returnflag").agg(
         F.sum("c").cast("long").alias("exact_ndv")
     )
+
+
+@query(
+    "agg_means_family",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(AVG(l_quantity), 6) AS mean_arith,
+           ROUND(EXP(AVG(LN(l_quantity))), 6) AS mean_geo,
+           ROUND(COUNT(*) / SUM(1.0 / l_quantity), 6) AS mean_harm
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_means_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean means side by side: arithmetic, geometric
+    (exp-mean-log — the only overflow-safe form for large products,
+    and the associative-partial form a distributed engine needs), and
+    harmonic (the right average for rates). Positive-domain filter
+    guards the log; moments round to 6 on both engines (same
+    accumulation-noise discipline as agg_stats)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 6).alias("mean_arith"),
+        F.round(F.exp(F.avg(F.log("l_quantity"))), 6).alias("mean_geo"),
+        F.round(
+            F.count("*") / F.sum(F.lit(1.0) / F.col("l_quantity")), 6
+        ).alias("mean_harm"),
+    )

@@ -734,3 +734,79 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select("a_id", "b_id", "containment", "jaccard")
     )
+
+
+SPAN_DUP_MIN_FRAC = 0.5
+
+
+@query(
+    "dedup_span_fraction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wins AS (
+      SELECT doc_id,
+             UNNEST(CASE WHEN len(t) < {SPAN_W} THEN []
+                    ELSE list_transform(
+                      generate_series(1, len(t) - {SPAN_W - 1}),
+                      i -> md5(array_to_string(t[i : i + {SPAN_W - 1}], ' ')))
+                    END) AS w
+      FROM toks),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY w),
+    per_doc AS (
+      SELECT wins.doc_id,
+             COUNT(*) AS n_windows,
+             SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM wins JOIN df ON df.w = wins.w
+      GROUP BY wins.doc_id)
+    SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_dup AS BIGINT) AS n_dup,
+           CAST(n_dup AS DOUBLE) / n_windows AS dup_frac
+    FROM per_doc
+    WHERE CAST(n_dup AS DOUBLE) / n_windows >= {SPAN_DUP_MIN_FRAC}
+    """,
+)
+def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT-level verdict from the span index: the fraction of a
+    doc's {SPAN_W}-token windows that appear in at least one OTHER
+    document — the roll-up that turns dedup_substring's span-level
+    findings into a drop/keep scoring (a doc that is mostly shared
+    spans is boilerplate even when no single pair-wise match is
+    large). Exact rational output (int/int in double).
+
+    Scale: the window-hash stream aggregates twice — df per hash
+    (distinct-window-bounded) and the per-doc roll-up — both hash
+    aggs with map-side partials; the df dim joins back on the 16-byte
+    hash key. Linear in corpus tokens, same cost class as
+    dedup_substring itself."""
+    d = table(spark, sf_dir, "documents")
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) < {SPAN_W} THEN array() "
+                f"ELSE transform(sequence(1, size(split(text, ' ')) - {SPAN_W - 1}), "
+                f"i -> md5(array_join(slice(split(text, ' '), i, {SPAN_W}), ' '))) "
+                f"END"
+            )
+        ).alias("w"),
+    )
+    df = wins.groupBy("w").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        wins.join(df, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    frac = F.col("n_dup").cast("double") / F.col("n_windows")
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("n_dup").cast("long").alias("n_dup"),
+            frac.alias("dup_frac"),
+        )
+        .filter(F.col("dup_frac") >= SPAN_DUP_MIN_FRAC)
+    )
