@@ -99,7 +99,9 @@ _R4_NEW = frozenset({
     "fn_explode_outer", "join_null_safe", "dedup_minhash_estimate",
     "scan_schema_evolution", "text_pseudonymize", "ts_lagged_corr",
     "dedup_containment", "ts_change_detect", "dedup_span_fraction",
-    "agg_means_family",
+    "agg_means_family", "agg_entropy", "agg_gini_lorenz",
+    "sample_reservoir", "privacy_k_anonymity", "text_zipf_slope",
+    "join_fuzzy_levenshtein", "ts_outlier_mad", "graph_degree_stats",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -436,3 +436,120 @@ def agg_means_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*") / F.sum(F.lit(1.0) / F.col("l_quantity")), 6
         ).alias("mean_harm"),
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH cl AS (
+      SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS INT) AS n_langs,
+           ROUND(
+             LOG2(CAST(SUM(c) AS DOUBLE))
+             - CAST(SUM(CAST(c * LOG2(CAST(c AS DOUBLE))
+                             AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE),
+             6) AS entropy_bits
+    FROM cl GROUP BY source
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the corpus
+    diversity monitor a data-mixing pipeline tracks per snapshot
+    (entropy collapse = one language swamped a crawl source).
+
+    Uses the join-free identity H = log2(n) - (1/n)*sum(c*log2 c), so
+    the plan is two chained hash aggs (source,lang -> source) with no
+    self-join for the totals; both shuffles carry one row per group.
+    The per-term c*log2(c) products are quantized through
+    DECIMAL(18,6) before summing so the partial-agg order can't move
+    the 6-decimal rounding (exprs.py discipline)."""
+    d = table(spark, sf_dir, "documents")
+    cl = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    term = (F.col("c") * F.log2(F.col("c").cast("double"))).cast("decimal(18,6)")
+    return cl.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("int").alias("n_langs"),
+        F.round(
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(term).cast("double") / F.sum("c").cast("double"),
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+# Fixed-width bin for the Lorenz/Gini histogram over o_totalprice.
+_GINI_BIN = 25_000.0
+
+
+@query(
+    "agg_gini_lorenz",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderpriority AS prio,
+             CAST(FLOOR(o_totalprice / {_GINI_BIN}) AS BIGINT) AS bin,
+             COUNT(*) AS nb,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sb
+      FROM orders GROUP BY 1, 2
+    ), l AS (
+      SELECT prio,
+             SUM(nb) OVER w / SUM(nb) OVER p AS f_cum,
+             SUM(sb) OVER w / SUM(sb) OVER p AS l_cum,
+             COALESCE(SUM(nb) OVER wp, 0) / SUM(nb) OVER p AS f_prev,
+             COALESCE(SUM(sb) OVER wp, 0) / SUM(sb) OVER p AS l_prev
+      FROM b
+      WINDOW w AS (PARTITION BY prio ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING),
+             wp AS (PARTITION BY prio ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             p AS (PARTITION BY prio)
+    )
+    SELECT prio,
+           ROUND(1.0 - CAST(SUM(CAST((f_cum - f_prev) * (l_cum + l_prev)
+                                     AS DECIMAL(18,9))) AS DOUBLE),
+                 6) AS gini
+    FROM l GROUP BY prio
+    """,
+)
+def agg_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Lorenz-curve Gini coefficient of order value per
+    priority class — the inequality/skew monitor for value
+    distributions (and the scale-safe formulation: exact Gini needs a
+    global rank = total sort; this one histograms first).
+
+    Plan: one hash agg to (prio, bin) — shuffle bounded by bin
+    cardinality, not rows — then windows and the trapezoid sum run
+    over the few-dozen-row aggregate. The per-bin trapezoid terms are
+    quantized to DECIMAL(18,9) before the final sum so bin order
+    can't move the rounding."""
+    o = table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") / _GINI_BIN).cast("long").alias("bin"),
+    ).agg(
+        F.count("*").alias("nb"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("sb"),
+    )
+    w = Window.partitionBy("prio").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("prio").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1)
+    p = Window.partitionBy("prio")
+    l = b.select(
+        "prio",
+        (F.sum("nb").over(w) / F.sum("nb").over(p)).alias("f_cum"),
+        (F.sum("sb").over(w) / F.sum("sb").over(p)).alias("l_cum"),
+        (F.coalesce(F.sum("nb").over(wp), F.lit(0)) / F.sum("nb").over(p))
+        .alias("f_prev"),
+        (F.coalesce(F.sum("sb").over(wp), F.lit(0.0)) / F.sum("sb").over(p))
+        .alias("l_prev"),
+    )
+    trap = ((F.col("f_cum") - F.col("f_prev"))
+            * (F.col("l_cum") + F.col("l_prev"))).cast("decimal(18,9)")
+    return l.groupBy("prio").agg(
+        F.round(F.lit(1.0) - F.sum(trap).cast("double"), 6).alias("gini")
+    )

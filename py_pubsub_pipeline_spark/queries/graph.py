@@ -351,3 +351,38 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+    WITH deg AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS degree
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer->order bipartite graph
+    (including isolated vertices via the left join) — the first
+    diagnostic before any graph algorithm: a heavy tail here predicts
+    skewed shuffles in dedup_cc / graph_pagerank and motivates the
+    salting in join_skew_salted.
+
+    Plan: count per vertex (hash agg keyed by custkey — map-side
+    partials bound the first shuffle), then histogram the counts
+    (second agg over degree, dozens of groups). The left join keeps
+    degree-0 vertices; at 100 TB it is a shuffled hash join on the
+    key both sides are already aggregated/bucketable by."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    deg = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("long").alias("n_customers"))

@@ -526,3 +526,69 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi")
     )
+
+
+_RESERVOIR_K = 1000
+
+
+@query(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    LIMIT {_RESERVOIR_K}
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k uniform sample ("hash reservoir"): take
+    the k rows with the smallest md5(key). Unlike a true reservoir
+    (stream-order-dependent) or df.sample() (partitioning-dependent),
+    membership is a pure function of the key — the same k rows at any
+    parallelism, on any engine, across retries — yet it is still an
+    exact-size uniform sample because md5 ranks keys pseudo-randomly.
+
+    Plan: TakeOrderedAndProject — each task keeps its local top-k
+    (k=1000 rows in memory), the driver merges P partial lists; no
+    global sort, no full shuffle. Scale cost is O(k) memory per task
+    regardless of input size."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice",
+                 F.md5(F.col("o_orderkey").cast("string")).alias("_h"))
+        .orderBy("_h", "o_orderkey")
+        .limit(_RESERVOIR_K)
+        .drop("_h")
+    )
+
+
+_K_ANON = 10
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) < {_K_ANON} AS risky
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): every equivalence class with fewer than
+    k={_K_ANON} members is re-identification-risky and must be
+    suppressed or generalized before release — the standard privacy
+    gate before publishing a derived dataset (companion to
+    text_pseudonymize, which handles direct identifiers).
+
+    Plan: one hash agg keyed by the quasi-identifiers; shuffle volume
+    is one row per class. At 100 TB the class count, not the row
+    count, bounds the exchange — add quasi-identifier columns and the
+    plan shape is unchanged."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.count("*") < _K_ANON).alias("risky"),
+    )

@@ -573,3 +573,129 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask.cast("int").alias("reason_mask"),
         (~r1 & ~r2 & ~r3 & ~r4).alias("keep"),
     )
+
+
+_ZIPF_TOPK = 1000
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH c AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ), top AS (
+      SELECT w, c FROM c ORDER BY c DESC, w LIMIT {_ZIPF_TOPK}
+    ), r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk FROM top
+    ), t AS (
+      SELECT CAST(LN(CAST(rnk AS DOUBLE)) AS DECIMAL(18,8)) AS x,
+             CAST(LN(CAST(c AS DOUBLE)) AS DECIMAL(18,8)) AS y,
+             CAST(LN(CAST(rnk AS DOUBLE)) * LN(CAST(rnk AS DOUBLE))
+                  AS DECIMAL(18,8)) AS xx,
+             CAST(LN(CAST(rnk AS DOUBLE)) * LN(CAST(c AS DOUBLE))
+                  AS DECIMAL(18,8)) AS xy
+      FROM r
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           ROUND((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                 / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                    - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)),
+                 6) AS zipf_slope
+    FROM t
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus: OLS slope of log(freq) on
+    log(rank) over the top-1000 vocabulary. Natural corpora sit near
+    -1; a slope far off flags synthetic/templated text — a corpus-
+    level quality monitor (companion to the per-doc text_quality).
+
+    Plan: token hash-agg (shuffle bounded by vocab), then
+    TakeOrderedAndProject for the top-k — per-task partial top-1000,
+    never a global sort even with a billion-term vocabulary — then
+    rank + regression over the 1000-row result (single tiny task by
+    construction). The log-space regression terms quantize through
+    DECIMAL(18,8) before summing so accumulation order can't move the
+    6-decimal rounding."""
+    d = table(spark, sf_dir, "documents")
+    top = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_ZIPF_TOPK)
+    )
+    r = top.select(
+        "c",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "w")).alias("rnk"),
+    )
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    t = r.select(
+        lx.cast("decimal(18,8)").alias("x"),
+        ly.cast("decimal(18,8)").alias("y"),
+        (lx * lx).cast("decimal(18,8)").alias("xx"),
+        (lx * ly).cast("decimal(18,8)").alias("xy"),
+    )
+    n = F.count("*")
+    return t.agg(
+        n.cast("long").alias("n_vocab"),
+        F.round(
+            (n * F.sum("xy").cast("double")
+             - F.sum("x").cast("double") * F.sum("y").cast("double"))
+            / (n * F.sum("xx").cast("double")
+               - F.sum("x").cast("double") * F.sum("x").cast("double")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+_FUZZY_MAXDIST = 3
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle=f"""
+    WITH names AS (
+      SELECT DISTINCT p_name AS name,
+             split_part(p_name, ' ', 2) AS blk
+      FROM part
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {_FUZZY_MAXDIST}
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: candidate name pairs within an
+    equality block (shared head noun) kept when edit distance <= 3 —
+    the classic record-linkage shape (cf. text_er_blocked, which
+    blocks on a different key and scores by token overlap; this one
+    uses true Levenshtein, the metric dedupe tools standardize on).
+
+    Scale: the block key turns O(n^2) into a per-block quadratic —
+    the standard ER trade. DISTINCT first collapses the fact table to
+    the name domain (shuffle bounded by vocabulary); the self-join is
+    an equality hash join on the block key with the distance predicate
+    applied post-join, never a cross join. Skewed blocks are handled
+    the same way as join_skew_salted (salt the block key)."""
+    p = table(spark, sf_dir, "part")
+    names = p.select(
+        F.col("p_name").alias("name"),
+        F.element_at(F.split("p_name", " "), 2).alias("blk"),
+    ).distinct()
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.name") < F.col("b.name")))
+        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .filter(F.col("dist") <= _FUZZY_MAXDIST)
+        .select(F.col("a.name").alias("name_a"),
+                F.col("b.name").alias("name_b"),
+                F.col("dist").cast("int"))
+    )

@@ -920,3 +920,65 @@ def ts_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b", F.round("x", 6).alias("x"), dev.alias("dev"))
         .filter(F.abs(F.col("dev")) > CP_SIGMA)
     )
+
+
+_MAD_K = 3.0
+
+
+@query(
+    "ts_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(COUNT(*) FILTER (WHERE d.dev > 3.0 * m.mad) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: per
+    event type, flag |x - median| > 3*MAD — the estimator that
+    survives the outliers it hunts (z-scores don't: one large spike
+    inflates the stddev that judges it; cf. ts_anomaly_zscore).
+
+    DISCRETE medians (percentile_disc) pick actual data values, so
+    both engines agree bit-for-bit and the 3*MAD comparison is exact.
+    Plan: two agg+broadcast-join rounds over a bounded key (event
+    types), each a single fact scan with a map-side join — the two
+    extra scans are the unavoidable price of exact two-level medians;
+    at 100 TB swap approx_percentile into the same plan shape."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev"))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+        .alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.count_if(F.col("dev") > _MAD_K * F.col("mad"))
+            .cast("long").alias("n_outliers"),
+        )
+    )
