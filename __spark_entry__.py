@@ -102,6 +102,7 @@ _R4_NEW = frozenset({
     "agg_means_family", "agg_entropy", "agg_gini_lorenz",
     "sample_reservoir", "privacy_k_anonymity", "text_zipf_slope",
     "join_fuzzy_levenshtein", "ts_outlier_mad", "graph_degree_stats",
+    "mix_token_budget", "ml_decision_stump", "win_skyline_pareto",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

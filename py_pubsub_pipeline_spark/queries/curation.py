@@ -688,3 +688,174 @@ def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count(F.col("pbits").bitwiseAND(F.col("vbits"))))
         .cast("long").alias("n_both"),
     )
+
+
+# Token budget multiple for the epoch planner: train on 4x the corpus.
+_BUDGET_X = 4.0
+# Beyond ~4 epochs repeated data stops helping (Muennighoff et al.'s
+# measured repetition decay) — flag sources the plan would over-repeat.
+_EPOCH_CAP = 4.0
+
+
+@query(
+    "mix_token_budget",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT SUM(SQRT(CAST(n_tokens AS DOUBLE))) AS z,
+             SUM(n_tokens) AS tot FROM s
+    )
+    SELECT source, n_tokens,
+           ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / z.z
+                 * ({_BUDGET_X} * z.tot), 1) AS planned_tokens,
+           ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / z.z
+                 * ({_BUDGET_X} * z.tot) / n_tokens, 6) AS epochs,
+           SQRT(CAST(n_tokens AS DOUBLE)) / z.z
+             * ({_BUDGET_X} * z.tot) / n_tokens > {_EPOCH_CAP} AS over_cap
+    FROM s, z
+    """,
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planner under an absolute token budget: turn
+    mix_domain_weights' sqrt-rule shares into planned token counts for
+    a budget of 4x the corpus, and the per-source EPOCH count
+    (planned / available) — the repetition factor the sampler must
+    realize. Sources pushed past ~4 epochs are flagged: measured
+    scaling behavior says repeated tokens decay in value beyond that,
+    so an over_cap source needs its excess redistributed (or more
+    crawl).
+
+    Scale: identical plan to mix_domain_weights — one corpus hash agg,
+    then a sources-sized broadcast of the two normalizers; sqrt and
+    the ratios are correctly-rounded IEEE ops on identical integer
+    inputs, so both engines agree before the rounding."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
+        .alias("n_tokens"))
+    z = s.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"),
+        F.sum("n_tokens").alias("tot"))
+    planned = (F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+               * (_BUDGET_X * F.col("tot")))
+    return s.join(F.broadcast(z)).select(
+        "source", "n_tokens",
+        F.round(planned, 1).alias("planned_tokens"),
+        F.round(planned / F.col("n_tokens"), 6).alias("epochs"),
+        (planned / F.col("n_tokens") > _EPOCH_CAP).alias("over_cap"),
+    )
+
+
+@query(
+    "ml_decision_stump",
+    oracle=f"""
+    WITH b AS (
+      SELECT quantile_disc(n_chars,
+               [{", ".join(str(k / 10.0) for k in range(1, 10))}]) AS bnds
+      FROM documents
+    ), binned AS (
+      SELECT CAST(len(list_filter(b.bnds, x -> x <= n_chars)) AS INT)
+               AS bucket,
+             COUNT(*) AS nb,
+             COUNT(*) FILTER (WHERE lang = 'en') AS pb
+      FROM documents, b GROUP BY 1
+    ), cum AS (
+      SELECT bucket AS k,
+             SUM(nb) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS n_l,
+             SUM(pb) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS p_l,
+             SUM(nb) OVER () AS n,
+             SUM(pb) OVER () AS p
+      FROM binned
+    ), scored AS (
+      SELECT k,
+             CAST(n_l AS BIGINT) AS n_left,
+             CAST(p_l AS BIGINT) AS pos_left,
+             CAST(n - n_l AS BIGINT) AS n_right,
+             CAST(p - p_l AS BIGINT) AS pos_right,
+             (CAST(n_l AS DOUBLE)
+              * (1.0 - (CAST(p_l AS DOUBLE)/n_l)*(CAST(p_l AS DOUBLE)/n_l)
+                 - (CAST(n_l - p_l AS DOUBLE)/n_l)
+                   *(CAST(n_l - p_l AS DOUBLE)/n_l))
+              + CAST(n - n_l AS DOUBLE)
+              * (1.0 - (CAST(p - p_l AS DOUBLE)/(n - n_l))
+                   *(CAST(p - p_l AS DOUBLE)/(n - n_l))
+                 - (CAST((n - n_l) - (p - p_l) AS DOUBLE)/(n - n_l))
+                   *(CAST((n - n_l) - (p - p_l) AS DOUBLE)/(n - n_l))))
+             / CAST(n AS DOUBLE) AS gini
+      FROM cum WHERE k > 0 AND n_l > 0 AND n - n_l > 0
+    )
+    SELECT CAST(k AS INT) AS split_decile, n_left, pos_left, n_right,
+           pos_right, ROUND(gini, 6) AS gini
+    FROM scored
+    ORDER BY gini, k LIMIT 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a one-split decision stump fully relationally: find the
+    decile threshold of n_chars that best separates lang='en' by
+    weighted Gini impurity — the canonical "is this feature
+    predictive" probe (and the inner step of tree ensembles),
+    expressed so the ENGINE owns the search.
+
+    Plan: exact decile boundaries (one aggregate), broadcast into a
+    map-side bucket assign — NO 9x candidate fan-out of the fact
+    table — then per-bucket (count, positives) hash agg (10 rows),
+    cumulative sums over those 10 rows, and an argmin. Scale cost is
+    one scan + one bounded agg; the split search runs on the 10-row
+    aggregate. Gini stays in +,*,/ on identical integers, so both
+    engines produce bit-identical doubles; ties break on the decile
+    index."""
+    d = table(spark, sf_dir, "documents")
+    bnds = d.agg(F.array(*[
+        F.expr(f"percentile_disc({k / 10.0}) WITHIN GROUP "
+               f"(ORDER BY n_chars)") for k in range(1, 10)
+    ]).alias("bnds"))
+    binned = (
+        d.select("n_chars", (F.col("lang") == "en").alias("pos"))
+        .join(F.broadcast(bnds))
+        .select(
+            F.size(F.filter(F.col("bnds"), lambda x: x <= F.col("n_chars")))
+            .cast("int").alias("bucket"),
+            "pos")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("nb"), F.count_if("pos").alias("pb"))
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = binned.select(
+        F.col("bucket").alias("k"),
+        F.sum("nb").over(wc).alias("n_l"),
+        F.sum("pb").over(wc).alias("p_l"),
+        F.sum("nb").over(wall).alias("n"),
+        F.sum("pb").over(wall).alias("p"),
+    ).filter((F.col("k") > 0) & (F.col("n_l") > 0)
+             & (F.col("n") - F.col("n_l") > 0))
+    nl, pl = F.col("n_l").cast("double"), F.col("p_l").cast("double")
+    nr = (F.col("n") - F.col("n_l")).cast("double")
+    pr = (F.col("p") - F.col("p_l")).cast("double")
+    g = (nl * (F.lit(1.0) - (pl / nl) * (pl / nl)
+               - ((nl - pl) / nl) * ((nl - pl) / nl))
+         + nr * (F.lit(1.0) - (pr / nr) * (pr / nr)
+                 - ((nr - pr) / nr) * ((nr - pr) / nr))
+         ) / F.col("n").cast("double")
+    return (
+        cum.select(
+            F.col("k").cast("int").alias("split_decile"),
+            F.col("n_l").cast("long").alias("n_left"),
+            F.col("p_l").cast("long").alias("pos_left"),
+            (F.col("n") - F.col("n_l")).cast("long").alias("n_right"),
+            (F.col("p") - F.col("p_l")).cast("long").alias("pos_right"),
+            g.alias("_g"),
+        )
+        .orderBy("_g", "split_decile").limit(1)
+        .select("split_decile", "n_left", "pos_left", "n_right",
+                "pos_right", F.round("_g", 6).alias("gini"))
+    )

@@ -235,3 +235,52 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6
         ).alias("sum_prev_hour"),
     )
+
+
+@query(
+    "win_skyline_pareto",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS prio, o_totalprice, o_orderdate,
+             MIN(o_orderdate) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_prev_date
+      FROM orders
+    )
+    SELECT prio, o_totalprice, o_orderdate
+    FROM s
+    WHERE best_prev_date IS NULL OR o_orderdate < best_prev_date
+    """,
+)
+def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query per priority class: orders not
+    dominated on (totalprice maximize, orderdate minimize) — the
+    classic multi-criteria OLAP operator ("expensive AND early"),
+    computed by the sort-filter skyline algorithm: scan in price-desc
+    order keeping a running best (minimum) date; a row survives iff it
+    beats every higher-priced row's date. Duplicate (price, date)
+    points collapse to one representative (the window's unique-key
+    ORDER BY makes which one deterministic — the predicate's outcome
+    depends only on the dominated values).
+
+    Scale: the window sorts WITHIN each priority partition — one
+    ordered scan per group, no self-join (the naive NOT EXISTS
+    formulation is quadratic). For few/huge groups, pre-prune with a
+    price-binned per-bin min-date grid and apply the same window to
+    survivors — same plan shape, input cut by orders of magnitude."""
+    o = table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("prio"),
+            "o_totalprice", "o_orderdate",
+            F.min("o_orderdate").over(w).alias("best_prev_date"),
+        )
+        .filter(F.col("best_prev_date").isNull()
+                | (F.col("o_orderdate") < F.col("best_prev_date")))
+        .select("prio", "o_totalprice", "o_orderdate")
+    )
