@@ -503,3 +503,57 @@ def test_lagged_corr_fans_out_spine_not_events(spark):
     final = _final(plan)
     assert "partial_" in plan
     assert "BatchEvalPython" not in final
+
+
+def test_reservoir_sample_takes_ordered_not_global_sort(spark):
+    # Exact-k hash reservoir must plan TakeOrderedAndProject (per-task
+    # partial top-k), never a full Sort+Exchange of the fact table.
+    plan = _executed(REG["sample_reservoir"].fn(spark, SF_SMALL), spark)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zipf_topk_vocab_takes_ordered(spark):
+    # The top-1000 vocabulary cut must be TakeOrdered over the token
+    # aggregate — a global Sort there would serialize the vocabulary.
+    plan = _executed(REG["text_zipf_slope"].fn(spark, SF_SMALL), spark)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_fuzzy_levenshtein_is_hash_join_not_nlj(spark):
+    # The block key is an equality predicate: the self-join must hash
+    # on it, with the edit-distance threshold as a post-join residual.
+    plan = _executed(REG["join_fuzzy_levenshtein"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+
+
+def test_skyline_single_partition_sort_no_self_join(spark):
+    # Sort-filter skyline: one window over the priority partition,
+    # never the quadratic NOT EXISTS self-join.
+    final = _final(_executed(REG["win_skyline_pareto"].fn(spark, SF_SMALL),
+                             spark))
+    assert "Join" not in final, final
+    assert final.count("Window") >= 1
+
+
+def test_decision_stump_no_candidate_fanout(spark):
+    # The split search must run on the 10-row bucket aggregate: the
+    # documents scan appears once for binning (plus once inside the
+    # boundary aggregate), never multiplied by candidate thresholds.
+    final = _final(_executed(REG["ml_decision_stump"].fn(spark, SF_SMALL),
+                             spark))
+    assert "Generate" not in final, final  # no explode-by-9 fan-out
+    scans = [ln for ln in final.splitlines()
+             if "Scan parquet" in ln and "documents" in ln]
+    assert len(scans) <= 2, final
+
+
+def test_outlier_mad_joins_broadcast_stats(spark):
+    # Both per-type stat dims (median, MAD) must broadcast back onto
+    # the fact scan — a shuffled join on event_type would move the
+    # fact table twice for a 5-row dim.
+    final = _final(_executed(REG["ts_outlier_mad"].fn(spark, SF_SMALL),
+                             spark))
+    assert "SortMergeJoin" not in final, final
+    assert "BroadcastHashJoin" in final, final
