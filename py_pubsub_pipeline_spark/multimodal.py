@@ -689,3 +689,113 @@ def decode_video_framesample(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, VIDEO_SCHEMA)
+
+
+# ------------------------------------------------- perceptual dedup
+
+# aHash geometry for mm_image_dedup_ahash: content-derived dims (so
+# byte-identical documents produce byte-identical images regardless of
+# doc_id), 16 hash bits, +10 brightness shift for the altered variant.
+PH_W_MOD, PH_H_MOD = 13, 7
+PH_BITS = 16
+PH_SHIFT = 10
+
+
+def encode_bmp_topdown(width: int, height: int, px: bytes) -> bytes:
+    """A valid 24-bit BMP with NEGATIVE height (top-down row order per
+    the BITMAPINFOHEADER spec), from exactly 3*w*h logical pixel bytes
+    in generation order — padding inserted per row at encode time so
+    the logical stream survives a decode round-trip untouched."""
+    row_len = width * 3
+    pad = b"\x00" * ((4 - row_len % 4) % 4)
+    data = b"".join(
+        px[r * row_len:(r + 1) * row_len] + pad for r in range(height)
+    )
+    file_header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, len(data),
+        2835, 2835, 0, 0,
+    )
+    return file_header + info_header + data
+
+
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL BMP pixel decode: parse headers, honor the row stride and
+    the top-down/bottom-up flag, strip padding; returns (w, h, logical
+    row-major pixel bytes)."""
+    if payload[:2] != b"BM":
+        raise ValueError(f"not a BMP: {payload[:2]!r}")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    h = abs(h_signed)
+    row_len, stride = w * 3, ((w * 3 + 3) // 4) * 4
+    rows = [
+        payload[off + r * stride: off + r * stride + row_len]
+        for r in range(h)
+    ]
+    if h_signed > 0:  # bottom-up storage: restore logical order
+        rows.reverse()
+    return w, h, b"".join(rows)
+
+
+def ahash_bits(px: bytes) -> int:
+    """Average-hash over PH_BITS contiguous blocks: bit k set iff
+    block k's mean exceeds the global mean — compared in EXACT integer
+    arithmetic (sum_k * N > total * n_k), so the hash is invariant
+    under any uniform brightness shift that avoids clipping: shifting
+    every pixel by c adds c*n_k and c*N to the two sides identically."""
+    n = len(px)
+    if n == 0:
+        return 0
+    sums = [0] * PH_BITS
+    cnts = [0] * PH_BITS
+    for j in range(n):
+        k = j * PH_BITS // n
+        sums[k] += px[j]
+        cnts[k] += 1
+    total = sum(sums)
+    h = 0
+    for k in range(PH_BITS):
+        if sums[k] * n > total * cnts[k]:
+            h |= 1 << k
+    return h
+
+
+def phash_dedup_assets(docs: DataFrame) -> DataFrame:
+    """Synthesize TWO real BMP assets per document — the original and
+    a +PH_SHIFT uniformly brightened copy (the corpus is ASCII, so no
+    byte clips) — then run encode -> REAL pixel decode -> aHash per
+    asset. The brightened copy is byte-different (md5 dedup misses it)
+    but aHash-identical (perceptual dedup catches it)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in ("asset_id", "doc_id", "width", "height",
+                                "ahash")
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode() if isinstance(text, str) else bytes(text)
+                w = 1 + len(raw) % PH_W_MOD
+                h = 1 + (len(raw) // 7) % PH_H_MOD
+                size = 3 * w * h
+                src = raw or b"\x00"
+                base = (src * (size // len(src) + 1))[:size]
+                for variant, px in enumerate(
+                    (base, bytes(b + PH_SHIFT for b in base))
+                ):
+                    payload = encode_bmp_topdown(w, h, px)
+                    dw, dh, dpx = decode_bmp_pixels(payload)
+                    out["asset_id"].append(int(doc_id) * 2 + variant)
+                    out["doc_id"].append(int(doc_id))
+                    out["width"].append(dw)
+                    out["height"].append(dh)
+                    out["ahash"].append(ahash_bits(dpx))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        "asset_id LONG, doc_id LONG, width INT, height INT, ahash LONG",
+    )

@@ -15,6 +15,11 @@ from pyspark.sql import functions as F
 
 from ..multimodal import (
     FRAME_MOD,
+    PH_BITS,
+    PH_H_MOD,
+    PH_SHIFT,
+    PH_W_MOD,
+    phash_dedup_assets,
     H_MOD,
     SAMPLE_RATES,
     VID_F_MOD,
@@ -223,3 +228,63 @@ def mm_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas seam."""
     docs = table(spark, sf_dir, "documents")
     return decode_video_framesample(synthesize_y4m_assets(docs))
+
+
+@query(
+    "mm_image_dedup_ahash",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS L,
+             1 + octet_length(encode(text)) % {PH_W_MOD} AS w,
+             1 + (octet_length(encode(text)) // 7) % {PH_H_MOD} AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id,
+             CAST(j * {PH_BITS} // (3 * w * h) AS INT) AS blk,
+             ascii(substr(text, CAST(j % GREATEST(L, 1) AS INT) + 1, 1)) AS v
+      FROM b, UNNEST(generate_series(0, 3 * w * h - 1)) t(j)),
+    bs AS (SELECT doc_id, blk, SUM(v) AS s, COUNT(*) AS n
+           FROM px GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(s) AS ts, SUM(n) AS tn FROM bs GROUP BY 1),
+    hashes AS (
+      SELECT bs.doc_id,
+             CAST(SUM(CASE WHEN bs.s * tot.tn > tot.ts * bs.n
+                           THEN 1::BIGINT << bs.blk ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM bs JOIN tot ON tot.doc_id = bs.doc_id GROUP BY bs.doc_id)
+    SELECT CAST(b.w AS INT) AS width, CAST(b.h AS INT) AS height,
+           hsh.ahash,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_docs,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_assets
+    FROM b JOIN hashes hsh ON hsh.doc_id = b.doc_id
+    GROUP BY b.w, b.h, hsh.ahash
+    """,
+)
+def mm_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: every document becomes TWO real BMPs —
+    the original and a +{PH_SHIFT} uniformly BRIGHTENED copy (byte-
+    different, so content-md5 dedup misses the pair) — each asset runs
+    encode -> REAL pixel decode (header parse, stride/padding strip,
+    top-down flag) -> 16-block average-hash, and assets cluster on
+    (dims, aHash). The aHash threshold compares in exact integer
+    arithmetic, making it provably invariant to uniform brightness
+    shift — so each doc's two assets MUST land in one cluster
+    (n_assets = 2*n_docs in every row is the built-in self-check the
+    oracle enforces), while byte-identical documents collapse across
+    doc_ids. The oracle reconstructs every hash arithmetically from
+    the text bytes — a decoder that misreads stride, padding, or row
+    order hash-mismatches.
+
+    Scale: one Arrow-batched mapInPandas pass (constant memory per
+    batch), then a hash agg on (w, h, ahash) — candidate clustering
+    shuffles ONE 16-bit-hash row per asset, never pixels; the same
+    banding trick as dedup_minhash_lsh applies for近-dup within
+    Hamming distance if needed (split the 16 bits into bands)."""
+    docs = table(spark, sf_dir, "documents")
+    assets = phash_dedup_assets(docs)
+    return assets.groupBy(
+        F.col("width"), F.col("height"), F.col("ahash")
+    ).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_assets"),
+    )

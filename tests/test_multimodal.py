@@ -219,3 +219,36 @@ def test_y4m_non_y4m_raises():
 
     with pytest.raises(ValueError, match="YUV4MPEG2"):
         decode_y4m_sample(b"RIFF....\n")
+
+
+# ---------------------------------------------------- perceptual hash
+
+
+def test_bmp_topdown_roundtrip_preserves_logical_stream():
+    from py_pubsub_pipeline_spark.multimodal import (
+        decode_bmp_pixels, encode_bmp_topdown)
+    px = bytes(range(3 * 5 * 4))  # w=5, h=4 -> rows need 1 pad byte
+    w, h, out = decode_bmp_pixels(encode_bmp_topdown(5, 4, px))
+    assert (w, h) == (5, 4)
+    assert out == px  # stride padding stripped, order untouched
+
+
+def test_ahash_invariant_under_uniform_brightness_shift():
+    from py_pubsub_pipeline_spark.multimodal import ahash_bits
+    base = bytes((i * 37) % 120 for i in range(273))
+    for c in (1, 10, 100):
+        shifted = bytes(b + c for b in base)  # < 256: no clipping
+        assert ahash_bits(shifted) == ahash_bits(base)
+
+
+def test_ahash_differs_for_different_content():
+    from py_pubsub_pipeline_spark.multimodal import ahash_bits
+    a = bytes((i * 37) % 120 for i in range(273))
+    b = bytes(reversed(a))
+    assert ahash_bits(a) != ahash_bits(b)
+
+
+def test_ahash_empty_and_constant_images_are_zero():
+    from py_pubsub_pipeline_spark.multimodal import ahash_bits
+    assert ahash_bits(b"") == 0
+    assert ahash_bits(b"\x42" * 100) == 0  # no block beats the mean
