@@ -103,7 +103,7 @@ _R4_NEW = frozenset({
     "sample_reservoir", "privacy_k_anonymity", "text_zipf_slope",
     "join_fuzzy_levenshtein", "ts_outlier_mad", "graph_degree_stats",
     "mix_token_budget", "ml_decision_stump", "win_skyline_pareto",
-    "mm_image_dedup_ahash",
+    "mm_image_dedup_ahash", "scan_csv_permissive", "ts_concurrency_peak",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -397,3 +397,66 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("double").alias("even_bal"),
     )
+
+
+_CORRUPT_MOD = 37
+
+
+@query(
+    "scan_csv_permissive",
+    oracle=f"""
+    SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % {_CORRUPT_MOD} != 0)
+                AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % {_CORRUPT_MOD} = 0)
+                AS BIGINT) AS n_corrupt,
+           {sql_dsum(f'CASE WHEN o_orderkey % {_CORRUPT_MOD} != 0 '
+                     'THEN o_totalprice END', 'sum_good_price')}
+    FROM orders
+    """,
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input policy at the batch boundary (the SURVEY §1.2
+    _corrupt_record contract, exercised): a CSV copy of orders where
+    every {_CORRUPT_MOD}th key's numeric field is replaced by
+    unparseable text, read back in PERMISSIVE mode with an explicit
+    schema + _corrupt_record — bad rows are COUNTED and quarantined
+    (the batch twin of the streaming pipeline's dead-letter queue),
+    good rows aggregate normally, and nothing throws. The oracle reads
+    the ORIGINAL parquet and derives the same partition of good vs
+    corrupt keys arithmetically, so the hash also proves no good row
+    was dropped or double-counted.
+
+    Scale: same splittable CSV scan as scan_csv; the corrupt branch
+    adds one string column carried only for malformed lines. FAILFAST
+    is the alternative policy — one bad line in 100 TB kills the job;
+    PERMISSIVE + count + quarantine is the production default."""
+    def write(df: DataFrame, p: str) -> None:
+        (
+            df.select(
+                "o_orderkey", "o_custkey",
+                F.when(F.col("o_orderkey") % _CORRUPT_MOD == 0,
+                       F.lit("##CORRUPT##"))
+                .otherwise(F.col("o_totalprice").cast("string"))
+                .alias("o_totalprice"),
+                "o_orderpriority",
+            )
+            .write.mode("overwrite").option("header", True).csv(p)
+        )
+
+    path = _materialize(spark, sf_dir, "csv_corrupt", "orders", write)
+    schema = ("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+              "o_orderpriority STRING, _corrupt_record STRING")
+    c = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return c.agg(
+        F.count_if(good).cast("long").alias("n_good"),
+        F.count_if(~good).cast("long").alias("n_corrupt"),
+        F.sum(F.when(good, F.col("o_totalprice")).cast("decimal(18,6)"))
+        .cast("double").alias("sum_good_price"),
+    )

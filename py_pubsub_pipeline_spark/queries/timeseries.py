@@ -982,3 +982,64 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("n_outliers"),
         )
     )
+
+
+_CONC_DUR_S = 300  # each event holds a 5-minute session slot
+
+
+@query(
+    "ts_concurrency_peak",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) // 1000000 AS sec FROM events
+    ), delta AS (
+      SELECT event_type, sec, SUM(d) AS net FROM (
+        SELECT event_type, sec, 1 AS d FROM ev
+        UNION ALL
+        SELECT event_type, sec + {_CONC_DUR_S}, -1 AS d FROM ev
+      ) GROUP BY 1, 2
+    ), run AS (
+      SELECT event_type,
+             SUM(net) OVER (PARTITION BY event_type ORDER BY sec
+                            ROWS UNBOUNDED PRECEDING) AS conc
+      FROM delta
+    )
+    SELECT event_type,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY event_type
+    """,
+)
+def ts_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: treat each event as holding a
+    {_CONC_DUR_S}-second slot ([start, end) half-open) and find the
+    maximum number of simultaneously open slots — the classic interval
+    stacking problem (peak sessions online, max connection pool, ...).
+
+    The scale-safe formulation: instead of a running +1/-1 sum over
+    the raw EVENT stream (one window row per event), aggregate the
+    +1/-1 deltas to per-SECOND net changes FIRST — the running sum
+    then walks a spine bounded by the time range (86400 rows/day/type
+    worst case), not by event volume; a billion events in one hour
+    still yield <= 3600 spine rows. Exact integer arithmetic end to
+    end."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(1_000_000)).cast("long").alias("sec"),
+    )
+    deltas = (
+        e.select("event_type", "sec", F.lit(1).alias("d"))
+        .unionAll(
+            e.select("event_type",
+                     (F.col("sec") + _CONC_DUR_S).alias("sec"),
+                     F.lit(-1).alias("d")))
+        .groupBy("event_type", "sec")
+        .agg(F.sum("d").alias("net"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("sec")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        deltas.select("event_type", F.sum("net").over(w).alias("conc"))
+        .groupBy("event_type")
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+    )
