@@ -104,6 +104,7 @@ _R4_NEW = frozenset({
     "join_fuzzy_levenshtein", "ts_outlier_mad", "graph_degree_stats",
     "mix_token_budget", "ml_decision_stump", "win_skyline_pareto",
     "mm_image_dedup_ahash", "scan_csv_permissive", "ts_concurrency_peak",
+    "agg_kmv_theta",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

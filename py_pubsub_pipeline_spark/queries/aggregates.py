@@ -553,3 +553,152 @@ def agg_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("prio").agg(
         F.round(F.lit(1.0) - F.sum(trap).cast("double"), 6).alias("gini")
     )
+
+
+_KMV_K = 256
+_U32 = 4294967296
+
+
+@query(
+    "agg_kmv_theta",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS u
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    ), rk AS (
+      SELECT yr, u, ROW_NUMBER() OVER (PARTITION BY yr ORDER BY u) AS r
+      FROM h
+    ), sk AS (
+      SELECT yr, u FROM rk WHERE r <= {_KMV_K}
+    ), th AS (
+      SELECT yr,
+             CASE WHEN COUNT(*) < {_KMV_K}
+                  THEN {_U32} ELSE MAX(u) END AS theta
+      FROM sk GROUP BY yr
+    ), per_set AS (
+      SELECT 'y' || CAST(sk.yr AS VARCHAR) AS set_name,
+             (SELECT COUNT(*) FROM h WHERE h.yr = sk.yr) AS exact_n,
+             ROUND(COUNT(*) FILTER (WHERE sk.u < th.theta)
+                   * {_U32}.0 / ANY_VALUE(th.theta), 4) AS est_n
+      FROM sk JOIN th ON th.yr = sk.yr GROUP BY sk.yr
+    ), mth AS (
+      SELECT MIN(theta) AS t FROM th
+    ), uk AS (
+      SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS r
+      FROM (SELECT DISTINCT u FROM sk)
+    ), tu AS (
+      SELECT LEAST(
+               (SELECT t FROM mth),
+               (SELECT CASE WHEN MAX(r) >= {_KMV_K}
+                            THEN MIN(CASE WHEN r = {_KMV_K} THEN u END)
+                            ELSE {_U32} END FROM uk)) AS t
+    ), u_row AS (
+      SELECT 'union' AS set_name,
+             (SELECT COUNT(DISTINCT u) FROM h) AS exact_n,
+             ROUND((SELECT COUNT(*) FROM uk, tu WHERE uk.u < tu.t)
+                   * {_U32}.0 / (SELECT t FROM tu), 4) AS est_n
+    ), i_row AS (
+      SELECT 'intersect' AS set_name,
+             (SELECT COUNT(*) FROM
+                (SELECT u FROM h GROUP BY u HAVING COUNT(*) = 2)) AS exact_n,
+             ROUND((SELECT COUNT(*)
+                    FROM sk a JOIN sk b ON b.u = a.u, mth
+                    WHERE a.yr = 1995 AND b.yr = 1996 AND a.u < mth.t)
+                   * {_U32}.0 / (SELECT t FROM mth), 4) AS est_n
+    )
+    SELECT set_name, CAST(exact_n AS BIGINT) AS exact_n, est_n
+    FROM per_set
+    UNION ALL SELECT * FROM u_row
+    UNION ALL SELECT * FROM i_row
+    """,
+)
+def agg_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch (K={_KMV_K} minimum hash values) over two
+    customer cohorts (1995 vs 1996 buyers), with the set algebra HLL
+    cannot do: union AND INTERSECTION estimates from the sketches
+    alone — plus the exact counts beside them as the calibration
+    audit. One estimator formula covers both regimes:
+    est = |{{u in sketch : u < theta}}| * 2^32 / theta, with
+    theta = 2^32 while the set is smaller than K (sketch exact) and
+    the K-th smallest hash after; intersection uses min(theta_a,
+    theta_b), union the theta-union rule min(theta_a, theta_b,
+    kth(merged)). All md5-integer arithmetic — deterministic on both
+    engines, no random seeds.
+
+    Scale: the sketch is MERGEABLE — k-smallest-of-k-smallests is
+    k-smallest of the union, so partials combine associatively; the
+    declarative rank-window form here shuffles distinct (cohort, hash)
+    pairs, and the standard pre-filter (u < a coarse theta bound from
+    any lower-bound estimate) caps that exchange at ~K rows per
+    partition when cardinality explodes. Everything after the sketch
+    build touches <= 2K rows."""
+    o = table(spark, sf_dir, "orders")
+    u = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = (
+        o.filter(F.year("o_orderdate").isin(1995, 1996))
+        .select(F.year("o_orderdate").cast("int").alias("yr"),
+                u.alias("u"))
+        .distinct()
+    )
+    rk = h.withColumn(
+        "r", F.row_number().over(Window.partitionBy("yr").orderBy("u")))
+    sk = rk.filter(F.col("r") <= _KMV_K).select("yr", "u")
+    th = sk.groupBy("yr").agg(
+        F.when(F.count("*") < _KMV_K, F.lit(_U32))
+        .otherwise(F.max("u")).alias("theta"))
+
+    exact = h.groupBy("yr").agg(F.count("*").alias("exact_n"))
+    per_set = (
+        sk.join(th, "yr")
+        .groupBy("yr")
+        .agg(
+            F.round(
+                F.count_if(F.col("u") < F.col("theta"))
+                * F.lit(float(_U32)) / F.any_value("theta"), 4
+            ).alias("est_n"))
+        .join(exact, "yr")
+        .select(F.concat(F.lit("y"), F.col("yr").cast("string"))
+                .alias("set_name"),
+                F.col("exact_n").cast("long"), "est_n")
+    )
+
+    mth = th.agg(F.min("theta").alias("t"))
+    uk = (
+        sk.select("u").distinct()
+        .withColumn("r", F.row_number().over(Window.orderBy("u")))
+    )
+    kth = uk.agg(
+        F.when(F.max("r") >= _KMV_K,
+               F.min(F.when(F.col("r") == _KMV_K, F.col("u"))))
+        .otherwise(F.lit(_U32)).alias("kth"))
+    tu = mth.crossJoin(kth).select(F.least("t", "kth").alias("t"))
+    u_row = (
+        uk.crossJoin(F.broadcast(tu))
+        .agg(F.round(F.count_if(F.col("u") < F.col("t"))
+                     * F.lit(float(_U32)) / F.any_value("t"), 4)
+             .alias("est_n"))
+        .crossJoin(h.agg(F.countDistinct("u").alias("exact_n")))
+        .select(F.lit("union").alias("set_name"),
+                F.col("exact_n").cast("long"), "est_n")
+    )
+
+    a = sk.filter(F.col("yr") == 1995).select(F.col("u").alias("ua"))
+    b = sk.filter(F.col("yr") == 1996).select(F.col("u").alias("ub"))
+    i_row = (
+        a.join(b, F.col("ua") == F.col("ub"))
+        .crossJoin(F.broadcast(mth))
+        .agg(F.round(F.count_if(F.col("ua") < F.col("t"))
+                     * F.lit(float(_U32)) / F.any_value("t"), 4)
+             .alias("est_n"))
+        .crossJoin(
+            h.groupBy("u").agg(F.count("*").alias("c"))
+            .filter(F.col("c") == 2)
+            .agg(F.count("*").alias("exact_n")))
+        .select(F.lit("intersect").alias("set_name"),
+                F.col("exact_n").cast("long"), "est_n")
+    )
+    return per_set.unionAll(u_row).unionAll(i_row)
