@@ -104,7 +104,8 @@ _R4_NEW = frozenset({
     "join_fuzzy_levenshtein", "ts_outlier_mad", "graph_degree_stats",
     "mix_token_budget", "ml_decision_stump", "win_skyline_pareto",
     "mm_image_dedup_ahash", "scan_csv_permissive", "ts_concurrency_peak",
-    "agg_kmv_theta",
+    "agg_kmv_theta", "text_novelty_rate", "ts_stickiness_dau_mau",
+    "win_event_transitions",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

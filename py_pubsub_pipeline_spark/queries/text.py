@@ -699,3 +699,89 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.name").alias("name_b"),
                 F.col("dist").cast("int"))
     )
+
+
+@query(
+    "text_novelty_rate",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT doc_id,
+             md5(t.s) AS gh
+      FROM (
+        SELECT doc_id,
+               string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS nw
+        FROM documents), UNNEST(generate_series(1, nw - 2)) AS t_(i),
+        LATERAL (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s) t
+    ), first_seen AS (
+      SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh
+    ), per_doc AS (
+      SELECT d.source, g.doc_id,
+             COUNT(*) FILTER (WHERE f.first_doc < g.doc_id) AS n_seen,
+             COUNT(*) AS n_grams
+      FROM g JOIN first_seen f ON f.gh = g.gh
+      JOIN documents d ON d.doc_id = g.doc_id
+      GROUP BY d.source, g.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(1.0 - CAST(n_seen AS DOUBLE) / n_grams
+                               AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_novelty
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty profiling: per document, the fraction of its
+    distinct word-3-grams NOT seen in any earlier document (doc_id as
+    ingestion order), averaged per source — the curve a curation
+    pipeline watches to decide when a crawl source has gone stale
+    (novelty decays toward 0 as a source re-crawls itself; cf. the
+    dedup family, which asks about pairs — novelty is a property of
+    the STREAM order).
+
+    Plan: distinct (doc, gram-hash) pairs from one explode, the
+    corpus-wide first-occurrence via a gram-keyed hash agg, one join
+    back on gram hash, then per-doc and per-source aggs. Shuffles are
+    bounded by distinct grams and docs, never raw token volume; the
+    per-doc novelty ratios are quantized through DECIMAL(18,9) before
+    the cross-doc average so accumulation order can't move the
+    rounding."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                # guard: sequence(0, n) REVERSES for n < 0 (it doesn't
+                # go empty like generate_series) — a 2-token doc would
+                # silently emit negative-index grams
+                F.when(
+                    F.size(w) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(w) - 3),
+                        lambda i: F.md5(F.concat_ws(
+                            " ", w[i], w[i + 1], w[i + 2])),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count_if(F.col("first_doc") < F.col("doc_id")).alias("n_seen"),
+            F.count("*").alias("n_grams"),
+        )
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    novelty = (F.lit(1.0) - F.col("n_seen").cast("double")
+               / F.col("n_grams")).cast("decimal(18,9)")
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.sum(novelty).cast("double") / F.count("*"), 6)
+        .alias("avg_novelty"),
+    )

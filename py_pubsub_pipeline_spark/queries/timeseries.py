@@ -1043,3 +1043,60 @@ def ts_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("conc").cast("long").alias("peak_concurrency"))
     )
+
+
+@query(
+    "ts_stickiness_dau_mau",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS mon,
+             date_trunc('day', ts) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ), mau AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS mon,
+             COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT d.mon,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(ANY_VALUE(m.mau) AS BIGINT) AS mau,
+           ROUND(CAST(SUM(CAST(CAST(d.dau AS DOUBLE) / m.mau
+                               AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS stickiness
+    FROM dau d JOIN mau m ON m.mon = d.mon
+    GROUP BY d.mon
+    """,
+)
+def ts_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month (avg over days of daily-active /
+    monthly-active users) — the standard engagement ratio, and the
+    two-granularity distinct-count shape: the SAME fact stream feeds
+    a per-day and a per-month COUNT(DISTINCT), joined on the coarser
+    key (cf. retention_cohorts, which tracks RETURN behavior; this
+    tracks intensity).
+
+    Plan: two distinct-aggs over (time-bucket, user) — each is the
+    standard two-phase expand (partial distinct on (bucket, user),
+    then count) so the exchanges carry distinct pairs, not events —
+    and a months-sized broadcast join. Per-day ratios quantize
+    through DECIMAL(18,9) before the month average."""
+    e = table(spark, sf_dir, "events")
+    dau = e.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("mon"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = e.groupBy(
+        F.date_trunc("month", "ts").cast("date").alias("mon")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    ratio = (F.col("dau").cast("double") / F.col("mau")).cast("decimal(18,9)")
+    return (
+        dau.join(F.broadcast(mau), "mon")
+        .groupBy("mon")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.any_value("mau").cast("long").alias("mau"),
+            F.round(F.sum(ratio).cast("double") / F.count("*"), 6)
+            .alias("stickiness"),
+        )
+    )

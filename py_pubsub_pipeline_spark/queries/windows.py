@@ -284,3 +284,51 @@ def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.col("o_orderdate") < F.col("best_prev_date")))
         .select("prio", "o_totalprice", "o_orderdate")
     )
+
+
+@query(
+    "win_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER
+                   (PARTITION BY event_type), 6) AS p_transition
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def win_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for
+    each consecutive event pair within a user's timeline, the count
+    and row-normalized probability of (from -> to) — the path-analysis
+    primitive behind funnel discovery (funnel_conversion checks ONE
+    hypothesized path; this surfaces all observed steps).
+
+    Plan: one LEAD window on the user_id exchange (same single-
+    shuffle discipline as sessionize_gaps — unique ORDER BY via
+    event_id), a hash agg to the |types|^2-sized matrix, and the
+    row normalization as a window over that tiny aggregate. The
+    probability divides two exact counts — deterministic on both
+    engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6)
+        .alias("p_transition"),
+    )
