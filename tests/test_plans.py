@@ -557,3 +557,29 @@ def test_outlier_mad_joins_broadcast_stats(spark):
                              spark))
     assert "SortMergeJoin" not in final, final
     assert "BroadcastHashJoin" in final, final
+
+
+def test_novelty_shuffles_gram_hashes_not_tokens(spark):
+    # The first-occurrence agg and the join must key on the 16-byte
+    # md5 gram hash; no SortMergeJoin fallback to a quadratic shape.
+    final = _final(_executed(REG["text_novelty_rate"].fn(spark, SF_SMALL),
+                             spark))
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+
+
+def test_stickiness_broadcasts_month_dim(spark):
+    # The months-sized MAU side must broadcast onto the DAU agg.
+    final = _final(_executed(REG["ts_stickiness_dau_mau"].fn(spark, SF_SMALL),
+                             spark))
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+
+
+def test_transitions_single_user_exchange(spark):
+    # LEAD window + matrix agg: exactly one exchange carries event
+    # rows (hash(user_id)); the row-normalize window runs on the
+    # |types|^2 aggregate that a second, tiny exchange feeds.
+    final = _final(_executed(REG["win_event_transitions"].fn(spark, SF_SMALL),
+                             spark))
+    assert "Join" not in final, final
