@@ -105,7 +105,7 @@ _R4_NEW = frozenset({
     "mix_token_budget", "ml_decision_stump", "win_skyline_pareto",
     "mm_image_dedup_ahash", "scan_csv_permissive", "ts_concurrency_peak",
     "agg_kmv_theta", "text_novelty_rate", "ts_stickiness_dau_mau",
-    "win_event_transitions",
+    "win_event_transitions", "ml_logreg_irls", "agg_bootstrap_se",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -702,3 +702,101 @@ def agg_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("exact_n").cast("long"), "est_n")
     )
     return per_set.unionAll(u_row).unionAll(i_row)
+
+
+# Poisson(1) CDF thresholds scaled to 2^32: weight = #thresholds <= u,
+# truncated at 6 (remaining mass ~6e-5, identically on both engines).
+_POIS_T = (1580030168, 3160060337, 3950075421,
+           4213413783, 4279248373, 4292415291)
+_BOOT_B = 32
+
+
+@query(
+    "agg_bootstrap_se",
+    oracle=f"""
+    WITH w AS (
+      SELECT r.r,
+             ({" + ".join(
+                 f"CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS "
+                 f"VARCHAR) || ':' || CAST(r.r AS VARCHAR)), 1, 8)) "
+                 f"AS BIGINT) >= {t} THEN 1 ELSE 0 END"
+                 for t in _POIS_T)}) AS wt,
+             o_totalprice AS x
+      FROM orders, UNNEST(generate_series(0, {_BOOT_B - 1})) r(r)
+    ), reps AS (
+      SELECT r,
+             CAST(SUM(CAST(wt * x AS DECIMAL(28,2))) AS DOUBLE)
+               / SUM(wt) AS m
+      FROM w GROUP BY r
+    ), point AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               / COUNT(*) AS pm,
+             COUNT(*) AS n
+      FROM orders
+    )
+    SELECT ROUND(point.pm, 6) AS point_mean,
+           ROUND(SQRT(CAST(SUM(CAST((reps.m - point.pm) * (reps.m - point.pm)
+                                    AS DECIMAL(28,9))) AS DOUBLE)
+                      / ({_BOOT_B} - 1)), 6) AS boot_se,
+           CAST({_BOOT_B} AS INT) AS n_replicates,
+           CAST(ANY_VALUE(point.n) AS BIGINT) AS n_rows
+    FROM reps, point
+    GROUP BY point.pm
+    """,
+)
+def agg_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error of the mean, fully relationally and
+    fully DETERMINISTICALLY: {_BOOT_B} Poisson(1) bootstrap replicates
+    where each row's weight in replicate r is a pure function of
+    md5(key:r) through the Poisson CDF thresholds — no RNG, so every
+    engine, retry, and partitioning produces the identical resample
+    (the same hash-gate discipline as sample_hash, lifted to weighted
+    resampling). Output: the point estimate, its bootstrap SE, and the
+    replicate count — the uncertainty quantification a metrics
+    pipeline attaches to every reported mean.
+
+    Scale: the replicate fan-out multiplies rows x{_BOOT_B}, but each
+    replicate is a map-side-partial aggregate — the exchange carries
+    {_BOOT_B} co-moment rows per partition, and the variance across
+    replicate means runs on {_BOOT_B} rows. For very wide fan-outs
+    compute the {_BOOT_B} weighted sums as parallel aggregate
+    expressions in ONE pass instead (no row multiplication) — same
+    math, traded for {_BOOT_B} md5 calls per row."""
+    o = table(spark, sf_dir, "orders")
+    reps_ids = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("r"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("o_orderkey").cast("string"),
+                              F.col("r").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    wt = sum(
+        F.when(u >= t, 1).otherwise(0) for t in _POIS_T
+    )
+    w = o.crossJoin(F.broadcast(reps_ids)).select(
+        "r", wt.alias("wt"), F.col("o_totalprice").alias("x"))
+    reps = w.groupBy("r").agg(
+        (F.sum((F.col("wt") * F.col("x")).cast("decimal(28,2)"))
+         .cast("double") / F.sum("wt")).alias("m"))
+    point = o.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double")
+         / F.count("*")).alias("pm"),
+        F.count("*").alias("n"),
+    )
+    dev = ((F.col("m") - F.col("pm"))
+           * (F.col("m") - F.col("pm"))).cast("decimal(28,9)")
+    return (
+        reps.crossJoin(F.broadcast(point))
+        .groupBy("pm")
+        .agg(
+            F.round(F.sqrt(F.sum(dev).cast("double") / (_BOOT_B - 1)), 6)
+            .alias("boot_se"),
+            F.any_value("n").alias("n"),
+        )
+        .select(
+            F.round("pm", 6).alias("point_mean"),
+            "boot_se",
+            F.lit(_BOOT_B).cast("int").alias("n_replicates"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )

@@ -859,3 +859,149 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split_decile", "n_left", "pos_left", "n_right",
                 "pos_right", F.round("_g", 6).alias("gini"))
     )
+
+
+@query(
+    "ml_logreg_irls",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             SQRT(CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(28,6)))
+                       AS DOUBLE) / COUNT(*)
+                  - POWER(CAST(SUM(CAST(n_chars AS DECIMAL(18,6)))
+                               AS DOUBLE) / COUNT(*), 2)) AS sd
+      FROM documents
+    ), d AS (
+      SELECT (n_chars - s.mu) / s.sd AS x,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents, stats s
+    ), it1 AS (
+      -- Newton step from beta = (0,0): p = 0.5, w = 0.25 for every row
+      SELECT CAST(SUM(CAST(y - 0.5 AS DECIMAL(18,9))) AS DOUBLE) AS g0,
+             CAST(SUM(CAST((y - 0.5) * x AS DECIMAL(18,9))) AS DOUBLE) AS g1,
+             CAST(SUM(CAST(0.25 AS DECIMAL(18,9))) AS DOUBLE) AS h00,
+             CAST(SUM(CAST(0.25 * x AS DECIMAL(18,9))) AS DOUBLE) AS h01,
+             CAST(SUM(CAST(0.25 * x * x AS DECIMAL(18,9))) AS DOUBLE) AS h11
+      FROM d
+    ), b1 AS (
+      SELECT (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+             (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+      FROM it1
+    ), it2 AS (
+      SELECT CAST(SUM(CAST(y - p AS DECIMAL(18,9))) AS DOUBLE) AS g0,
+             CAST(SUM(CAST((y - p) * x AS DECIMAL(18,9))) AS DOUBLE) AS g1,
+             CAST(SUM(CAST(p * (1 - p) AS DECIMAL(18,9))) AS DOUBLE) AS h00,
+             CAST(SUM(CAST(p * (1 - p) * x AS DECIMAL(18,9)))
+                  AS DOUBLE) AS h01,
+             CAST(SUM(CAST(p * (1 - p) * x * x AS DECIMAL(18,9)))
+                  AS DOUBLE) AS h11,
+             ANY_VALUE(bb0) AS pb0, ANY_VALUE(bb1) AS pb1
+      FROM (SELECT x, y, b.b0 AS bb0, b.b1 AS bb1,
+                   1.0 / (1.0 + EXP(-(b.b0 + b.b1 * x))) AS p
+            FROM d, b1 b)
+    ), b2 AS (
+      SELECT pb0 + (h11 * g0 - h01 * g1)
+                   / (h00 * h11 - h01 * h01) AS b0,
+             pb1 + (h00 * g1 - h01 * g0)
+                   / (h00 * h11 - h01 * h01) AS b1
+      FROM it2
+    )
+    SELECT ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
+           (SELECT ROUND(
+              CAST(SUM(CAST(-(y * LN(1.0/(1.0 + EXP(-(b.b0 + b.b1*x))))
+                             + (1-y) * LN(1.0 - 1.0/(1.0 + EXP(-(b.b0
+                               + b.b1*x)))))
+                        AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+            FROM d, b2 b) AS log_loss
+    FROM b2
+    """,
+)
+def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained INSIDE the engine: two IRLS/Newton
+    steps for P(lang='en' | standardized n_chars), each iteration one
+    full-scan aggregate of the gradient and 2x2 Hessian co-moments,
+    the solve and update on the single-row result — the declarative
+    form of the iterative-driver loop (cf. the closed-form
+    ml_linreg_ols; logistic has no closed form, so the ENGINE runs the
+    iterations). Output: fitted betas and the final mean log-loss.
+
+    Scale: K iterations = K scans, each a map-side-partial aggregate
+    shuffling ONE co-moment row per partition; betas travel as a
+    broadcast single-row dim between passes — no driver-side
+    .collect() of parameters. Determinism: every per-row term
+    (sigmoids, co-moments, losses) quantizes through DECIMAL(18,9)
+    before summing, so the 1-ulp engine variance of exp/ln can't
+    reach the 6-decimal rounding through accumulation order."""
+    d0 = table(spark, sf_dir, "documents")
+    stats = d0.agg(
+        (F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+         / F.count("*")).alias("mu"),
+        F.sqrt(
+            F.sum((F.col("n_chars") * F.col("n_chars"))
+                  .cast("decimal(28,6)")).cast("double") / F.count("*")
+            - F.pow(
+                F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+                / F.count("*"), 2)
+        ).alias("sd"),
+    )
+    d = d0.crossJoin(F.broadcast(stats)).select(
+        ((F.col("n_chars") - F.col("mu")) / F.col("sd")).alias("x"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+    def q(c):  # quantize a per-row term before the order-free sum
+        return F.sum(c.cast("decimal(18,9)")).cast("double")
+
+    it1 = d.agg(
+        q(F.col("y") - 0.5).alias("g0"),
+        q((F.col("y") - 0.5) * F.col("x")).alias("g1"),
+        q(F.lit(0.25)).alias("h00"),
+        q(F.lit(0.25) * F.col("x")).alias("h01"),
+        q(F.lit(0.25) * F.col("x") * F.col("x")).alias("h11"),
+    )
+    det = (F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01"))
+    b1 = it1.select(
+        ((F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det)
+        .alias("b0"),
+        ((F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")) / det)
+        .alias("b1"),
+    )
+    scored = d.crossJoin(F.broadcast(b1)).select(
+        "x", "y", F.col("b0").alias("pb0"), F.col("b1").alias("pb1"),
+        (F.lit(1.0) / (F.lit(1.0)
+                       + F.exp(-(F.col("b0") + F.col("b1") * F.col("x")))))
+        .alias("p"),
+    )
+    wgt = F.col("p") * (F.lit(1.0) - F.col("p"))
+    it2 = scored.agg(
+        q(F.col("y") - F.col("p")).alias("g0"),
+        q((F.col("y") - F.col("p")) * F.col("x")).alias("g1"),
+        q(wgt).alias("h00"),
+        q(wgt * F.col("x")).alias("h01"),
+        q(wgt * F.col("x") * F.col("x")).alias("h11"),
+        F.any_value("pb0").alias("pb0"),
+        F.any_value("pb1").alias("pb1"),
+    )
+    b2 = it2.select(
+        (F.col("pb0")
+         + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det)
+        .alias("b0"),
+        (F.col("pb1")
+         + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")) / det)
+        .alias("b1"),
+    )
+    p2 = (F.lit(1.0)
+          / (F.lit(1.0) + F.exp(-(F.col("b0") + F.col("b1") * F.col("x")))))
+    loss = d.crossJoin(F.broadcast(b2)).agg(
+        (q(-(F.col("y") * F.log(p2)
+             + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p2)))
+         / F.count("*")).alias("raw_loss"),
+        F.any_value("b0").alias("b0"),
+        F.any_value("b1").alias("b1"),
+    )
+    return loss.select(
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta1"),
+        F.round("raw_loss", 6).alias("log_loss"),
+    )
