@@ -800,3 +800,85 @@ def agg_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_rows"),
         )
     )
+
+
+_BASKET_MIN_SUPPORT = 20
+
+
+@query(
+    "agg_market_basket",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, p_brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT ok) AS n FROM items
+    ), singles AS (
+      SELECT p_brand, COUNT(*) AS c FROM items GROUP BY p_brand
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS c_ab
+      FROM items a JOIN items b
+        ON b.ok = a.ok AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    )
+    SELECT p.brand_a, p.brand_b,
+           CAST(p.c_ab AS BIGINT) AS n_both,
+           ROUND(CAST(p.c_ab AS DOUBLE) / sa.c, 6) AS confidence_a_to_b,
+           ROUND(CAST(p.c_ab AS DOUBLE) * n.n / (sa.c * sb.c), 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.p_brand = p.brand_a
+    JOIN singles sb ON sb.p_brand = p.brand_b
+    CROSS JOIN n_orders n
+    """,
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: for every brand
+    pair co-occurring in >= {_BASKET_MIN_SUPPORT} orders, the support
+    count, confidence P(b|a), and lift P(ab)/(P(a)P(b)) — the
+    market-basket primitive (and the co-occurrence shape used for
+    "documents citing both X and Y" in corpus analysis).
+
+    Scale: the basket self-join is keyed on the ORDER, so candidate
+    pairs are bounded by sum(basket_size^2) — baskets are small
+    (TPC-H ~7 items) and the DISTINCT collapse runs first; the
+    brand-level pair agg then shuffles one row per pair. A skewed
+    giant basket is the hazard (quadratic in ITS size alone) — cap or
+    salt baskets above a size threshold, the same df-cap discipline
+    as dedup_ngram_capped. Lift divides exact integer counts —
+    deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    items = (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .select(F.col("l_orderkey").alias("ok"), "p_brand")
+        .distinct()
+    )
+    n_orders = items.agg(F.countDistinct("ok").alias("n"))
+    singles = items.groupBy("p_brand").agg(F.count("*").alias("c"))
+    a = items.select(F.col("ok"), F.col("p_brand").alias("brand_a"))
+    b = items.select(F.col("ok"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    return (
+        pairs
+        .join(F.broadcast(singles.withColumnRenamed("p_brand", "brand_a")
+                          .withColumnRenamed("c", "ca")), "brand_a")
+        .join(F.broadcast(singles.withColumnRenamed("p_brand", "brand_b")
+                          .withColumnRenamed("c", "cb")), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a", "brand_b",
+            F.col("c_ab").cast("long").alias("n_both"),
+            F.round(F.col("c_ab").cast("double") / F.col("ca"), 6)
+            .alias("confidence_a_to_b"),
+            F.round(F.col("c_ab").cast("double") * F.col("n")
+                    / (F.col("ca") * F.col("cb")), 6).alias("lift"),
+        )
+    )

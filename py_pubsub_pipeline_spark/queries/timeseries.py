@@ -1100,3 +1100,53 @@ def ts_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stickiness"),
         )
     )
+
+
+@query(
+    "ts_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           ROUND(CAST(SUM(CAST(gap_us AS DECIMAL(28,0))) AS DOUBLE)
+                 / COUNT(gap_us), 4) AS mean_gap_us,
+           ROUND(1.0e6 / (CAST(SUM(CAST(gap_us AS DECIMAL(28,0)))
+                               AS DOUBLE) / COUNT(gap_us)), 6)
+             AS rate_per_sec
+    FROM gaps GROUP BY event_type
+    """,
+)
+def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis per event type: gap distribution
+    (min/max/mean in exact integer microseconds) and the implied
+    Poisson arrival rate — the traffic model a capacity planner or
+    anomaly baseline (cf. ts_concurrency_peak) is built on.
+
+    Plan: one LAG window on the event_type partition (unique ORDER BY
+    via event_id), then a hash agg per type; gaps sum through
+    DECIMAL(28,0) — exact at any volume. The window partitions by a
+    LOW-cardinality key: at extreme per-type volume, sub-partition by
+    (type, day) and merge day boundaries, the same spine trick as
+    ts_concurrency_peak."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    mean_gap = (F.sum(F.col("gap_us").cast("decimal(28,0)")).cast("double")
+                / F.count("gap_us"))
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.round(mean_gap, 4).alias("mean_gap_us"),
+        F.round(F.lit(1.0e6) / mean_gap, 6).alias("rate_per_sec"),
+    )
