@@ -106,7 +106,8 @@ _R4_NEW = frozenset({
     "mm_image_dedup_ahash", "scan_csv_permissive", "ts_concurrency_peak",
     "agg_kmv_theta", "text_novelty_rate", "ts_stickiness_dau_mau",
     "win_event_transitions", "ml_logreg_irls", "agg_bootstrap_se",
-    "agg_market_basket", "ts_interarrival_stats",
+    "agg_market_basket", "ts_interarrival_stats", "graph_kcore_peel",
+    "agg_rfm_segments",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

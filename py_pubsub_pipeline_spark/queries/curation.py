@@ -1005,3 +1005,98 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b1", 6).alias("beta1"),
         F.round("raw_loss", 6).alias("log_loss"),
     )
+
+
+_RFM_SNAPSHOT = "1998-12-31"
+_RFM_Q = 5  # quintile scores per dimension
+
+
+@query(
+    "agg_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       TIMESTAMP '{_RFM_SNAPSHOT} 00:00:00') AS recency,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ), b AS (
+      SELECT quantile_disc(recency,
+               [{", ".join(str(k / _RFM_Q) for k in range(1, _RFM_Q))}])
+               AS rb,
+             quantile_disc(frequency,
+               [{", ".join(str(k / _RFM_Q) for k in range(1, _RFM_Q))}])
+               AS fb,
+             quantile_disc(monetary,
+               [{", ".join(str(k / _RFM_Q) for k in range(1, _RFM_Q))}])
+               AS mb
+      FROM rfm
+    ), scored AS (
+      SELECT
+        -- recency: LOWER is better -> invert the bucket
+        {_RFM_Q} - CAST(len(list_filter(b.rb, x -> x <= recency)) AS INT)
+          AS r_score,
+        1 + CAST(len(list_filter(b.fb, x -> x <= frequency)) AS INT)
+          AS f_score,
+        1 + CAST(len(list_filter(b.mb, x -> x <= monetary)) AS INT)
+          AS m_score,
+        monetary
+      FROM rfm, b
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(monetary AS DECIMAL(28,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary,
+    quintile-scored) — the marketing-analytics standard, built the
+    SCALE-SAFE way: scores come from {_RFM_Q - 1} exact quantile
+    boundaries broadcast into a map-side bucket assign, NOT from a
+    global NTILE (which needs a total sort of the customer aggregate;
+    the boundary form is quantile_bucketize's pattern lifted to three
+    dimensions at once). Recency inverts its bucket so 5 = best in
+    every dimension. Output: customer count and average spend per
+    (r, f, m) cell — the segment table a campaign targets from.
+
+    Plan: one customer aggregate (hash agg keyed on custkey), one
+    3-array boundary aggregate, broadcast join, then a <=125-group
+    hash agg. Discrete quantiles pick actual data values — both
+    engines agree exactly, no interpolation drift."""
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(_RFM_SNAPSHOT).cast("timestamp_ntz").cast("date"),
+                   F.max("o_orderdate").cast("date")).alias("recency"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double")
+        .alias("monetary"),
+    )
+    qs = [k / _RFM_Q for k in range(1, _RFM_Q)]
+    b = rfm.agg(
+        F.array(*[F.expr(f"percentile_disc({q}) WITHIN GROUP "
+                         f"(ORDER BY recency)") for q in qs]).alias("rb"),
+        F.array(*[F.expr(f"percentile_disc({q}) WITHIN GROUP "
+                         f"(ORDER BY frequency)") for q in qs]).alias("fb"),
+        F.array(*[F.expr(f"percentile_disc({q}) WITHIN GROUP "
+                         f"(ORDER BY monetary)") for q in qs]).alias("mb"),
+    )
+
+    def bucket(arr, col):
+        return F.size(F.filter(F.col(arr), lambda x: x <= F.col(col)))
+
+    scored = rfm.join(F.broadcast(b)).select(
+        (F.lit(_RFM_Q) - bucket("rb", "recency")).cast("int")
+        .alias("r_score"),
+        (F.lit(1) + bucket("fb", "frequency")).cast("int").alias("f_score"),
+        (F.lit(1) + bucket("mb", "monetary")).cast("int").alias("m_score"),
+        "monetary",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum(F.col("monetary").cast("decimal(28,2)")).cast("double")
+                / F.count("*"), 4).alias("avg_monetary"),
+    )

@@ -386,3 +386,98 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return deg.groupBy("degree").agg(
         F.count("*").cast("long").alias("n_customers"))
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+_KCORE_MINW = 2
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    k{r} AS (
+      SELECT u FROM (SELECT u, COUNT(*) AS d FROM {prev} GROUP BY u)
+      WHERE d >= {_KCORE_K}
+    ), e{r} AS (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN k{r} a ON a.u = e.u JOIN k{r} b ON b.u = e.v
+    )""")
+        prev = f"e{r}"
+    traj = "\n    UNION ALL\n".join(
+        f"""    SELECT {r} AS round,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_edges FROM e{r}"""
+        for r in range(1, _KCORE_ROUNDS + 1))
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT u, v FROM (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+        FROM items a JOIN items b ON b.ok = a.ok AND a.p <> b.p
+        GROUP BY 1, 2)
+      WHERE w >= {_KCORE_MINW}
+    ),{",".join(rounds)}
+{traj}
+    """
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k={_KCORE_K}) on the part co-purchase graph
+    (edge = two parts co-ordered >= {_KCORE_MINW} times, symmetric):
+    each round drops every vertex with degree < k and the edges it
+    carried, for {_KCORE_ROUNDS} bounded rounds — the dense-subgraph
+    extractor (community cores, spam-cluster mining) and the third
+    iterative-graph shape beside pagerank (value propagation) and
+    label_prop (label diffusion): here the STRUCTURE itself shrinks.
+    Output is the (round, nodes, edges) trajectory, which also records
+    how far from the fixpoint the bound stopped.
+
+    Scale: each round is one degree agg + two hash semi-joins, all
+    keyed on the vertex; rounds are materialization barriers
+    (localCheckpoint) so the plan doesn't nest exponentially — the
+    same move as graph_pagerank. Full degeneracy ordering would run
+    rounds to fixpoint (O(peel depth)); the bounded form is what a
+    production job schedules. The w >= {_KCORE_MINW} support filter is
+    the same co-occurrence denoising as agg_market_basket's."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("p")).distinct()
+    a = items.select("ok", F.col("p").alias("u"))
+    b = items.select("ok", F.col("p").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v").agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _KCORE_MINW)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    traj = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            e.groupBy("u").agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("u")
+        )
+        e = (
+            e.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        traj.append(
+            e.agg(
+                F.lit(r).alias("round"),
+                F.countDistinct("u").cast("long").alias("n_nodes"),
+                F.count("*").cast("long").alias("n_edges"),
+            )
+        )
+    out = traj[0]
+    for t in traj[1:]:
+        out = out.unionAll(t)
+    return out
