@@ -107,7 +107,7 @@ _R4_NEW = frozenset({
     "agg_kmv_theta", "text_novelty_rate", "ts_stickiness_dau_mau",
     "win_event_transitions", "ml_logreg_irls", "agg_bootstrap_se",
     "agg_market_basket", "ts_interarrival_stats", "graph_kcore_peel",
-    "agg_rfm_segments",
+    "agg_rfm_segments", "ml_langid_confusion", "dq_benford_digits",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -592,3 +592,49 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         (F.count("*") < _K_ANON).alias("risky"),
     )
+
+
+@query(
+    "dq_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ()
+                 - LOG10(1.0 + 1.0 / digit), 6) AS deviation
+    FROM d GROUP BY digit
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values: observed
+    leading-digit shares against the log10(1 + 1/d) expectation — the
+    classic fabricated-data / unit-mixing detector (a synthetic or
+    truncated value column shows up as a flat or spiked digit profile
+    long before any mean shifts). Output: one row per digit with the
+    deviation a monitor alerts on.
+
+    Plan: the digit is a map-side string op on the integer part (an
+    explicit FLOOR on both sides — DuckDB's double->BIGINT cast
+    ROUNDS while Spark's truncates), then a 9-group hash agg; the share normalization is a
+    window over those 9 rows. Digit shares divide exact counts."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int").alias("digit"))
+    counts = d.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy()
+    obs = F.col("n").cast("double") / F.sum("n").over(w)
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.select(
+        "digit", "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(obs - benford, 6).alias("deviation"),
+    )

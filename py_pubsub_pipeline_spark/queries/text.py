@@ -122,11 +122,10 @@ def _lex_sql(lang: str) -> str:
     return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
 
 
-@query(
-    "text_langid",
-    oracle=f"""
-    SELECT doc_id, lang,
-           CASE
+def _langid_case_sql() -> str:
+    """The argmax-with-tie-break cascade as one SQL CASE expression
+    (shared by text_langid and ml_langid_confusion)."""
+    return f"""CASE
              WHEN {_lex_sql('en')} >= {_lex_sql('de')}
               AND {_lex_sql('en')} >= {_lex_sql('fr')}
               AND {_lex_sql('en')} >= {_lex_sql('es')}
@@ -138,16 +137,14 @@ def _lex_sql(lang: str) -> str:
               AND {_lex_sql('fr')} >= {_lex_sql('zh')} THEN 'fr'
              WHEN {_lex_sql('es')} >= {_lex_sql('zh')} THEN 'es'
              ELSE 'zh'
-           END AS pred_lang
-    FROM documents
-    """,
-)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-lexicon language-ID heuristic: score each language by
-    function-word hits, argmax with a fixed tie-break order (first in
-    _LANG_ORDER wins ties — encoded as >= cascading on both engines)."""
-    d = table(spark, sf_dir, "documents")
+           END"""
+
+
+def _langid_pred_col() -> "F.Column":
+    """The same cascade as a Spark Column (shared with the confusion
+    matrix op)."""
     toks = _tokens()
+
     def _score(lex: tuple[str, ...]):
         # nb: a 1-arg lambda only — F.filter treats a second parameter
         # as the positional index column.
@@ -163,7 +160,22 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = scores[lang] >= scores[other]
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, lang).otherwise(pred)
-    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+    return pred
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang, {_langid_case_sql()} AS pred_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language-ID heuristic: score each language by
+    function-word hits, argmax with a fixed tie-break order (first in
+    _LANG_ORDER wins ties — encoded as >= cascading on both engines)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", _langid_pred_col().alias("pred_lang"))
 
 
 @query(
@@ -784,4 +796,47 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.round(F.sum(novelty).cast("double") / F.count("*"), 6)
         .alias("avg_novelty"),
+    )
+
+
+@query(
+    "ml_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS true_lang, {_langid_case_sql()} AS pred_lang
+      FROM documents
+    )
+    SELECT true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY true_lang), 6)
+             AS recall_share
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+)
+def ml_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the CONFUSION MATRIX of the
+    text_langid heuristic against the corpus's true labels — count
+    and per-true-language recall share of every (true, predicted)
+    cell. This is the eval loop a curation pipeline runs after every
+    classifier change (which mislabelings would leak wrong-language
+    docs past a filter?), sharing the exact scoring cascade with
+    text_langid so the matrix always reflects the deployed model.
+
+    Plan: one scan scoring each doc map-side (codegen'd array
+    expressions), a |langs|^2-bounded hash agg, and the recall
+    normalization as a window over that tiny matrix — the same
+    matrix-shape discipline as win_event_transitions."""
+    d = table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("true_lang"),
+        _langid_pred_col().alias("pred_lang"),
+    )
+    counts = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang", "pred_lang", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6)
+        .alias("recall_share"),
     )
