@@ -108,6 +108,7 @@ _R4_NEW = frozenset({
     "win_event_transitions", "ml_logreg_irls", "agg_bootstrap_se",
     "agg_market_basket", "ts_interarrival_stats", "graph_kcore_peel",
     "agg_rfm_segments", "ml_langid_confusion", "dq_benford_digits",
+    "agg_weighted_median", "ts_disorder_ratio", "ts_bounce_rate",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

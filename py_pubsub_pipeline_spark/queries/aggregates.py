@@ -882,3 +882,56 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.col("ca") * F.col("cb")), 6).alias("lift"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS x,
+             CAST(l_quantity AS BIGINT) AS wt,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT flag,
+           CAST(ANY_VALUE(tot) AS BIGINT) AS total_weight,
+           MIN(x) FILTER (WHERE 2 * cum >= tot) AS weighted_median
+    FROM w GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which half the QUANTITY (not
+    half the rows) lies below — the right central tendency when rows
+    carry different mass (volume-weighted price, bytes-weighted
+    latency). Exact algorithm: order by value, take the first value
+    whose cumulative weight crosses half the total — all integer
+    weight arithmetic (2*cum >= tot avoids any division), so both
+    engines select the identical double.
+
+    Scale: one window per group key (cumulative weight rides the same
+    exchange as the partition), then a per-group MIN-filter agg. The
+    within-group sort is the honest cost of an exact weighted
+    median; the approx path at extreme group sizes is a weighted
+    histogram + boundary interpolation (quantile_bucketize's shape
+    with weight-summing bins)."""
+    li = table(spark, sf_dir, "lineitem")
+    wcum = (Window.partitionBy("l_returnflag")
+            .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("l_returnflag")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.sum(F.col("l_quantity").cast("long")).over(wcum).alias("cum"),
+        F.sum(F.col("l_quantity").cast("long")).over(wall).alias("tot"),
+    )
+    return w.groupBy("flag").agg(
+        F.any_value("tot").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("x")))
+        .alias("weighted_median"),
+    )

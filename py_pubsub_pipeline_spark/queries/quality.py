@@ -638,3 +638,75 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_p"),
         F.round(obs - benford, 6).alias("deviation"),
     )
+
+
+_BOUNCE_GAP_MIN = 30  # same inactivity gap as sessionize_gaps
+
+
+@query(
+    "ts_bounce_rate",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR date_diff('second', LAG(ts) OVER w, ts)
+                      > {_BOUNCE_GAP_MIN * 60}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marks
+    ), per_session AS (
+      SELECT user_id, sess, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, sess
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+             AS avg_events_per_session
+    FROM per_session
+    """,
+)
+def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over gap-sessionized activity: the share of
+    sessions containing exactly one event, plus average session depth
+    — the engagement-quality headline on top of sessionize_gaps'
+    session numbering (same {_BOUNCE_GAP_MIN}-minute inactivity gap,
+    so the two reports always agree on what a session is).
+
+    Plan: the LAG mark and the running session number share ONE
+    user_id exchange (sessionize_gaps' single-exchange discipline),
+    then per-session and global aggs. Ratios divide exact counts."""
+    e = table(spark, sf_dir, "events")
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.lag("ts").over(worder).cast("timestamp"))
+             ) / 1_000_000
+    marks = e.select(
+        "user_id", "ts", "event_id",
+        F.when(F.lag("ts").over(worder).isNull()
+               | (gap_s > _BOUNCE_GAP_MIN * 60), 1).otherwise(0)
+        .alias("is_start"),
+    )
+    wrun = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sessions = marks.select(
+        "user_id", F.sum("is_start").over(wrun).alias("sess"))
+    per_session = sessions.groupBy("user_id", "sess").agg(
+        F.count("*").alias("n_events"))
+    bounce = F.col("n_events") == 1
+    return per_session.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count_if(bounce).cast("long").alias("n_bounces"),
+        F.round(F.count_if(bounce).cast("double") / F.count("*"), 6)
+        .alias("bounce_rate"),
+        F.round(F.sum("n_events").cast("double") / F.count("*"), 6)
+        .alias("avg_events_per_session"),
+    )

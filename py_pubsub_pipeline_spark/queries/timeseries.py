@@ -1150,3 +1150,56 @@ def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_gap, 4).alias("mean_gap_us"),
         F.round(F.lit(1.0e6) / mean_gap, 6).alias("rate_per_sec"),
     )
+
+
+@query(
+    "ts_disorder_ratio",
+    oracle="""
+    WITH arr AS (
+      -- event_id is the ARRIVAL order; ts is event time
+      SELECT event_type, event_id, epoch_us(ts) AS t,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS hwm
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE t < hwm) AS BIGINT) AS n_late,
+           ROUND(CAST(COUNT(*) FILTER (WHERE t < hwm) AS DOUBLE)
+                 / COUNT(*), 6) AS late_share,
+           CAST(COALESCE(MAX(CASE WHEN t < hwm THEN hwm - t END), 0)
+                AS BIGINT) AS max_lateness_us
+    FROM arr GROUP BY event_type
+    """,
+)
+def ts_disorder_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time DISORDER profile: taking event_id as arrival order,
+    how often does an event arrive with a timestamp behind the
+    running high-water mark, and by at most how much? This is the
+    measurement that SIZES A WATERMARK — `withWatermark(max_lateness)`
+    is exactly the bound this query reports, so the streaming ops
+    (stream_tumbling/.../stream_dedup) stop guessing their lateness
+    budget (cf. ts_interarrival_stats for the rate side of the same
+    capacity question).
+
+    Plan: one running-max window per event_type partition (arrival
+    order = event_id, unique), then a hash agg; lateness stays in
+    exact integer microseconds."""
+    e = table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    arr = e.select(
+        "event_type", t.alias("t"), F.max(t).over(w).alias("hwm"))
+    late = F.col("t") < F.col("hwm")
+    return arr.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(late).cast("long").alias("n_late"),
+        F.round(F.count_if(late).cast("double") / F.count("*"), 6)
+        .alias("late_share"),
+        F.coalesce(
+            F.max(F.when(late, F.col("hwm") - F.col("t"))), F.lit(0)
+        ).cast("long").alias("max_lateness_us"),
+    )
