@@ -583,3 +583,40 @@ def test_transitions_single_user_exchange(spark):
     final = _final(_executed(REG["win_event_transitions"].fn(spark, SF_SMALL),
                              spark))
     assert "Join" not in final, final
+
+
+def test_weighted_median_single_group_exchange(spark):
+    # Cumulative weight + total ride one l_returnflag exchange; the
+    # crossing pick is an agg, never a join back.
+    final = _final(_executed(REG["agg_weighted_median"].fn(spark, SF_SMALL),
+                             spark))
+    assert "Join" not in final, final
+
+
+def test_market_basket_pairs_keyed_on_order(spark):
+    # The pair build must EQUI-join on the order key (bounded by
+    # basket size), never cross-join the item sets. (The single-row
+    # n_orders dim legitimately rides a broadcast cross join.)
+    final = _final(_executed(REG["agg_market_basket"].fn(spark, SF_SMALL),
+                             spark))
+    assert "CartesianProduct" not in final, final
+    assert ("BroadcastHashJoin" in final or "ShuffledHashJoin" in final
+            or "SortMergeJoin" in final), final
+
+
+def test_rfm_boundaries_broadcast_no_global_sort(spark):
+    # 3-dim quantile boundaries broadcast into a map-side assign; a
+    # global Sort (NTILE shape) must not appear.
+    plan = _executed(REG["agg_rfm_segments"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "BroadcastExchange" in plan, plan
+    assert "Window" not in final, final
+
+
+def test_logreg_betas_broadcast_between_passes(spark):
+    # IRLS parameters travel as broadcast single-row dims, never a
+    # shuffled join against the fact scan.
+    final = _final(_executed(REG["ml_logreg_irls"].fn(spark, SF_SMALL),
+                             spark))
+    assert "SortMergeJoin" not in final, final
+    assert "BroadcastExchange" in final, final
