@@ -109,6 +109,7 @@ _R4_NEW = frozenset({
     "agg_market_basket", "ts_interarrival_stats", "graph_kcore_peel",
     "agg_rfm_segments", "ml_langid_confusion", "dq_benford_digits",
     "agg_weighted_median", "ts_disorder_ratio", "ts_bounce_rate",
+    "agg_ratio_delta_method", "text_stem_suffix", "graph_adamic_adar",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

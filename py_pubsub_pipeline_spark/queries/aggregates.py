@@ -935,3 +935,86 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("x")))
         .alias("weighted_median"),
     )
+
+
+@query(
+    "agg_ratio_delta_method",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS x,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), mom AS (
+      SELECT seg, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS mx,
+             CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS my,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE)
+               / COUNT(*) AS mxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE)
+               / COUNT(*) AS myy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE)
+               / COUNT(*) AS mxy
+      FROM per_cust GROUP BY seg
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n_customers,
+           ROUND(mx / my, 6) AS ratio,
+           ROUND(SQRT(GREATEST(
+                   (mxx - mx*mx) / (my*my)
+                   - 2.0 * mx * (mxy - mx*my) / (my*my*my)
+                   + mx*mx * (myy - my*my) / (my*my*my*my), 0.0) / n),
+                 6) AS ratio_se
+    FROM mom
+    """,
+)
+def agg_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard error of a RATIO metric (revenue per order, per
+    segment) by the delta method over per-customer co-moments —
+    the A/B-testing workhorse: a ratio of sums is NOT an average of
+    independent rows (customers, not orders, are the randomization
+    unit), so its variance needs var(X), var(Y), AND cov(X,Y) of the
+    per-unit totals. Naively treating orders as independent
+    understates the SE and produces false positives.
+
+    Plan: per-customer totals (one hash agg), then one co-moment
+    aggregate per segment — both map-side-partial; the delta-method
+    algebra runs on the few-row moment table. Co-moment sums quantize
+    through DECIMAL; the variance is clamped at 0 before the sqrt so
+    quantization can't produce NaN on a degenerate segment."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double").alias("x"),
+            F.count("*").cast("double").alias("y"),
+        )
+    )
+
+    def m(expr, scale):
+        return F.sum(expr.cast(f"decimal({scale},4)")).cast("double") / F.count("*")
+
+    mom = per_cust.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        m(F.col("x"), 28).alias("mx"),
+        m(F.col("y"), 28).alias("my"),
+        m(F.col("x") * F.col("x"), 38).alias("mxx"),
+        m(F.col("y") * F.col("y"), 38).alias("myy"),
+        m(F.col("x") * F.col("y"), 38).alias("mxy"),
+    )
+    mx, my = F.col("mx"), F.col("my")
+    var = (
+        (F.col("mxx") - mx * mx) / (my * my)
+        - 2.0 * mx * (F.col("mxy") - mx * my) / (my * my * my)
+        + mx * mx * (F.col("myy") - my * my) / (my * my * my * my)
+    )
+    return mom.select(
+        "seg",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(mx / my, 6).alias("ratio"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0)) / F.col("n")), 6)
+        .alias("ratio_se"),
+    )

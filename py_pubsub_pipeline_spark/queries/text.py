@@ -840,3 +840,57 @@ def ml_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6)
         .alias("recall_share"),
     )
+
+
+# Ordered suffix-strip rules (first match wins; longest first so
+# 'running' -> 'runn' via 'ing' not 'g'). Minimum stem length 3.
+_STEM_RE = "(sses|ing|ed|es|s)$"
+
+
+@query(
+    "text_stem_suffix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ), stemmed AS (
+      SELECT lang, t,
+             CASE WHEN length(t) >= 5
+                  THEN regexp_replace(t, '{_STEM_RE}', '')
+                  ELSE t END AS stem
+      FROM toks
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_raw,
+           CAST(COUNT(DISTINCT stem) AS BIGINT) AS vocab_stemmed,
+           ROUND(1.0 - CAST(COUNT(DISTINCT stem) AS DOUBLE)
+                       / COUNT(DISTINCT t), 6) AS vocab_reduction
+    FROM stemmed GROUP BY lang
+    """,
+)
+def text_stem_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based suffix stemming (the Porter step-1 shape: strip
+    sses/ing/ed/es/s from tokens of length >= 5) with the vocabulary
+    reduction it buys per language — the normalization knob between
+    raw tokens (text_tokens) and aggressive fingerprinting
+    (text_fingerprint): stemming folds inflected forms so dedup and
+    retrieval see one term where morphology made five.
+
+    Plan: map-side regexp (RE2-safe alternation anchored at $, same
+    discipline as text_pii_redact), then two distinct-aggs whose
+    exchanges carry distinct (lang, term) pairs — vocabulary-bounded,
+    not token-bounded. The identical regex executes on both engines;
+    the length guard keeps short function words intact."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(_tokens()).alias("t"))
+    stemmed = toks.select(
+        "lang", "t",
+        F.when(F.length("t") >= 5,
+               F.regexp_replace("t", _STEM_RE, ""))
+        .otherwise(F.col("t")).alias("stem"),
+    )
+    return stemmed.groupBy("lang").agg(
+        F.countDistinct("t").cast("long").alias("vocab_raw"),
+        F.countDistinct("stem").cast("long").alias("vocab_stemmed"),
+        F.round(F.lit(1.0) - F.countDistinct("stem").cast("double")
+                / F.countDistinct("t"), 6).alias("vocab_reduction"),
+    )
