@@ -411,3 +411,64 @@ def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("segc").cast("string")).alias("seg"), "n", "sum_bal"
         )
     )
+
+
+@query(
+    "fn_business_days",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS prio,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS a,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), bd AS (
+      -- bd(x) = weekdays in [epoch..x]: 5 per full week + the partial
+      -- week, with weekday (x+3)%7 mapping Monday->0 (1970-01-01 was
+      -- a Thursday -> 3). Pure integer math — no engine weekday enum.
+      SELECT prio,
+             (5 * (b // 7) + LEAST((b + 3) % 7 + 1, 5))
+             - (5 * (a // 7) + LEAST((a + 3) % 7 + 1, 5)) AS bdays
+      FROM d
+    )
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+           CAST(MAX(bdays) AS BIGINT) AS max_bdays,
+           ROUND(CAST(SUM(CAST(bdays AS DECIMAL(28,0))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_bdays
+    FROM bd GROUP BY prio
+    """,
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day lead time (order -> ship, weekends excluded) per
+    priority class, via the closed-form weekday-prefix count
+    bd(x) = 5*(x div 7) + min(weekday(x)+1, 5) on EPOCH-DAY integers
+    with weekday = (x+3) % 7 — deliberately avoiding both engines'
+    dayofweek() functions, whose Sunday-origin conventions differ
+    (Spark: Sunday=1; DuckDB: Sunday=0). SLA dashboards live on this
+    number, and a naive calendar datediff overstates lead time ~40%.
+
+    Plan: the whole computation is map-side integer arithmetic inside
+    the join projection (codegen'd), then a 5-group hash agg; exact
+    DECIMAL sum for the average."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def bd(col):
+        x = F.datediff(F.col(col).cast("date"), epoch)
+        return 5 * F.floor(x / 7) + F.least((x + 3) % 7 + 1, F.lit(5))
+
+    d = o.join(li, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("prio"),
+        (bd("l_shipdate") - bd("o_orderdate")).alias("bdays"),
+    )
+    return d.groupBy("prio").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("bdays").cast("long").alias("min_bdays"),
+        F.max("bdays").cast("long").alias("max_bdays"),
+        F.round(F.sum(F.col("bdays").cast("decimal(28,0)")).cast("double")
+                / F.count("*"), 6).alias("avg_bdays"),
+    )

@@ -1203,3 +1203,98 @@ def ts_disorder_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(late, F.col("hwm") - F.col("t"))), F.lit(0)
         ).cast("long").alias("max_lateness_us"),
     )
+
+
+_KM_CENSOR_CUTOFF = "2001-05-03"  # corpus max order date minus ~90 days
+
+
+@query(
+    "ts_survival_km",
+    oracle=f"""
+    WITH life AS (
+      SELECT o_custkey,
+             date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS dur,
+             MAX(o_orderdate) <= TIMESTAMP '{_KM_CENSOR_CUTOFF} 00:00:00'
+               AS churned
+      FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT COUNT(*) AS n FROM life),
+    by_dur AS (
+      SELECT dur,
+             COUNT(*) FILTER (WHERE churned) AS d,
+             COUNT(*) AS c
+      FROM life GROUP BY dur
+    ), risk AS (
+      SELECT dur, d,
+             tot.n - COALESCE(SUM(c) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM by_dur, tot
+    ), ev AS (
+      SELECT dur, d, n_at_risk,
+             1.0 - CAST(d AS DOUBLE) / n_at_risk AS factor
+      FROM risk WHERE d > 0
+    )
+    SELECT dur AS dur_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN MIN(factor) OVER w = 0.0 THEN 0.0
+                ELSE ROUND(EXP(CAST(SUM(CAST(LN(factor) AS DECIMAL(18,9)))
+                                    OVER w AS DOUBLE)), 6) END AS survival
+    FROM ev
+    WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime (days between
+    first and last order), with customers still active in the final
+    ~90 days treated as CENSORED — the churn-analysis estimator that
+    uses censored subjects correctly (they stay in the at-risk
+    denominator until their observed duration; dropping them biases
+    survival down). S(t) = prod over event times <= t of
+    (1 - d_i / n_i).
+
+    Plan: per-customer lifetime agg, a duration-grouped count (both
+    hash aggs), then the at-risk and product-limit windows run over
+    the DISTINCT-DURATION spine — bounded by the observation range in
+    days, never by customer count. The product is exp-sum-log with
+    per-term DECIMAL quantization (agg_means_family's associative
+    form); an exhausted risk set short-circuits to exactly 0 before
+    the log."""
+    o = table(spark, sf_dir, "orders")
+    life = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate").cast("date"),
+                   F.min("o_orderdate").cast("date")).alias("dur"),
+        (F.max("o_orderdate")
+         <= F.lit(_KM_CENSOR_CUTOFF).cast("timestamp_ntz")).alias("churned"),
+    )
+    tot = life.agg(F.count("*").alias("n"))
+    by_dur = life.groupBy("dur").agg(
+        F.count_if("churned").alias("d"),
+        F.count("*").alias("c"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        by_dur.crossJoin(F.broadcast(tot))
+        .select(
+            "dur", "d",
+            (F.col("n") - F.coalesce(F.sum("c").over(wprev), F.lit(0)))
+            .alias("n_at_risk"))
+    )
+    ev = risk.filter(F.col("d") > 0).select(
+        "dur", "d", "n_at_risk",
+        (F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk"))
+        .alias("factor"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        F.col("dur").alias("dur_days"),
+        F.col("n_at_risk").cast("long"),
+        F.col("d").cast("long").alias("n_events"),
+        F.when(F.min("factor").over(wcum) == 0.0, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(
+                F.sum(F.log("factor").cast("decimal(18,9)")).over(wcum)
+                .cast("double")), 6)
+        ).alias("survival"),
+    )
