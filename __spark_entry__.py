@@ -110,7 +110,7 @@ _R4_NEW = frozenset({
     "agg_rfm_segments", "ml_langid_confusion", "dq_benford_digits",
     "agg_weighted_median", "ts_disorder_ratio", "ts_bounce_rate",
     "agg_ratio_delta_method", "text_stem_suffix", "graph_adamic_adar",
-    "fn_business_days", "ts_survival_km",
+    "fn_business_days", "ts_survival_km", "emb_pca_power",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -1004,3 +1004,102 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nbr_label") == F.col("true_label")).cast("int")
         .alias("correct"),
     )
+
+
+_PCA_ITERS = 3
+_PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    # v0 = uniform unit vector; each iteration is the same three
+    # hash-agg blocks (dot, matvec, normalize) over the exploded view.
+    blocks = [f"""
+    v0 AS (
+      SELECT j, 1.0 / SQRT({_PCA_DIM}) AS vj
+      FROM UNNEST(generate_series(0, {_PCA_DIM - 1})) t(j)
+    )"""]
+    prev = "v0"
+    for i in range(1, _PCA_ITERS + 1):
+        blocks.append(f"""
+    s{i} AS (
+      SELECT ex.vec_id,
+             CAST(SUM(CAST(ex.xj * v.vj AS DECIMAL(18,9))) AS DOUBLE) AS s
+      FROM ex JOIN {prev} v ON v.j = ex.j GROUP BY ex.vec_id
+    ), w{i} AS (
+      SELECT ex.j,
+             CAST(SUM(CAST(s.s * ex.xj AS DECIMAL(18,9))) AS DOUBLE) AS wj
+      FROM ex JOIN s{i} s ON s.vec_id = ex.vec_id GROUP BY ex.j
+    ), n{i} AS (
+      SELECT SQRT(CAST(SUM(CAST(wj * wj AS DECIMAL(28,12))) AS DOUBLE))
+        AS nrm
+      FROM w{i}
+    ), v{i} AS (
+      SELECT w.j, w.wj / n.nrm AS vj FROM w{i} w, n{i} n
+    )""")
+        prev = f"v{i}"
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, CAST(t.j - 1 AS BIGINT) AS j,
+             CAST(embedding[t.j] AS DOUBLE) AS xj
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) t(j)
+    ),{",".join(blocks)}
+    SELECT v.j AS component,
+           ROUND(v.vj, 4) AS loading,
+           ROUND(n.nrm, 4) AS eigenvalue
+    FROM v{_PCA_ITERS} v, n{_PCA_ITERS} n
+    """
+
+
+@query("emb_pca_power", oracle=_pca_oracle())
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by POWER
+    ITERATION, run entirely as relational algebra: each of the
+    {_PCA_ITERS} iterations is dot-products (per-vector agg), a
+    matvec accumulation (per-component agg), and a normalization —
+    three hash aggs over the exploded (vec, component, value) view.
+    The dominant direction is the "anisotropy axis" embedding
+    pipelines remove (all-but-the-top debiasing) and the first step
+    of any spectral method — here the ENGINE owns the linear algebra
+    (cf. ml_kmeans_train for the centroid analogue).
+
+    Scale: the explode fans out x{_PCA_DIM} (dimension-bounded, not
+    data-bounded); every sum is map-side partial with per-term
+    DECIMAL quantization, so cross-row accumulation order and the
+    engines' last-ulp multiply differences can't reach the 4-decimal
+    rounding; v travels as a {_PCA_DIM}-row broadcast dim between
+    iterations. Sign is pinned by the deterministic uniform start
+    vector."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("j", "xj"),
+    ).select("vec_id", F.col("j").cast("long").alias("j"),
+             F.col("xj").cast("double").alias("xj"))
+    v = spark.range(_PCA_DIM).select(
+        F.col("id").alias("j"),
+        F.lit(1.0 / _PCA_DIM ** 0.5).alias("vj"))
+    nrm = None
+    for _ in range(_PCA_ITERS):
+        s = (
+            ex.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.sum((F.col("xj") * F.col("vj")).cast("decimal(18,9)"))
+                 .cast("double").alias("s"))
+        )
+        w = (
+            ex.join(s, "vec_id")
+            .groupBy("j")
+            .agg(F.sum((F.col("s") * F.col("xj")).cast("decimal(18,9)"))
+                 .cast("double").alias("wj"))
+        )
+        nrm = w.agg(
+            F.sqrt(F.sum((F.col("wj") * F.col("wj")).cast("decimal(28,12)"))
+                   .cast("double")).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "j", (F.col("wj") / F.col("nrm")).alias("vj"))
+    return v.crossJoin(F.broadcast(nrm)).select(
+        F.col("j").alias("component"),
+        F.round("vj", 4).alias("loading"),
+        F.round("nrm", 4).alias("eigenvalue"),
+    )
