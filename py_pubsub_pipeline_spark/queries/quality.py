@@ -710,3 +710,124 @@ def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_events").cast("double") / F.count("*"), 6)
         .alias("avg_events_per_session"),
     )
+
+
+@query(
+    "retention_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), sized AS (
+      SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort
+    ), rev AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort,
+                       CAST(date_trunc('month', o.o_orderdate) AS DATE))
+               AS k,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort, CAST(r.k AS INT) AS months_since,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           -- exact integer division in 1e-4-dollar units: no
+           -- round-half boundary for either engine to disagree on
+           CAST(CAST(SUM(CAST(r.revenue AS DECIMAL(28,2))) OVER (
+                  PARTITION BY r.cohort ORDER BY r.k
+                  ROWS UNBOUNDED PRECEDING) * 10000 AS BIGINT)
+                // s.cohort_size AS BIGINT) AS cum_ltv_per_customer_e4
+    FROM rev r JOIN sized s ON s.cohort = r.cohort
+    """,
+)
+def retention_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue per customer by
+    acquisition-month cohort and months-since-acquisition — the
+    payback chart next to retention_cohorts' return-rate matrix (rate
+    says WHETHER they come back; this says what that's WORTH). The
+    running sum turns the (cohort, month) revenue matrix into the
+    curve a CAC threshold is drawn against. The per-customer value is
+    reported in EXACT 1e-4-dollar integer units (cum * 10^4 integer-
+    divided by cohort size): a rounded double here kept landing on
+    round-half boundaries where the engines' tie rules disagree.
+
+    Plan: first-order hash agg per customer, revenue hash agg per
+    (cohort, k) — both map-side-partial, exchanges bounded by
+    customers then by matrix cells — and the cumulative window walks
+    the months-bounded spine per cohort. Money sums stay in
+    DECIMAL(28,2) until the final per-customer division."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date")
+        .alias("cohort"))
+    sized = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+                F.col("cohort")).cast("int")).alias("k"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+             .cast("double").alias("revenue"))
+    )
+    return (
+        rev.join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            F.col("k").cast("int").alias("months_since"),
+            F.col("cohort_size").cast("long"),
+            F.expr(
+                "CAST(CAST(sum(CAST(revenue AS DECIMAL(28,2))) OVER ("
+                "PARTITION BY cohort ORDER BY k "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                "* 10000 AS BIGINT) DIV cohort_size AS BIGINT)"
+            ).alias("cum_ltv_per_customer_e4"),
+        )
+    )
+
+
+_FRESH_STALE_H = 12
+
+
+@query(
+    "dq_freshness",
+    oracle=f"""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    per AS (
+      SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.last_ts,
+           CAST(p.n AS BIGINT) AS n,
+           CAST((epoch_us(g.gmax) - epoch_us(p.last_ts)) // 1000000
+                AS BIGINT) AS lag_s,
+           (epoch_us(g.gmax) - epoch_us(p.last_ts))
+             > {_FRESH_STALE_H * 3600 * 1000000} AS stale
+    FROM per p, g
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition freshness monitor: how far each event type's
+    newest record lags the newest record anywhere, with a
+    {_FRESH_STALE_H}-hour staleness flag — the first page of every
+    data-ops runbook (a silent upstream producer shows up here hours
+    before any volume metric moves).
+
+    Plan: one grouped MAX + one global MAX (both map-side partial,
+    one row per type), lag in exact integer microseconds."""
+    e = table(spark, sf_dir, "events")
+    g = e.agg(F.max("ts").alias("gmax"))
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("n"))
+    lag_us = (F.unix_micros(F.col("gmax").cast("timestamp"))
+              - F.unix_micros(F.col("last_ts").cast("timestamp")))
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type", "last_ts",
+        F.col("n").cast("long"),
+        (lag_us / 1_000_000).cast("long").alias("lag_s"),
+        (lag_us > _FRESH_STALE_H * 3600 * 1_000_000).alias("stale"),
+    )
