@@ -11,7 +11,17 @@ row-count + schema + order-insensitive value-hash):
   * alias every computed column identically on both sides;
   * round floating aggregates (ROUND(x, N)) on both sides so
     accumulation-order ulp noise can't flip the hash;
-  * no LIMIT without a total order that is unique.
+  * no LIMIT without a total order that is unique;
+  * double->integer casts: explicit FLOOR on both sides (DuckDB's
+    CAST(DOUBLE AS BIGINT) ROUNDS, Spark's truncates — found by
+    dq_benford_digits);
+  * terminating-decimal divisions (cents / int) land EXACTLY on
+    round-half boundaries where the engines' tie rules disagree —
+    report such metrics as exact integer units (value * 10^k integer-
+    divided) instead of ROUND (found by retention_ltv_curve);
+  * libm functions (LN/LOG2/EXP) differ by ulps across engines:
+    quantize each per-row term through DECIMAL before any cross-row
+    sum, then round the final result.
 """
 
 from __future__ import annotations
