@@ -111,7 +111,7 @@ _R4_NEW = frozenset({
     "agg_weighted_median", "ts_disorder_ratio", "ts_bounce_rate",
     "agg_ratio_delta_method", "text_stem_suffix", "graph_adamic_adar",
     "fn_business_days", "ts_survival_km", "emb_pca_power",
-    "retention_ltv_curve", "dq_freshness",
+    "retention_ltv_curve", "dq_freshness", "ml_crossval_ols",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

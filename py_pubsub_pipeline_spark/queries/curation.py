@@ -1100,3 +1100,120 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("monetary").cast("decimal(28,2)")).cast("double")
                 / F.count("*"), 4).alias("avg_monetary"),
     )
+
+
+_CV_FOLDS = 5
+
+
+@query(
+    "ml_crossval_ols",
+    oracle=f"""
+    WITH rows_f AS (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                        || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_CV_FOLDS} AS INT) AS fold,
+             CAST(l_quantity AS DOUBLE) AS x,
+             l_extendedprice AS y
+      FROM lineitem
+    ), fm AS (
+      SELECT fold, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM rows_f GROUP BY fold
+    ), tot AS (
+      SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+             SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+      FROM fm
+    ), per_fold AS (
+      SELECT f.fold,
+             t.n - f.n AS tn, t.sx - f.sx AS tsx, t.sy - f.sy AS tsy,
+             t.sxx - f.sxx AS tsxx, t.sxy - f.sxy AS tsxy,
+             f.n AS vn, f.sx AS vsx, f.sy AS vsy,
+             f.sxx AS vsxx, f.sxy AS vsxy, f.syy AS vsyy
+      FROM fm f, tot t
+    ), fit AS (
+      SELECT fold, vn, vsx, vsy, vsxx, vsxy, vsyy,
+             (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS b1,
+             (tsy - (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+                    * tsx) / tn AS b0
+      FROM per_fold
+    )
+    SELECT fold, CAST(vn AS BIGINT) AS n_test,
+           ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
+           ROUND(1.0 - (vsyy + vn*b0*b0 + b1*b1*vsxx - 2.0*b0*vsy
+                        - 2.0*b1*vsxy + 2.0*b0*b1*vsx)
+                       / (vsyy - vsy*vsy/vn), 6) AS test_r2
+    FROM fit
+    """,
+)
+def ml_crossval_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_CV_FOLDS}-fold cross-validated OLS in ONE PASS over the
+    data: fold assignment is a pure md5 hash of the row key (the
+    sample_hash discipline — no RNG, no leakage via partitioning),
+    per-fold co-moments are a single hash agg, and each fold's
+    TRAINING moments come from subtracting its row from the total —
+    the associativity of co-moments means "train on k-1 folds" never
+    rescans anything. Each fold's coefficients are then scored on its
+    own held-out moments (test R^2 from the same six sufficient
+    statistics). This is the eval loop a feature pipeline runs per
+    candidate feature, as a query.
+
+    Scale: one scan, one {_CV_FOLDS}-row aggregate, algebra on those
+    rows. Co-moment sums quantize through DECIMAL; everything after
+    is identical double arithmetic on identical inputs."""
+    li = table(spark, sf_dir, "lineitem")
+    fold = (
+        F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % _CV_FOLDS
+    ).cast("int")
+    rows_f = li.select(
+        fold.alias("fold"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def m(expr, scale):
+        return F.sum(expr.cast(f"decimal({scale},6)")).cast("double")
+
+    fm = rows_f.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        m(F.col("x"), 28).alias("sx"), m(F.col("y"), 28).alias("sy"),
+        m(F.col("x") * F.col("x"), 38).alias("sxx"),
+        m(F.col("x") * F.col("y"), 38).alias("sxy"),
+        m(F.col("y") * F.col("y"), 38).alias("syy"),
+    )
+    tot = fm.agg(*[F.sum(c).alias(c)
+                   for c in ("n", "sx", "sy", "sxx", "sxy", "syy")])
+    pf = fm.crossJoin(F.broadcast(
+        tot.select(*[F.col(c).alias(f"t_{c}")
+                     for c in ("n", "sx", "sy", "sxx", "sxy", "syy")])))
+    tn = F.col("t_n") - F.col("n")
+    tsx, tsy = F.col("t_sx") - F.col("sx"), F.col("t_sy") - F.col("sy")
+    tsxx = F.col("t_sxx") - F.col("sxx")
+    tsxy = F.col("t_sxy") - F.col("sxy")
+    b1 = (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+    b0 = (tsy - b1 * tsx) / tn
+    fit = pf.select(
+        "fold", F.col("n").alias("vn"), F.col("sx").alias("vsx"),
+        F.col("sy").alias("vsy"), F.col("sxx").alias("vsxx"),
+        F.col("sxy").alias("vsxy"), F.col("syy").alias("vsyy"),
+        b1.alias("b1"), b0.alias("b0"),
+    )
+    sse = (F.col("vsyy") + F.col("vn") * F.col("b0") * F.col("b0")
+           + F.col("b1") * F.col("b1") * F.col("vsxx")
+           - 2.0 * F.col("b0") * F.col("vsy")
+           - 2.0 * F.col("b1") * F.col("vsxy")
+           + 2.0 * F.col("b0") * F.col("b1") * F.col("vsx"))
+    sst = F.col("vsyy") - F.col("vsy") * F.col("vsy") / F.col("vn")
+    return fit.select(
+        "fold",
+        F.col("vn").cast("long").alias("n_test"),
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta1"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("test_r2"),
+    )
