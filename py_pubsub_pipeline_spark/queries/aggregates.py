@@ -1018,3 +1018,65 @@ def agg_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.greatest(var, F.lit(0.0)) / F.col("n")), 6)
         .alias("ratio_se"),
     )
+
+
+_CONC_LEVELS = (50, 80, 90)
+
+
+@query(
+    "agg_revenue_concentration",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS tot,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rnk
+      FROM cust
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM cust) AS BIGINT) AS n_customers,
+      {", ".join(
+        f"CAST(MIN(CASE WHEN 100 * cum >= {p} * tot THEN rnk END) "
+        f"AS BIGINT) AS n{p}" for p in _CONC_LEVELS)}
+    FROM ranked
+    """,
+)
+def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the number of top customers covering
+    50/80/90% of total revenue — the "how few accounts are we
+    actually living on" number (the discrete companion to
+    agg_gini_lorenz's curve summary). The crossing is picked by EXACT
+    DECIMAL comparison (100*cum >= p*tot) — no percentage division,
+    so no float boundary for the engines to disagree on.
+
+    Plan: one hash agg to per-customer revenue, then rank + running
+    sum over the customer aggregate (a total-order window: exact
+    answer requires it — at extreme customer counts the approx path
+    is quantile_bucketize's boundary histogram over revenue). Ties
+    in revenue break on the key."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("rev"))
+    wcum = (Window.orderBy(F.col("rev").desc(), "o_custkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    ranked = cust.select(
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(wall).alias("tot"),
+        F.row_number().over(
+            Window.orderBy(F.col("rev").desc(), "o_custkey")).alias("rnk"),
+    )
+    n_cust = cust.agg(F.count("*").cast("long").alias("n_customers"))
+    return ranked.crossJoin(F.broadcast(n_cust)).agg(
+        F.any_value("n_customers").alias("n_customers"),
+        *[
+            F.min(F.when(100 * F.col("cum") >= p * F.col("tot"),
+                         F.col("rnk"))).cast("long").alias(f"n{p}")
+            for p in _CONC_LEVELS
+        ],
+    )

@@ -332,3 +332,61 @@ def win_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6)
         .alias("p_transition"),
     )
+
+
+@query(
+    "win_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS net
+      FROM events GROUP BY 1, 2
+    ), eq AS (
+      SELECT event_type, day,
+             SUM(net) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS equity
+      FROM daily
+    ), curve AS (
+      SELECT event_type, equity,
+             MAX(equity) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS peak
+      FROM eq
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(peak - equity) AS DOUBLE) AS max_drawdown,
+           CAST(MAX(peak) AS DOUBLE) AS peak_equity
+    FROM curve GROUP BY event_type
+    """,
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative value curve per event type:
+    the largest peak-to-trough drop of the running total — the risk
+    statistic behind every equity/SLA-budget chart, and the nested-
+    window composite (a running MAX **of** a running SUM) that
+    exercises window-over-window planning.
+
+    Plan: the event stream first collapses to a per-day net (hash
+    agg — the spine discipline of ts_concurrency_peak: windows walk
+    days, not events), then BOTH windows ride one event_type
+    exchange. All arithmetic stays in exact DECIMAL until the final
+    output cast."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)"))
+          .cast("decimal(28,6)").alias("net"))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    eq = daily.select(
+        "event_type", "day", F.sum("net").over(w).alias("equity"))
+    curve = eq.select(
+        "event_type", "equity", F.max("equity").over(w).alias("peak"))
+    return curve.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max(F.col("peak") - F.col("equity")).cast("double")
+        .alias("max_drawdown"),
+        F.max("peak").cast("double").alias("peak_equity"),
+    )
