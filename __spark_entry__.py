@@ -112,7 +112,8 @@ _R4_NEW = frozenset({
     "agg_ratio_delta_method", "text_stem_suffix", "graph_adamic_adar",
     "fn_business_days", "ts_survival_km", "emb_pca_power",
     "retention_ltv_curve", "dq_freshness", "ml_crossval_ols",
-    "win_max_drawdown", "agg_revenue_concentration",
+    "win_max_drawdown", "agg_revenue_concentration", "graph_modularity",
+    "agg_eb_shrunk_rates",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

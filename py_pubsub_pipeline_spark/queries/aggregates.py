@@ -1080,3 +1080,85 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in _CONC_LEVELS
         ],
     )
+
+
+@query(
+    "agg_eb_shrunk_rates",
+    oracle="""
+    WITH br AS (
+      SELECT p_brand,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE l_returnflag = 'R') AS k
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand
+    ), gstats AS (
+      -- method-of-moments Beta prior from the brand-level rates
+      SELECT CAST(SUM(CAST(CAST(k AS DOUBLE) / n AS DECIMAL(18,9)))
+                  AS DOUBLE) / COUNT(*) AS mu,
+             CAST(SUM(CAST((CAST(k AS DOUBLE) / n)
+                           * (CAST(k AS DOUBLE) / n) AS DECIMAL(18,9)))
+                  AS DOUBLE) / COUNT(*) AS m2,
+             COUNT(*) AS nb
+      FROM br
+    ), prior AS (
+      SELECT mu,
+             GREATEST(m2 - mu * mu, 1e-9) AS var,
+             mu * (mu * (1.0 - mu) / GREATEST(m2 - mu * mu, 1e-9) - 1.0)
+               AS alpha,
+             (1.0 - mu) * (mu * (1.0 - mu)
+                           / GREATEST(m2 - mu * mu, 1e-9) - 1.0) AS beta
+      FROM gstats
+    )
+    SELECT br.p_brand,
+           CAST(br.n AS BIGINT) AS n,
+           ROUND(CAST(br.k AS DOUBLE) / br.n, 6) AS raw_rate,
+           ROUND((br.k + p.alpha) / (br.n + p.alpha + p.beta), 6)
+             AS shrunk_rate
+    FROM br, prior p
+    """,
+)
+def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-brand return rates: fit a
+    Beta prior to the observed rate distribution by method of moments
+    (alpha, beta from the cross-brand mean and variance), then report
+    each brand's posterior-mean rate (k+alpha)/(n+alpha+beta) beside
+    the raw k/n — small brands get pulled hard toward the global
+    rate, big brands barely move. This is the ranking fix for every
+    "sort by rate" leaderboard where low-n entities dominate the
+    extremes (quality scores, defect rates, CTRs).
+
+    Plan: one fact-side hash agg to (brand, n, k), a moments agg over
+    those few rows, and a broadcast of the 1-row prior back — the
+    shrinkage itself is map-side arithmetic on exact integers plus
+    the two prior doubles. Rate terms quantize through DECIMAL
+    before the moment sums; the variance floor guards the degenerate
+    all-equal-rates corner on both engines identically."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    br = (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"),
+             F.count_if(F.col("l_returnflag") == "R").alias("k"))
+    )
+    rate = F.col("k").cast("double") / F.col("n")
+    glob = br.agg(
+        (F.sum(rate.cast("decimal(18,9)")).cast("double") / F.count("*"))
+        .alias("mu"),
+        (F.sum((rate * rate).cast("decimal(18,9)")).cast("double")
+         / F.count("*")).alias("m2"),
+    )
+    var = F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(1e-9))
+    scale = F.col("mu") * (F.lit(1.0) - F.col("mu")) / var - 1.0
+    prior = glob.select(
+        (F.col("mu") * scale).alias("alpha"),
+        ((F.lit(1.0) - F.col("mu")) * scale).alias("beta"),
+    )
+    return br.crossJoin(F.broadcast(prior)).select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(rate, 6).alias("raw_rate"),
+        F.round((F.col("k") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")), 6)
+        .alias("shrunk_rate"),
+    )

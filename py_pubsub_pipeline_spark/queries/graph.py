@@ -571,3 +571,84 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_AA_TOPK)
         .select("u", "v", "n_common", F.round("aa", 6).alias("adamic_adar"))
     )
+
+
+@query(
+    "graph_modularity",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT u, v FROM (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+        FROM items a JOIN items b ON b.ok = a.ok AND a.p <> b.p
+        GROUP BY 1, 2)
+      WHERE w >= {_KCORE_MINW}
+    ), lab AS (
+      SELECT p_partkey AS p, p_brand AS c FROM part
+    ), el AS (
+      SELECT cu.c AS cu, cv.c AS cv
+      FROM e JOIN lab cu ON cu.p = e.u JOIN lab cv ON cv.p = e.v
+    ), m AS (SELECT COUNT(*) AS m2 FROM el),  -- 2m (directed both ways)
+    per_c AS (
+      SELECT cu AS c,
+             COUNT(*) AS dc,                       -- sum of degrees
+             COUNT(*) FILTER (WHERE cv = cu) AS ec -- within-edges (x2)
+      FROM el GROUP BY cu
+    )
+    SELECT CAST((SELECT m2 FROM m) / 2 AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           ROUND(CAST(SUM(CAST(
+             CAST(ec AS DOUBLE) / m.m2
+             - (CAST(dc AS DOUBLE) / m.m2) * (CAST(dc AS DOUBLE) / m.m2)
+             AS DECIMAL(18,12))) AS DOUBLE), 6) AS modularity
+    FROM per_c, m
+    GROUP BY m.m2
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the BRAND partition over the part
+    co-purchase graph: Q = sum_c [ e_c/2m - (d_c/2m)^2 ] — does brand
+    structure explain who gets co-ordered? This is the evaluation
+    metric for every community assignment (graph_label_prop's output
+    is judged by exactly this number), here computed against a known
+    partition so the oracle can replay it exactly.
+
+    Plan: the symmetric edge list joins its two endpoints to the
+    (broadcastable) label dim, then ONE hash agg per community gives
+    both within-edge counts and degree sums; Q's per-community terms
+    quantize through DECIMAL(18,12) before the final sum. Everything
+    past the edge build is community-cardinality-sized."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    items = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("p")).distinct()
+    a = items.select("ok", F.col("p").alias("u"))
+    b = items.select("ok", F.col("p").alias("v"))
+    e = (
+        a.join(b, "ok").filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v").agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _KCORE_MINW).select("u", "v")
+    )
+    lab = p.select(F.col("p_partkey").alias("pk"), F.col("p_brand").alias("c"))
+    el = (
+        e.join(F.broadcast(lab.withColumnRenamed("pk", "u")
+                           .withColumnRenamed("c", "cu")), "u")
+        .join(F.broadcast(lab.withColumnRenamed("pk", "v")
+                          .withColumnRenamed("c", "cv")), "v")
+        .select("cu", "cv")
+    )
+    m = el.agg(F.count("*").alias("m2"))
+    per_c = el.groupBy("cu").agg(
+        F.count("*").alias("dc"),
+        F.count_if(F.col("cv") == F.col("cu")).alias("ec"),
+    )
+    term = (F.col("ec").cast("double") / F.col("m2")
+            - (F.col("dc").cast("double") / F.col("m2"))
+            * (F.col("dc").cast("double") / F.col("m2"))
+            ).cast("decimal(18,12)")
+    return per_c.crossJoin(F.broadcast(m)).groupBy("m2").agg(
+        (F.any_value("m2") / 2).cast("long").alias("n_edges"),
+        F.count("*").cast("long").alias("n_communities"),
+        F.round(F.sum(term).cast("double"), 6).alias("modularity"),
+    ).drop("m2")
