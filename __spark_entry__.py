@@ -113,7 +113,8 @@ _R4_NEW = frozenset({
     "fn_business_days", "ts_survival_km", "emb_pca_power",
     "retention_ltv_curve", "dq_freshness", "ml_crossval_ols",
     "win_max_drawdown", "agg_revenue_concentration", "graph_modularity",
-    "agg_eb_shrunk_rates",
+    "agg_eb_shrunk_rates", "scan_csv_multiline", "agg_trimmed_mean",
+    "sample_neyman_allocation",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -1162,3 +1162,67 @@ def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n") + F.col("alpha") + F.col("beta")), 6)
         .alias("shrunk_rate"),
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS prio,
+             percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)
+               AS lo,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)
+               AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2)))
+                        FILTER (WHERE o.o_totalprice >= b.lo
+                                  AND o.o_totalprice <= b.hi) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE o.o_totalprice >= b.lo
+                                      AND o.o_totalprice <= b.hi), 6)
+             AS mean_trimmed,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)
+                               AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_winsorized
+    FROM orders o JOIN b ON b.prio = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust means per priority class: the 5-95% TRIMMED mean (drop
+    the tails) and the WINSORIZED mean (clamp the tails) beside the
+    raw mean — the pair every metrics platform reports when a few
+    whale rows would otherwise own the average (cf. ts_outlier_mad,
+    which flags the outliers; these summarize robustly despite them).
+    DISCRETE percentile cut points are actual data values, so both
+    engines trim the identical rows.
+
+    Plan: one boundary aggregate per group (broadcast back), then a
+    single conditional-aggregate scan — trimming never materializes
+    a filtered copy. Clamped values sum through DECIMAL."""
+    o = table(spark, sf_dir, "orders")
+    b = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("hi"),
+    )
+    j = o.join(F.broadcast(b), o.o_orderpriority == b.prio)
+    inb = (F.col("o_totalprice") >= F.col("lo")) & \
+          (F.col("o_totalprice") <= F.col("hi"))
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")),
+                      F.col("hi"))
+    return j.groupBy("prio").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+                .cast("double") / F.count("*"), 6).alias("mean_raw"),
+        F.round(F.sum(F.when(inb, F.col("o_totalprice"))
+                      .cast("decimal(28,2)")).cast("double")
+                / F.count_if(inb), 6).alias("mean_trimmed"),
+        F.round(F.sum(clamped.cast("decimal(28,6)")).cast("double")
+                / F.count("*"), 6).alias("mean_winsorized"),
+    )

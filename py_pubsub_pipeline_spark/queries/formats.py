@@ -460,3 +460,65 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(good, F.col("o_totalprice")).cast("decimal(18,6)"))
         .cast("double").alias("sum_good_price"),
     )
+
+
+@query(
+    "scan_csv_multiline",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT)
+             AS n_multiline,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(CASE WHEN doc_id % 7 = 0
+                               THEN replace(text, ' ', chr(10))
+                               ELSE text END, '' ORDER BY doc_id))
+             AS text_md5
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with EMBEDDED NEWLINES in quoted fields: every 7th
+    document's text gets its spaces turned into real line breaks
+    before the CSV write, and the read-back must reassemble each
+    logical record across physical lines (multiLine=true + quoting).
+    The oracle applies the same transform to the original parquet and
+    fingerprints every byte — a reader that splits on raw newlines
+    silently shreds records and fails the hash.
+
+    Scale: the honest cost is in the plan — multiLine CSV is NOT
+    line-splittable (a task can't know mid-file whether a newline is
+    a record boundary), so parallelism degrades to one task per file.
+    The engine's guidance stands in the docstring where users will
+    hit it: many small files or convert to parquet at ingest
+    (scan_csv's advice, with sharper teeth here)."""
+    def write(df: DataFrame, p: str) -> None:
+        (
+            df.select(
+                "doc_id", "lang", "n_chars",
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.regexp_replace("text", " ", "\n"))
+                .otherwise(F.col("text")).alias("text"),
+            )
+            .write.mode("overwrite").option("header", True)
+            .option("quoteAll", True).csv(p)
+        )
+
+    path = _materialize(spark, sf_dir, "csv_multiline", "documents", write)
+    c = (
+        spark.read
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
+    return c.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_if(F.col("doc_id") % 7 == 0).cast("long")
+        .alias("n_multiline"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.md5(F.array_join(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+            .getField("text"), "")).alias("text_md5"),
+    )

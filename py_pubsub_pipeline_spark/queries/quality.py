@@ -831,3 +831,71 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lag_us / 1_000_000).cast("long").alias("lag_s"),
         (lag_us > _FRESH_STALE_H * 3600 * 1_000_000).alias("stale"),
     )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+      SELECT c_mktsegment AS stratum,
+             COUNT(*) AS nh,
+             SQRT(GREATEST(
+               CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6)))
+                    AS DOUBLE) / COUNT(*)
+               - POWER(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6)))
+                            AS DOUBLE) / COUNT(*), 2), 0.0)) AS sh
+      FROM customer GROUP BY c_mktsegment
+    ), z AS (
+      SELECT SUM(nh) AS n_total,
+             CAST(SUM(CAST(nh * sh AS DECIMAL(28,9))) AS DOUBLE) AS znh
+      FROM strata
+    )
+    SELECT s.stratum, CAST(s.nh AS BIGINT) AS population,
+           ROUND(s.sh, 6) AS stddev,
+           ROUND({_NEYMAN_BUDGET}.0 * s.nh / z.n_total, 4)
+             AS alloc_proportional,
+           ROUND({_NEYMAN_BUDGET}.0 * s.nh * s.sh / z.znh, 4)
+             AS alloc_neyman
+    FROM strata s, z
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal survey allocation: given a {_NEYMAN_BUDGET}-row
+    sampling budget across market segments, allocate in proportion to
+    N_h * S_h (stratum size x stratum spread) — the allocation that
+    minimizes the estimator's variance, shown beside the naive
+    proportional split. This PLANS the rates that sample_stratified
+    then executes: high-variance strata earn more budget than their
+    headcount alone would give.
+
+    Plan: one moments agg per stratum, one normalizer row, broadcast
+    — everything past the first agg is strata-sized. The variance
+    clamps at 0 (quantization guard) before sqrt; N_h*S_h terms
+    quantize through DECIMAL before the normalizer sum."""
+    c = table(spark, sf_dir, "customer")
+    strata = c.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count("*").alias("nh"),
+        F.sqrt(F.greatest(
+            F.sum((F.col("c_acctbal") * F.col("c_acctbal"))
+                  .cast("decimal(38,6)")).cast("double") / F.count("*")
+            - F.pow(F.sum(F.col("c_acctbal").cast("decimal(28,6)"))
+                    .cast("double") / F.count("*"), 2),
+            F.lit(0.0))).alias("sh"),
+    )
+    z = strata.agg(
+        F.sum("nh").alias("n_total"),
+        F.sum((F.col("nh") * F.col("sh")).cast("decimal(28,9)"))
+        .cast("double").alias("znh"),
+    )
+    return strata.crossJoin(F.broadcast(z)).select(
+        "stratum",
+        F.col("nh").cast("long").alias("population"),
+        F.round("sh", 6).alias("stddev"),
+        F.round(F.lit(float(_NEYMAN_BUDGET)) * F.col("nh")
+                / F.col("n_total"), 4).alias("alloc_proportional"),
+        F.round(F.lit(float(_NEYMAN_BUDGET)) * F.col("nh") * F.col("sh")
+                / F.col("znh"), 4).alias("alloc_neyman"),
+    )
