@@ -114,7 +114,7 @@ _R4_NEW = frozenset({
     "retention_ltv_curve", "dq_freshness", "ml_crossval_ols",
     "win_max_drawdown", "agg_revenue_concentration", "graph_modularity",
     "agg_eb_shrunk_rates", "scan_csv_multiline", "agg_trimmed_mean",
-    "sample_neyman_allocation",
+    "sample_neyman_allocation", "subq_bom_rollup", "agg_ab_ztest",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

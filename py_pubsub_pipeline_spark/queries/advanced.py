@@ -470,3 +470,42 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("flag").isNull().cast("long")).cast("long")
         .alias("n_null_matches"),
     )
+
+
+_BOM_SQL = """
+    WITH RECURSIVE up(node, anc) AS (
+      SELECT p_partkey, p_partkey FROM {part}
+      UNION ALL
+      SELECT u.node, CAST(FLOOR(u.anc / 10.0) AS BIGINT)
+      FROM up u WHERE u.anc >= 10
+    )
+    SELECT u.anc AS assembly,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(28,2))) AS DOUBLE)
+             AS rolled_up_cost
+    FROM up u JOIN {part} p ON p.p_partkey = u.node
+    GROUP BY u.anc
+    HAVING COUNT(*) > 1
+"""
+
+
+@query(
+    "subq_bom_rollup",
+    oracle=_BOM_SQL.format(part="part"),
+)
+def subq_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials rollup: total component cost per assembly
+    over a multi-level part hierarchy (parent = key div 10 — a
+    synthetic but strictly level-bounded tree), computed by a
+    recursive ancestor-closure CTE + one aggregate — the OTHER
+    classic recursive shape beside subq_recursive_cte's BFS:
+    AGGREGATION ALONG A HIERARCHY (org charts, account trees, part
+    explosions). The identical SQL statement runs on both engines.
+
+    Scale: the closure has depth*|nodes| rows with depth = log10(max
+    key) — bounded by ID width, not data; each recursion step is a
+    map-side integer projection (no join in the recursive term at
+    all — the single join to prices happens once, after). The HAVING
+    drops leaf-only 'assemblies' so the output is the real BOM."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("bom_part")
+    return spark.sql(_BOM_SQL.format(part="bom_part"))

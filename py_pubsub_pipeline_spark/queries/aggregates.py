@@ -1226,3 +1226,77 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(clamped.cast("decimal(28,6)")).cast("double")
                 / F.count("*"), 6).alias("mean_winsorized"),
     )
+
+
+@query(
+    "agg_ab_ztest",
+    oracle="""
+    WITH arms AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS k
+      FROM orders GROUP BY 1
+    ), wide AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+             MAX(CASE WHEN arm = 'A' THEN k END) AS ka,
+             MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+             MAX(CASE WHEN arm = 'B' THEN k END) AS kb
+      FROM arms
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(CAST(ka AS DOUBLE) / na, 6) AS rate_a,
+           ROUND(CAST(kb AS DOUBLE) / nb, 6) AS rate_b,
+           ROUND((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+                 / SQRT((CAST(ka + kb AS DOUBLE) / (na + nb))
+                        * (1.0 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 6) AS z_stat,
+           ABS((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+               / SQRT((CAST(ka + kb AS DOUBLE) / (na + nb))
+                      * (1.0 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                      * (1.0 / na + 1.0 / nb))) > 1.959963985
+             AS significant_95
+    FROM wide
+    """,
+)
+def agg_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test as a query: split orders into A/B arms
+    by key parity (the hash-gate assignment an experiment platform
+    uses), compare 'F'-status rates with the pooled-variance z
+    statistic and a 95% significance verdict — the simplest
+    experiment readout, sitting beside agg_ratio_delta_method
+    (continuous ratio metrics) and agg_bootstrap_se (nonparametric)
+    as the proportions member of the testing family. The z crosses
+    1.96 exactly when the difference exceeds sampling noise; the
+    threshold constant is spelled to 9 decimals so neither engine
+    rounds across it.
+
+    Plan: one conditional hash agg (2 rows), pivoted wide on the
+    2-row result; the statistic is identical double arithmetic on
+    exact integer counts."""
+    o = table(spark, sf_dir, "orders")
+    arms = o.groupBy(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B")
+        .alias("arm")
+    ).agg(F.count("*").alias("n"),
+          F.count_if(F.col("o_orderstatus") == "F").alias("k"))
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("k"))).alias("kb"),
+    )
+    ra = F.col("ka").cast("double") / F.col("na")
+    rb = F.col("kb").cast("double") / F.col("nb")
+    pooled = (F.col("ka") + F.col("kb")).cast("double") \
+        / (F.col("na") + F.col("nb"))
+    z = (ra - rb) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb")))
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.959963985).alias("significant_95"),
+    )
