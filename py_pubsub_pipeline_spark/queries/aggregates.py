@@ -1300,3 +1300,76 @@ def agg_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > 1.959963985).alias("significant_95"),
     )
+
+
+@query(
+    "agg_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             o_totalprice AS v
+      FROM orders
+    ), ranked AS (
+      -- average ranks over the combined sample (exact .5 decimals)
+      SELECT arm,
+             CAST(RANK() OVER (ORDER BY v) AS DOUBLE)
+             + (CAST(COUNT(*) OVER (PARTITION BY v) AS DOUBLE) - 1.0)
+               / 2.0 AS r
+      FROM s
+    ), sums AS (
+      SELECT COUNT(*) FILTER (WHERE arm = 'A') AS na,
+             COUNT(*) FILTER (WHERE arm = 'B') AS nb,
+             CAST(SUM(CAST(r AS DECIMAL(28,1)))
+                    FILTER (WHERE arm = 'A') AS DOUBLE) AS ra
+      FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ra - na * (na + 1.0) / 2.0, 1) AS u_stat,
+           ROUND(((ra - na * (na + 1.0) / 2.0)
+                  - na * CAST(nb AS DOUBLE) / 2.0)
+                 / SQRT(na * CAST(nb AS DOUBLE) * (na + nb + 1.0) / 12.0),
+                 6) AS z_approx
+    FROM sums
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the two experiment
+    arms: does one arm's order-value DISTRIBUTION stochastically
+    dominate the other's? The nonparametric member of the testing
+    family (agg_ab_ztest: proportions; agg_ratio_delta_method:
+    ratios) — rank-based, so whales can't move it the way they move a
+    t-test on means. Average ranks (RANK + (ties-1)/2) are exact .5
+    decimals; the rank sum goes through DECIMAL(28,1), so U is exact
+    and the normal-approximation z is identical double arithmetic.
+
+    Scale: the combined ranking is a total-order window — the exact
+    test's honest cost (same note as agg_revenue_concentration); at
+    extreme n, bucket values first and rank the weighted histogram
+    (identical U from grouped ranks)."""
+    o = table(spark, sf_dir, "orders")
+    s = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B")
+        .alias("arm"),
+        F.col("o_totalprice").alias("v"),
+    )
+    ranked = s.select(
+        "arm",
+        (F.rank().over(Window.orderBy("v")).cast("double")
+         + (F.count("*").over(Window.partitionBy("v")).cast("double")
+            - 1.0) / 2.0).alias("r"),
+    )
+    sums = ranked.agg(
+        F.count_if(F.col("arm") == "A").alias("na"),
+        F.count_if(F.col("arm") == "B").alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("r"))
+              .cast("decimal(28,1)")).cast("double").alias("ra"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u = F.col("ra") - na * (na + 1.0) / 2.0
+    z = (u - na * nb.cast("double") / 2.0) / F.sqrt(
+        na * nb.cast("double") * (na + nb + 1.0) / 12.0)
+    return sums.select(
+        na.cast("long").alias("n_a"), nb.cast("long").alias("n_b"),
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, 6).alias("z_approx"),
+    )

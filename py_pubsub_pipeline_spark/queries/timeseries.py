@@ -1298,3 +1298,66 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")), 6)
         ).alias("survival"),
     )
+
+
+@query(
+    "ts_theil_sen",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.event_type,
+             (b.y - a.y) / (b.h - a.h) AS slope
+      FROM hourly a JOIN hourly b
+        ON b.event_type = a.event_type AND b.h > a.h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope), 6)
+             AS theil_sen_slope
+    FROM slopes GROUP BY event_type
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen trend estimate per event type: the MEDIAN of all
+    pairwise slopes of the hourly value series — the robust
+    alternative to OLS trend (ml_linreg_ols): one broken hour or a
+    burst outlier shifts OLS arbitrarily but moves a median of
+    O(n^2) slopes almost nothing. Each slope is one double division
+    of exact inputs; the discrete median picks an actual slope, so
+    both engines select the identical value.
+
+    Scale: pairs are quadratic IN THE SPINE, and the spine is
+    time-bounded (ts_concurrency_peak's argument): a year of hourly
+    points is 8760 rows -> 38M pairs per key, a shrug for a cluster
+    — while pairs over raw events would be impossible. The per-type
+    equi-join keys the pair build; at finer spines, Theil-Sen's
+    standard subsample (random pairs) drops in via the hash-gate
+    sampler."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+         / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+          .alias("y"))
+    a = hourly.select("event_type", F.col("h").alias("ha"),
+                      F.col("y").alias("ya"))
+    b = hourly.select("event_type", F.col("h").alias("hb"),
+                      F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("hb") > F.col("ha"))
+        .select("event_type",
+                ((F.col("yb") - F.col("ya"))
+                 / (F.col("hb") - F.col("ha"))).alias("slope"))
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)"), 6)
+        .alias("theil_sen_slope"),
+    )
