@@ -1186,7 +1186,8 @@ def ml_crossval_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         m(F.col("x") * F.col("x"), 38).alias("sxx"),
         m(F.col("x") * F.col("y"), 38).alias("sxy"),
         m(F.col("y") * F.col("y"), 38).alias("syy"),
-    )
+    ).localCheckpoint(eager=False)  # k rows; reused by tot AND pf —
+    # without the barrier both consumers re-scan the fact table
     tot = fm.agg(*[F.sum(c).alias(c)
                    for c in ("n", "sx", "sy", "sxx", "sxy", "syy")])
     pf = fm.crossJoin(F.broadcast(

@@ -620,3 +620,40 @@ def test_logreg_betas_broadcast_between_passes(spark):
                              spark))
     assert "SortMergeJoin" not in final, final
     assert "BroadcastExchange" in final, final
+
+
+def test_survival_km_windows_walk_duration_spine(spark):
+    # The at-risk and product-limit windows must run AFTER the
+    # duration agg (spine-sized), so the plan joins only aggregates.
+    final = _final(_executed(REG["ts_survival_km"].fn(spark, SF_SMALL),
+                             spark))
+    assert "SortMergeJoin" not in final, final
+
+
+def test_theil_sen_pairs_keyed_on_type(spark):
+    # The pair build is an equi-join on event_type over the hourly
+    # AGGREGATE — never a cross join, never raw events.
+    final = _final(_executed(REG["ts_theil_sen"].fn(spark, SF_SMALL),
+                             spark))
+    assert "CartesianProduct" not in final, final
+    assert "BroadcastNestedLoopJoin" not in final, final
+
+
+def test_crossval_is_one_scan_one_agg(spark):
+    # k-fold CV must read lineitem at most ONCE in the final plan:
+    # train = total - fold means no per-fold rescan. (The k-row fold
+    # moments are checkpoint-materialized, so the fact scan ran once
+    # at materialization and downstream consumers see ExistingRDD.)
+    final = _final(_executed(REG["ml_crossval_ols"].fn(spark, SF_SMALL),
+                             spark))
+    scans = [ln for ln in final.splitlines()
+             if "Scan parquet" in ln and "lineitem" in ln]
+    assert len(scans) <= 1, final
+
+
+def test_pca_v_broadcasts_between_iterations(spark):
+    # The 64-row direction vector must broadcast onto the exploded
+    # view each iteration — a shuffled join would move the fan-out.
+    final = _final(_executed(REG["emb_pca_power"].fn(spark, SF_SMALL),
+                             spark))
+    assert "BroadcastHashJoin" in final, final
