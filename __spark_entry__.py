@@ -115,7 +115,8 @@ _R4_NEW = frozenset({
     "win_max_drawdown", "agg_revenue_concentration", "graph_modularity",
     "agg_eb_shrunk_rates", "scan_csv_multiline", "agg_trimmed_mean",
     "sample_neyman_allocation", "subq_bom_rollup", "agg_ab_ztest",
-    "agg_mann_whitney", "ts_theil_sen",
+    "agg_mann_whitney", "ts_theil_sen", "ml_cohens_kappa",
+    "ts_fano_factor",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

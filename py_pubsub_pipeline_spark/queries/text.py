@@ -894,3 +894,72 @@ def text_stem_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) - F.countDistinct("stem").cast("double")
                 / F.countDistinct("t"), 6).alias("vocab_reduction"),
     )
+
+
+@query(
+    "ml_cohens_kappa",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS t, {_langid_case_sql()} AS p FROM documents
+    ), cells AS (
+      SELECT t, p, COUNT(*) AS c FROM pred GROUP BY t, p
+    ), tots AS (
+      SELECT SUM(c) AS n,
+             CAST(SUM(CASE WHEN t = p THEN c ELSE 0 END) AS DOUBLE)
+               AS agree
+      FROM cells
+    ), ch AS (
+      SELECT CAST(SUM(CAST(tr.rt * pc.cp AS DECIMAL(38,0))) AS DOUBLE)
+               AS chance_num
+      FROM (SELECT t, SUM(c) AS rt FROM cells GROUP BY t) tr
+      JOIN (SELECT p, SUM(c) AS cp FROM cells GROUP BY p) pc
+        ON pc.p = tr.t
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND(agree / n, 6) AS p_observed,
+           ROUND(chance_num / (CAST(n AS DOUBLE) * n), 6) AS p_chance,
+           ROUND((agree / n - chance_num / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - chance_num / (CAST(n AS DOUBLE) * n)), 6)
+             AS kappa
+    FROM tots, ch
+    """,
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the langid classifier against truth:
+    chance-corrected agreement — raw accuracy flatters any classifier
+    on an imbalanced label mix (predict-the-majority scores high);
+    kappa subtracts exactly the agreement the marginals would produce
+    by luck. Shares the deployed scoring cascade with text_langid /
+    ml_langid_confusion, and turns that confusion matrix into the one
+    scalar a model gate thresholds on.
+
+    Plan: one scoring scan, a |langs|^2 cell agg, then marginal
+    algebra on the tiny matrix (the chance term sums row*column
+    products through DECIMAL(38,0) — exact integers end to end until
+    the final three divisions)."""
+    d = table(spark, sf_dir, "documents")
+    cells = (
+        d.select(F.col("lang").alias("t"),
+                 _langid_pred_col().alias("p"))
+        .groupBy("t", "p").agg(F.count("*").alias("c"))
+    )
+    g = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("c"))
+              .otherwise(0)).cast("double").alias("agree"),
+    )
+    tr = cells.groupBy("t").agg(F.sum("c").alias("rt"))
+    pc = cells.groupBy("p").agg(F.sum("c").alias("cp"))
+    chance = (
+        tr.join(pc, tr.t == pc.p)
+        .agg(F.sum((F.col("rt") * F.col("cp")).cast("decimal(38,0)"))
+             .cast("double").alias("chance_num"))
+    )
+    po = F.col("agree") / F.col("n")
+    pe = F.col("chance_num") / (F.col("n").cast("double") * F.col("n"))
+    return g.crossJoin(F.broadcast(chance)).select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

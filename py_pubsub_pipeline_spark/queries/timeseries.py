@@ -1361,3 +1361,63 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)"), 6)
         .alias("theil_sen_slope"),
     )
+
+
+@query(
+    "ts_fano_factor",
+    oracle="""
+    WITH cnts AS (
+      SELECT event_type,
+             epoch_us(ts) // 60000000 AS minute,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_minutes,
+           ROUND(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_rate,
+           ROUND((CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE)
+                    / COUNT(*)
+                  - POWER(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+                          / COUNT(*), 2))
+                 / (CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+                    / COUNT(*)), 6) AS fano,
+           (CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+            - POWER(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+                    / COUNT(*), 2))
+           / (CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*))
+             > 1.5 AS overdispersed
+    FROM cnts GROUP BY event_type
+    """,
+)
+def ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness via the Fano factor: variance-to-mean ratio of
+    per-minute event counts per type — exactly 1 for a Poisson
+    process, >1 for bursty traffic, <1 for regular/paced arrivals.
+    Together with ts_interarrival_stats (the rate) and
+    ts_disorder_ratio (the lateness), this completes the traffic
+    characterization a capacity/watermark plan reads: a mean rate is
+    only HALF a provisioning answer when arrivals cluster.
+
+    Plan: one (type, minute) hash agg — ACTIVE-minute bounded, and a
+    per-type moment agg; count moments sum through DECIMAL so the
+    dispersion ratio divides exact values. Note the minute spine here
+    counts only minutes WITH events (zero-minute handling belongs to
+    ts_bucket_gapfill's spine if offered-load Fano is wanted)."""
+    e = table(spark, sf_dir, "events")
+    cnts = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(60_000_000)).cast("long").alias("minute"),
+    ).agg(F.count("*").alias("c"))
+    mean = (F.sum(F.col("c").cast("decimal(28,0)")).cast("double")
+            / F.count("*"))
+    m2 = (F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+          .cast("double") / F.count("*"))
+    fano = (m2 - mean * mean) / mean
+    return cnts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_minutes"),
+        F.round(mean, 6).alias("mean_rate"),
+        F.round(fano, 6).alias("fano"),
+        (fano > 1.5).alias("overdispersed"),
+    )
