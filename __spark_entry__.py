@@ -116,7 +116,7 @@ _R4_NEW = frozenset({
     "agg_eb_shrunk_rates", "scan_csv_multiline", "agg_trimmed_mean",
     "sample_neyman_allocation", "subq_bom_rollup", "agg_ab_ztest",
     "agg_mann_whitney", "ts_theil_sen", "ml_cohens_kappa",
-    "ts_fano_factor",
+    "ts_fano_factor", "agg_chi_square", "agg_spearman_rho",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

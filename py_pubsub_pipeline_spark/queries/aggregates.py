@@ -1373,3 +1373,152 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 1).alias("u_stat"),
         F.round(z, 6).alias("z_approx"),
     )
+
+
+@query(
+    "agg_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+             COUNT(*) AS obs
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ), rm AS (SELECT seg, SUM(obs) AS rt FROM cells GROUP BY seg),
+    cm AS (SELECT prio, SUM(obs) AS ct FROM cells GROUP BY prio),
+    n AS (SELECT SUM(obs) AS n FROM cells)
+    SELECT CAST(n.n AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM rm) AS INT) AS n_segments,
+           CAST((SELECT COUNT(*) FROM cm) AS INT) AS n_priorities,
+           ROUND(CAST(SUM(CAST(
+             POWER(cells.obs - CAST(rm.rt * cm.ct AS DOUBLE) / n.n, 2)
+             / (CAST(rm.rt * cm.ct AS DOUBLE) / n.n)
+             AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi_square
+    FROM cells
+    JOIN rm ON rm.seg = cells.seg
+    JOIN cm ON cm.prio = cells.prio
+    CROSS JOIN n
+    GROUP BY n.n
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between market segment and
+    order priority: observed vs marginal-expected cell counts over
+    the contingency table — the categorical member of the testing
+    family (is the priority mix actually different across segments,
+    or is the heatmap pattern just volume?). Degrees of freedom =
+    (segments-1)(priorities-1) follow from the reported dimensions.
+
+    Plan: one fact-side hash agg to the contingency cells, marginals
+    from the CELLS (never a rescan), broadcast-sized joins, and the
+    statistic's per-cell terms quantized through DECIMAL before the
+    sum. Expected counts are exact integer products over n."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderpriority").alias("prio"))
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=False)  # cells feed marginals AND terms
+    )
+    rm = cells.groupBy("seg").agg(F.sum("obs").alias("rt"))
+    cm = cells.groupBy("prio").agg(F.sum("obs").alias("ct"))
+    n = cells.agg(F.sum("obs").alias("n"))
+    nseg = rm.agg(F.count("*").cast("int").alias("n_segments"))
+    nprio = cm.agg(F.count("*").cast("int").alias("n_priorities"))
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    term = (F.pow(F.col("obs") - exp, 2) / exp).cast("decimal(28,9)")
+    return (
+        cells.join(F.broadcast(rm), "seg")
+        .join(F.broadcast(cm), "prio")
+        .crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("chi_square"))
+        .crossJoin(F.broadcast(nseg))
+        .crossJoin(F.broadcast(nprio))
+        .select(F.col("n").cast("long").alias("n_rows"),
+                "n_segments", "n_priorities", "chi_square")
+    )
+
+
+@query(
+    "agg_spearman_rho",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS flag,
+             CAST(RANK() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_quantity) AS DOUBLE)
+             + (CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                     AS DOUBLE) - 1.0) / 2.0 AS rx,
+             CAST(RANK() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS DOUBLE)
+             + (CAST(COUNT(*) OVER (PARTITION BY l_returnflag,
+                                    l_extendedprice)
+                     AS DOUBLE) - 1.0) / 2.0 AS ry
+      FROM lineitem
+    )
+    SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(
+             (COUNT(*) * CAST(SUM(CAST(rx * ry AS DECIMAL(38,2)))
+                              AS DOUBLE)
+              - CAST(SUM(CAST(rx AS DECIMAL(28,1))) AS DOUBLE)
+                * CAST(SUM(CAST(ry AS DECIMAL(28,1))) AS DOUBLE))
+             / SQRT(
+                 (COUNT(*) * CAST(SUM(CAST(rx * rx AS DECIMAL(38,2)))
+                                  AS DOUBLE)
+                  - POWER(CAST(SUM(CAST(rx AS DECIMAL(28,1)))
+                               AS DOUBLE), 2))
+                 * (COUNT(*) * CAST(SUM(CAST(ry * ry AS DECIMAL(38,2)))
+                                    AS DOUBLE)
+                    - POWER(CAST(SUM(CAST(ry AS DECIMAL(28,1)))
+                                 AS DOUBLE), 2))),
+             6) AS spearman_rho
+    FROM ranked GROUP BY flag
+    """,
+)
+def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs price, per return
+    flag): Pearson over average ranks — the MONOTONE-association
+    measure that ignores the relationship's shape and survives
+    outliers (corr_matrix's Pearson sees only linearity; whales bend
+    it). Average ranks are exact .5 decimals (Mann-Whitney's
+    discipline), so every co-moment sums exactly through DECIMAL and
+    the correlation is identical double arithmetic.
+
+    Plan: two rank windows per group partition (both ride ONE
+    returnflag exchange plus per-window sorts), then a per-group
+    co-moment agg. Exact ranks need the within-group sort; the
+    extreme-cardinality fallback is ranking a weighted value
+    histogram, same as agg_mann_whitney."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def avg_rank(col):
+        return (
+            F.rank().over(Window.partitionBy("l_returnflag").orderBy(col))
+            .cast("double")
+            + (F.count("*").over(
+                Window.partitionBy("l_returnflag", col)).cast("double")
+               - 1.0) / 2.0
+        )
+
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        avg_rank("l_quantity").alias("rx"),
+        avg_rank("l_extendedprice").alias("ry"),
+    )
+
+    def ds(expr, p, sc):
+        return F.sum(expr.cast(f"decimal({p},{sc})")).cast("double")
+
+    n = F.count("*")
+    num = (n * ds(F.col("rx") * F.col("ry"), 38, 2)
+           - ds(F.col("rx"), 28, 1) * ds(F.col("ry"), 28, 1))
+    den = F.sqrt(
+        (n * ds(F.col("rx") * F.col("rx"), 38, 2)
+         - F.pow(ds(F.col("rx"), 28, 1), 2))
+        * (n * ds(F.col("ry") * F.col("ry"), 38, 2)
+           - F.pow(ds(F.col("ry"), 28, 1), 2)))
+    return ranked.groupBy("flag").agg(
+        n.cast("long").alias("n"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )
