@@ -1522,3 +1522,55 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n"),
         F.round(num / den, 6).alias("spearman_rho"),
     )
+
+
+@query(
+    "agg_var_es",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS prio,
+             percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)
+               AS var5
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ANY_VALUE(b.var5) AS var_5pct,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2)))
+                        FILTER (WHERE o.o_totalprice <= b.var5)
+                      AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE o.o_totalprice <= b.var5), 6)
+             AS expected_shortfall,
+           CAST(COUNT(*) FILTER (WHERE o.o_totalprice <= b.var5)
+                AS BIGINT) AS n_tail
+    FROM orders o JOIN b ON b.prio = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def agg_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Expected Shortfall per priority class: the
+    5th-percentile order value (the VaR threshold) and the MEAN of
+    everything at or below it (ES — the coherent tail measure Basel
+    moved to precisely because VaR says where the tail starts but not
+    how bad it is). Over order values this reads as the low-value
+    tail profile; over P&L deltas it is the literal risk report.
+
+    Plan: one discrete-percentile boundary per group (exact value
+    both engines pick identically), broadcast back, one conditional
+    aggregate scan — the tail never materializes as a filtered copy
+    (agg_trimmed_mean's discipline, pointed at the tail instead of
+    away from it)."""
+    o = table(spark, sf_dir, "orders")
+    b = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("var5"))
+    j = o.join(F.broadcast(b), o.o_orderpriority == b.prio)
+    tail = F.col("o_totalprice") <= F.col("var5")
+    return j.groupBy("prio").agg(
+        F.count("*").cast("long").alias("n"),
+        F.any_value("var5").alias("var_5pct"),
+        F.round(F.sum(F.when(tail, F.col("o_totalprice"))
+                      .cast("decimal(28,2)")).cast("double")
+                / F.count_if(tail), 6).alias("expected_shortfall"),
+        F.count_if(tail).cast("long").alias("n_tail"),
+    )

@@ -1421,3 +1421,94 @@ def ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fano, 6).alias("fano"),
         (fano > 1.5).alias("overdispersed"),
     )
+
+
+@query(
+    "ts_littles_law",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) // 1000000 AS sec FROM events
+    ), delta AS (
+      SELECT event_type, sec, SUM(d) AS net FROM (
+        SELECT event_type, sec, 1 AS d FROM ev
+        UNION ALL
+        SELECT event_type, sec + {_CONC_DUR_S}, -1 AS d FROM ev
+      ) GROUP BY 1, 2
+    ), run AS (
+      SELECT event_type, sec,
+             SUM(net) OVER w AS conc,
+             LEAD(sec) OVER w - sec AS dur
+      FROM delta
+      WINDOW w AS (PARTITION BY event_type ORDER BY sec
+                   ROWS UNBOUNDED PRECEDING)
+    ), integ AS (
+      SELECT event_type,
+             CAST(SUM(CAST(conc * dur AS DECIMAL(28,0))) AS DOUBLE)
+               AS area,
+             MAX(sec) - MIN(sec) AS span
+      FROM run WHERE dur IS NOT NULL GROUP BY event_type
+    ), rates AS (
+      SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type
+    )
+    SELECT i.event_type,
+           CAST(r.n AS BIGINT) AS n_events,
+           ROUND(i.area / i.span, 6) AS l_measured,
+           ROUND(CAST(r.n AS DOUBLE) / i.span * {_CONC_DUR_S}, 6)
+             AS l_littles,
+           ROUND(i.area / i.span
+                 / (CAST(r.n AS DOUBLE) / i.span * {_CONC_DUR_S}), 6)
+             AS ratio
+    FROM integ i JOIN rates r ON r.event_type = i.event_type
+    """,
+)
+def ts_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit: time-averaged concurrency L (the exact
+    integral of the step function over the delta spine, not a sample)
+    against lambda*W with arrival rate lambda = n/span and fixed
+    service window W = {_CONC_DUR_S}s. The ratio sits just under 1
+    (edge effects at the observation boundaries) — a measured ratio
+    far from 1 means the concurrency tracker and the rate tracker
+    disagree about the same traffic, which is how double-counting
+    bugs in ops dashboards get caught. Completes the queueing story:
+    peak (ts_concurrency_peak), rate (ts_interarrival_stats), and
+    now their consistency.
+
+    Plan: identical spine discipline as ts_concurrency_peak — the
+    running sum AND the interval durations (LEAD) ride one window
+    over per-second net changes; the integral sums exact integer
+    conc*dur products through DECIMAL."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(1_000_000)).cast("long").alias("sec"),
+    )
+    deltas = (
+        e.select("event_type", "sec", F.lit(1).alias("d"))
+        .unionAll(e.select("event_type",
+                           (F.col("sec") + _CONC_DUR_S).alias("sec"),
+                           F.lit(-1).alias("d")))
+        .groupBy("event_type", "sec").agg(F.sum("d").alias("net"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("sec")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    worder = Window.partitionBy("event_type").orderBy("sec")
+    run = deltas.select(
+        "event_type", "sec",
+        F.sum("net").over(w).alias("conc"),
+        (F.lead("sec").over(worder) - F.col("sec")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    integ = run.groupBy("event_type").agg(
+        F.sum((F.col("conc") * F.col("dur")).cast("decimal(28,0)"))
+        .cast("double").alias("area"),
+        (F.max("sec") - F.min("sec")).alias("span"),
+    )
+    rates = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    l_meas = F.col("area") / F.col("span")
+    l_pred = F.col("n").cast("double") / F.col("span") * _CONC_DUR_S
+    return integ.join(rates, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(l_meas, 6).alias("l_measured"),
+        F.round(l_pred, 6).alias("l_littles"),
+        F.round(l_meas / l_pred, 6).alias("ratio"),
+    )
