@@ -117,7 +117,8 @@ _R4_NEW = frozenset({
     "sample_neyman_allocation", "subq_bom_rollup", "agg_ab_ztest",
     "agg_mann_whitney", "ts_theil_sen", "ml_cohens_kappa",
     "ts_fano_factor", "agg_chi_square", "agg_spearman_rho",
-    "agg_var_es", "ts_littles_law",
+    "agg_var_es", "ts_littles_law", "text_vocab_coverage",
+    "retention_growth_accounting",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

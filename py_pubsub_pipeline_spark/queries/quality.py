@@ -899,3 +899,65 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(float(_NEYMAN_BUDGET)) * F.col("nh") * F.col("sh")
                 / F.col("znh"), 4).alias("alloc_neyman"),
     )
+
+
+@query(
+    "retention_growth_accounting",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT o_custkey AS u,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+      FROM orders
+    ), seq AS (
+      SELECT u, m,
+             LAG(m) OVER (PARTITION BY u ORDER BY m) AS prev_m
+      FROM act
+    )
+    SELECT m AS month,
+           CAST(COUNT(*) AS BIGINT) AS active,
+           CAST(COUNT(*) FILTER (WHERE prev_m IS NULL) AS BIGINT)
+             AS new_users,
+           CAST(COUNT(*) FILTER (
+             WHERE prev_m = m - INTERVAL 1 MONTH) AS BIGINT) AS retained,
+           CAST(COUNT(*) FILTER (
+             WHERE prev_m IS NOT NULL
+               AND prev_m < m - INTERVAL 1 MONTH) AS BIGINT)
+             AS resurrected
+    FROM seq GROUP BY m
+    """,
+)
+def retention_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each month's active customers decomposed
+    into NEW (first month ever), RETAINED (also active last month)
+    and RESURRECTED (active before, but not last month) — the MAU
+    decomposition every growth team reports (churn is the same
+    decomposition read from the other side: last month's actives
+    minus this month's retained). active = new + retained +
+    resurrected holds by construction, which the oracle enforces
+    row-by-row. Completes the engagement suite: retention_cohorts
+    (who returns), ts_stickiness (how intensely), this (the monthly
+    P&L of users).
+
+    Plan: distinct (user, month) activity — the exchange is bounded
+    by active pairs, not orders — one LAG window per user, and a
+    month-keyed hash agg of the classification flags. Calendar-exact
+    month arithmetic on DATE-truncated keys on both engines."""
+    o = table(spark, sf_dir, "orders")
+    act = o.select(
+        F.col("o_custkey").alias("u"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    ).distinct()
+    seq = act.select(
+        "u", "m",
+        F.lag("m").over(Window.partitionBy("u").orderBy("m"))
+        .alias("prev_m"),
+    )
+    prev_is_adjacent = F.col("prev_m") == F.add_months(F.col("m"), -1)
+    return seq.groupBy(F.col("m").alias("month")).agg(
+        F.count("*").cast("long").alias("active"),
+        F.count_if(F.col("prev_m").isNull()).cast("long")
+        .alias("new_users"),
+        F.count_if(prev_is_adjacent).cast("long").alias("retained"),
+        F.count_if(F.col("prev_m").isNotNull() & ~prev_is_adjacent)
+        .cast("long").alias("resurrected"),
+    )

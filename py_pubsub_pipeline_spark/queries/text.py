@@ -963,3 +963,83 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_chance"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+_VOCAB_KS = (100, 1000)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH c AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ), r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk,
+             SUM(c) OVER () AS tot
+      FROM c
+    ), cum AS (
+      SELECT rnk,
+             SUM(c) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS cm,
+             tot
+      FROM r
+    )
+    SELECT k AS vocab_size,
+           CAST(MAX(CASE WHEN rnk = k THEN cm END) AS BIGINT)
+             AS tokens_covered,
+           CAST(ANY_VALUE(tot) AS BIGINT) AS tokens_total,
+           ROUND(CAST(MAX(CASE WHEN rnk = k THEN cm END) AS DOUBLE)
+                 / ANY_VALUE(tot), 6) AS coverage
+    FROM cum, UNNEST([{", ".join(map(str, _VOCAB_KS))}]) t(k)
+    WHERE rnk <= k
+    GROUP BY k
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    occurrences do the top-K terms cover, for K in {_VOCAB_KS} — the
+    tokenizer-budget planning number (how big a vocab before <unk>
+    mass is acceptable), read straight off the cumulative frequency
+    curve that text_zipf_slope fits.
+
+    Plan: token hash agg (vocab-bounded shuffle), rank + running sum
+    over the vocab aggregate, and the curve is sampled AT the K
+    boundary rows (rnk = k), so output is |Ks| rows regardless of
+    vocab size. The full-vocab rank window carries (term, count)
+    pairs only; the Zipf top-k TakeOrdered trick applies when even
+    the vocab aggregate needs cutting first."""
+    d = table(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(_tokens()).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+    )
+    r = c.select(
+        "c",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), "w")).alias("rnk"),
+        F.sum("c").over(Window.partitionBy()).alias("tot"),
+    )
+    cum = r.select(
+        "rnk", "tot",
+        F.sum("c").over(
+            Window.orderBy("rnk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cm"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("k"))
+    return (
+        cum.crossJoin(F.broadcast(ks))
+        .filter(F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.max(F.when(F.col("rnk") == F.col("k"), F.col("cm")))
+            .cast("long").alias("tokens_covered"),
+            F.any_value("tot").cast("long").alias("tokens_total"),
+            F.round(
+                F.max(F.when(F.col("rnk") == F.col("k"), F.col("cm")))
+                .cast("double") / F.any_value("tot"), 6).alias("coverage"),
+        )
+        .withColumnRenamed("k", "vocab_size")
+    )
