@@ -118,7 +118,8 @@ _R4_NEW = frozenset({
     "agg_mann_whitney", "ts_theil_sen", "ml_cohens_kappa",
     "ts_fano_factor", "agg_chi_square", "agg_spearman_rho",
     "agg_var_es", "ts_littles_law", "text_vocab_coverage",
-    "retention_growth_accounting",
+    "retention_growth_accounting", "dq_simpsons_paradox",
+    "agg_herfindahl_index",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

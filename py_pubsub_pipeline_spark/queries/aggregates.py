@@ -1574,3 +1574,55 @@ def agg_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count_if(tail), 6).alias("expected_shortfall"),
         F.count_if(tail).cast("long").alias("n_tail"),
     )
+
+
+@query(
+    "agg_herfindahl_index",
+    oracle="""
+    WITH sup AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS rev
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ), shares AS (
+      SELECT nation,
+             CAST(POWER(CAST(rev AS DOUBLE)
+                        / CAST(SUM(rev) OVER (PARTITION BY nation)
+                               AS DOUBLE), 2) AS DECIMAL(18,12)) AS t
+      FROM sup
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(t) AS DOUBLE) * 10000, 4) AS hhi
+    FROM shares GROUP BY nation
+    """,
+)
+def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    per nation (sum of squared market shares, scaled x10000 — the
+    antitrust convention where >2500 is 'highly concentrated'). The
+    single-number market-structure summary next to agg_gini_lorenz
+    (distribution shape) and agg_revenue_concentration (top-N
+    counts): HHI is the one merger review actually uses.
+
+    Plan: one (nation, supplier) hash agg, the nation total as a
+    window over that aggregate (supplier-bounded rows), and squared
+    shares quantized through DECIMAL(18,12) before the final sum.
+    Revenue sums stay exact DECIMAL until the share division."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    sup = (
+        li.join(s, s.s_suppkey == li.l_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+             .alias("rev"))
+    )
+    tot = F.sum("rev").over(Window.partitionBy("nation"))
+    share2 = F.pow(F.col("rev").cast("double") / tot.cast("double"), 2) \
+        .cast("decimal(18,12)")
+    return (
+        sup.select("nation", share2.alias("t"))
+        .groupBy("nation")
+        .agg(F.count("*").cast("long").alias("n_suppliers"),
+             F.round(F.sum("t").cast("double") * 10000, 4).alias("hhi"))
+    )

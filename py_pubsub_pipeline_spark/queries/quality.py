@@ -961,3 +961,73 @@ def retention_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("prev_m").isNotNull() & ~prev_is_adjacent)
         .cast("long").alias("resurrected"),
     )
+
+
+@query(
+    "dq_simpsons_paradox",
+    oracle="""
+    WITH armed AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             o_orderpriority AS stratum, o_totalprice AS v
+      FROM orders
+    ), strata AS (
+      SELECT stratum,
+             CAST(SUM(CAST(v AS DECIMAL(28,2))) FILTER (WHERE arm = 'A')
+                  AS DOUBLE)
+               / COUNT(*) FILTER (WHERE arm = 'A') AS ma,
+             CAST(SUM(CAST(v AS DECIMAL(28,2))) FILTER (WHERE arm = 'B')
+                  AS DOUBLE)
+               / COUNT(*) FILTER (WHERE arm = 'B') AS mb
+      FROM armed GROUP BY stratum
+    ), overall AS (
+      SELECT CAST(SUM(CAST(v AS DECIMAL(28,2))) FILTER (WHERE arm = 'A')
+                  AS DOUBLE)
+               / COUNT(*) FILTER (WHERE arm = 'A')
+             - CAST(SUM(CAST(v AS DECIMAL(28,2))) FILTER (WHERE arm = 'B')
+                    AS DOUBLE)
+               / COUNT(*) FILTER (WHERE arm = 'B') AS diff_all
+      FROM armed
+    )
+    SELECT s.stratum,
+           ROUND(s.ma - s.mb, 6) AS diff_stratum,
+           ROUND(o.diff_all, 6) AS diff_overall,
+           (s.ma - s.mb) * o.diff_all < 0 AS sign_reversed
+    FROM strata s, overall o
+    """,
+)
+def dq_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: the A-vs-B mean difference
+    computed overall AND within each stratum, flagging strata whose
+    effect sign REVERSES the aggregate's — the aggregation trap
+    where a confounder (here priority mix) makes the pooled number
+    say the opposite of every slice. Any dashboard that reports both
+    a topline and slices needs exactly this audit before someone
+    ships a decision off the wrong level.
+
+    Plan: one conditional-aggregate pass per level (stratum hash agg
+    + 1-row overall), broadcast of the single overall row; exact
+    DECIMAL sums before each mean. The flag multiplies the two
+    diffs — identical doubles both engines, no epsilon."""
+    o = table(spark, sf_dir, "orders")
+    armed = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B")
+        .alias("arm"),
+        F.col("o_orderpriority").alias("stratum"),
+        F.col("o_totalprice").alias("v"),
+    )
+
+    def mean_arm(a):
+        return (F.sum(F.when(F.col("arm") == a, F.col("v"))
+                      .cast("decimal(28,2)")).cast("double")
+                / F.count_if(F.col("arm") == a))
+
+    strata = armed.groupBy("stratum").agg(
+        mean_arm("A").alias("ma"), mean_arm("B").alias("mb"))
+    overall = armed.agg((mean_arm("A") - mean_arm("B")).alias("diff_all"))
+    return strata.crossJoin(F.broadcast(overall)).select(
+        "stratum",
+        F.round(F.col("ma") - F.col("mb"), 6).alias("diff_stratum"),
+        F.round("diff_all", 6).alias("diff_overall"),
+        ((F.col("ma") - F.col("mb")) * F.col("diff_all") < 0)
+        .alias("sign_reversed"),
+    )
