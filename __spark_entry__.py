@@ -119,7 +119,7 @@ _R4_NEW = frozenset({
     "ts_fano_factor", "agg_chi_square", "agg_spearman_rho",
     "agg_var_es", "ts_littles_law", "text_vocab_coverage",
     "retention_growth_accounting", "dq_simpsons_paradox",
-    "agg_herfindahl_index",
+    "agg_herfindahl_index", "ml_gains_lift", "text_term_burstiness",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

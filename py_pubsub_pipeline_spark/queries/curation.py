@@ -1218,3 +1218,88 @@ def ml_crossval_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b1", 6).alias("beta1"),
         F.round(F.lit(1.0) - sse / sst, 6).alias("test_r2"),
     )
+
+
+@query(
+    "ml_gains_lift",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+               / GREATEST(len(string_split(text, ' ')), 1) AS score,
+             doc_id
+      FROM documents
+    ), b AS (
+      SELECT quantile_disc(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS bnds
+      FROM scored
+    ), binned AS (
+      SELECT 10 - CAST(len(list_filter(b.bnds, x -> x <= s.score))
+                       AS INT) AS decile,  -- 1 = highest scores
+             y
+      FROM scored s, b
+    ), per_d AS (
+      SELECT decile, COUNT(*) AS n, SUM(y) AS pos FROM binned
+      GROUP BY decile
+    ), tot AS (SELECT SUM(n) AS n, SUM(pos) AS pos FROM per_d)
+    SELECT d.decile,
+           CAST(d.n AS BIGINT) AS n,
+           CAST(d.pos AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(d.pos) OVER (ORDER BY d.decile
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / t.pos, 6) AS cum_capture,
+           ROUND((CAST(d.pos AS DOUBLE) / d.n)
+                 / (CAST(t.pos AS DOUBLE) / t.n), 6) AS lift
+    FROM per_d d, tot t
+    """,
+)
+def ml_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift chart of a scoring model (here: stopword-density
+    predicting lang='en'): rank the population into score deciles
+    (1 = highest), and report each decile's lift over base rate plus
+    the cumulative capture curve — THE chart that decides whether a
+    ranking model earns its complexity ("top 2 deciles capture 60%"
+    or it doesn't ship). Completes the model-eval suite: confusion
+    (ml_langid_confusion), agreement (ml_cohens_kappa), CV
+    (ml_crossval_ols), and now business-value ranking.
+
+    Plan: map-side scoring, one discrete-decile boundary aggregate
+    broadcast into the bucket assign (quantile_bucketize's pattern —
+    no global NTILE sort), a 10-row decile agg, and the cumulative
+    window over those 10 rows. Capture and lift divide exact
+    integer counts."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (F.size(F.filter(
+            toks, lambda t: t.isin("the", "a", "of", "and", "is")))
+         .cast("double")
+         / F.greatest(F.size(toks), F.lit(1))).alias("score"),
+    )
+    b = scored.agg(F.array(*[
+        F.expr(f"percentile_disc({k / 10.0}) WITHIN GROUP "
+               f"(ORDER BY score)") for k in range(1, 10)
+    ]).alias("bnds"))
+    binned = scored.join(F.broadcast(b)).select(
+        (F.lit(10) - F.size(F.filter(
+            F.col("bnds"), lambda x: x <= F.col("score"))))
+        .cast("int").alias("decile"),
+        "y",
+    )
+    per_d = binned.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos"))
+    tot = per_d.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tpos"))
+    wcum = (Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_d.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("n_pos"),
+        F.round(F.sum("pos").over(wcum).cast("double") / F.col("tpos"), 6)
+        .alias("cum_capture"),
+        F.round((F.col("pos").cast("double") / F.col("n"))
+                / (F.col("tpos").cast("double") / F.col("tn")), 6)
+        .alias("lift"),
+    )

@@ -1043,3 +1043,59 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("k", "vocab_size")
     )
+
+
+_BURST_MIN_CF = 50
+_BURST_TOPK = 20
+
+
+@query(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH tf AS (
+      SELECT token, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY token
+    )
+    SELECT token, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+           ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+    FROM tf
+    WHERE cf >= {_BURST_MIN_CF}
+    ORDER BY CAST(cf AS DOUBLE) / df DESC, token
+    LIMIT {_BURST_TOPK}
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church/Gale): collection frequency over
+    document frequency — a term used 500 times across 500 docs is
+    vocabulary; used 500 times across 20 docs it's a TOPIC marker
+    (or boilerplate the dedup stack should look at). The top-k
+    burstiest frequent terms are the content-word shortlist TF-IDF's
+    global weighting can't directly give (cf. text_novelty_rate,
+    which looks at gram reuse over TIME; this is reuse CONCENTRATION
+    over documents).
+
+    Plan: explode + one hash agg (vocab-bounded exchange carrying
+    (cf, df) pairs), frequency floor, then TakeOrderedAndProject —
+    per-task partial top-k, never a vocab sort. The ratio of two
+    exact integers orders identically on both engines; ties break on
+    the token."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("cf") >= _BURST_MIN_CF)
+    )
+    burst = F.col("cf").cast("double") / F.col("df")
+    return (
+        tf.orderBy(burst.desc(), "token")
+        .limit(_BURST_TOPK)
+        .select(
+            "token",
+            F.col("cf").cast("long").alias("cf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(burst, 6).alias("burstiness"),
+        )
+    )
