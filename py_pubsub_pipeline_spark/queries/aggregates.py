@@ -1626,3 +1626,73 @@ def agg_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_suppliers"),
              F.round(F.sum("t").cast("double") * 10000, 4).alias("hhi"))
     )
+
+
+@query(
+    "agg_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS a,
+             o_totalprice AS v
+      FROM orders
+    ), steps AS (
+      SELECT v,
+             SUM(a) OVER w AS ca,
+             SUM(1 - a) OVER w AS cb,
+             SUM(a) OVER () AS na,
+             SUM(1 - a) OVER () AS nb
+      FROM s
+      WINDOW w AS (ORDER BY v, a ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(ANY_VALUE(na) AS BIGINT) AS n_a,
+           CAST(ANY_VALUE(nb) AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(CAST(ca AS DOUBLE) / na
+                         - CAST(cb AS DOUBLE) / nb)), 6) AS ks_d,
+           ROUND(MAX(ABS(CAST(ca AS DOUBLE) / na
+                         - CAST(cb AS DOUBLE) / nb))
+                 * SQRT(CAST(ANY_VALUE(na) AS DOUBLE)
+                        * ANY_VALUE(nb)
+                        / (ANY_VALUE(na) + ANY_VALUE(nb))), 6)
+             AS ks_stat
+    FROM steps
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the experiment arms:
+    the supremum gap between the two empirical CDFs, evaluated
+    exactly at every sample point via one cumulative window over the
+    merged sort — the distribution-level companion to Mann-Whitney
+    (which can miss equal-median shape changes KS catches; the scaled
+    sqrt(nm/(n+m))*D is what tables threshold). dq_drift_psi bins
+    first; KS is the binning-free drift test.
+
+    Plan: one total-order window carrying two running counts (exact
+    integers), then a 1-row max aggregate — ECDF ratios divide exact
+    counts, so the sup is over identical doubles. The exact test
+    needs the merged sort (agg_mann_whitney's note); the binned
+    fallback at extreme n IS dq_drift_psi's spine."""
+    o = table(spark, sf_dir, "orders")
+    s = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0).alias("a"),
+        F.col("o_totalprice").alias("v"),
+    )
+    w = (Window.orderBy("v", "a")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    steps = s.select(
+        F.sum("a").over(w).alias("ca"),
+        F.sum(F.lit(1) - F.col("a")).over(w).alias("cb"),
+        F.sum("a").over(wall).alias("na"),
+        F.sum(F.lit(1) - F.col("a")).over(wall).alias("nb"),
+    )
+    gap = F.abs(F.col("ca").cast("double") / F.col("na")
+                - F.col("cb").cast("double") / F.col("nb"))
+    return steps.agg(
+        F.any_value("na").cast("long").alias("n_a"),
+        F.any_value("nb").cast("long").alias("n_b"),
+        F.round(F.max(gap), 6).alias("ks_d"),
+        F.round(F.max(gap) * F.sqrt(
+            F.any_value("na").cast("double") * F.any_value("nb")
+            / (F.any_value("na") + F.any_value("nb"))), 6)
+        .alias("ks_stat"),
+    )

@@ -1303,3 +1303,75 @@ def ml_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("tpos").cast("double") / F.col("tn")), 6)
         .alias("lift"),
     )
+
+
+@query(
+    "ml_auc_roc",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+               / GREATEST(len(string_split(text, ' ')), 1) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT y,
+             CAST(RANK() OVER (ORDER BY score) AS DOUBLE)
+             + (CAST(COUNT(*) OVER (PARTITION BY score) AS DOUBLE) - 1.0)
+               / 2.0 AS r
+      FROM scored
+    ), sums AS (
+      SELECT COUNT(*) FILTER (WHERE y = 1) AS np,
+             COUNT(*) FILTER (WHERE y = 0) AS nn,
+             CAST(SUM(CAST(r AS DECIMAL(28,1))) FILTER (WHERE y = 1)
+                  AS DOUBLE) AS rp
+      FROM ranked
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           ROUND((rp - np * (np + 1.0) / 2.0)
+                 / (np * CAST(nn AS DOUBLE)), 6) AS auc
+    FROM sums
+    """,
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of the stopword-density score for lang='en', by
+    the rank-sum identity AUC = (R_pos - n_pos(n_pos+1)/2) /
+    (n_pos*n_neg) — the probability a random positive outranks a
+    random negative, which is Mann-Whitney's U normalized (the
+    trapezoid-over-thresholds construction gives the same number
+    with more code). Ties take average ranks, so tied scores
+    contribute exactly 1/2. The single most-quoted classifier
+    metric, computed without sampling, binning, or approximation.
+
+    Plan: map-side scoring, one total-order rank window (the exact
+    metric's honest cost — agg_mann_whitney's note; the histogram-
+    rank fallback applies), and a 1-row aggregate whose rank sum
+    goes through DECIMAL(28,1)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (F.size(F.filter(
+            toks, lambda t: t.isin("the", "a", "of", "and", "is")))
+         .cast("double")
+         / F.greatest(F.size(toks), F.lit(1))).alias("score"),
+    )
+    ranked = scored.select(
+        "y",
+        (F.rank().over(Window.orderBy("score")).cast("double")
+         + (F.count("*").over(Window.partitionBy("score")).cast("double")
+            - 1.0) / 2.0).alias("r"),
+    )
+    sums = ranked.agg(
+        F.count_if(F.col("y") == 1).alias("np"),
+        F.count_if(F.col("y") == 0).alias("nn"),
+        F.sum(F.when(F.col("y") == 1, F.col("r")).cast("decimal(28,1)"))
+        .cast("double").alias("rp"),
+    )
+    np_, nn_ = F.col("np"), F.col("nn")
+    return sums.select(
+        np_.cast("long").alias("n_pos"),
+        nn_.cast("long").alias("n_neg"),
+        F.round((F.col("rp") - np_ * (np_ + 1.0) / 2.0)
+                / (np_ * nn_.cast("double")), 6).alias("auc"),
+    )

@@ -522,3 +522,69 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("doc_id", "text")))
             .getField("text"), "")).alias("text_md5"),
     )
+
+
+@query(
+    "scan_wholetext",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
+    FROM documents
+    WHERE doc_id % 20 = 0
+    GROUP BY lang
+    """,
+)
+def scan_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-per-file ingestion: a 1-in-20 sample of documents is
+    materialized as individual .txt files (the shape crawl dumps and
+    books corpora actually arrive in), read back with
+    wholetext=true — ONE ROW PER FILE, newlines and all, never split
+    on line boundaries — and fingerprinted per language against the
+    parquet originals. The filename carries doc_id/lang (the
+    standard path-metadata convention), recovered on read via
+    input_file_name parsing.
+
+    Scale: wholetext is one task per file and buffers the whole file
+    in memory — correct for document corpora (files are KB-MB), wrong
+    for logs; the engine's format guidance table gains its third
+    row: CSV splits on lines, multiLine CSV doesn't split, wholetext
+    doesn't split AND buffers. Pack small docs into parquet early.
+    (The FIXTURE writer below collects the bounded 1-in-20 sample on
+    the driver to lay out one file per doc — test scaffolding for
+    the read path under test, not part of the measured query; a real
+    corpus arrives already file-per-doc on shared storage.)"""
+    import os
+
+    def write(df: DataFrame, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+        rows = (df.filter(F.col("doc_id") % 20 == 0)
+                .select("doc_id", "lang", "text").collect())
+        for r in rows:
+            name = f"{r['doc_id']:08d}__{r['lang']}.txt"
+            with open(os.path.join(p, name), "w", encoding="utf-8") as fh:
+                fh.write(r["text"])
+        with open(os.path.join(p, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    path = _materialize(spark, sf_dir, "wholetext", "documents", write)
+    files = (
+        spark.read.option("wholetext", True).text(path)
+        .select(
+            F.regexp_extract(F.input_file_name(), r"(\d{8})__", 1)
+            .cast("long").alias("doc_id"),
+            F.regexp_extract(F.input_file_name(), r"__(\w+)\.txt", 1)
+            .alias("lang"),
+            F.col("value").alias("text"),
+        )
+    )
+    return files.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.length(F.col("text").cast("binary"))).cast("long")
+        .alias("total_bytes"),
+        F.md5(F.array_join(
+            F.array_sort(F.collect_list(F.struct(
+                "doc_id", F.md5("text").alias("h")))).getField("h"), ""))
+        .alias("corpus_md5"),
+    )
