@@ -120,7 +120,8 @@ _R4_NEW = frozenset({
     "agg_var_es", "ts_littles_law", "text_vocab_coverage",
     "retention_growth_accounting", "dq_simpsons_paradox",
     "agg_herfindahl_index", "ml_gains_lift", "text_term_burstiness",
-    "ml_auc_roc", "agg_ks_test", "scan_wholetext",
+    "ml_auc_roc", "agg_ks_test", "scan_wholetext", "agg_power_mde",
+    "ts_outage_windows",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

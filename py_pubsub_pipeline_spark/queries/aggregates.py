@@ -1696,3 +1696,64 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.any_value("na") + F.any_value("nb"))), 6)
         .alias("ks_stat"),
     )
+
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles, spelled out
+_Z_ALPHA = 1.959963985
+_Z_BETA = 0.841621234
+_MDE_GRID = (0.01, 0.02, 0.05)
+
+
+@query(
+    "agg_power_mde",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+               / COUNT(*) AS p,
+             COUNT(*) AS n_avail
+      FROM orders
+    )
+    SELECT d.mde,
+           ROUND(base.p, 6) AS base_rate,
+           CAST(CEIL(POWER({_Z_ALPHA} + {_Z_BETA}, 2)
+                     * 2.0 * base.p * (1.0 - base.p)
+                     / (d.mde * d.mde)) AS BIGINT) AS n_per_arm,
+           CAST(base.n_avail AS BIGINT) AS n_available,
+           CEIL(POWER({_Z_ALPHA} + {_Z_BETA}, 2)
+                * 2.0 * base.p * (1.0 - base.p) / (d.mde * d.mde)) * 2
+             <= base.n_avail AS feasible
+    FROM base, UNNEST([{", ".join(map(str, _MDE_GRID))}]) d(mde)
+    """,
+)
+def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: for a grid of minimum detectable
+    effects, the per-arm sample size n = (z_a+z_b)^2 * 2p(1-p) /
+    MDE^2 at alpha=.05 / power=.80, seeded with the OBSERVED base
+    rate — plus whether the current data volume could even run that
+    test. This is the missing first step of the experimentation
+    suite (design: here; readout: agg_ab_ztest; uncertainty:
+    agg_bootstrap_se): teams that skip it ship underpowered tests
+    and read noise. Normal quantiles are spelled to 9 decimals so
+    neither engine rounds across the CEIL.
+
+    Plan: one 1-row base-rate aggregate fanned across the constant
+    MDE grid — everything after the scan is constant-time
+    arithmetic on exact counts."""
+    o = table(spark, sf_dir, "orders")
+    base = o.agg(
+        (F.count_if(F.col("o_orderstatus") == "F").cast("double")
+         / F.count("*")).alias("p"),
+        F.count("*").alias("n_avail"),
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(m) for m in _MDE_GRID])).alias("mde"))
+    n_req = F.ceil(
+        F.pow(F.lit(_Z_ALPHA + _Z_BETA), 2) * 2.0 * F.col("p")
+        * (F.lit(1.0) - F.col("p")) / (F.col("mde") * F.col("mde")))
+    return base.crossJoin(F.broadcast(grid)).select(
+        "mde",
+        F.round("p", 6).alias("base_rate"),
+        n_req.cast("long").alias("n_per_arm"),
+        F.col("n_avail").cast("long").alias("n_available"),
+        (n_req * 2 <= F.col("n_avail")).alias("feasible"),
+    )

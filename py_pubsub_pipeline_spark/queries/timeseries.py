@@ -1512,3 +1512,69 @@ def ts_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l_pred, 6).alias("l_littles"),
         F.round(l_meas / l_pred, 6).alias("ratio"),
     )
+
+
+_OUTAGE_GAP_S = 600  # silence longer than 10 minutes = outage
+
+
+@query(
+    "ts_outage_windows",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT event_type,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS prev_us,
+             epoch_us(ts) AS us
+      FROM events
+    ), outages AS (
+      SELECT event_type, (us - prev_us) // 1000000 AS dur_s
+      FROM gaps
+      WHERE prev_us IS NOT NULL
+        AND us - prev_us > {_OUTAGE_GAP_S} * 1000000
+    )
+    SELECT g.event_type,
+           CAST(COUNT(o.dur_s) AS BIGINT) AS n_outages,
+           CAST(COALESCE(SUM(o.dur_s), 0) AS BIGINT) AS total_outage_s,
+           CAST(COALESCE(MAX(o.dur_s), 0) AS BIGINT) AS longest_outage_s
+    FROM (SELECT DISTINCT event_type FROM events) g
+    LEFT JOIN outages o ON o.event_type = g.event_type
+    GROUP BY g.event_type
+    """,
+)
+def ts_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage detection: silences longer than {_OUTAGE_GAP_S}s in
+    each event stream, reported as count / total / longest — the SRE
+    availability report that ts_interarrival_stats' MEAN gap hides
+    (a stream can average 3s between events and still have a
+    20-minute hole). Types with zero outages still report (the LEFT
+    JOIN keeps them — an availability report that drops healthy
+    streams reads as missing data).
+
+    Plan: one LAG window per type partition, a filter to the rare
+    outage gaps, and a per-type agg joined back to the type dim;
+    durations are exact integer seconds."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = e.select(
+        "event_type", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
+    outages = gaps.filter(
+        F.col("prev_us").isNotNull()
+        & (F.col("us") - F.col("prev_us") > _OUTAGE_GAP_S * 1_000_000)
+    ).select(
+        "event_type",
+        ((F.col("us") - F.col("prev_us")) / 1_000_000).cast("long")
+        .alias("dur_s"),
+    )
+    types = e.select("event_type").distinct()
+    return (
+        types.join(outages, "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("dur_s").cast("long").alias("n_outages"),
+            F.coalesce(F.sum("dur_s"), F.lit(0)).cast("long")
+            .alias("total_outage_s"),
+            F.coalesce(F.max("dur_s"), F.lit(0)).cast("long")
+            .alias("longest_outage_s"),
+        )
+    )
