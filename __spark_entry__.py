@@ -121,7 +121,7 @@ _R4_NEW = frozenset({
     "retention_growth_accounting", "dq_simpsons_paradox",
     "agg_herfindahl_index", "ml_gains_lift", "text_term_burstiness",
     "ml_auc_roc", "agg_ks_test", "scan_wholetext", "agg_power_mde",
-    "ts_outage_windows",
+    "ts_outage_windows", "win_interval_coalesce", "ts_seasonal_index",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

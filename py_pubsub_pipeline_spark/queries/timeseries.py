@@ -1578,3 +1578,65 @@ def ts_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("longest_outage_s"),
         )
     )
+
+
+@query(
+    "ts_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), yearly AS (
+      SELECT yr, SUM(rev) AS yrev, COUNT(*) AS n_months
+      FROM monthly GROUP BY yr
+    ), idx AS (
+      SELECT m.mo,
+             CAST(m.rev AS DOUBLE)
+               / (CAST(y.yrev AS DOUBLE) / y.n_months) AS ratio
+      FROM monthly m JOIN yearly y ON y.yr = m.yr
+      WHERE y.n_months = 12
+    )
+    SELECT mo AS month_of_year,
+           CAST(COUNT(*) AS BIGINT) AS n_years,
+           ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS seasonal_index
+    FROM idx GROUP BY mo
+    """,
+)
+def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal indices by ratio-to-yearly-average: each month's
+    revenue over its year's monthly mean, averaged across COMPLETE
+    years only (partial years would bias their months' indices —
+    the n_months = 12 guard is the classic rookie-error fix). Index
+    1.10 = "this month runs 10% hot"; these are the factors a
+    deseasonalized trend divides out before ts_change_detect-style
+    monitoring, completing the decomposition story next to
+    ts_theil_sen (trend) and ts_fano_factor (noise).
+
+    Plan: two chained hash aggs on calendar keys (month spine, then
+    year spine), one spine-sized join, per-month average of
+    DECIMAL-quantized ratios. Nothing event-sized past the first
+    agg."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("rev"))
+    yearly = monthly.groupBy("yr").agg(
+        F.sum("rev").alias("yrev"), F.count("*").alias("n_months"))
+    idx = (
+        monthly.join(F.broadcast(yearly), "yr")
+        .filter(F.col("n_months") == 12)
+        .select(
+            "mo",
+            (F.col("rev").cast("double")
+             / (F.col("yrev").cast("double") / F.col("n_months")))
+            .alias("ratio"))
+    )
+    return idx.groupBy(F.col("mo").alias("month_of_year")).agg(
+        F.count("*").cast("long").alias("n_years"),
+        F.round(F.sum(F.col("ratio").cast("decimal(18,9)")).cast("double")
+                / F.count("*"), 6).alias("seasonal_index"),
+    )

@@ -390,3 +390,81 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_drawdown"),
         F.max("peak").cast("double").alias("peak_equity"),
     )
+
+
+_COAL_DUR_S = 300
+
+
+@query(
+    "win_interval_coalesce",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + {_COAL_DUR_S} AS e
+      FROM events
+    ), marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ), merged AS (
+      SELECT user_id, island,
+             MIN(s) AS m_start, MAX(e) AS m_end
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(m_end - m_start) AS BIGINT) AS covered_s,
+           CAST(MAX(m_end - m_start) AS BIGINT) AS longest_s
+    FROM merged GROUP BY user_id
+    """,
+)
+def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing: merge each user's overlapping
+    {_COAL_DUR_S}-second activity slots into maximal covering spans
+    and report span count / covered seconds / longest span — the
+    gaps-and-islands MERGE (win_streaks finds runs of a predicate;
+    this unions a set of [start, end) intervals). Covered time is
+    the billing/engagement number double-counting inflates if you
+    just sum durations.
+
+    Plan: the island mark (start beats the running MAX of prior
+    ends), the island number (running sum of marks), and the
+    per-island agg all ride ONE user_id exchange — sessionize_gaps'
+    single-exchange discipline generalized to intervals that carry
+    their own widths. Exact integer seconds end to end."""
+    e = table(spark, sf_dir, "events")
+    sec = (F.unix_micros(F.col("ts").cast("timestamp"))
+           / F.lit(1_000_000)).cast("long")
+    iv = e.select("user_id", sec.alias("s"),
+                  (sec + _COAL_DUR_S).alias("e"))
+    wprev = (Window.partitionBy("user_id").orderBy("s", "e")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.select(
+        "user_id", "s", "e",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)),
+               1).otherwise(0).alias("is_new"),
+    )
+    wrun = (Window.partitionBy("user_id").orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    islands = marked.select(
+        "user_id", "s", "e",
+        F.sum("is_new").over(wrun).alias("island"))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end"))
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_merged"),
+        F.sum(F.col("m_end") - F.col("m_start")).cast("long")
+        .alias("covered_s"),
+        F.max(F.col("m_end") - F.col("m_start")).cast("long")
+        .alias("longest_s"),
+    )
