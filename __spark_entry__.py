@@ -122,6 +122,7 @@ _R4_NEW = frozenset({
     "agg_herfindahl_index", "ml_gains_lift", "text_term_burstiness",
     "ml_auc_roc", "agg_ks_test", "scan_wholetext", "agg_power_mde",
     "ts_outage_windows", "win_interval_coalesce", "ts_seasonal_index",
+    "graph_clustering_coeff", "agg_extreme_value_gumbel",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -1757,3 +1757,78 @@ def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_avail").cast("long").alias("n_available"),
         (n_req * 2 <= F.col("n_avail")).alias("feasible"),
     )
+
+
+# Euler-Mascheroni and pi, spelled out for the Gumbel moment fit.
+_EULER_GAMMA = 0.5772156649015329
+_PI = 3.141592653589793
+_GUMBEL_HORIZON = 1000
+
+
+@query(
+    "agg_extreme_value_gumbel",
+    oracle=f"""
+    WITH cnts AS (
+      SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), mom AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             SQRT(GREATEST(
+               CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE)
+                 / COUNT(*)
+               - POWER(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+                       / COUNT(*), 2), 1e-12)) AS sd,
+             MAX(c) AS observed_max
+      FROM cnts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(observed_max AS BIGINT) AS observed_max,
+           ROUND(sd * SQRT(6.0) / {_PI}, 6) AS gumbel_beta,
+           ROUND(mu - {_EULER_GAMMA} * sd * SQRT(6.0) / {_PI}, 6)
+             AS gumbel_mu,
+           ROUND(mu - {_EULER_GAMMA} * sd * SQRT(6.0) / {_PI}
+                 + sd * SQRT(6.0) / {_PI} * LN({_GUMBEL_HORIZON}.0), 6)
+             AS predicted_max_{_GUMBEL_HORIZON}
+    FROM mom
+    """,
+)
+def agg_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value capacity planning: fit a Gumbel distribution to
+    per-minute load by method of moments (beta = s*sqrt(6)/pi,
+    mu = mean - gamma*beta) and extrapolate the expected maximum over
+    a {_GUMBEL_HORIZON}-minute horizon (mu + beta*ln(n)) — the
+    provision-for-the-peak number that mean+3*sigma undershoots
+    because maxima grow with horizon LENGTH, not just variance.
+    Beside the observed max as the sanity anchor. Completes the load
+    picture: rate, burstiness (ts_fano_factor), and now the
+    projected extreme.
+
+    Plan: one (type, minute) agg then per-type moments — identical
+    shape to ts_fano_factor; the LN is a single libm call on an
+    identical double (no cross-row sum touches it), so rounding at 6
+    is safe without term quantization. Constants spelled to full
+    double precision."""
+    e = table(spark, sf_dir, "events")
+    cnts = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(60_000_000)).cast("long").alias("minute"),
+    ).agg(F.count("*").alias("c"))
+    mu = (F.sum(F.col("c").cast("decimal(28,0)")).cast("double")
+          / F.count("*"))
+    m2 = (F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+          .cast("double") / F.count("*"))
+    sd = F.sqrt(F.greatest(m2 - mu * mu, F.lit(1e-12)))
+    beta = sd * (6.0 ** 0.5) / _PI
+    gmu = mu - _EULER_GAMMA * beta
+    import math
+    return cnts.groupBy("event_type").agg(
+        F.max("c").cast("long").alias("observed_max"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(gmu, 6).alias("gumbel_mu"),
+        F.round(gmu + beta * math.log(_GUMBEL_HORIZON), 6)
+        .alias(f"predicted_max_{_GUMBEL_HORIZON}"),
+    )

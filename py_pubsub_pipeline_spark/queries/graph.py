@@ -652,3 +652,90 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_communities"),
         F.round(F.sum(term).cast("double"), 6).alias("modularity"),
     ).drop("m2")
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT u, v FROM (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+        FROM items a JOIN items b ON b.ok = a.ok AND a.p <> b.p
+        GROUP BY 1, 2)
+      WHERE w >= {_KCORE_MINW}
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM e GROUP BY u
+    ), tri AS (
+      -- closed wedges at the midpoint z: neighbors u < v that are
+      -- themselves adjacent (symmetric edge list -> direct lookup)
+      SELECT w.z, COUNT(*) AS t
+      FROM (SELECT e1.v AS z, e1.u AS u, e2.v AS v
+            FROM e e1 JOIN e e2 ON e2.u = e1.v AND e1.u < e2.v) w
+      JOIN e ON e.u = w.u AND e.v = w.v
+      GROUP BY w.z
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           ROUND(CAST(SUM(CAST(
+             CAST(2 * COALESCE(t.t, 0) AS DOUBLE)
+             / (CAST(d.d AS DOUBLE) * (d.d - 1))
+             AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_clustering,
+           ROUND(CAST(SUM(COALESCE(t.t, 0)) AS DOUBLE)
+                 / SUM(CAST(d.d AS DOUBLE) * (d.d - 1) / 2), 6)
+             AS transitivity
+    FROM deg d LEFT JOIN tri t ON t.z = d.u
+    WHERE d.d >= 2
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering coefficients of the part co-purchase graph: the
+    average LOCAL coefficient (are my neighbors each other's
+    neighbors?) and the global transitivity (closed wedges / all
+    wedges) — the two numbers that say whether co-purchasing is
+    cliquish or hub-and-spoke, and they disagree exactly when hubs
+    dominate (transitivity is wedge-weighted; the average is not).
+    Degree-1 nodes are excluded (their coefficient is undefined, not
+    zero — including them as 0 is the standard silent bias).
+
+    Plan: wedges from the midpoint self-join (sum(deg^2) — the
+    adamic_adar hub-cap note applies), closed by one edge-list
+    lookup join; per-node ratios quantize through DECIMAL before the
+    averages. The symmetric edge list makes adjacency a direct
+    equi-join, no direction cases."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("p")).distinct()
+    a = items.select("ok", F.col("p").alias("u"))
+    b = items.select("ok", F.col("p").alias("v"))
+    e = (
+        a.join(b, "ok").filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v").agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _KCORE_MINW).select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("u").agg(F.count("*").alias("d"))
+    e1 = e.select(F.col("v").alias("z"), F.col("u").alias("wu"))
+    e2 = e.select(F.col("u").alias("z"), F.col("v").alias("wv"))
+    wedges = e1.join(e2, "z").filter(F.col("wu") < F.col("wv"))
+    tri = (
+        wedges.join(e, (e.u == wedges.wu) & (e.v == wedges.wv))
+        .groupBy("z").agg(F.count("*").alias("t"))
+    )
+    j = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, deg.u == tri.z, "left")
+        .select("d", F.coalesce(F.col("t"), F.lit(0)).alias("t"))
+    )
+    local = (F.lit(2.0) * F.col("t")
+             / (F.col("d").cast("double") * (F.col("d") - 1))
+             ).cast("decimal(18,12)")
+    return j.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.round(F.sum(local).cast("double") / F.count("*"), 6)
+        .alias("avg_clustering"),
+        F.round(F.sum("t").cast("double")
+                / F.sum(F.col("d").cast("double") * (F.col("d") - 1) / 2),
+                6).alias("transitivity"),
+    )
