@@ -1832,3 +1832,87 @@ def agg_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(gmu + beta * math.log(_GUMBEL_HORIZON), 6)
         .alias(f"predicted_max_{_GUMBEL_HORIZON}"),
     )
+
+
+@query(
+    "agg_covariate_balance",
+    oracle="""
+    WITH armed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS a,
+             c_acctbal AS x1,
+             CAST(c_nationkey AS DOUBLE) AS x2
+      FROM customer
+    ), mom AS (
+      SELECT 'c_acctbal' AS covariate,
+             CAST(SUM(CAST(x1 AS DECIMAL(28,6))) FILTER (WHERE a = 1)
+                  AS DOUBLE) / COUNT(*) FILTER (WHERE a = 1) AS ma,
+             CAST(SUM(CAST(x1 AS DECIMAL(28,6))) FILTER (WHERE a = 0)
+                  AS DOUBLE) / COUNT(*) FILTER (WHERE a = 0) AS mb,
+             CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,6))) FILTER (WHERE a = 1)
+                  AS DOUBLE) / COUNT(*) FILTER (WHERE a = 1) AS qa,
+             CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,6))) FILTER (WHERE a = 0)
+                  AS DOUBLE) / COUNT(*) FILTER (WHERE a = 0) AS qb
+      FROM armed
+      UNION ALL
+      SELECT 'c_nationkey',
+             CAST(SUM(CAST(x2 AS DECIMAL(28,6))) FILTER (WHERE a = 1)
+                  AS DOUBLE) / COUNT(*) FILTER (WHERE a = 1),
+             CAST(SUM(CAST(x2 AS DECIMAL(28,6))) FILTER (WHERE a = 0)
+                  AS DOUBLE) / COUNT(*) FILTER (WHERE a = 0),
+             CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,6))) FILTER (WHERE a = 1)
+                  AS DOUBLE) / COUNT(*) FILTER (WHERE a = 1),
+             CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,6))) FILTER (WHERE a = 0)
+                  AS DOUBLE) / COUNT(*) FILTER (WHERE a = 0)
+      FROM armed
+    )
+    SELECT covariate,
+           ROUND(ma - mb, 6) AS mean_diff,
+           ROUND((ma - mb) / SQRT(((qa - ma*ma) + (qb - mb*mb)) / 2.0), 6)
+             AS smd,
+           ABS((ma - mb) / SQRT(((qa - ma*ma) + (qb - mb*mb)) / 2.0))
+             < 0.1 AS balanced
+    FROM mom
+    """,
+)
+def agg_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance check before any causal readout: the
+    standardized mean difference (SMD) of each covariate between
+    assignment arms, with the |SMD| < 0.1 balance convention — the
+    table every A/B platform prints before it lets you read the
+    outcome metric (an unbalanced covariate means the randomizer is
+    broken or the analysis needs adjustment; agg_ab_ztest's verdict
+    is only as good as this gate). One pass, all covariates.
+
+    Plan: a single conditional co-moment aggregate per covariate
+    (UNION ALL of one-row aggs on both sides — Catalyst collapses
+    the shared scan), means/variances from DECIMAL-quantized sums,
+    SMD in identical double arithmetic."""
+    c = table(spark, sf_dir, "customer")
+    armed = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, 1).otherwise(0).alias("a"),
+        F.col("c_acctbal").alias("x1"),
+        F.col("c_nationkey").cast("double").alias("x2"),
+    )
+
+    def row(name, col):
+        def m(e, flt, p):
+            return (F.sum(F.when(F.col("a") == flt, e)
+                          .cast(f"decimal({p},6)")).cast("double")
+                    / F.count_if(F.col("a") == flt))
+        x = F.col(col)
+        return armed.agg(
+            F.lit(name).alias("covariate"),
+            m(x, 1, 28).alias("ma"), m(x, 0, 28).alias("mb"),
+            m(x * x, 1, 38).alias("qa"), m(x * x, 0, 38).alias("qb"),
+        )
+
+    mom = row("c_acctbal", "x1").unionAll(row("c_nationkey", "x2"))
+    smd = (F.col("ma") - F.col("mb")) / F.sqrt(
+        ((F.col("qa") - F.col("ma") * F.col("ma"))
+         + (F.col("qb") - F.col("mb") * F.col("mb"))) / 2.0)
+    return mom.select(
+        "covariate",
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round(smd, 6).alias("smd"),
+        (F.abs(smd) < 0.1).alias("balanced"),
+    )

@@ -1099,3 +1099,101 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(burst, 6).alias("burstiness"),
         )
     )
+
+
+_JSD_TOPV = 200  # capped vocabulary: top-N corpus terms + OTHER
+
+
+@query(
+    "text_jsd_vs_corpus",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT {_JSD_TOPV})
+    ), mapped AS (
+      SELECT t.source,
+             CASE WHEN v.w IS NOT NULL THEN t.w ELSE '<OTHER>' END AS term
+      FROM tok t LEFT JOIN vocab v ON v.w = t.w
+    ), sc AS (
+      SELECT source, term, COUNT(*) AS c FROM mapped GROUP BY 1, 2
+    ), stot AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+    gc AS (SELECT term, SUM(c) AS c FROM sc GROUP BY term),
+    gtot AS (SELECT SUM(c) AS n FROM gc),
+    probs AS (
+      SELECT sc.source,
+             CAST(sc.c AS DOUBLE) / stot.n AS p,
+             CAST(gc.c AS DOUBLE) / gtot.n AS q
+      FROM sc
+      JOIN stot ON stot.source = sc.source
+      JOIN gc ON gc.term = sc.term
+      CROSS JOIN gtot
+    )
+    SELECT source,
+           ROUND(CAST(SUM(CAST(
+             0.5 * p * LN(2.0 * p / (p + q)) / LN(2.0)
+             + 0.5 * q * LN(2.0 * q / (p + q)) / LN(2.0)
+             AS DECIMAL(18,12))) AS DOUBLE), 6) AS jsd_bits
+    FROM probs GROUP BY source
+    """,
+)
+def text_jsd_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram
+    distribution from the whole-corpus distribution, in bits over a
+    capped vocabulary (top-{_JSD_TOPV} terms + an <OTHER> bucket) —
+    the bounded, symmetric domain-distance that tells a mixing
+    pipeline which sources actually add distributional diversity and
+    which are near-clones (dq_drift_psi is this for numeric bins
+    over time; JSD is the text-domain version, and unlike raw KL it
+    never blows up on terms one side lacks).
+
+    NB: the source-vs-corpus comparison is self-inclusive (each
+    source is part of the corpus mix), which only SHRINKS distances
+    — fine for ranking sources against each other, stated here so
+    nobody reads the numbers as source-vs-rest. Terms a source never
+    uses contribute only through its <OTHER> mass, so per-source
+    support never includes zero-count rows.
+
+    Plan: the vocabulary cap is a TakeOrdered (zipf's trick) that
+    bounds every later exchange at {_JSD_TOPV}+1 terms per source;
+    the per-term JSD contributions quantize through DECIMAL(18,12)
+    before the per-source sum (libm LN discipline)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_tokens()).alias("w"))
+    vocab = (
+        tok.groupBy("w").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w").limit(_JSD_TOPV)
+        .select("w")
+    )
+    mapped = (
+        tok.join(F.broadcast(vocab.withColumnRenamed("w", "vw")),
+                 tok.w == F.col("vw"), "left")
+        .select(
+            "source",
+            F.when(F.col("vw").isNotNull(), F.col("w"))
+            .otherwise(F.lit("<OTHER>")).alias("term"))
+    )
+    sc = mapped.groupBy("source", "term").agg(F.count("*").alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc.groupBy("term").agg(F.sum("c").alias("gcc"))
+    gtot = gc.agg(F.sum("gcc").alias("gn"))
+    probs = (
+        sc.join(F.broadcast(stot), "source")
+        .join(F.broadcast(gc), "term")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            (F.col("c").cast("double") / F.col("n")).alias("p"),
+            (F.col("gcc").cast("double") / F.col("gn")).alias("q"))
+    )
+    ln2 = F.log(F.lit(2.0))
+    term = (
+        0.5 * F.col("p") * F.log(2.0 * F.col("p")
+                                 / (F.col("p") + F.col("q"))) / ln2
+        + 0.5 * F.col("q") * F.log(2.0 * F.col("q")
+                                   / (F.col("p") + F.col("q"))) / ln2
+    ).cast("decimal(18,12)")
+    return probs.groupBy("source").agg(
+        F.round(F.sum(term).cast("double"), 6).alias("jsd_bits"))
