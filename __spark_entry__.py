@@ -123,7 +123,7 @@ _R4_NEW = frozenset({
     "ml_auc_roc", "agg_ks_test", "scan_wholetext", "agg_power_mde",
     "ts_outage_windows", "win_interval_coalesce", "ts_seasonal_index",
     "graph_clustering_coeff", "agg_extreme_value_gumbel",
-    "agg_covariate_balance", "text_jsd_vs_corpus",
+    "agg_covariate_balance", "text_jsd_vs_corpus", "agg_cuped",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -1916,3 +1916,101 @@ def agg_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(smd, 6).alias("smd"),
         (F.abs(smd) < 0.1).alias("balanced"),
     )
+
+
+@query(
+    "agg_cuped",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                    FILTER (WHERE year(o_orderdate) = 1995) AS DOUBLE)
+               AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                    FILTER (WHERE year(o_orderdate) = 1996) AS DOUBLE)
+               AS y
+      FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) FILTER (WHERE year(o_orderdate) = 1995) > 0
+         AND COUNT(*) FILTER (WHERE year(o_orderdate) = 1996) > 0
+    ), mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+               AS mx,
+             CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+               AS my,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+               AS mxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+               AS mxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+               AS myy
+      FROM cust
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND((mxy - mx * my) / (mxx - mx * mx), 6) AS theta,
+           -- variances are ~1e10-magnitude doubles whose cross-
+           -- engine ulp drift is ~1e-4 absolute: report in BILLIONS
+           -- so the 6-decimal rounding grid sits 6 orders above the
+           -- drift instead of at it
+           ROUND((myy - my * my) / 1e9, 6) AS var_raw_bn,
+           ROUND(((myy - my * my)
+                  - POWER(mxy - mx * my, 2) / (mxx - mx * mx)) / 1e9, 6)
+             AS var_cuped_bn,
+           ROUND(POWER(mxy - mx * my, 2)
+                 / ((mxx - mx * mx) * (myy - my * my)), 6)
+             AS var_reduction
+    FROM mom
+    """,
+)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction: using each customer's PRE-period
+    spend (1995) as the control covariate for their experiment-period
+    metric (1996), compute theta = cov(X,Y)/var(X) and the adjusted
+    metric's variance — the reduction equals rho^2, reported as
+    var_reduction (0.3 = experiments need 30% fewer samples for the
+    same power; plug into agg_power_mde). This is the variance-
+    reduction step every mature experimentation platform runs, and
+    the final piece of the suite: design (power_mde), balance
+    (covariate_balance), readout (ab_ztest / delta_method /
+    mann_whitney / ks), uncertainty (bootstrap), and now efficiency.
+
+    Plan: one customer-level conditional agg (pre/post in one pass,
+    HAVING keeps the both-period population the adjustment is
+    defined on), then a 1-row co-moment aggregate — DECIMAL-
+    quantized sums, identical double algebra after."""
+    o = table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+
+    def ysum(y):
+        return F.sum(F.when(yr == y, F.col("o_totalprice"))
+                     .cast("decimal(28,2)")).cast("double")
+
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(ysum(1995).alias("x"), ysum(1996).alias("y"),
+             F.count_if(yr == 1995).alias("n95"),
+             F.count_if(yr == 1996).alias("n96"))
+        .filter((F.col("n95") > 0) & (F.col("n96") > 0))
+    )
+
+    def m(e, p):
+        return F.sum(e.cast(f"decimal({p},4)")).cast("double") / F.count("*")
+
+    mom = cust.agg(
+        F.count("*").alias("n"),
+        m(F.col("x"), 28).alias("mx"), m(F.col("y"), 28).alias("my"),
+        m(F.col("x") * F.col("x"), 38).alias("mxx"),
+        m(F.col("x") * F.col("y"), 38).alias("mxy"),
+        m(F.col("y") * F.col("y"), 38).alias("myy"),
+    )
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    vx = F.col("mxx") - F.col("mx") * F.col("mx")
+    vy = F.col("myy") - F.col("my") * F.col("my")
+    return mom.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(cov / vx, 6).alias("theta"),
+        F.round(vy / 1e9, 6).alias("var_raw_bn"),
+        F.round((vy - F.pow(cov, 2) / vx) / 1e9, 6).alias("var_cuped_bn"),
+        F.round(F.pow(cov, 2) / (vx * vy), 6).alias("var_reduction"),
+    )
