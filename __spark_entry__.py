@@ -124,6 +124,7 @@ _R4_NEW = frozenset({
     "ts_outage_windows", "win_interval_coalesce", "ts_seasonal_index",
     "graph_clustering_coeff", "agg_extreme_value_gumbel",
     "agg_covariate_balance", "text_jsd_vs_corpus", "agg_cuped",
+    "ts_forecast_baseline_wape", "dedup_skeleton",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

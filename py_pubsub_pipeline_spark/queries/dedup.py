@@ -810,3 +810,47 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dup_frac") >= SPAN_DUP_MIN_FRAC)
     )
+
+
+@query(
+    "dedup_skeleton",
+    oracle="""
+    WITH sk AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_transform(string_split(text, ' ')[1:8],
+                              t -> CAST(length(t) AS VARCHAR)), ',')) AS skel
+      FROM documents
+    )
+    SELECT skel,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM sk GROUP BY skel HAVING COUNT(*) > 1
+    """,
+)
+def dedup_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-skeleton dedup: fingerprint each document by the
+    WORD-LENGTH sequence of its OPENING (first 8 tokens — templates
+    and mail merges share their header shape while every token
+    differs), and cluster identical skeletons — a form-letter signal
+    Jaccard/MinHash score as unrelated and text_fingerprint's bag
+    hash misses entirely. The full-document skeleton is the
+    high-precision variant (this corpus has no full-length shape
+    twins; the opening skeleton is the recall end of the same
+    family). Dedup now covers content (exact/minhash/simhash), spans
+    (substring/winnow), structure (paragraph), and SHAPE.
+
+    Plan: one map-side skeleton hash (transform + join — codegen'd
+    array ops, the 16-byte hash is what shuffles, never the length
+    sequence), one hash agg; min-doc_id canonical selection inline."""
+    d = table(spark, sf_dir, "documents")
+    skel = F.md5(F.array_join(
+        F.transform(F.slice(F.split(F.col("text"), " "), 1, 8),
+                    lambda t: F.length(t).cast("string")), ","))
+    return (
+        d.select("doc_id", skel.alias("skel"))
+        .groupBy("skel")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.min("doc_id").cast("long").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1640,3 +1640,65 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("ratio").cast("decimal(18,9)")).cast("double")
                 / F.count("*"), 6).alias("seasonal_index"),
     )
+
+
+_FC_LAG_H = 168  # seasonal-naive horizon: same hour last week
+
+
+@query(
+    "ts_forecast_baseline_wape",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS y
+      FROM events GROUP BY 1, 2
+    ), joined AS (
+      SELECT a.event_type, a.y AS actual, f.y AS forecast
+      FROM hourly a JOIN hourly f
+        ON f.event_type = a.event_type AND f.h = a.h - {_FC_LAG_H}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(CAST(SUM(ABS(actual - forecast)) AS DOUBLE)
+                 / CAST(SUM(ABS(actual)) AS DOUBLE), 6) AS wape,
+           ROUND(CAST(SUM(forecast - actual) AS DOUBLE)
+                 / CAST(SUM(ABS(actual)) AS DOUBLE), 6) AS bias
+    FROM joined GROUP BY event_type
+    """,
+)
+def ts_forecast_baseline_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy floor: the seasonal-naive forecast (same
+    hour last week) scored by WAPE and bias per event type — the
+    baseline every forecasting model must beat before it earns a
+    deploy (WAPE, not MAPE: MAPE explodes on near-zero hours and
+    rewards under-forecasting; weighted absolute error doesn't).
+    Publishing the naive floor beside any model's number is the
+    forecasting analogue of ml_gains_lift's base rate.
+
+    Plan: hourly spine agg, a self-join displaced by {_FC_LAG_H}
+    hours on exact integer hour keys (spine-sized, like
+    ts_theil_sen's pairs but linear), and error sums kept in exact
+    DECIMAL until the two final ratios."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+         / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)"))
+          .cast("decimal(28,6)").alias("y"))
+    a = hourly.select("event_type", "h", F.col("y").alias("actual"))
+    f = hourly.select("event_type", (F.col("h") + _FC_LAG_H).alias("h"),
+                      F.col("y").alias("forecast"))
+    joined = a.join(f, ["event_type", "h"])
+    return joined.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.round(F.sum(F.abs(F.col("actual") - F.col("forecast")))
+                .cast("double")
+                / F.sum(F.abs(F.col("actual"))).cast("double"), 6)
+        .alias("wape"),
+        F.round(F.sum(F.col("forecast") - F.col("actual")).cast("double")
+                / F.sum(F.abs(F.col("actual"))).cast("double"), 6)
+        .alias("bias"),
+    )
