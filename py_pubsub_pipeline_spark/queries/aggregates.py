@@ -2014,3 +2014,85 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((vy - F.pow(cov, 2) / vx) / 1e9, 6).alias("var_cuped_bn"),
         F.round(F.pow(cov, 2) / (vx * vy), 6).alias("var_reduction"),
     )
+
+
+@query(
+    "agg_price_volume_bridge",
+    oracle="""
+    WITH yr AS (
+      SELECT p_brand,
+             CAST(year(l_shipdate) AS INT) AS y,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+               AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE year(l_shipdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ), wide AS (
+      SELECT p_brand,
+             MAX(CASE WHEN y = 1995 THEN qty END) AS q0,
+             MAX(CASE WHEN y = 1995 THEN rev END) AS r0,
+             MAX(CASE WHEN y = 1996 THEN qty END) AS q1,
+             MAX(CASE WHEN y = 1996 THEN rev END) AS r1
+      FROM yr GROUP BY p_brand
+      HAVING MAX(CASE WHEN y = 1995 THEN qty END) IS NOT NULL
+         AND MAX(CASE WHEN y = 1996 THEN qty END) IS NOT NULL
+    )
+    SELECT p_brand,
+           ROUND(r1 - r0, 2) AS delta_rev,
+           ROUND((q1 - q0) * (r0 / q0), 2) AS volume_effect,
+           ROUND(q0 * (r1 / q1 - r0 / q0), 2) AS price_effect,
+           ROUND((q1 - q0) * (r1 / q1 - r0 / q0), 2) AS mix_effect
+    FROM wide
+    """,
+)
+def agg_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge (the FP&A waterfall): decompose each
+    brand's 1995->1996 revenue change into volume effect (quantity
+    moved at old unit price), price effect (old quantity at the new
+    unit price), and the mix/interaction term — the three-bar bridge
+    chart every revenue review runs, with the algebraic identity
+    delta = volume + price + mix holding exactly by construction
+    (the oracle hashes all four, so the decomposition can't silently
+    leak). Unit prices are revenue/quantity ratios of exact DECIMAL
+    sums.
+
+    Plan: one conditional (brand, year) hash agg pivoted wide on the
+    brand rows; brands missing either year drop (an effect against a
+    missing base is undefined, not zero). Everything after the scan
+    is brand-cardinality-sized."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    yrcol = F.year("l_shipdate")
+    yr = (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .filter(yrcol.isin(1995, 1996))
+        .groupBy("p_brand", yrcol.cast("int").alias("y"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+            .cast("double").alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+            .cast("double").alias("rev"),
+        )
+    )
+    wide = (
+        yr.groupBy("p_brand")
+        .agg(
+            F.max(F.when(F.col("y") == 1995, F.col("qty"))).alias("q0"),
+            F.max(F.when(F.col("y") == 1995, F.col("rev"))).alias("r0"),
+            F.max(F.when(F.col("y") == 1996, F.col("qty"))).alias("q1"),
+            F.max(F.when(F.col("y") == 1996, F.col("rev"))).alias("r1"),
+        )
+        .filter(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    )
+    u0 = F.col("r0") / F.col("q0")
+    u1 = F.col("r1") / F.col("q1")
+    return wide.select(
+        "p_brand",
+        F.round(F.col("r1") - F.col("r0"), 2).alias("delta_rev"),
+        F.round((F.col("q1") - F.col("q0")) * u0, 2).alias("volume_effect"),
+        F.round(F.col("q0") * (u1 - u0), 2).alias("price_effect"),
+        F.round((F.col("q1") - F.col("q0")) * (u1 - u0), 2)
+        .alias("mix_effect"),
+    )
