@@ -125,7 +125,8 @@ _R4_NEW = frozenset({
     "graph_clustering_coeff", "agg_extreme_value_gumbel",
     "agg_covariate_balance", "text_jsd_vs_corpus", "agg_cuped",
     "ts_forecast_baseline_wape", "dedup_skeleton",
-    "agg_price_volume_bridge",
+    "agg_price_volume_bridge", "agg_abc_classification",
+    "dq_heartbeat_completeness",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -2096,3 +2096,67 @@ def agg_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("q1") - F.col("q0")) * (u1 - u0), 2)
         .alias("mix_effect"),
     )
+
+
+@query(
+    "agg_abc_classification",
+    oracle="""
+    WITH parts AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT rev,
+             SUM(rev) OVER (ORDER BY rev DESC, pk
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM parts
+    ), classed AS (
+      SELECT rev,
+             CASE WHEN 100 * (cum - rev) < 80 * tot THEN 'A'
+                  WHEN 100 * (cum - rev) < 95 * tot THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM ranked
+    )
+    SELECT cls,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_rev,
+           ROUND(CAST(SUM(rev) AS DOUBLE)
+                 / CAST(ANY_VALUE(t.tot) AS DOUBLE), 6) AS rev_share
+    FROM classed, (SELECT SUM(rev) AS tot FROM parts) t
+    GROUP BY cls
+    """,
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    until the cumulative share BEFORE the item reaches 80% (so the
+    crossing item itself stays in A — the exclusive-prefix rule that
+    keeps classes deterministic), B to 95%, C beyond — the
+    ops-management standard that turns agg_revenue_concentration's
+    curve into actionable buckets (count A items tightly, spot-check
+    B, cycle-count C). Class boundaries compare in exact DECIMAL
+    (100*cum vs share*tot — no percentage division).
+
+    Plan: part-level hash agg, one total-order window over the part
+    aggregate (the exact method's cost — boundary-histogram approx
+    at extreme part counts, concentration's note), 3-class agg."""
+    li = table(spark, sf_dir, "lineitem")
+    parts = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("rev"))
+    wcum = (Window.orderBy(F.col("rev").desc(), "pk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy()
+    ranked = parts.select(
+        "rev",
+        (F.sum("rev").over(wcum) - F.col("rev")).alias("cum_excl"),
+        F.sum("rev").over(wall).alias("tot"),
+    )
+    cls = (F.when(100 * F.col("cum_excl") < 80 * F.col("tot"), "A")
+           .when(100 * F.col("cum_excl") < 95 * F.col("tot"), "B")
+           .otherwise("C"))
+    return ranked.select(cls.alias("cls"), "rev", "tot").groupBy("cls").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("rev").cast("double").alias("class_rev"),
+        F.round(F.sum("rev").cast("double")
+                / F.any_value("tot").cast("double"), 6).alias("rev_share"),
+    )

@@ -1031,3 +1031,53 @@ def dq_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("ma") - F.col("mb")) * F.col("diff_all") < 0)
         .alias("sign_reversed"),
     )
+
+
+@query(
+    "dq_heartbeat_completeness",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', MIN(ts))) // 3600000000 AS h0,
+             epoch_us(date_trunc('hour', MAX(ts))) // 3600000000 AS h1,
+             COUNT(DISTINCT epoch_us(date_trunc('hour', ts)) // 3600000000)
+               AS observed
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(h1 - h0 + 1 AS BIGINT) AS expected_hours,
+           CAST(observed AS BIGINT) AS observed_hours,
+           CAST(h1 - h0 + 1 - observed AS BIGINT) AS missing_hours,
+           ROUND(CAST(observed AS DOUBLE) / (h1 - h0 + 1), 6)
+             AS completeness
+    FROM bounds
+    """,
+)
+def dq_heartbeat_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat completeness: observed distinct active hours against
+    the full hour grid between each stream's first and last event —
+    the %-complete number an ingestion SLA reports (ts_outage_windows
+    lists the holes; this scores them; ts_bucket_gapfill fills them —
+    the three views of the same defect). 100% = no silent hour.
+
+    Plan: one aggregate per type combining min/max bounds and the
+    distinct-hour count (two-phase distinct expand, hour-bounded);
+    the expected grid is pure integer arithmetic on hour numbers —
+    no spine materialization needed just to COUNT it."""
+    e = table(spark, sf_dir, "events")
+    hour = (F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+            / F.lit(3_600_000_000)).cast("long")
+    bounds = e.groupBy("event_type").agg(
+        F.min(hour).alias("h0"),
+        F.max(hour).alias("h1"),
+        F.countDistinct(hour).alias("observed"),
+    )
+    expected = F.col("h1") - F.col("h0") + 1
+    return bounds.select(
+        "event_type",
+        expected.cast("long").alias("expected_hours"),
+        F.col("observed").cast("long").alias("observed_hours"),
+        (expected - F.col("observed")).cast("long").alias("missing_hours"),
+        F.round(F.col("observed").cast("double") / expected, 6)
+        .alias("completeness"),
+    )
