@@ -126,7 +126,8 @@ _R4_NEW = frozenset({
     "agg_covariate_balance", "text_jsd_vs_corpus", "agg_cuped",
     "ts_forecast_baseline_wape", "dedup_skeleton",
     "agg_price_volume_bridge", "agg_abc_classification",
-    "dq_heartbeat_completeness",
+    "dq_heartbeat_completeness", "agg_parallel_trends",
+    "text_pmi_collocations",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -2160,3 +2160,79 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev").cast("double")
                 / F.any_value("tot").cast("double"), 6).alias("rev_share"),
     )
+
+
+@query(
+    "agg_parallel_trends",
+    oracle="""
+    WITH monthly AS (
+      SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(month(o_orderdate) AS DOUBLE) AS t,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS rev
+      FROM orders WHERE year(o_orderdate) = 1995
+      GROUP BY 1, 2
+    ), mom AS (
+      SELECT arm, COUNT(*) AS n,
+             CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS st,
+             CAST(SUM(CAST(rev AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(t * t AS DECIMAL(18,6))) AS DOUBLE) AS stt,
+             CAST(SUM(CAST(t * rev AS DECIMAL(38,4))) AS DOUBLE) AS sty
+      FROM monthly GROUP BY arm
+    ), slopes AS (
+      SELECT arm, (n * sty - st * sy) / (n * stt - st * st) AS slope
+      FROM mom
+    )
+    SELECT MAX(CASE WHEN arm = 'A' THEN ROUND(slope, 4) END) AS slope_a,
+           MAX(CASE WHEN arm = 'B' THEN ROUND(slope, 4) END) AS slope_b,
+           ROUND(MAX(CASE WHEN arm = 'A' THEN slope END)
+                 - MAX(CASE WHEN arm = 'B' THEN slope END), 4)
+             AS slope_diff
+    FROM slopes
+    """,
+)
+def agg_parallel_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-trends check: the PRE-period monthly revenue slope of
+    each assignment arm, and their difference — the assumption a
+    difference-in-differences readout stands on (if the arms were
+    already trending apart before treatment, DiD attributes that
+    drift to the treatment). Third member of the causal pre-checks:
+    covariate_balance (levels), this (slopes), then the readout.
+    Slopes come from DECIMAL-quantized co-moments, not the engines'
+    regr_slope built-ins, whose internal accumulation differs.
+
+    Plan: one (arm, month) hash agg — the regression runs on 12
+    spine rows per arm — then co-moments and the closed-form slope
+    on a 2-row aggregate."""
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .groupBy(
+            F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B")
+            .alias("arm"),
+            F.month("o_orderdate").cast("double").alias("t"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+             .cast("double").alias("rev"))
+    )
+    mom = monthly.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("t").cast("decimal(18,6)")).cast("double").alias("st"),
+        F.sum(F.col("rev").cast("decimal(28,4)")).cast("double").alias("sy"),
+        F.sum((F.col("t") * F.col("t")).cast("decimal(18,6)"))
+        .cast("double").alias("stt"),
+        F.sum((F.col("t") * F.col("rev")).cast("decimal(38,4)"))
+        .cast("double").alias("sty"),
+    )
+    slope = ((F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+             / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")))
+    slopes = mom.select("arm", slope.alias("slope"))
+    return slopes.agg(
+        F.max(F.when(F.col("arm") == "A", F.round("slope", 4)))
+        .alias("slope_a"),
+        F.max(F.when(F.col("arm") == "B", F.round("slope", 4)))
+        .alias("slope_b"),
+        F.round(F.max(F.when(F.col("arm") == "A", F.col("slope")))
+                - F.max(F.when(F.col("arm") == "B", F.col("slope"))), 4)
+        .alias("slope_diff"),
+    )

@@ -1197,3 +1197,90 @@ def text_jsd_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(18,12)")
     return probs.groupBy("source").agg(
         F.round(F.sum(term).cast("double"), 6).alias("jsd_bits"))
+
+
+_PMI_MIN_PAIR = 25
+_PMI_TOPK = 20
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+    ), bi AS (
+      SELECT w[i] AS a, w[i+1] AS b, COUNT(*) AS c_ab
+      FROM toks, UNNEST(generate_series(1, nw - 1)) t(i)
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_PAIR}
+    ), uni AS (
+      SELECT t.t AS term, COUNT(*) AS c
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS t
+            FROM documents) t
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni
+    )
+    SELECT bi.a, bi.b, CAST(bi.c_ab AS BIGINT) AS n_pair,
+           ROUND(LN(CAST(bi.c_ab AS DOUBLE) * tot.n
+                    / (CAST(ua.c AS DOUBLE) * ub.c)) / LN(2.0), 6)
+             AS pmi_bits
+    FROM bi
+    JOIN uni ua ON ua.term = bi.a
+    JOIN uni ub ON ub.term = bi.b
+    CROSS JOIN tot
+    ORDER BY LN(CAST(bi.c_ab AS DOUBLE) * tot.n
+                / (CAST(ua.c AS DOUBLE) * ub.c)) DESC, bi.a, bi.b
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: adjacent
+    word pairs that co-occur far beyond what their individual
+    frequencies predict (PMI = log2 of the observed/expected ratio) —
+    the classic multiword-expression extractor ("new york", "machine
+    learning") that raw bigram counts can't give because frequent
+    words dominate them. The {_PMI_MIN_PAIR}-count floor is PMI's
+    standard rare-pair correction (a hapax pair otherwise maxes the
+    score).
+
+    Plan: positional bigram explode -> hash agg (pair-bounded),
+    unigram agg (vocab-bounded), two marginal joins on the surviving
+    pairs only, TakeOrdered top-k. PMI orders by a ratio of exact
+    integer products — the LN is monotone, so cross-engine ulp can't
+    reorder; ties break lexicographically."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bi = (
+        d.select(F.explode(
+            F.when(F.size(w) >= 2,
+                   F.transform(F.sequence(F.lit(0), F.size(w) - 2),
+                               lambda i: F.struct(
+                                   w[i].alias("a"), w[i + 1].alias("b"))))
+            .otherwise(F.array().cast(
+                "array<struct<a:string,b:string>>"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_PAIR)
+    )
+    uni = (
+        d.select(F.explode(w).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        bi.join(uni.withColumnRenamed("term", "a")
+                .withColumnRenamed("c", "ca"), "a")
+        .join(uni.withColumnRenamed("term", "b")
+              .withColumnRenamed("c", "cb"), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log(F.col("c_ab").cast("double") * F.col("n")
+                / (F.col("ca").cast("double") * F.col("cb"))) / F.log(F.lit(2.0))
+    return (
+        scored.orderBy(pmi.desc(), "a", "b")
+        .limit(_PMI_TOPK)
+        .select("a", "b", F.col("c_ab").cast("long").alias("n_pair"),
+                F.round(pmi, 6).alias("pmi_bits"))
+    )
