@@ -127,7 +127,7 @@ _R4_NEW = frozenset({
     "ts_forecast_baseline_wape", "dedup_skeleton",
     "agg_price_volume_bridge", "agg_abc_classification",
     "dq_heartbeat_completeness", "agg_parallel_trends",
-    "text_pmi_collocations",
+    "text_pmi_collocations", "agg_diff_in_diff", "ts_mann_kendall",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -2236,3 +2236,73 @@ def agg_parallel_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.max(F.when(F.col("arm") == "B", F.col("slope"))), 4)
         .alias("slope_diff"),
     )
+
+
+@query(
+    "agg_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN year(o_orderdate) = 1996 THEN 'post'
+                  ELSE 'pre' END AS period,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               / COUNT(*) AS mean_v
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    )
+    SELECT
+      ROUND(MAX(CASE WHEN arm='A' AND period='pre' THEN mean_v END), 4)
+        AS a_pre,
+      ROUND(MAX(CASE WHEN arm='A' AND period='post' THEN mean_v END), 4)
+        AS a_post,
+      ROUND(MAX(CASE WHEN arm='B' AND period='pre' THEN mean_v END), 4)
+        AS b_pre,
+      ROUND(MAX(CASE WHEN arm='B' AND period='post' THEN mean_v END), 4)
+        AS b_post,
+      ROUND((MAX(CASE WHEN arm='A' AND period='post' THEN mean_v END)
+             - MAX(CASE WHEN arm='A' AND period='pre' THEN mean_v END))
+            - (MAX(CASE WHEN arm='B' AND period='post' THEN mean_v END)
+               - MAX(CASE WHEN arm='B' AND period='pre' THEN mean_v END)),
+            4) AS did_estimate
+    FROM cells
+    """,
+)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the 2x2 (arm x pre/post) mean table
+    and the DiD estimate (A's change minus B's change) — the
+    quasi-experimental readout that differences out both the level
+    gap between arms and the common time shock, valid exactly when
+    agg_parallel_trends passes. The causal family is now end to end:
+    balance -> trends -> DiD, beside the randomized path
+    (power -> ztest -> CUPED).
+
+    Plan: ONE conditional hash agg to the 4 cells, pivoted wide —
+    means from DECIMAL-quantized sums, the estimate is arithmetic on
+    4 identical doubles."""
+    o = table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cells = (
+        o.filter(yr.isin(1995, 1996))
+        .groupBy(
+            F.when(F.col("o_custkey") % 2 == 0, "A").otherwise("B")
+            .alias("arm"),
+            F.when(yr == 1996, "post").otherwise("pre").alias("period"),
+        )
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+              .cast("double") / F.count("*")).alias("mean_v"))
+    )
+
+    def cell(a, p):
+        return F.max(F.when((F.col("arm") == a) & (F.col("period") == p),
+                            F.col("mean_v")))
+
+    return cells.agg(
+        F.round(cell("A", "pre"), 4).alias("a_pre"),
+        F.round(cell("A", "post"), 4).alias("a_post"),
+        F.round(cell("B", "pre"), 4).alias("b_pre"),
+        F.round(cell("B", "post"), 4).alias("b_post"),
+        F.round((cell("A", "post") - cell("A", "pre"))
+                - (cell("B", "post") - cell("B", "pre")), 4)
+        .alias("did_estimate"),
+    )

@@ -1702,3 +1702,84 @@ def ts_forecast_baseline_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(F.abs(F.col("actual"))).cast("double"), 6)
         .alias("bias"),
     )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS y
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             SIGN(CAST(b.y - a.y AS DOUBLE)) AS sg
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d > a.d
+    ), stat AS (
+      SELECT p.event_type,
+             SUM(CAST(sg AS BIGINT)) AS s,
+             n.n AS n
+      FROM pairs p
+      JOIN (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1) n
+        ON n.event_type = p.event_type
+      GROUP BY p.event_type, n.n
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS mk_s,
+           ROUND((CASE WHEN s > 0 THEN s - 1
+                       WHEN s < 0 THEN s + 1 ELSE 0 END)
+                 / SQRT(CAST(n AS DOUBLE) * (n - 1) * (2*n + 5) / 18.0),
+                 6) AS z_mk
+    FROM stat
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily value series: S = sum of
+    pairwise signs (later minus earlier), with the continuity-
+    corrected normal z — the SIGNIFICANCE companion to ts_theil_sen's
+    slope ESTIMATE (sign-based, so monotone-but-nonlinear trends and
+    outliers don't fool it the way they fool an OLS t-test). S near
+    +-n(n-1)/2 = perfectly monotone.
+
+    Plan: the same time-bounded spine pair join as ts_theil_sen (the
+    quadratic is in DAYS); signs are exact-integer comparisons of
+    exact DECIMAL daily sums, so S is exact and z is identical double
+    arithmetic. (The no-ties variance form — exact DECIMAL daily
+    sums make exact ties measure-zero; a tie-heavy series wants the
+    tie-corrected variance.)"""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("d"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)"))
+          .cast("decimal(28,6)").alias("y"))
+    a = daily.select("event_type", F.col("d").alias("da"),
+                     F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("d").alias("db"),
+                     F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, "event_type").filter(F.col("db") > F.col("da"))
+        .select("event_type",
+                F.signum((F.col("yb") - F.col("ya")).cast("double"))
+                .cast("long").alias("sg"))
+    )
+    n = daily.groupBy("event_type").agg(F.count("*").alias("n"))
+    stat = (
+        pairs.groupBy("event_type").agg(F.sum("sg").alias("s"))
+        .join(F.broadcast(n), "event_type")
+    )
+    s = F.col("s")
+    corr = (F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(F.lit(0)))
+    var = (F.col("n").cast("double") * (F.col("n") - 1)
+           * (2 * F.col("n") + 5) / 18.0)
+    return stat.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        s.cast("long").alias("mk_s"),
+        F.round(corr / F.sqrt(var), 6).alias("z_mk"),
+    )
