@@ -1284,3 +1284,54 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", F.col("c_ab").cast("long").alias("n_pair"),
                 F.round(pmi, 6).alias("pmi_bits"))
     )
+
+
+@query(
+    "text_yule_k",
+    oracle="""
+    WITH tf AS (
+      SELECT lang, w, COUNT(*) AS m
+      FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS w
+            FROM documents)
+      GROUP BY lang, w
+    ), fof AS (
+      SELECT lang, m, COUNT(*) AS vm FROM tf GROUP BY lang, m
+    )
+    SELECT lang,
+           CAST(SUM(vm * m) AS BIGINT) AS n_tokens,
+           CAST(SUM(vm) AS BIGINT) AS vocab,
+           ROUND(10000.0 * (CAST(SUM(vm * m * m) AS DOUBLE)
+                            - SUM(vm * m))
+                 / (CAST(SUM(vm * m) AS DOUBLE) * SUM(vm * m)), 6)
+             AS yule_k
+    FROM fof GROUP BY lang
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-richness characteristic per language:
+    K = 10^4 * (sum(m^2 * V_m) - N) / N^2 over the FREQUENCY-OF-
+    FREQUENCIES spectrum (V_m = how many terms occur exactly m
+    times) — the repetitiveness constant that, unlike type-token
+    ratio (text_quality's uniq_ratio), is provably insensitive to
+    sample LENGTH, so languages and sources of different corpus
+    sizes compare fairly. High K = a few terms dominate (templated/
+    repetitive); low K = rich vocabulary.
+
+    Plan: term-frequency hash agg, then the freq-of-freq agg — the
+    second exchange carries one row per DISTINCT FREQUENCY (dozens),
+    the signature shape of this statistic; K is exact-integer
+    arithmetic until two final divisions."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(_tokens()).alias("w"))
+        .groupBy("lang", "w").agg(F.count("*").alias("m"))
+    )
+    fof = tf.groupBy("lang", "m").agg(F.count("*").alias("vm"))
+    n_tok = F.sum(F.col("vm") * F.col("m"))
+    return fof.groupBy("lang").agg(
+        n_tok.cast("long").alias("n_tokens"),
+        F.sum("vm").cast("long").alias("vocab"),
+        F.round(10000.0 * (F.sum(F.col("vm") * F.col("m") * F.col("m"))
+                           .cast("double") - n_tok)
+                / (n_tok.cast("double") * n_tok), 6).alias("yule_k"),
+    )

@@ -1783,3 +1783,58 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.cast("long").alias("mk_s"),
         F.round(corr / F.sqrt(var), 6).alias("z_mk"),
     )
+
+
+_SPEC_LO, _SPEC_HI = 0.0, 200.0  # value spec limits for capability
+
+
+@query(
+    "ts_process_capability",
+    oracle=f"""
+    WITH mom AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             SQRT(GREATEST(
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*)
+               - POWER(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(*), 2), 1e-12)) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(mu, 6) AS mean_v,
+           ROUND(({_SPEC_HI} - {_SPEC_LO}) / (6.0 * sd), 6) AS cp,
+           ROUND(LEAST({_SPEC_HI} - mu, mu - {_SPEC_LO}) / (3.0 * sd), 6)
+             AS cpk,
+           LEAST({_SPEC_HI} - mu, mu - {_SPEC_LO}) / (3.0 * sd) >= 1.33
+             AS capable
+    FROM mom
+    """,
+)
+def ts_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability: Cp (spec width over 6 sigma — could the
+    process fit the [{_SPEC_LO}, {_SPEC_HI}] spec if centered) and
+    Cpk (does it, given where the mean actually sits) per event
+    type, with the manufacturing 1.33 capability convention — the
+    quality-engineering lens on a metric stream that z-scores don't
+    give: Cp >> Cpk means the process is FINE but OFF-CENTER, a
+    recentering fix, not a variance fix.
+
+    Plan: one per-type moment aggregate (ts_fano_factor's shape);
+    DECIMAL-quantized sums, variance floored identically before the
+    sqrt, spec constants inlined as literals."""
+    e = table(spark, sf_dir, "events")
+    mu = (F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+          / F.count("*"))
+    m2 = (F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+          .cast("double") / F.count("*"))
+    sd = F.sqrt(F.greatest(m2 - mu * mu, F.lit(1e-12)))
+    cpk = F.least(F.lit(_SPEC_HI) - mu, mu - F.lit(_SPEC_LO)) / (3.0 * sd)
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(mu, 6).alias("mean_v"),
+        F.round(F.lit(_SPEC_HI - _SPEC_LO) / (6.0 * sd), 6).alias("cp"),
+        F.round(cpk, 6).alias("cpk"),
+        (cpk >= 1.33).alias("capable"),
+    )
