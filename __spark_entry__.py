@@ -128,7 +128,8 @@ _R4_NEW = frozenset({
     "agg_price_volume_bridge", "agg_abc_classification",
     "dq_heartbeat_completeness", "agg_parallel_trends",
     "text_pmi_collocations", "agg_diff_in_diff", "ts_mann_kendall",
-    "ts_process_capability", "text_yule_k",
+    "ts_process_capability", "text_yule_k", "ts_runs_test",
+    "ml_brier_decomposition",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

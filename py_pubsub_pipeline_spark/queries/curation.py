@@ -1375,3 +1375,118 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("rp") - np_ * (np_ + 1.0) / 2.0)
                 / (np_ * nn_.cast("double")), 6).alias("auc"),
     )
+
+
+_BRIER_BINS = 10
+
+
+@query(
+    "ml_brier_decomposition",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             LEAST(CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the', 'a', 'of', 'and', 'is')))
+                   AS DOUBLE)
+                   / GREATEST(len(string_split(text, ' ')), 1) * 5.0,
+                   1.0) AS p
+      FROM documents
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR(p * {_BRIER_BINS}) AS INT),
+                   {_BRIER_BINS - 1}) AS b, p, y
+      FROM scored
+    ), per_b AS (
+      SELECT b, COUNT(*) AS n,
+             CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+               AS pbar,
+             CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+               AS ybar
+      FROM binned GROUP BY b
+    ), tot AS (
+      SELECT SUM(n) AS n,
+             CAST(SUM(CAST(n * ybar AS DECIMAL(18,6))) AS DOUBLE)
+               / SUM(n) AS ybase,
+             (SELECT CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(18,9)))
+                          AS DOUBLE) / COUNT(*) FROM binned) AS brier
+      FROM per_b
+    )
+    SELECT ROUND(t.brier, 6) AS brier,
+           ROUND(CAST(SUM(CAST(b.n * (b.pbar - b.ybar) * (b.pbar - b.ybar)
+                               AS DECIMAL(18,9))) AS DOUBLE) / t.n, 6)
+             AS calibration,
+           ROUND(CAST(SUM(CAST(b.n * (b.ybar - t.ybase)
+                               * (b.ybar - t.ybase)
+                               AS DECIMAL(18,9))) AS DOUBLE) / t.n, 6)
+             AS resolution,
+           ROUND(t.ybase * (1.0 - t.ybase), 6) AS uncertainty
+    FROM per_b b, tot t
+    GROUP BY t.brier, t.n, t.ybase
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition: brier =
+    calibration - resolution + uncertainty over {_BRIER_BINS}
+    probability bins — the diagnosis behind a probability-scoring
+    model: calibration (do predicted levels match observed rates —
+    fixable by recalibration) vs resolution (does the score separate
+    outcomes at all — not fixable without a better model). The
+    score here is the scaled stopword density as a pseudo-
+    probability, the same signal ml_auc_roc ranks; AUC measures
+    ordering, Brier measures the probability VALUES.
+
+    Plan: map-side scoring + fixed-width binning, a bins-sized agg,
+    and the decomposition on those rows; every mean goes through
+    DECIMAL-quantized sums. (The identity holds up to within-bin
+    variance — the standard binned form.)"""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    p = F.least(
+        F.size(F.filter(toks, lambda t: t.isin(
+            "the", "a", "of", "and", "is"))).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)) * 5.0, F.lit(1.0))
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        p.alias("p"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * _BRIER_BINS).cast("int"),
+                F.lit(_BRIER_BINS - 1)).alias("b"),
+        "p", "y",
+    ).localCheckpoint(eager=False)  # feeds per-bin AND global brier
+
+    def dm(e):
+        return F.sum(e.cast("decimal(18,9)")).cast("double") / F.count("*")
+
+    per_b = binned.groupBy("b").agg(
+        F.count("*").alias("n"),
+        dm(F.col("p")).alias("pbar"),
+        dm(F.col("y")).alias("ybar"),
+    )
+    brier = binned.agg(
+        dm((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))
+        .alias("brier"))
+    tot = per_b.agg(
+        F.sum("n").alias("tn"),
+        (F.sum((F.col("n") * F.col("ybar")).cast("decimal(18,6)"))
+         .cast("double") / F.sum("n")).alias("ybase"),
+    )
+    cal = (F.col("n") * (F.col("pbar") - F.col("ybar"))
+           * (F.col("pbar") - F.col("ybar"))).cast("decimal(18,9)")
+    res = (F.col("n") * (F.col("ybar") - F.col("ybase"))
+           * (F.col("ybar") - F.col("ybase"))).cast("decimal(18,9)")
+    return (
+        per_b.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(brier))
+        .groupBy("brier", "tn", "ybase")
+        .agg(
+            F.round(F.sum(cal).cast("double") / F.col("tn"), 6)
+            .alias("calibration"),
+            F.round(F.sum(res).cast("double") / F.col("tn"), 6)
+            .alias("resolution"),
+        )
+        .select(
+            F.round("brier", 6).alias("brier"),
+            "calibration", "resolution",
+            F.round(F.col("ybase") * (F.lit(1.0) - F.col("ybase")), 6)
+            .alias("uncertainty"),
+        )
+    )

@@ -1838,3 +1838,91 @@ def ts_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cpk, 6).alias("cpk"),
         (cpk >= 1.33).alias("capable"),
     )
+
+
+@query(
+    "ts_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS y
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY y) AS m
+      FROM daily GROUP BY event_type
+    ), signed AS (
+      SELECT d.event_type, d.d,
+             CASE WHEN d.y > med.m THEN 1 ELSE 0 END AS s
+      FROM daily d JOIN med ON med.event_type = d.event_type
+      WHERE d.y <> med.m
+    ), runs AS (
+      SELECT event_type, s,
+             CASE WHEN LAG(s) OVER (PARTITION BY event_type ORDER BY d)
+                       IS DISTINCT FROM s THEN 1 ELSE 0 END AS is_new
+      FROM signed
+    )
+    SELECT event_type,
+           CAST(SUM(s) AS BIGINT) AS n_above,
+           CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_below,
+           CAST(SUM(is_new) AS BIGINT) AS n_runs,
+           ROUND((SUM(is_new)
+                  - (2.0 * SUM(s) * (COUNT(*) - SUM(s)) / COUNT(*) + 1))
+                 / SQRT(GREATEST(
+                     2.0 * SUM(s) * (COUNT(*) - SUM(s))
+                     * (2.0 * SUM(s) * (COUNT(*) - SUM(s)) - COUNT(*))
+                     / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)
+                        * (COUNT(*) - 1)), 1e-12)), 6) AS z_runs
+    FROM runs GROUP BY event_type
+    """,
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: is the daily series RANDOM around
+    its median, or do above/below stretches cluster? Too few runs =
+    positive autocorrelation (yesterday predicts today — the
+    residual structure that invalidates the independence every test
+    in the suite assumes); too many = oscillation. Median-equal days
+    drop (the standard treatment). Completes trend diagnostics:
+    direction (mann_kendall), magnitude (theil_sen), and now
+    serial independence.
+
+    Plan: daily spine agg, discrete median broadcast, one LAG window
+    for run boundaries, per-type agg — run counting is exact integer
+    arithmetic on exact DECIMAL comparisons; the z's variance is
+    clamped before the sqrt."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("day", "ts").cast("timestamp"))
+         / F.lit(86_400_000_000)).cast("long").alias("d"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)"))
+          .cast("decimal(28,6)").alias("y"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)").alias("m"))
+    signed = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(F.col("y") != F.col("m"))
+        .select("event_type", "d",
+                F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    runs = signed.select(
+        "event_type", "s",
+        F.when(~F.lag("s").over(w).eqNullSafe(F.col("s")), 1)
+        .otherwise(0).alias("is_new"),
+    )
+    na = F.sum("s").cast("double")
+    nb = (F.count("*") - F.sum("s")).cast("double")
+    n = F.count("*").cast("double")
+    r = F.sum("is_new").cast("double")
+    er = 2.0 * na * nb / n + 1
+    vr = F.greatest(2.0 * na * nb * (2.0 * na * nb - n)
+                    / (n * n * (n - 1)), F.lit(1e-12))
+    return runs.groupBy("event_type").agg(
+        na.cast("long").alias("n_above"),
+        nb.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        F.round((r - er) / F.sqrt(vr), 6).alias("z_runs"),
+    )
