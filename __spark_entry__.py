@@ -129,7 +129,8 @@ _R4_NEW = frozenset({
     "dq_heartbeat_completeness", "agg_parallel_trends",
     "text_pmi_collocations", "agg_diff_in_diff", "ts_mann_kendall",
     "ts_process_capability", "text_yule_k", "ts_runs_test",
-    "ml_brier_decomposition",
+    "ml_brier_decomposition", "dedup_sorted_neighborhood",
+    "agg_sprt_sequential",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

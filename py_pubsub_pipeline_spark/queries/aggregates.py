@@ -2306,3 +2306,87 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - (cell("B", "post") - cell("B", "pre")), 4)
         .alias("did_estimate"),
     )
+
+
+# SPRT design: H0 p=0.48 vs H1 p=0.52, alpha=beta=0.05.
+# Per-observation LLR terms, precomputed to 9 decimals so BOTH
+# engines accumulate the identical quantized constants:
+#   y=1: ln(0.52/0.48)  = 0.080042708
+#   y=0: ln(0.48/0.52)  = -0.080042708
+# Bounds: ln((1-b)/a) = 2.944438979, ln(b/(1-a)) = -2.944438979.
+_SPRT_LLR = 0.080042708
+_SPRT_BOUND = 2.944438979
+
+
+@query(
+    "agg_sprt_sequential",
+    oracle=f"""
+    WITH obs AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), walk AS (
+      SELECT k,
+             SUM(CAST(CASE WHEN y = 1 THEN {_SPRT_LLR}
+                           ELSE -{_SPRT_LLR} END AS DECIMAL(18,9)))
+               OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS llr,
+             ROW_NUMBER() OVER (ORDER BY k) AS i
+      FROM obs
+    )
+    SELECT
+      CAST(MIN(CASE WHEN ABS(llr) >= {_SPRT_BOUND} THEN i END)
+           AS BIGINT) AS n_at_decision,
+      CAST(COUNT(*) AS BIGINT) AS n_total,
+      CASE
+        WHEN MIN(CASE WHEN llr >= {_SPRT_BOUND} THEN i END)
+             <= COALESCE(MIN(CASE WHEN llr <= -{_SPRT_BOUND} THEN i END),
+                         9223372036854775807)
+         AND MIN(CASE WHEN llr >= {_SPRT_BOUND} THEN i END) IS NOT NULL
+          THEN 'accept_h1'
+        WHEN MIN(CASE WHEN llr <= -{_SPRT_BOUND} THEN i END) IS NOT NULL
+          THEN 'accept_h0'
+        ELSE 'continue' END AS decision
+    FROM walk
+    """,
+)
+def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test, replayed over the ordered
+    stream: the cumulative log-likelihood walk for H1 p=0.52 vs H0
+    p=0.48 (alpha=beta=.05), the sample index where it first crosses
+    a Wald boundary, and which hypothesis won — Wald's guarantee is
+    that this stops ~2x earlier on average than the fixed-n test
+    agg_power_mde sizes, which is why streaming experiment platforms
+    run it. The earliest-crossing tie-break (H1 boundary at-or-before
+    the H0 crossing wins) replays the sequential decision exactly.
+
+    Plan: one cumulative window over the key-ordered stream (total
+    order — the sequential test IS sequential; at scale the walk
+    runs on per-batch PARTIAL sums then a spine-sized window, same
+    two-level trick as ts_concurrency_peak), with per-observation
+    LLR terms pre-quantized to 9-decimal constants so both engines
+    accumulate identical DECIMALs — the crossing index is exact."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    wcum = (Window.orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    walk = obs.select(
+        F.sum(F.when(F.col("y") == 1, F.lit(_SPRT_LLR))
+              .otherwise(F.lit(-_SPRT_LLR)).cast("decimal(18,9)"))
+        .over(wcum).alias("llr"),
+        F.row_number().over(Window.orderBy("k")).alias("i"),
+    )
+    up = F.min(F.when(F.col("llr") >= _SPRT_BOUND, F.col("i")))
+    dn = F.min(F.when(F.col("llr") <= -_SPRT_BOUND, F.col("i")))
+    return walk.agg(
+        F.min(F.when(F.abs(F.col("llr")) >= _SPRT_BOUND, F.col("i")))
+        .cast("long").alias("n_at_decision"),
+        F.count("*").cast("long").alias("n_total"),
+        F.when(up.isNotNull()
+               & (up <= F.coalesce(dn, F.lit(9223372036854775807))),
+               "accept_h1")
+        .when(dn.isNotNull(), "accept_h0")
+        .otherwise("continue").alias("decision"),
+    )
