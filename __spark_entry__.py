@@ -130,7 +130,8 @@ _R4_NEW = frozenset({
     "text_pmi_collocations", "agg_diff_in_diff", "ts_mann_kendall",
     "ts_process_capability", "text_yule_k", "ts_runs_test",
     "ml_brier_decomposition", "dedup_sorted_neighborhood",
-    "agg_sprt_sequential",
+    "agg_sprt_sequential", "dedup_golden_record",
+    "ts_markov_entropy_rate",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

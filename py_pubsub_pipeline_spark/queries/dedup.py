@@ -909,3 +909,90 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= _SNM_MAXDIST)
         .select("name_a", "name_b", F.col("dist").cast("int"))
     )
+
+
+@query(
+    "dedup_golden_record",
+    oracle="""
+    WITH sk AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(array_to_string(
+               list_transform(string_split(text, ' ')[1:8],
+                              t -> CAST(length(t) AS VARCHAR)), ',')) AS g
+      FROM documents
+    ), clusters AS (
+      SELECT g FROM sk GROUP BY g HAVING COUNT(*) > 1
+    ), members AS (
+      SELECT sk.* FROM sk JOIN clusters c ON c.g = sk.g
+    ), survivor AS (
+      SELECT g, doc_id AS survivor_id, n_chars AS survivor_chars
+      FROM (SELECT g, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                     ORDER BY n_chars DESC, doc_id) AS rn
+            FROM members)
+      WHERE rn = 1
+    ), lang_mode AS (
+      SELECT g, lang AS mode_lang
+      FROM (SELECT g, lang, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                     ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM members GROUP BY g, lang)
+      WHERE rn = 1
+    )
+    SELECT s.g AS cluster_key, s.survivor_id, s.survivor_chars,
+           l.mode_lang,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM members m
+            WHERE m.g = s.g) AS n_members,
+           (SELECT MIN(source) FROM members m WHERE m.g = s.g)
+             AS first_source
+    FROM survivor s JOIN lang_mode l ON l.g = s.g
+    """,
+)
+def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record construction over duplicate
+    clusters (here: the opening-skeleton clusters): per cluster,
+    merge attributes by PER-FIELD rules — longest-content survivor
+    for the record identity, modal language, lexicographically first
+    source — the MDM step after dedup finds clusters
+    (dedup_canonical's min-id pick is one rule; real survivorship
+    applies a different rule per attribute, which is what this
+    exercises). Every rule ends in a unique tie-break so the golden
+    record is deterministic.
+
+    Plan: cluster membership via one hash agg + semi join, then one
+    rank window and one mode window per ruled attribute, all
+    partitioned by the 16-byte cluster key; the per-cluster scalars
+    aggregate membership rows only."""
+    d = table(spark, sf_dir, "documents")
+    g = F.md5(F.array_join(
+        F.transform(F.slice(F.split(F.col("text"), " "), 1, 8),
+                    lambda t: F.length(t).cast("string")), ","))
+    sk = d.select("doc_id", "lang", "source", "n_chars", g.alias("g"))
+    clusters = (sk.groupBy("g").agg(F.count("*").alias("n"))
+                .filter(F.col("n") > 1).select("g"))
+    members = sk.join(F.broadcast(clusters), "g")
+    wsurv = Window.partitionBy("g").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    survivor = (
+        members.withColumn("rn", F.row_number().over(wsurv))
+        .filter(F.col("rn") == 1)
+        .select("g", F.col("doc_id").alias("survivor_id"),
+                F.col("n_chars").alias("survivor_chars"))
+    )
+    lang_counts = members.groupBy("g", "lang").agg(
+        F.count("*").alias("c"))
+    wmode = Window.partitionBy("g").orderBy(F.col("c").desc(), "lang")
+    lang_mode = (
+        lang_counts.withColumn("rn", F.row_number().over(wmode))
+        .filter(F.col("rn") == 1)
+        .select("g", F.col("lang").alias("mode_lang"))
+    )
+    stats = members.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.min("source").alias("first_source"),
+    )
+    return (
+        survivor.join(lang_mode, "g").join(stats, "g")
+        .select(F.col("g").alias("cluster_key"), "survivor_id",
+                "survivor_chars", "mode_lang", "n_members", "first_source")
+    )

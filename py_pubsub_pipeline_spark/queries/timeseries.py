@@ -1926,3 +1926,71 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.cast("long").alias("n_runs"),
         F.round((r - er) / F.sqrt(vr), 6).alias("z_runs"),
     )
+
+
+@query(
+    "ts_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS b
+      FROM events
+    ), cells AS (
+      SELECT a, b, COUNT(*) AS c FROM seq WHERE b IS NOT NULL
+      GROUP BY a, b
+    ), rows_ AS (
+      SELECT a, SUM(c) AS ra FROM cells GROUP BY a
+    ), tot AS (SELECT SUM(c) AS n FROM cells)
+    SELECT CAST(tot.n AS BIGINT) AS n_transitions,
+           ROUND(CAST(SUM(CAST(
+             -(CAST(cells.c AS DOUBLE) / tot.n)
+               * LN(CAST(cells.c AS DOUBLE) / rows_.ra) / LN(2.0)
+             AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy_rate_bits,
+           ROUND(LOG2(CAST((SELECT COUNT(*) FROM rows_) AS DOUBLE)), 6)
+             AS max_entropy_bits
+    FROM cells JOIN rows_ ON rows_.a = cells.a CROSS JOIN tot
+    GROUP BY tot.n
+    """,
+)
+def ts_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey Markov chain: H = -sum_ij
+    pi_i p_ij log2 p_ij (stationary weights taken as the observed
+    transition-origin frequencies), next to the log2|states| ceiling
+    — the single predictability number behind
+    win_event_transitions' matrix: near the ceiling means journeys
+    are noise (personalization has nothing to grab); far below means
+    strong structure. The same number, tracked per release, catches
+    a logging change that scrambles event order.
+
+    Plan: the transitions matrix build (one user_id LEAD window +
+    |types|^2 agg), marginals from the CELLS, and the entropy sum
+    over matrix cells with per-cell terms DECIMAL-quantized (libm
+    LN discipline)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    cells = seq.groupBy("a", "b").agg(F.count("*").alias("c"))
+    rows_ = cells.groupBy("a").agg(F.sum("c").alias("ra"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    n_states = rows_.agg(F.count("*").alias("k"))
+    term = (-(F.col("c").cast("double") / F.col("n"))
+            * F.log(F.col("c").cast("double") / F.col("ra"))
+            / F.log(F.lit(2.0))).cast("decimal(18,12)")
+    return (
+        cells.join(F.broadcast(rows_), "a")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(F.round(F.sum(term).cast("double"), 6)
+             .alias("entropy_rate_bits"))
+        .crossJoin(F.broadcast(n_states))
+        .select(
+            F.col("n").cast("long").alias("n_transitions"),
+            "entropy_rate_bits",
+            F.round(F.log2(F.col("k").cast("double")), 6)
+            .alias("max_entropy_bits"),
+        )
+    )
