@@ -131,7 +131,8 @@ _R4_NEW = frozenset({
     "ts_process_capability", "text_yule_k", "ts_runs_test",
     "ml_brier_decomposition", "dedup_sorted_neighborhood",
     "agg_sprt_sequential", "dedup_golden_record",
-    "ts_markov_entropy_rate",
+    "ts_markov_entropy_rate", "ml_shapley_r2", "fn_calendar_spine",
+    "dq_volume_anomaly",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

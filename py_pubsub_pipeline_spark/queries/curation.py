@@ -1490,3 +1490,105 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("uncertainty"),
         )
     )
+
+
+@query(
+    "ml_shapley_r2",
+    oracle="""
+    WITH z AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x1,
+             l_discount AS x2,
+             l_extendedprice AS y
+      FROM lineitem
+    ), mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x1 AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x2 AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x1*x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(x2*x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x1*x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(x1*y AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(x2*y AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+      FROM z
+    ), corr AS (
+      SELECT (n*s1y - s1*sy)
+               / SQRT((n*s11 - s1*s1) * (n*syy - sy*sy)) AS r1,
+             (n*s2y - s2*sy)
+               / SQRT((n*s22 - s2*s2) * (n*syy - sy*sy)) AS r2,
+             (n*s12 - s1*s2)
+               / SQRT((n*s11 - s1*s1) * (n*s22 - s2*s2)) AS r12
+      FROM mom
+    )
+    SELECT ROUND(r1*r1, 6) AS r2_x1_alone,
+           ROUND(r2*r2, 6) AS r2_x2_alone,
+           ROUND((r1*r1 + r2*r2 - 2*r1*r2*r12) / (1 - r12*r12), 6)
+             AS r2_both,
+           ROUND(0.5 * (r1*r1
+                 + ((r1*r1 + r2*r2 - 2*r1*r2*r12)/(1 - r12*r12)
+                    - r2*r2)), 6) AS shapley_x1,
+           ROUND(0.5 * (r2*r2
+                 + ((r1*r1 + r2*r2 - 2*r1*r2*r12)/(1 - r12*r12)
+                    - r1*r1)), 6) AS shapley_x2
+    FROM corr
+    """,
+)
+def ml_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley decomposition of explained variance for the
+    two-feature regression (quantity, discount -> price): each
+    feature's Shapley value averages its marginal R^2 contribution
+    over both orderings — the attribution that, unlike "R^2 alone"
+    or "R^2 last", sums exactly to the full model's R^2 even when
+    features are correlated (the two-feature case is closed-form;
+    the 2^k general case is where sampling starts). This is feature
+    attribution with the same game-theoretic guarantee SHAP gives
+    model predictions, applied to variance explained.
+
+    Plan: ONE co-moment aggregate (9 sums, DECIMAL-quantized) —
+    every R^2 on every feature subset derives from the correlation
+    algebra on that single row. No per-subset rescans, ever."""
+    li = table(spark, sf_dir, "lineitem")
+    z = li.select(
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def sm(e, p):
+        return F.sum(e.cast(f"decimal({p},6)")).cast("double")
+
+    mom = z.agg(
+        F.count("*").alias("n"),
+        sm(F.col("x1"), 28).alias("s1"), sm(F.col("x2"), 28).alias("s2"),
+        sm(F.col("y"), 28).alias("sy"),
+        sm(F.col("x1") * F.col("x1"), 38).alias("s11"),
+        sm(F.col("x2") * F.col("x2"), 38).alias("s22"),
+        sm(F.col("y") * F.col("y"), 38).alias("syy"),
+        sm(F.col("x1") * F.col("x2"), 38).alias("s12"),
+        sm(F.col("x1") * F.col("y"), 38).alias("s1y"),
+        sm(F.col("x2") * F.col("y"), 38).alias("s2y"),
+    )
+    n = F.col("n")
+    r1 = ((n * F.col("s1y") - F.col("s1") * F.col("sy"))
+          / F.sqrt((n * F.col("s11") - F.col("s1") * F.col("s1"))
+                   * (n * F.col("syy") - F.col("sy") * F.col("sy"))))
+    r2 = ((n * F.col("s2y") - F.col("s2") * F.col("sy"))
+          / F.sqrt((n * F.col("s22") - F.col("s2") * F.col("s2"))
+                   * (n * F.col("syy") - F.col("sy") * F.col("sy"))))
+    r12 = ((n * F.col("s12") - F.col("s1") * F.col("s2"))
+           / F.sqrt((n * F.col("s11") - F.col("s1") * F.col("s1"))
+                    * (n * F.col("s22") - F.col("s2") * F.col("s2"))))
+    corr = mom.select(r1.alias("r1"), r2.alias("r2"), r12.alias("r12"))
+    both = ((F.col("r1") ** 2 + F.col("r2") ** 2
+             - 2 * F.col("r1") * F.col("r2") * F.col("r12"))
+            / (1 - F.col("r12") ** 2))
+    return corr.select(
+        F.round(F.col("r1") ** 2, 6).alias("r2_x1_alone"),
+        F.round(F.col("r2") ** 2, 6).alias("r2_x2_alone"),
+        F.round(both, 6).alias("r2_both"),
+        F.round(0.5 * (F.col("r1") ** 2 + (both - F.col("r2") ** 2)), 6)
+        .alias("shapley_x1"),
+        F.round(0.5 * (F.col("r2") ** 2 + (both - F.col("r1") ** 2)), 6)
+        .alias("shapley_x2"),
+    )

@@ -472,3 +472,54 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("bdays").cast("decimal(28,0)")).cast("double")
                 / F.count("*"), 6).alias("avg_bdays"),
     )
+
+
+@query(
+    "fn_calendar_spine",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(UNNEST(generate_series(DATE '1995-01-01',
+                                         DATE '1995-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    )
+    SELECT CAST(month(d) AS INT) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(*) FILTER (
+             WHERE (date_diff('day', DATE '1970-01-01', d) + 3) % 7 < 5)
+             AS BIGINT) AS n_weekdays,
+           MIN(d) AS first_day, MAX(d) AS last_day,
+           CAST(MIN(CASE WHEN (date_diff('day', DATE '1970-01-01', d) + 3)
+                              % 7 = 0 THEN d END) AS DATE)
+             AS first_monday
+    FROM spine GROUP BY month(d)
+    """,
+)
+def fn_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar spine: a full year of dates materialized
+    from NOTHING (sequence/generate_series — no source table), with
+    per-month day counts, weekday counts, and first Mondays — the
+    dbt-style date dimension every gapfill/cohort/seasonal op in
+    this repo implicitly joins against, surfaced as its own
+    oracle-checked operator. Weekday math reuses fn_business_days'
+    epoch-day formula (engine dayofweek() origins differ — pinned
+    the same way).
+
+    Plan: the spine is generated map-side (365 rows from one
+    sequence expression), then a 12-group agg — a date dimension for
+    N years is ~365N rows, broadcastable at any N a calendar can
+    reach."""
+    spine = spark.range(1).select(
+        F.explode(F.sequence(
+            F.lit("1995-01-01").cast("date"),
+            F.lit("1995-12-31").cast("date"),
+            F.expr("INTERVAL 1 DAY"))).alias("d"))
+    epoch = F.lit("1970-01-01").cast("date")
+    wd = (F.datediff(F.col("d"), epoch) + 3) % 7
+    return spine.groupBy(F.month("d").cast("int").alias("mo")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.count_if(wd < 5).cast("long").alias("n_weekdays"),
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+        F.min(F.when(wd == 0, F.col("d"))).cast("date")
+        .alias("first_monday"),
+    )

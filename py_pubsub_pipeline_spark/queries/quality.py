@@ -1081,3 +1081,64 @@ def dq_heartbeat_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("observed").cast("double") / expected, 6)
         .alias("completeness"),
     )
+
+
+@query(
+    "dq_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), mom AS (
+      SELECT event_type,
+             CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*)
+               AS mu,
+             SQRT(GREATEST(
+               CAST(SUM(CAST(c*c AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+               - POWER(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+                       / COUNT(*), 2), 1e-12)) AS sd
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, CAST(d.c AS BIGINT) AS n_events,
+           ROUND((d.c - m.mu) / m.sd, 4) AS z
+    FROM daily d JOIN mom m ON m.event_type = d.event_type
+    WHERE ABS((d.c - m.mu) / m.sd) > 2.0
+    """,
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VOLUME anomaly alerts: days whose event count sits more
+    than 2 sigma from that stream's mean daily volume (2, not
+    the value-alert 3: volume baselines are tight, and a missed
+    volume drop costs more than a false page) — the single
+    most-fired data-quality alert in production (a broken producer
+    or a double-ship shows up in row counts before any value-level
+    check trips; ts_anomaly_zscore watches VALUES, this watches
+    COUNTS — a pipeline needs both). Output is the alert table
+    itself: one row per (stream, bad day).
+
+    Plan: daily count agg, per-type moments broadcast back onto the
+    day spine, a filter to the rare alerts. Count moments through
+    DECIMAL; variance floored identically."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count("*").alias("c"))
+    mu = (F.sum(F.col("c").cast("decimal(28,0)")).cast("double")
+          / F.count("*"))
+    m2 = (F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+          .cast("double") / F.count("*"))
+    mom = daily.groupBy("event_type").agg(
+        mu.alias("mu"),
+        F.sqrt(F.greatest(m2 - mu * mu, F.lit(1e-12))).alias("sd"),
+    )
+    z = (F.col("c") - F.col("mu")) / F.col("sd")
+    return (
+        daily.join(F.broadcast(mom), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select("event_type", "day",
+                F.col("c").cast("long").alias("n_events"),
+                F.round(z, 4).alias("z"))
+    )
