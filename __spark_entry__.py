@@ -132,7 +132,8 @@ _R4_NEW = frozenset({
     "ml_brier_decomposition", "dedup_sorted_neighborhood",
     "agg_sprt_sequential", "dedup_golden_record",
     "ts_markov_entropy_rate", "ml_shapley_r2", "fn_calendar_spine",
-    "dq_volume_anomaly",
+    "dq_volume_anomaly", "ts_seasonal_strength",
+    "fn_rounding_mode_audit",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

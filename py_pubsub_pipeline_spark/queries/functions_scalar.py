@@ -523,3 +523,61 @@ def fn_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(wd == 0, F.col("d"))).cast("date")
         .alias("first_monday"),
     )
+
+
+@query(
+    "fn_rounding_mode_audit",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice AS v,
+             -- both modes built portably from FLOOR — never the
+             -- engines' ROUND, whose tie rules differ
+             FLOOR(o_totalprice * 10 + 0.5) / 10 AS half_up,
+             CASE
+               WHEN o_totalprice * 10 - FLOOR(o_totalprice * 10) = 0.5
+               THEN (CASE WHEN CAST(FLOOR(o_totalprice * 10) AS BIGINT)
+                               % 2 = 0
+                          THEN FLOOR(o_totalprice * 10)
+                          ELSE FLOOR(o_totalprice * 10) + 1 END) / 10
+               ELSE FLOOR(o_totalprice * 10 + 0.5) / 10 END AS half_even
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE half_up <> half_even) AS BIGINT)
+             AS n_divergent,
+           ROUND(CAST(SUM(CAST(half_up - half_even AS DECIMAL(18,6)))
+                      AS DOUBLE), 4) AS cumulative_bias
+    FROM r
+    """,
+)
+def fn_rounding_mode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-mode audit: round order values to one decimal under
+    HALF-UP and HALF-EVEN (banker's) rules — both constructed from
+    FLOOR so neither engine's own ROUND tie rule leaks in — and
+    count where they diverge plus the cumulative bias half-up
+    accumulates (ties always round away, so money summed under
+    half-up drifts upward; banker's rounding exists precisely to
+    cancel it, and finance compliance audits exactly this). This
+    operator institutionalizes the repo's own cross-engine footgun
+    (registry.py's determinism contract) as a user-facing check.
+
+    Plan: pure map-side arithmetic + one aggregate; the tie test
+    (fraction exactly .5) is exact because 2-decimal money times 10
+    is representable. Bias sums through DECIMAL."""
+    o = table(spark, sf_dir, "orders")
+    v10 = F.col("o_totalprice") * 10
+    half_up = F.floor(v10 + 0.5) / 10
+    is_tie = (v10 - F.floor(v10)) == 0.5
+    fl = F.floor(v10)
+    half_even = F.when(
+        is_tie,
+        F.when(fl.cast("long") % 2 == 0, fl).otherwise(fl + 1) / 10
+    ).otherwise(half_up)
+    r = o.select(half_up.alias("hu"), half_even.alias("he"))
+    return r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("hu") != F.col("he")).cast("long")
+        .alias("n_divergent"),
+        F.round(F.sum((F.col("hu") - F.col("he")).cast("decimal(18,6)"))
+                .cast("double"), 4).alias("cumulative_bias"),
+    )

@@ -1994,3 +1994,88 @@ def ts_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_entropy_bits"),
         )
     )
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY 1, 2
+    ), complete AS (
+      SELECT yr FROM monthly GROUP BY yr HAVING COUNT(*) = 12
+    ), m AS (
+      SELECT monthly.* FROM monthly JOIN complete USING (yr)
+    ), ymean AS (
+      SELECT yr, CAST(SUM(CAST(rev AS DECIMAL(28,4))) AS DOUBLE) / 12
+        AS ym
+      FROM m GROUP BY yr
+    ), detr AS (
+      SELECT m.mo, m.rev / y.ym AS ratio
+      FROM m JOIN ymean y ON y.yr = m.yr
+    ), idx AS (
+      SELECT mo, CAST(SUM(CAST(ratio AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*) AS si
+      FROM detr GROUP BY mo
+    ), resid AS (
+      SELECT d.ratio - 1.0 AS detrended,
+             d.ratio - i.si AS remainder
+      FROM detr d JOIN idx i ON i.mo = d.mo
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(GREATEST(0.0, 1.0 -
+             (CAST(SUM(CAST(remainder * remainder AS DECIMAL(18,12)))
+                   AS DOUBLE)
+              / CAST(SUM(CAST(detrended * detrended AS DECIMAL(18,12)))
+                     AS DOUBLE))), 6) AS seasonal_strength
+    FROM resid
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength (the STL-style F_s): 1 minus the variance of
+    what the seasonal indices FAIL to explain, over the variance of
+    the detrended series — 0 = the monthly pattern is noise, near 1
+    = the calendar owns this metric. This is the gate in front of
+    ts_seasonal_index: applying seasonal factors to a series with
+    F_s ~ 0 injects noise instead of removing it, so a forecasting
+    pipeline computes this FIRST.
+
+    Plan: the same complete-years monthly spine as ts_seasonal_index
+    (ratios to the yearly mean), per-month indices, then one
+    residual-variance aggregate — every sum DECIMAL-quantized,
+    clamped at 0 like every variance in this repo."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+          .cast("double").alias("rev"))
+    complete = (monthly.groupBy("yr").agg(F.count("*").alias("nm"))
+                .filter(F.col("nm") == 12).select("yr"))
+    m = monthly.join(F.broadcast(complete), "yr")
+    ymean = m.groupBy("yr").agg(
+        (F.sum(F.col("rev").cast("decimal(28,4)")).cast("double") / 12)
+        .alias("ym"))
+    detr = m.join(F.broadcast(ymean), "yr").select(
+        "mo", (F.col("rev") / F.col("ym")).alias("ratio"))
+    idx = detr.groupBy("mo").agg(
+        (F.sum(F.col("ratio").cast("decimal(18,9)")).cast("double")
+         / F.count("*")).alias("si"))
+    resid = detr.join(F.broadcast(idx), "mo").select(
+        (F.col("ratio") - 1.0).alias("detrended"),
+        (F.col("ratio") - F.col("si")).alias("remainder"),
+    )
+
+    def ssq(c):
+        return F.sum((c * c).cast("decimal(18,12)")).cast("double")
+
+    return resid.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - ssq(F.col("remainder")) / ssq(F.col("detrended"))),
+            6).alias("seasonal_strength"),
+    )
