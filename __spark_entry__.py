@@ -133,7 +133,8 @@ _R4_NEW = frozenset({
     "agg_sprt_sequential", "dedup_golden_record",
     "ts_markov_entropy_rate", "ml_shapley_r2", "fn_calendar_spine",
     "dq_volume_anomaly", "ts_seasonal_strength",
-    "fn_rounding_mode_audit",
+    "fn_rounding_mode_audit", "ts_peak_detection",
+    "dedup_phonetic_block",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

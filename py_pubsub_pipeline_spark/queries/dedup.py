@@ -996,3 +996,69 @@ def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("g").alias("cluster_key"), "survivor_id",
                 "survivor_chars", "mode_lang", "n_members", "first_source")
     )
+
+
+# Portable soundex-lite: consonant classes as chained regex passes —
+# built from regexp_replace on BOTH engines, never the engines' own
+# soundex() (Spark has one, DuckDB doesn't; and implementations vary).
+_PHON_PASSES = (
+    ("[bfpv]", "1"), ("[cgjkqsxz]", "2"), ("[dt]", "3"),
+    ("l", "4"), ("[mn]", "5"), ("r", "6"), ("[aeiouyhw]", ""),
+)
+
+
+def _phon_sql(col: str) -> str:
+    expr = f"lower({col})"
+    for pat, rep in _PHON_PASSES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return (f"substr(lower({col}), 1, 1) || substr({expr}, 1, 3)")
+
+
+@query(
+    "dedup_phonetic_block",
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    coded AS (
+      SELECT name, {_phon_sql('name')} AS code FROM names
+    )
+    SELECT a.name AS name_a, b.name AS name_b, a.code,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM coded a JOIN coded b
+      ON b.code = a.code AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+    """,
+)
+def dedup_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for ER: a soundex-style code (first letter +
+    first three consonant-class digits, vowels dropped) built from
+    PORTABLE chained regex passes — deliberately not the engines'
+    soundex() (Spark ships one, DuckDB doesn't, and variants
+    disagree) — then candidate pairs within a code block verified by
+    edit distance. Phonetic blocking is the FOURTH candidate
+    strategy (equality block / LSH band / sorted neighborhood /
+    sound-alike): it catches misspellings that CHANGE the block key
+    every other strategy hangs on ('gizmo'/'gismo' share a code,
+    not a prefix).
+
+    Plan: DISTINCT to the name domain, map-side code derivation
+    (7 chained regexes, codegen'd), equality hash join on the code,
+    distance residual — per-block quadratic with the usual salt
+    escape for hot codes."""
+    p = table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    expr = F.lower(F.col("name"))
+    for pat, rep in _PHON_PASSES:
+        expr = F.regexp_replace(expr, pat, rep)
+    code = F.concat(F.substring(F.lower(F.col("name")), 1, 1),
+                    F.substring(expr, 1, 3))
+    coded = names.select("name", code.alias("code"))
+    a = coded.select(F.col("name").alias("name_a"), "code")
+    b = coded.select(F.col("name").alias("name_b"),
+                     F.col("code").alias("code_b"))
+    return (
+        a.join(b, (F.col("code") == F.col("code_b"))
+               & (F.col("name_a") < F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b", "code", F.col("dist").cast("int"))
+    )

@@ -2079,3 +2079,77 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - ssq(F.col("remainder")) / ssq(F.col("detrended"))),
             6).alias("seasonal_strength"),
     )
+
+
+@query(
+    "ts_peak_detection",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), mom AS (
+      SELECT event_type,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS mu,
+             SQRT(GREATEST(
+               CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               - POWER(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+                       / COUNT(*), 2), 1e-12)) AS sd
+      FROM hourly GROUP BY event_type
+    ), nb AS (
+      SELECT event_type, h, y,
+             LAG(y) OVER w AS yp, LEAD(y) OVER w AS yn
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT nb.event_type, CAST(nb.h AS BIGINT) AS hour_id,
+           ROUND(nb.y, 4) AS height,
+           ROUND((nb.y - m.mu) / m.sd, 4) AS prominence_z
+    FROM nb JOIN mom m ON m.event_type = nb.event_type
+    WHERE nb.yp IS NOT NULL AND nb.yn IS NOT NULL
+      AND nb.y > nb.yp AND nb.y > nb.yn
+      AND nb.y > m.mu + 2.0 * m.sd
+    """,
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on the hourly series: strict local maxima
+    (above BOTH neighbors — boundary hours excluded, they have only
+    one) that also clear a 2-sigma prominence bar — the spike
+    finder that reports WHEN and HOW HIGH, where the monitors
+    (anomaly_zscore / change_detect) only flag THAT. Local-maximum +
+    prominence is the shape every alert review wants: prominence
+    alone fires on plateaus, neighbors alone fire on noise wiggles.
+
+    Plan: hourly spine agg, one LAG/LEAD window per type, per-type
+    moments broadcast back, filter to the rare peaks. Strict
+    inequalities on exact-DECIMAL-derived doubles — identical on
+    both engines."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+         / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+          .alias("y"))
+    mu = (F.sum(F.col("y").cast("decimal(28,6)")).cast("double")
+          / F.count("*"))
+    m2 = (F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)"))
+          .cast("double") / F.count("*"))
+    mom = hourly.groupBy("event_type").agg(
+        mu.alias("mu"),
+        F.sqrt(F.greatest(m2 - mu * mu, F.lit(1e-12))).alias("sd"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    nb = hourly.select(
+        "event_type", "h", "y",
+        F.lag("y").over(w).alias("yp"), F.lead("y").over(w).alias("yn"))
+    return (
+        nb.join(F.broadcast(mom), "event_type")
+        .filter(F.col("yp").isNotNull() & F.col("yn").isNotNull()
+                & (F.col("y") > F.col("yp")) & (F.col("y") > F.col("yn"))
+                & (F.col("y") > F.col("mu") + 2.0 * F.col("sd")))
+        .select("event_type", F.col("h").cast("long").alias("hour_id"),
+                F.round("y", 4).alias("height"),
+                F.round((F.col("y") - F.col("mu")) / F.col("sd"), 4)
+                .alias("prominence_z"))
+    )
