@@ -134,7 +134,8 @@ _R4_NEW = frozenset({
     "ts_markov_entropy_rate", "ml_shapley_r2", "fn_calendar_spine",
     "dq_volume_anomaly", "ts_seasonal_strength",
     "fn_rounding_mode_audit", "ts_peak_detection",
-    "dedup_phonetic_block",
+    "dedup_phonetic_block", "win_rolling_corr",
+    "ts_changepoint_binseg",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -2153,3 +2153,90 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round((F.col("y") - F.col("mu")) / F.col("sd"), 4)
                 .alias("prominence_z"))
     )
+
+
+@query(
+    "ts_changepoint_binseg",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+               AS y
+      FROM events GROUP BY 1, 2
+    ), pre AS (
+      SELECT event_type, h, y,
+             ROW_NUMBER() OVER w AS i,
+             SUM(y) OVER (w ROWS UNBOUNDED PRECEDING) AS ps,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(y) OVER (PARTITION BY event_type) AS ts_
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ), scored AS (
+      SELECT event_type, h, i, n,
+             -- between-segment SS gain of splitting AFTER row i:
+             -- nl*(ml-m)^2 + nr*(mr-m)^2 expanded to prefix sums
+             CAST(i AS DOUBLE)
+               * POWER(CAST(ps AS DOUBLE)/i - CAST(ts_ AS DOUBLE)/n, 2)
+             + CAST(n - i AS DOUBLE)
+               * POWER(CAST(ts_ - ps AS DOUBLE)/(n - i)
+                       - CAST(ts_ AS DOUBLE)/n, 2) AS gain
+      FROM pre WHERE i < n
+    )
+    SELECT event_type, CAST(h AS BIGINT) AS split_after_hour,
+           ROUND(gain, 4) AS best_gain
+    FROM (SELECT event_type, h, gain,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY ROUND(gain, 4) DESC, h) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint by binary segmentation (first split): the
+    hour boundary that maximizes the between-segment sum of squares —
+    evaluated at EVERY candidate in one pass via prefix sums (the
+    same no-fan-out trick as ml_decision_stump, applied to TIME).
+    ts_change_detect watches a trailing window online; this answers
+    the retrospective question "when did the level actually shift",
+    which an incident review needs. Recursing on each side gives the
+    full segmentation; the first split carries most of the signal.
+
+    Plan: hourly spine agg, ONE ordered window pass computing
+    running prefix sums, gain algebra per candidate row, and an
+    argmax per type via a rank window ordered on the ROUNDED gain
+    (ties break toward the earliest hour — both engines pick
+    identically; the rounding makes near-equal doubles an explicit
+    tie instead of an ulp race)."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+         / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)"))
+          .cast("decimal(28,6)").alias("y"))
+    worder = Window.partitionBy("event_type").orderBy("h")
+    wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    pre = hourly.select(
+        "event_type", "h",
+        F.row_number().over(worder).alias("i"),
+        F.sum("y").over(wcum).alias("ps"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("y").over(wall).alias("ts_"),
+    ).filter(F.col("i") < F.col("n"))
+    i = F.col("i").cast("double")
+    nr = (F.col("n") - F.col("i")).cast("double")
+    m = F.col("ts_").cast("double") / F.col("n")
+    gain = (i * F.pow(F.col("ps").cast("double") / i - m, 2)
+            + nr * F.pow((F.col("ts_") - F.col("ps")).cast("double") / nr
+                         - m, 2))
+    scored = pre.select("event_type", "h", gain.alias("gain"))
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.round(F.col("gain"), 4).desc(), "h")
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("h").cast("long")
+                .alias("split_after_hour"),
+                F.round("gain", 4).alias("best_gain"))
+    )

@@ -468,3 +468,83 @@ def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("m_end") - F.col("m_start")).cast("long")
         .alias("longest_s"),
     )
+
+
+_RCORR_W = 7  # rolling window: 7 daily points
+
+
+@query(
+    "win_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END
+                           AS DECIMAL(18,6))) AS DOUBLE) AS x,
+             CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                           END AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ), roll AS (
+      SELECT day,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x*x AS DECIMAL(28,9))) OVER w AS DOUBLE)
+               AS sxx,
+             CAST(SUM(CAST(y*y AS DECIMAL(28,9))) OVER w AS DOUBLE)
+               AS syy,
+             CAST(SUM(CAST(x*y AS DECIMAL(28,9))) OVER w AS DOUBLE) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {_RCORR_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT(GREATEST((n * sxx - sx * sx)
+                                 * (n * syy - sy * sy), 1e-12)), 6)
+             AS rolling_corr
+    FROM roll WHERE n = {_RCORR_W}
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {_RCORR_W}-day correlation between the click and
+    purchase value series: the co-movement monitor — a stable
+    positive correlation that suddenly decays is the first sign one
+    of two coupled metrics broke (tracking loss, bot traffic),
+    caught before either metric's own level alarms. Rolling
+    correlation = six rolling co-moment sums in ONE frame, then the
+    Pearson formula per row; partial head windows drop (n = w only).
+
+    Plan: day-spine pivot agg (conditional sums, one pass), then all
+    six co-moments ride a single bounded ROWS frame over the spine —
+    per-term DECIMAL quantization inside the frame sums, variance
+    product clamped before the sqrt."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("value"))
+              .cast("decimal(18,6)")).cast("double").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
+              .cast("decimal(18,6)")).cast("double").alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(_RCORR_W - 1), Window.currentRow)
+
+    def rs(e_, p, sc):
+        return F.sum(e_.cast(f"decimal({p},{sc})")).over(w).cast("double")
+
+    roll = daily.select(
+        "day",
+        F.count("*").over(w).alias("n"),
+        rs(F.col("x"), 18, 6).alias("sx"), rs(F.col("y"), 18, 6).alias("sy"),
+        rs(F.col("x") * F.col("x"), 28, 9).alias("sxx"),
+        rs(F.col("y") * F.col("y"), 28, 9).alias("syy"),
+        rs(F.col("x") * F.col("y"), 28, 9).alias("sxy"),
+    )
+    n = F.col("n")
+    corr = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(F.greatest(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(1e-12))))
+    return (roll.filter(n == _RCORR_W)
+            .select("day", F.round(corr, 6).alias("rolling_corr")))
