@@ -135,7 +135,8 @@ _R4_NEW = frozenset({
     "dq_volume_anomaly", "ts_seasonal_strength",
     "fn_rounding_mode_audit", "ts_peak_detection",
     "dedup_phonetic_block", "win_rolling_corr",
-    "ts_changepoint_binseg",
+    "ts_changepoint_binseg", "scan_recursive_lookup",
+    "ml_average_precision",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -1592,3 +1592,74 @@ def ml_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.5 * (F.col("r2") ** 2 + (both - F.col("r1") ** 2)), 6)
         .alias("shapley_x2"),
     )
+
+
+@query(
+    "ml_average_precision",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+               / GREATEST(len(string_split(text, ' ')), 1) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT y,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS k,
+             SUM(y) OVER (ORDER BY score DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS tp
+      FROM scored
+    )
+    SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(CAST(CASE WHEN y = 1
+                                    THEN CAST(tp AS DOUBLE) / k END
+                               AS DECIMAL(18,12))) AS DOUBLE)
+                 / SUM(y), 6) AS average_precision,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS base_rate
+    FROM ranked
+    """,
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (the area under the PR curve as
+    rankers report it): mean of precision@k over the positions where
+    a positive sits — the metric that replaces ROC AUC when
+    positives are rare, because PR space doesn't credit the easy
+    true negatives AUC inflates on. Reported beside the base rate
+    (= AP of a random ranker), which is the comparison that makes
+    the number readable. Tie order is pinned by doc_id so both
+    engines walk the identical ranking (AP, unlike AUC, has no
+    closed-form tie averaging — the pinned order IS the metric's
+    definition here, stated rather than hidden).
+
+    Plan: map-side scoring, one total-order window carrying the
+    running true-positive count (the exact-ranking-metric cost —
+    ml_auc_roc's note), precision terms DECIMAL-quantized before
+    the mean."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (F.size(F.filter(toks, lambda t: t.isin(
+            "the", "a", "of", "and", "is"))).cast("double")
+         / F.greatest(F.size(toks), F.lit(1))).alias("score"),
+    )
+    worder = Window.orderBy(F.col("score").desc(), "doc_id")
+    ranked = scored.select(
+        "y",
+        F.row_number().over(worder).alias("k"),
+        F.sum("y").over(
+            worder.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow)).alias("tp"),
+    )
+    term = F.when(F.col("y") == 1,
+                  F.col("tp").cast("double") / F.col("k")) \
+        .cast("decimal(18,12)")
+    return ranked.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(F.sum(term).cast("double") / F.sum("y"), 6)
+        .alias("average_precision"),
+        F.round(F.sum("y").cast("double") / F.count("*"), 6)
+        .alias("base_rate"),
+    )

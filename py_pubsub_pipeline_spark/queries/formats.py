@@ -588,3 +588,69 @@ def scan_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id", F.md5("text").alias("h")))).getField("h"), ""))
         .alias("corpus_md5"),
     )
+
+
+@query(
+    "scan_recursive_lookup",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
+    FROM documents
+    WHERE doc_id % 10 = 0
+    GROUP BY lang
+    """,
+)
+def scan_recursive_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive directory ingestion: a 1-in-10 document sample laid
+    out in NESTED per-language/per-shard directories (the
+    crawl-dump shape: meaningful paths, no hive key=value naming)
+    and read back with recursiveFileLookup=true — which walks the
+    whole tree but DISABLES partition-directory inference, so path
+    metadata must be recovered from input_file_name (done here for
+    lang) instead of arriving as columns. That trade is the entire
+    lesson: hive-style layouts give you pruning + columns
+    (scan_partition_pruned), free-form trees give you neither.
+
+    Plan: parallel file-per-task JSONL read under the recursive
+    walk; fingerprints prove no file was missed or double-read
+    (a recursive walker that also matches the per-dir _meta sidecar
+    files would double-count — the .jsonl suffix filter is load-
+    bearing and pathGlobFilter is how it's expressed)."""
+    import json as _json
+    import os
+
+    def write(df: DataFrame, p: str) -> None:
+        rows = (df.filter(F.col("doc_id") % 10 == 0)
+                .select("doc_id", "lang", "n_chars", "text").collect())
+        for r in rows:
+            sub = os.path.join(p, r["lang"], f"shard={r['doc_id'] % 4}")
+            os.makedirs(sub, exist_ok=True)
+            with open(os.path.join(sub, f"{r['doc_id']:08d}.jsonl"), "w",
+                      encoding="utf-8") as fh:
+                fh.write(_json.dumps(
+                    {"doc_id": r["doc_id"], "lang": r["lang"],
+                     "n_chars": r["n_chars"], "text": r["text"]}) + "\n")
+            # decoy sidecar the glob filter must skip
+            with open(os.path.join(sub, "_meta.txt"), "w") as fh:
+                fh.write("sidecar\n")
+        with open(os.path.join(p, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    path = _materialize(spark, sf_dir, "recursive_tree", "documents", write)
+    docs = (
+        spark.read
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING")
+        .option("recursiveFileLookup", True)
+        .option("pathGlobFilter", "*.jsonl")
+        .json(path)
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.md5(F.array_join(
+            F.array_sort(F.collect_list(F.struct(
+                "doc_id", F.md5("text").alias("h")))).getField("h"), ""))
+        .alias("corpus_md5"),
+    )
