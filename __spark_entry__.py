@@ -136,7 +136,7 @@ _R4_NEW = frozenset({
     "fn_rounding_mode_audit", "ts_peak_detection",
     "dedup_phonetic_block", "win_rolling_corr",
     "ts_changepoint_binseg", "scan_recursive_lookup",
-    "ml_average_precision",
+    "ml_average_precision", "agg_median_ci", "ts_dominant_period",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

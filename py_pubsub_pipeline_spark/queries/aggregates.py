@@ -2390,3 +2390,65 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(dn.isNotNull(), "accept_h0")
         .otherwise("continue").alias("decision"),
     )
+
+
+@query(
+    "agg_median_ci",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS prio, o_totalprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS r,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ), bounds AS (
+      SELECT prio, n,
+             CAST(FLOOR(n / 2.0 - 1.959963985 * SQRT(n) / 2.0) AS BIGINT)
+               AS k_lo,
+             CAST(CEIL(1.0 + n / 2.0 + 1.959963985 * SQRT(n) / 2.0)
+                  AS BIGINT) AS k_hi
+      FROM (SELECT DISTINCT prio, n FROM ranked)
+    )
+    SELECT r.prio, CAST(ANY_VALUE(r.n) AS BIGINT) AS n,
+           MIN(CASE WHEN 2 * r.r >= r.n THEN r.v END) AS median_disc,
+           MIN(CASE WHEN r.r = b.k_lo THEN r.v END) AS ci_lo,
+           MIN(CASE WHEN r.r = b.k_hi THEN r.v END) AS ci_hi
+    FROM ranked r JOIN bounds b ON b.prio = r.prio
+    GROUP BY r.prio
+    """,
+)
+def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median, by
+    ORDER STATISTICS: the interval between the values at ranks
+    n/2 +- 1.96*sqrt(n)/2 covers the true median at ~95% regardless
+    of the distribution's shape — no normality assumption, no
+    bootstrap resampling (agg_bootstrap_se's route), just the
+    binomial behavior of ranks. This is the uncertainty statement
+    the percentile family (agg_percentile / agg_weighted_median) was
+    missing: a median without its CI invites overreading.
+
+    Plan: one rank window per group (exact order statistics — the
+    usual exact-quantile cost), the two CI ranks computed from n by
+    closed-form integer arithmetic, and a conditional-MIN agg picks
+    the three order statistics in one pass. All selected values are
+    actual data points — both engines pick identically."""
+    o = table(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(wn).alias("n"),
+    )
+    z = 1.959963985
+    k_lo = F.floor(F.col("n") / 2.0 - z * F.sqrt(F.col("n")) / 2.0)
+    k_hi = F.ceil(1.0 + F.col("n") / 2.0 + z * F.sqrt(F.col("n")) / 2.0)
+    return ranked.groupBy("prio").agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.min(F.when(2 * F.col("r") >= F.col("n"), F.col("v")))
+        .alias("median_disc"),
+        F.min(F.when(F.col("r") == k_lo, F.col("v"))).alias("ci_lo"),
+        F.min(F.when(F.col("r") == k_hi, F.col("v"))).alias("ci_hi"),
+    )

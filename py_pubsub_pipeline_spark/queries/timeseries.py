@@ -2240,3 +2240,110 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("split_after_hour"),
                 F.round("gain", 4).alias("best_gain"))
     )
+
+
+_ACF_MAX_LAG = 48
+
+
+@query(
+    "ts_dominant_period",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), mom AS (
+      SELECT event_type,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS mu
+      FROM hourly GROUP BY event_type
+    ), acf AS (
+      SELECT a.event_type, l.lag,
+             CAST(SUM(CAST((a.y - m.mu) * (b.y - m.mu)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS num,
+             COUNT(*) AS n_pairs
+      FROM hourly a
+      JOIN mom m ON m.event_type = a.event_type
+      CROSS JOIN UNNEST(generate_series(2, {_ACF_MAX_LAG})) l(lag)
+      JOIN hourly b ON b.event_type = a.event_type
+                   AND b.h = a.h + l.lag
+      GROUP BY a.event_type, l.lag
+    ), var_ AS (
+      SELECT hourly.event_type,
+             CAST(SUM(CAST((y - m.mu) * (y - m.mu) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS ss
+      FROM hourly JOIN mom m ON m.event_type = hourly.event_type
+      GROUP BY hourly.event_type
+    )
+    SELECT event_type, CAST(lag AS INT) AS dominant_period_h,
+           ROUND(r, 6) AS acf_peak
+    FROM (
+      SELECT acf.event_type, acf.lag,
+             acf.num / v.ss AS r,
+             ROW_NUMBER() OVER (PARTITION BY acf.event_type
+               ORDER BY ROUND(acf.num / v.ss, 6) DESC, acf.lag) AS rn
+      FROM acf JOIN var_ v ON v.event_type = acf.event_type)
+    WHERE rn = 1
+    """,
+)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant periodicity DISCOVERY: the autocorrelation of the
+    hourly series at every lag 2..{_ACF_MAX_LAG}, and the lag where
+    it peaks — a 24 here says "daily cycle" from the data alone,
+    where ts_seasonal_index had to ASSUME its monthly period. The
+    ACF-argmax is the relational stand-in for a spectral peak (an
+    FFT needs sequential butterflies; the ACF needs only displaced
+    self-joins — and for period FINDING they answer the same
+    question). Lag 1 is excluded: trend autocorrelation always wins
+    it without saying anything about cycles.
+
+    Plan: hourly spine agg, mean broadcast, ONE lag-dimension
+    fan-out join over the spine (spine x {_ACF_MAX_LAG - 1} pairs —
+    time-bounded, ts_theil_sen's argument), per-(type, lag)
+    DECIMAL-quantized covariance sums, rank-window argmax on the
+    ROUNDED r (ulp races become explicit ties, earliest lag
+    wins)."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
+         / F.lit(3_600_000_000)).cast("long").alias("h"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+          .alias("y")).localCheckpoint(eager=False)
+    mom = hourly.groupBy("event_type").agg(
+        (F.sum(F.col("y").cast("decimal(28,6)")).cast("double")
+         / F.count("*")).alias("mu"))
+    lags = spark.range(2, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag"))
+    a = hourly.join(F.broadcast(mom), "event_type")
+    b = hourly.select(F.col("event_type").alias("et_b"),
+                      F.col("h").alias("hb"),
+                      F.col("y").alias("yb"))
+    acf = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, (F.col("event_type") == F.col("et_b"))
+              & (F.col("hb") == F.col("h") + F.col("lag")))
+        .groupBy("event_type", "lag")
+        .agg(F.sum(((F.col("y") - F.col("mu"))
+                    * (F.col("yb") - F.col("mu"))).cast("decimal(28,9)"))
+             .cast("double").alias("num"))
+    )
+    var_ = (
+        hourly.join(F.broadcast(mom), "event_type")
+        .groupBy("event_type")
+        .agg(F.sum(((F.col("y") - F.col("mu"))
+                    * (F.col("y") - F.col("mu"))).cast("decimal(28,9)"))
+             .cast("double").alias("ss"))
+    )
+    scored = acf.join(F.broadcast(var_), "event_type").select(
+        "event_type", "lag", (F.col("num") / F.col("ss")).alias("r"))
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.round(F.col("r"), 6).desc(), "lag")
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("lag").cast("int")
+                .alias("dominant_period_h"),
+                F.round("r", 6).alias("acf_peak"))
+    )
