@@ -137,6 +137,7 @@ _R4_NEW = frozenset({
     "dedup_phonetic_block", "win_rolling_corr",
     "ts_changepoint_binseg", "scan_recursive_lookup",
     "ml_average_precision", "agg_median_ci", "ts_dominant_period",
+    "agg_hill_tail_index", "ml_cost_curve",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -2452,3 +2452,68 @@ def agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("r") == k_lo, F.col("v"))).alias("ci_lo"),
         F.min(F.when(F.col("r") == k_hi, F.col("v"))).alias("ci_hi"),
     )
+
+
+_HILL_K = 200
+
+
+@query(
+    "agg_hill_tail_index",
+    oracle=f"""
+    WITH top AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS r
+      FROM orders
+    ), sel AS (
+      SELECT v, r FROM top WHERE r <= {_HILL_K + 1}
+    ), thresh AS (
+      SELECT v AS vk FROM sel WHERE r = {_HILL_K + 1}
+    )
+    SELECT CAST({_HILL_K} AS INT) AS k,
+           ROUND(t.vk, 2) AS tail_threshold,
+           ROUND({_HILL_K}.0
+                 / CAST(SUM(CAST(LN(s.v / t.vk) AS DECIMAL(18,9)))
+                        AS DOUBLE), 6) AS hill_alpha
+    FROM sel s, thresh t
+    WHERE s.r <= {_HILL_K}
+    GROUP BY t.vk
+    """,
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the tail index over the top-{_HILL_K} order
+    values: alpha = k / sum(ln(x_i / x_(k+1))) — HOW heavy the upper
+    tail is (alpha < 2: variance effectively infinite, every
+    mean-based metric in the suite is on notice; alpha > 3: tails
+    tame). This is the diagnosis BEHIND the robust family: MAD,
+    trimmed means, and Theil-Sen exist exactly because alpha is
+    sometimes small, and Gumbel's max projection assumes a tail this
+    estimator can reject.
+
+    Plan: TakeOrdered for the top k+1 (per-task partial top-k — no
+    global sort), then the estimator on k rows with per-term
+    DECIMAL-quantized logs. k is the classic bias/variance knob —
+    fixed here, scanned over a grid in a production Hill plot."""
+    o = table(spark, sf_dir, "orders")
+    top = (
+        o.select(F.col("o_totalprice").alias("v"), "o_orderkey")
+        .orderBy(F.col("v").desc(), "o_orderkey")
+        .limit(_HILL_K + 1)
+        .withColumn("r", F.row_number().over(
+            Window.orderBy(F.col("v").desc(), "o_orderkey")))
+    )
+    thresh = top.filter(F.col("r") == _HILL_K + 1).select(
+        F.col("v").alias("vk"))
+    sel = top.filter(F.col("r") <= _HILL_K)
+    return (
+        sel.crossJoin(F.broadcast(thresh))
+        .groupBy("vk")
+        .agg(F.round(
+            F.lit(float(_HILL_K))
+            / F.sum(F.log(F.col("v") / F.col("vk"))
+                    .cast("decimal(18,9)")).cast("double"), 6)
+            .alias("hill_alpha"))
+        .select(F.lit(_HILL_K).cast("int").alias("k"),
+                F.round("vk", 2).alias("tail_threshold"),
+                "hill_alpha")
+    )

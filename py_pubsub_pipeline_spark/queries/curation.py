@@ -1663,3 +1663,88 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("y").cast("double") / F.count("*"), 6)
         .alias("base_rate"),
     )
+
+
+# Cost matrix for the threshold decision: a missed 'en' doc (FN)
+# costs 5, a wrongly kept non-'en' doc (FP) costs 1.
+_COST_FN, _COST_FP = 5.0, 1.0
+
+
+@query(
+    "ml_cost_curve",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+               / GREATEST(len(string_split(text, ' ')), 1) AS score
+      FROM documents
+    ), b AS (
+      SELECT quantile_disc(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS ths
+      FROM scored
+    ), th AS (
+      SELECT UNNEST(b.ths) AS th FROM b
+    ), costs AS (
+      SELECT th.th,
+             COUNT(*) FILTER (WHERE s.y = 1 AND s.score < th.th) AS fn,
+             COUNT(*) FILTER (WHERE s.y = 0 AND s.score >= th.th) AS fp
+      FROM scored s CROSS JOIN th
+      GROUP BY th.th
+    )
+    SELECT ROUND(th, 6) AS threshold,
+           CAST(fn AS BIGINT) AS n_fn, CAST(fp AS BIGINT) AS n_fp,
+           ROUND({_COST_FN} * fn + {_COST_FP} * fp, 1) AS total_cost,
+           ROW_NUMBER() OVER (
+             ORDER BY {_COST_FN} * fn + {_COST_FP} * fp, th) = 1
+             AS is_optimal
+    FROM costs
+    """,
+)
+def ml_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-theoretic threshold selection: total misclassification
+    COST (FN x {_COST_FN} + FP x {_COST_FP}) at each decile threshold
+    of the score, with the argmin flagged — the step that turns a
+    scored classifier into a DECISION, which none of the pure metrics
+    (AUC ranks, Brier calibrates, AP summarizes) do: a 5:1 cost
+    asymmetry moves the optimal cut far from 0.5, and the curve shows
+    how much the wrong default threshold costs per million docs.
+
+    Plan: discrete decile thresholds (boundary agg), one
+    threshold-fanned conditional count (9x fan-out of the scan,
+    bounded by the grid — or 9 conditional aggs in one pass at scale,
+    agg_bootstrap_se's alternative), exact integer costs; the
+    optimum flag uses a rank over the 9-row result with threshold
+    tie-break."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (F.size(F.filter(toks, lambda t: t.isin(
+            "the", "a", "of", "and", "is"))).cast("double")
+         / F.greatest(F.size(toks), F.lit(1))).alias("score"),
+    )
+    b = scored.agg(F.array(*[
+        F.expr(f"percentile_disc({k / 10.0}) WITHIN GROUP "
+               f"(ORDER BY score)") for k in range(1, 10)
+    ]).alias("ths"))
+    th = b.select(F.explode("ths").alias("th"))
+    costs = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("th")
+        .agg(
+            F.count_if((F.col("y") == 1) & (F.col("score") < F.col("th")))
+            .alias("fn"),
+            F.count_if((F.col("y") == 0) & (F.col("score") >= F.col("th")))
+            .alias("fp"),
+        )
+    )
+    total = _COST_FN * F.col("fn") + _COST_FP * F.col("fp")
+    wbest = Window.orderBy(total, "th")
+    return costs.select(
+        F.round("th", 6).alias("threshold"),
+        F.col("fn").cast("long").alias("n_fn"),
+        F.col("fp").cast("long").alias("n_fp"),
+        F.round(total, 1).alias("total_cost"),
+        (F.row_number().over(wbest) == 1).alias("is_optimal"),
+    )
