@@ -137,7 +137,8 @@ _R4_NEW = frozenset({
     "dedup_phonetic_block", "win_rolling_corr",
     "ts_changepoint_binseg", "scan_recursive_lookup",
     "ml_average_precision", "agg_median_ci", "ts_dominant_period",
-    "agg_hill_tail_index", "ml_cost_curve",
+    "agg_hill_tail_index", "ml_cost_curve", "dq_label_consistency",
+    "graph_assortativity",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -739,3 +739,89 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(F.col("d").cast("double") * (F.col("d") - 1) / 2),
                 6).alias("transitivity"),
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT u, v FROM (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+        FROM items a JOIN items b ON b.ok = a.ok AND a.p <> b.p
+        GROUP BY 1, 2)
+      WHERE w >= {_KCORE_MINW}
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY u
+    ), ed AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           ROUND((COUNT(*) * CAST(SUM(CAST(x*y AS DECIMAL(28,4)))
+                                  AS DOUBLE)
+                  - CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
+                    * CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE))
+                 / SQRT(GREATEST(
+                     (COUNT(*) * CAST(SUM(CAST(x*x AS DECIMAL(28,4)))
+                                      AS DOUBLE)
+                      - POWER(CAST(SUM(CAST(x AS DECIMAL(18,4)))
+                                   AS DOUBLE), 2))
+                     * (COUNT(*) * CAST(SUM(CAST(y*y AS DECIMAL(28,4)))
+                                        AS DOUBLE)
+                        - POWER(CAST(SUM(CAST(y AS DECIMAL(18,4)))
+                                     AS DOUBLE), 2)), 1e-12)), 6)
+             AS assortativity
+    FROM ed
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over the (symmetric) edge list —
+    positive: high-degree parts co-order with each other (rich
+    club); negative: hub-and-spoke. The one number that says which
+    skew strategy the joins over this graph need (hub-cap for
+    negative, community-salt for positive), computed BEFORE paying
+    for either. Completes the structure panel: degrees
+    (graph_degree_stats), clustering (graph_clustering_coeff),
+    communities (modularity), and now mixing.
+
+    Plan: degree agg, two degree joins onto the edge list (both
+    vertex-keyed hash joins), one co-moment aggregate with
+    DECIMAL-quantized sums — the symmetric edge list makes the
+    Newman edge-correlation exactly this Pearson."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("p")).distinct()
+    a = items.select("ok", F.col("p").alias("u"))
+    b = items.select("ok", F.col("p").alias("v"))
+    e = (
+        a.join(b, "ok").filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v").agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _KCORE_MINW).select("u", "v")
+    )
+    deg = e.groupBy("u").agg(F.count("*").cast("double").alias("d"))
+    ed = (
+        e.join(deg.withColumnRenamed("u", "ju")
+               .withColumnRenamed("d", "x"), e.u == F.col("ju"))
+        .join(deg.withColumnRenamed("u", "jv")
+              .withColumnRenamed("d", "y"), e.v == F.col("jv"))
+        .select("x", "y")
+    )
+
+    def ds(expr, p_):
+        return F.sum(expr.cast(f"decimal({p_},4)")).cast("double")
+
+    n = F.count("*")
+    num = n * ds(F.col("x") * F.col("y"), 28) \
+        - ds(F.col("x"), 18) * ds(F.col("y"), 18)
+    den = F.sqrt(F.greatest(
+        (n * ds(F.col("x") * F.col("x"), 28)
+         - F.pow(ds(F.col("x"), 18), 2))
+        * (n * ds(F.col("y") * F.col("y"), 28)
+           - F.pow(ds(F.col("y"), 18), 2)), F.lit(1e-12)))
+    return ed.agg(
+        n.cast("long").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

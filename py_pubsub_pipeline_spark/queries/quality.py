@@ -1142,3 +1142,49 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c").cast("long").alias("n_events"),
                 F.round(z, 4).alias("z"))
     )
+
+
+@query(
+    "dq_label_consistency",
+    oracle="""
+    WITH checked AS (
+      SELECT lang,
+             regexp_matches(text, '[一-鿿]') AS has_cjk
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (
+             WHERE (lang = 'zh') <> has_cjk) AS BIGINT) AS n_conflicts,
+           ROUND(CAST(COUNT(*) FILTER (WHERE (lang = 'zh') <> has_cjk)
+                      AS DOUBLE) / COUNT(*), 6) AS conflict_rate
+    FROM checked GROUP BY lang
+    """,
+)
+def dq_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by script consistency: a doc labeled
+    'zh' should contain CJK codepoints and a doc labeled anything
+    else shouldn't — per-language conflict rates against that
+    (the CJK range is spelled as literal codepoints: DuckDB's RE2
+    build rejects backslash-u escapes while Spark's Java regex
+    accepts them —
+    literals parse identically in both)
+    invariant. Label noise is the quality ceiling of every
+    classifier trained downstream (ml_langid_confusion measures the
+    MODEL against labels; this measures the LABELS against physics),
+    and script-vs-label is the cheapest strong check a multilingual
+    corpus has.
+
+    Plan: one map-side unicode-class regex (identical range syntax
+    both engines) + a per-language agg. At 100 TB this is the
+    canonical cheap full-corpus audit: one scan, no shuffle beyond
+    the language-bounded agg."""
+    d = table(spark, sf_dir, "documents")
+    has_cjk = F.col("text").rlike("[一-鿿]")
+    conflict = (F.col("lang") == "zh") != has_cjk
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_if(conflict).cast("long").alias("n_conflicts"),
+        F.round(F.count_if(conflict).cast("double") / F.count("*"), 6)
+        .alias("conflict_rate"),
+    )
