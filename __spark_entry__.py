@@ -138,7 +138,8 @@ _R4_NEW = frozenset({
     "ts_changepoint_binseg", "scan_recursive_lookup",
     "ml_average_precision", "agg_median_ci", "ts_dominant_period",
     "agg_hill_tail_index", "ml_cost_curve", "dq_label_consistency",
-    "graph_assortativity",
+    "graph_assortativity", "ml_bpe_pair_counts", "ml_tokenizer_fertility",
+    "text_kneser_ney",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

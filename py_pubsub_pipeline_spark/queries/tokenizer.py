@@ -1,0 +1,247 @@
+"""Tokenizer-training operators over the documents corpus: BPE merge
+statistics, tokenizer fertility, and Kneser-Ney bigram smoothing.
+
+These are the relational halves of training a subword tokenizer and a
+smoothed n-gram LM on a 100 TB corpus: everything is count shapes —
+explode → hash-agg with map-side partials — whose shuffle keys are
+vocabulary-bounded (words, character pairs, bigrams), not
+corpus-bounded, so the exchanges stay small no matter how many
+documents feed them.  No Python in any hot path; whole-stage codegen
+end to end.
+
+Reference scope note: the reference pipeline (P:1-243) has no
+tokenizer surface; these extend the mandated LLM-data-pipeline
+operator family (BASELINE.json:6) alongside text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# Word filter for BPE statistics: lowercase ASCII alphabetic tokens of
+# at least two characters (a 1-char word has no adjacent pair). The
+# same anchored RE2-and-Java-safe class runs on both engines.
+_WORD_RE = "^[a-z]+$"
+
+# BPE merge-candidate list length: enough to seed a merge table, small
+# enough that the result is a bounded dim on any corpus.
+_BPE_TOP = 20
+
+# Absolute discount for interpolated Kneser-Ney. 0 < D < 1 means
+# c12 - D > 0 for every observed bigram, so the max(…, 0) clamp of the
+# textbook formula is provably dead and is omitted on both engines.
+_KN_D = 0.75
+
+# Subword-piece width for the fertility proxy (see ml_tokenizer_fertility).
+_PIECE_W = 4
+
+
+@query(
+    "ml_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT t AS w, COUNT(*) AS freq
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+      WHERE length(t) >= 2 AND regexp_matches(t, '{_WORD_RE}')
+      GROUP BY t
+    ), pairs AS (
+      SELECT substring(w, CAST(i AS INT), 2) AS pair, freq
+      FROM words, UNNEST(generate_series(1, length(w) - 1)) t(i)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+)
+def ml_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-pair-encoding TRAINING step as a query: weighted
+    adjacent-character-pair counts over the corpus vocabulary — the
+    statistic whose argmax is BPE's next merge (Sennrich et al. 2016).
+    Counting runs on the WORD-FREQUENCY table, not the raw token
+    stream: a word contributes its pairs once, weighted by its corpus
+    frequency, exactly as real BPE trainers amortize repeated words.
+    (Divergence from full BPE, documented: no end-of-word sentinel and
+    one iteration — the merge loop itself re-runs this count on the
+    re-segmented vocab; each iteration is this same query shape.)
+
+    Scale: the explode is over the VOCABULARY (distinct words), which
+    grows sublinearly with corpus size, and the pair agg's key space
+    is bounded by the alphabet squared — at 100 TB the heavy stage is
+    the initial word count, a map-side-partial hash agg on the token
+    stream; everything after is dim-sized.  Order (pair_count DESC,
+    pair) is total, so the LIMIT is deterministic."""
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike(_WORD_RE))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+@query(
+    "ml_tokenizer_fertility",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, octet_length(encode(text)) AS nb,
+             string_split(text, ' ') AS w
+      FROM documents
+    ), per_doc AS (
+      SELECT lang, nb, len(w) AS n_words,
+             (SELECT SUM((length(x) + {_PIECE_W - 1}) // {_PIECE_W})
+              FROM UNNEST(w) AS t(x)) AS n_sub
+      FROM toks
+    )
+    SELECT lang,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subtokens,
+           ROUND(CAST(SUM(n_sub) AS DOUBLE) / SUM(n_words), 6)
+             AS fertility,
+           ROUND(CAST(SUM(nb) AS DOUBLE) / SUM(n_sub), 6)
+             AS bytes_per_token
+    FROM per_doc GROUP BY lang
+    """,
+)
+def ml_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: subword tokens per word and
+    bytes per subword token — the two numbers that decide how much a
+    tokenizer inflates sequence length (and thus training cost) on
+    each language slice of the corpus.  The subword segmenter here is
+    the deterministic fixed-width proxy ceil(len/4) (a trained-BPE
+    stand-in: every 4-char piece is one token), which keeps the metric
+    engine-portable while exercising the exact aggregation shape a
+    real tokenizer-budget audit runs.
+
+    Scale: per-document piece counts come from a higher-order
+    F.aggregate over the token array — NO explode, zero fan-out — so
+    the whole query is one scan with a language-bounded hash agg; all
+    sums are exact integers, the two divisions happen once per
+    language at the end."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    # integer division: Spark's `/` on longs is double division — use
+    # floor-div semantics explicitly to mirror DuckDB's `//`.
+    per_doc = d.select(
+        "lang",
+        F.octet_length("text").alias("nb"),
+        F.size(w).alias("n_words"),
+        F.aggregate(
+            w,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.floor((F.length(x) + _PIECE_W - 1) / _PIECE_W).cast("long"),
+        ).alias("n_sub"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subtokens"),
+        F.round(
+            F.sum("n_sub").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("nb").cast("double") / F.sum("n_sub"), 6
+        ).alias("bytes_per_token"),
+    )
+
+
+@query(
+    "text_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), prs AS (
+      SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i)
+    ), big AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM prs GROUP BY w1, w2
+    ), l AS (
+      SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1_fwd FROM big GROUP BY w1
+    ), r AS (
+      SELECT w2, COUNT(*) AS n1_bwd FROM big GROUP BY w2
+    ), tot AS (
+      SELECT COUNT(*) AS n1_all FROM big
+    )
+    SELECT b.w1 AS w1, b.w2 AS w2, CAST(b.c12 AS BIGINT) AS c12,
+           ROUND((CAST(b.c12 AS DOUBLE) - {_KN_D}) / CAST(l.c1 AS DOUBLE)
+                 + ({_KN_D} * CAST(l.n1_fwd AS DOUBLE)
+                    / CAST(l.c1 AS DOUBLE))
+                   * (CAST(r.n1_bwd AS DOUBLE) / CAST(t.n1_all AS DOUBLE)),
+                 6) AS p_kn
+    FROM big b
+    JOIN l ON l.w1 = b.w1
+    JOIN r ON r.w2 = b.w2
+    CROSS JOIN tot t
+    ORDER BY c12 DESC, b.w1, b.w2
+    LIMIT {_BPE_TOP}
+    """,
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram probabilities (D = 0.75) — the
+    smoothing that made n-gram LMs competitive and the distribution a
+    CCNet-style perplexity filter would rather use than add-one
+    (text_perplexity_lm's add-one overweights unseen bigrams; KN backs
+    off to CONTINUATION counts: how many distinct contexts a word
+    completes, not how often it occurs).  Emits the top bigrams by
+    count with P_KN(w2|w1) = (c12 − D)/c1 + (D·N1+(w1·)/c1)·(N1+(·w2)/N1+(··)).
+
+    Scale: four hash aggs whose keys are (bigram, unigram, unigram,
+    constant) — all vocabulary-bounded.  The left/right continuation
+    tables join back onto the bigram table on its own grouping keys
+    (exchange reuse), and the N1+(··) scalar enters as a broadcast
+    single-row cross join, never a collect.  All counts are exact
+    integers; the one floating expression is evaluated in the same
+    IEEE operation order on both engines and rounded to 6 places."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w) - 1
+    z = F.arrays_zip(
+        F.slice(w, 1, n).alias("w1"),
+        F.slice(w, 2, n).alias("w2"),
+    )
+    prs = d.select(F.explode(z).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    big = prs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1_fwd")
+    )
+    right = big.groupBy("w2").agg(F.count("*").alias("n1_bwd"))
+    tot = big.agg(F.count("*").alias("n1_all"))
+    D = F.lit(_KN_D)
+    joined = (
+        big.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    c12d = F.col("c12").cast("double")
+    c1d = F.col("c1").cast("double")
+    p_kn = (c12d - D) / c1d + (
+        D * F.col("n1_fwd").cast("double") / c1d
+    ) * (F.col("n1_bwd").cast("double") / F.col("n1_all").cast("double"))
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(_BPE_TOP)
+    )
