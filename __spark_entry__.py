@@ -139,7 +139,8 @@ _R4_NEW = frozenset({
     "ml_average_precision", "agg_median_ci", "ts_dominant_period",
     "agg_hill_tail_index", "ml_cost_curve", "dq_label_consistency",
     "graph_assortativity", "ml_bpe_pair_counts", "ml_tokenizer_fertility",
-    "text_kneser_ney",
+    "text_kneser_ney", "fn_geo_haversine", "fn_ip_cidr",
+    "ml_target_encode", "text_readability", "scan_jsonl_corrupt",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

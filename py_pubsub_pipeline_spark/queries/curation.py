@@ -1748,3 +1748,86 @@ def ml_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total, 1).alias("total_cost"),
         (F.row_number().over(wbest) == 1).alias("is_optimal"),
     )
+
+
+# Smoothing pseudo-count for leave-one-out target encoding: the encoded
+# value of a tiny category shrinks toward the global mean.
+_TE_SMOOTH = 10
+
+
+@query(
+    "ml_target_encode",
+    oracle=f"""
+    WITH oc AS (
+      SELECT o.o_orderkey, c.c_nationkey,
+             CAST(o.o_totalprice AS DECIMAL(18,6)) AS price
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), per_nation AS (
+      SELECT c_nationkey, SUM(price) AS s_n, COUNT(*) AS n_n
+      FROM oc GROUP BY c_nationkey
+    ), gl AS (
+      SELECT SUM(price) AS s_g, COUNT(*) AS n_g FROM oc
+    )
+    SELECT oc.o_orderkey, oc.c_nationkey,
+           ROUND(
+             (CAST(pn.s_n - oc.price AS DOUBLE)
+              + {_TE_SMOOTH}.0 * (CAST(g.s_g AS DOUBLE)
+                                  / CAST(g.n_g AS DOUBLE)))
+             / CAST(pn.n_n - 1 + {_TE_SMOOTH} AS DOUBLE),
+             6) AS nation_price_enc
+    FROM oc
+    JOIN per_nation pn ON pn.c_nationkey = oc.c_nationkey
+    CROSS JOIN gl g
+    """,
+)
+def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT smoothed target encoding — the feature-
+    engineering transform that replaces a categorical column with the
+    target mean of its category, done leakage-free: each row's own
+    target is EXCLUDED from its encoding (plain category means leak
+    the label into the feature; LOO is the standard fix), and small
+    categories shrink toward the global mean through {_TE_SMOOTH}
+    pseudo-observations (the same Beta-prior idea as
+    agg_eb_shrunk_rates, applied to a continuous target). Encodes
+    customer nation by mean order value.
+
+    enc(row) = (S_cat − y_row + m·μ_global) / (n_cat − 1 + m).
+
+    Exactness: all sums run in DECIMAL(18,6) (order-independent), the
+    leave-one-out subtraction happens IN decimal, and the two final
+    divisions execute in the same IEEE order on both engines before
+    ROUND(6).
+
+    Scale: the category stats are a groupBy onto a nation-bounded dim
+    that BROADCASTS back onto the fact rows (no window over the fact
+    — a per-category window would serialize each category through one
+    task, the sample_balanced_exact hazard); the global mean enters
+    as a broadcast single-row cross join. Cost: one fact shuffle for
+    the customer join, one dim-sized agg, map-side encode."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        "c_nationkey",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+    )
+    per_nation = oc.groupBy("c_nationkey").agg(
+        F.sum("price").alias("s_n"), F.count("*").alias("n_n")
+    )
+    glob = oc.agg(
+        F.sum("price").alias("s_g"), F.count("*").alias("n_g")
+    )
+    m = F.lit(float(_TE_SMOOTH))
+    enc = (
+        (F.col("s_n") - F.col("price")).cast("double")
+        + m * (F.col("s_g").cast("double") / F.col("n_g").cast("double"))
+    ) / (F.col("n_n") - 1 + _TE_SMOOTH).cast("double")
+    return (
+        oc.join(F.broadcast(per_nation), "c_nationkey")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "c_nationkey",
+            F.round(enc, 6).alias("nation_price_enc"),
+        )
+    )

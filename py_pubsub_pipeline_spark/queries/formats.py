@@ -654,3 +654,68 @@ def scan_recursive_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id", F.md5("text").alias("h")))).getField("h"), ""))
         .alias("corpus_md5"),
     )
+
+
+_JSON_CORRUPT_MOD = 23
+
+
+@query(
+    "scan_jsonl_corrupt",
+    oracle=f"""
+    SELECT CAST(COUNT(*) FILTER (WHERE doc_id % {_JSON_CORRUPT_MOD} != 0)
+                AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (WHERE doc_id % {_JSON_CORRUPT_MOD} = 0)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % {_JSON_CORRUPT_MOD} != 0
+                         THEN n_chars END) AS BIGINT) AS good_chars,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % {_JSON_CORRUPT_MOD} != 0
+                                    THEN lang END) AS BIGINT) AS n_langs
+    FROM documents
+    """,
+)
+def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSONL policy — the JSON twin of scan_csv_permissive
+    (together they pin the SURVEY §1.2 _corrupt_record contract on
+    both text boundary formats): a JSONL copy of documents where
+    every {_JSON_CORRUPT_MOD}th doc's line is truncated mid-object,
+    read back with an explicit schema in PERMISSIVE mode — malformed
+    lines land in _corrupt_record (countable, quarantinable, the
+    batch twin of the streaming dead-letter queue) instead of
+    crashing the job, which is exactly where the reference's posture
+    differs: its json.loads raises and kills the loop on the first
+    bad payload (P:55-57, no try/except at P:172-174). The oracle
+    derives the good/corrupt partition arithmetically from the
+    original parquet, so the hash also proves no good row was lost.
+
+    Scale: JSONL is line-splittable, so unlike scan_csv_multiline
+    this scan parallelizes per-block even at 100 TB; the corrupt
+    column adds storage only for bad lines."""
+    def write(df: DataFrame, p: str) -> None:
+        line = F.when(
+            F.col("doc_id") % _JSON_CORRUPT_MOD == 0,
+            F.concat(F.lit('{"doc_id": '),
+                     F.col("doc_id").cast("string"),
+                     F.lit(', "lang": INVALID')),
+        ).otherwise(
+            F.to_json(F.struct("doc_id", "lang", "n_chars"))
+        )
+        df.select(line.alias("value")).write.mode("overwrite").text(p)
+
+    path = _materialize(spark, sf_dir, "jsonl_corrupt", "documents", write)
+    schema = ("doc_id BIGINT, lang STRING, n_chars BIGINT, "
+              "_corrupt_record STRING")
+    j = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return j.agg(
+        F.count_if(good).cast("long").alias("n_good"),
+        F.count_if(~good).cast("long").alias("n_corrupt"),
+        F.sum(F.when(good, F.col("n_chars"))).cast("long")
+        .alias("good_chars"),
+        F.countDistinct(F.when(good, F.col("lang"))).cast("long")
+        .alias("n_langs"),
+    )

@@ -581,3 +581,164 @@ def fn_rounding_mode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum((F.col("hu") - F.col("he")).cast("decimal(18,6)"))
                 .cast("double"), 4).alias("cumulative_bias"),
     )
+
+
+# --- geo distance ---------------------------------------------------------
+# Deterministic synthetic coordinates derived from c_custkey (the corpus
+# carries no geo columns): lat in (-90, 90), lon in (-180, 180). Both
+# engines derive them with identical integer arithmetic, so the geometry
+# is exactly shared.
+_DEG2RAD = 0.017453292519943295  # math.pi / 180, one literal both engines
+_EARTH_KM = 6371.0088            # IUGG mean radius
+_ANCHOR_LAT = 52.52              # the fixed probe point (Berlin)
+_ANCHOR_LON = 13.405
+_GEO_TOP = 20
+
+
+@query(
+    "fn_geo_haversine",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5 AS lat,
+             CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+      FROM customer
+    ), d AS (
+      SELECT c_custkey, lat, lon,
+             2.0 * {_EARTH_KM} * asin(sqrt(
+               sin((lat - {_ANCHOR_LAT}) * {_DEG2RAD} / 2.0)
+                 * sin((lat - {_ANCHOR_LAT}) * {_DEG2RAD} / 2.0)
+               + cos(lat * {_DEG2RAD}) * cos({_ANCHOR_LAT} * {_DEG2RAD})
+                 * sin((lon - {_ANCHOR_LON}) * {_DEG2RAD} / 2.0)
+                 * sin((lon - {_ANCHOR_LON}) * {_DEG2RAD} / 2.0)
+             )) AS km
+      FROM pts
+    )
+    SELECT c_custkey, ROUND(lat, 4) AS lat, ROUND(lon, 4) AS lon,
+           ROUND(km, 3) AS dist_km
+    FROM d
+    ORDER BY ROUND(km, 3), c_custkey
+    LIMIT {_GEO_TOP}
+    """,
+)
+def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance as a library function: the
+    {_GEO_TOP} customers nearest a fixed anchor point, on synthetic
+    per-customer coordinates derived arithmetically from the key (the
+    corpus has no geo columns; the derivation is identical integer
+    math on both engines, so the geometry is exactly shared). This is
+    the geo-dedup / nearest-store / region-assignment primitive a log
+    or POS pipeline needs.
+
+    Cross-engine float discipline: radians come from one shared
+    multiplication factor (NOT each engine's radians(), whose internal
+    operation order may differ); the formula is written in the same
+    IEEE operation order on both sides; the output and the ORDER BY
+    both use the ROUNDED km (3 decimals ≈ 1 m) with c_custkey as the
+    final tiebreak, so last-ulp libm noise in sin/cos/asin cannot
+    reorder the LIMIT selection.
+
+    Scale: pure map-side arithmetic + a global top-k
+    (TakeOrderedAndProject — per-partition heaps, no full sort). A
+    geo-JOIN variant would bucket both sides by geohash cell and join
+    on cell, same shape as dedup's banded candidates."""
+    c = table(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 180).cast("double") - 90.0 + 0.5
+    lon = ((F.col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5
+    dlat_h = (lat - _ANCHOR_LAT) * _DEG2RAD / 2.0
+    dlon_h = (lon - _ANCHOR_LON) * _DEG2RAD / 2.0
+    km = (
+        2.0 * _EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.sin(dlat_h) * F.sin(dlat_h)
+                + F.cos(lat * _DEG2RAD) * F.cos(F.lit(_ANCHOR_LAT * _DEG2RAD))
+                * F.sin(dlon_h) * F.sin(dlon_h)
+            )
+        )
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.round(lat, 4).alias("lat"),
+            F.round(lon, 4).alias("lon"),
+            F.round(km, 3).alias("dist_km"),
+        )
+        .orderBy("dist_km", "c_custkey")
+        .limit(_GEO_TOP)
+    )
+
+
+# --- IPv4 / CIDR arithmetic ----------------------------------------------
+# Synthetic per-event source IPs derived from user_id with shared integer
+# arithmetic (no IP column in the corpus). The op under test is the CIDR
+# machinery itself: dotted-quad formatting, /16 aggregation, block
+# membership — all exact integer ops, no engine-specific inet types.
+_CIDR_BLOCK_HI = 42  # the monitored block: 10.42.0.0/16
+
+
+@query(
+    "fn_ip_cidr",
+    oracle=f"""
+    WITH ips AS (
+      SELECT user_id,
+             167772160 + (user_id % 250) * 65536
+               + ((user_id * 7) % 256) * 256 + (user_id * 13) % 256
+               AS ip_int
+      FROM events
+    )
+    SELECT CONCAT('10.', CAST((ip_int // 65536) % 256 AS VARCHAR),
+                  '.0.0/16') AS subnet,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(ip_int) AS BIGINT) AS min_ip,
+           CAST(MAX(ip_int) AS BIGINT) AS max_ip,
+           ((ip_int // 65536) % 256 = {_CIDR_BLOCK_HI}) AS in_watch_block
+    FROM ips
+    GROUP BY (ip_int // 65536) % 256
+    """,
+)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4/CIDR arithmetic as a library surface: per-event source IPs
+    (synthesized from user_id with identical integer math on both
+    engines — the corpus carries no IP column) rolled up to /16
+    subnets, with dotted-CIDR formatting, per-subnet event/user
+    counts, the observed address range, and membership of the
+    monitored 10.{_CIDR_BLOCK_HI}.0.0/16 block. This is the
+    log-pipeline primitive behind abuse triage, bot-block matching
+    and per-network rate analysis — done entirely in exact int64
+    arithmetic (an inet type is representation, not semantics).
+
+    Scale: one scan, map-side integer ops, one hash agg keyed by the
+    /16 octet (≤ 256 groups — bounded regardless of corpus size); the
+    distinct-user count is the only per-group state that grows, and
+    it shuffles (octet, user_id) pairs which partial aggregation
+    dedups map-side first."""
+    e = table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    ip_int = (
+        F.lit(167772160)          # 10.0.0.0
+        + (uid % 250) * 65536
+        + ((uid * 7) % 256) * 256
+        + (uid * 13) % 256
+    )
+    ips = e.select("user_id", ip_int.alias("ip_int"))
+    hi = (F.col("ip_int") / 65536).cast("long") % 256
+    return (
+        ips.groupBy(hi.alias("o2"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("ip_int").cast("long").alias("min_ip"),
+            F.max("ip_int").cast("long").alias("max_ip"),
+        )
+        .select(
+            F.concat(F.lit("10."), F.col("o2").cast("string"),
+                     F.lit(".0.0/16")).alias("subnet"),
+            "n_events",
+            "n_users",
+            "min_ip",
+            "max_ip",
+            (F.col("o2") == _CIDR_BLOCK_HI).alias("in_watch_block"),
+        )
+    )

@@ -1335,3 +1335,75 @@ def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .cast("double") - n_tok)
                 / (n_tok.cast("double") * n_tok), 6).alias("yule_k"),
     )
+
+
+# Flesch reading-ease constants (Flesch 1948) and the vowel-group
+# syllable heuristic: one syllable per maximal [aeiouy]+ run.
+_SYL_RE = "[aeiouy]+"
+_SENT_RE = "[.!?]"
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_words,
+             GREATEST(len(regexp_extract_all(text, '{_SENT_RE}')), 1)
+               AS n_sentences,
+             GREATEST(len(regexp_extract_all(text, '{_SYL_RE}')), 1)
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)),
+                 4) AS flesch
+    FROM m
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING-EASE per document — the classic readability
+    quality gate (alongside text_quality's ratio features and
+    text_perplexity_lm's LM score): 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words), with syllables approximated as maximal
+    vowel-group runs (the standard dictionary-free heuristic) and
+    sentence count floored at 1 (this corpus is unpunctuated word
+    salad, so every document is one "sentence" — the formula and its
+    plan shape are what's under test; on punctuated text the same
+    regex does real work).
+
+    Exactness: all three counts are exact integers from the SAME
+    RE2-and-Java-safe character classes on both engines; the formula
+    is one fixed IEEE operation sequence rounded to 4 places.
+
+    Scale: pure map-side regexp counting, zero shuffle, whole-stage
+    codegen; at 100 TB this runs at scan speed next to the other
+    per-document quality columns in one pass."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(_tokens())
+    n_sent = F.greatest(F.regexp_count("text", F.lit(_SENT_RE)), F.lit(1))
+    n_syl = F.greatest(F.regexp_count("text", F.lit(_SYL_RE)), F.lit(1))
+    m = d.select(
+        "doc_id", "lang",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words").cast("double")
+                   / F.col("n_sentences").cast("double"))
+        - 84.6 * (F.col("n_syllables").cast("double")
+                  / F.col("n_words").cast("double"))
+    )
+    return m.select(
+        "doc_id", "lang", "n_words", "n_sentences", "n_syllables",
+        F.round(flesch, 4).alias("flesch"),
+    )
