@@ -1831,3 +1831,100 @@ def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(enc, 6).alias("nation_price_enc"),
         )
     )
+
+
+_NDCG_K = 10
+_NDCG_QUERIES = 8
+
+
+@query(
+    "ml_ndcg",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id % {_NDCG_QUERIES} AS query_id, vec_id, label,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS h
+      FROM embeddings
+    ), ranked AS (
+      SELECT query_id, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY h, vec_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY label DESC, vec_id) AS ideal_rn
+      FROM scored
+    ), terms AS (
+      SELECT query_id,
+             CASE WHEN rn <= {_NDCG_K}
+                  THEN CAST((power(2, label) - 1.0) / log2(rn + 1)
+                            AS DECIMAL(18,12)) END AS dcg_term,
+             CASE WHEN ideal_rn <= {_NDCG_K}
+                  THEN CAST((power(2, label) - 1.0) / log2(ideal_rn + 1)
+                            AS DECIMAL(18,12)) END AS idcg_term
+      FROM ranked
+    )
+    SELECT query_id,
+           ROUND(CAST(SUM(dcg_term) AS DOUBLE), 6) AS dcg,
+           ROUND(CAST(SUM(idcg_term) AS DOUBLE), 6) AS idcg,
+           ROUND(CAST(SUM(dcg_term) AS DOUBLE)
+                 / CAST(SUM(idcg_term) AS DOUBLE), 6) AS ndcg
+    FROM terms GROUP BY query_id
+    """,
+)
+def ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{_NDCG_K} — the graded-relevance RANKING metric that
+    completes the eval family (ml_auc_roc scores binary ordering,
+    ml_average_precision scores binary ranking, gains/lift scores
+    deciles; none of them credit a ranker for putting a rel-9 result
+    above a rel-3 one — nDCG's 2^rel−1 gain does).  Queries are the
+    vec_id%{_NDCG_QUERIES} partitions of the embeddings table; the
+    system ranking under eval is the deterministic md5 pseudo-score
+    (a hash is exactly reproducible on both engines — plug a model
+    score column into the same plan in production); relevance is the
+    label.  nDCG = DCG/IDCG with IDCG from the label-sorted ideal
+    ranking.
+
+    Exactness: gains are exact small-int powers of two; each
+    gain/log2(rank+1) term is QUANTIZED through DECIMAL(18,12) before
+    the cross-row sum (the registry's libm rule: last-ulp log2
+    differences between engines die in the quantization, and decimal
+    addition is order-independent), with one rounded double division
+    at the end.
+
+    Scale: two row_number windows per query partition and a
+    query-bounded agg — the standard offline-eval shape; at 10^6
+    queries the partitions parallelize and no partition exceeds its
+    candidate-list length."""
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("vec_id") % _NDCG_QUERIES).alias("query_id"),
+        "vec_id",
+        "label",
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8).alias("h"),
+    )
+    w_sys = Window.partitionBy("query_id").orderBy("h", "vec_id")
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.desc("label"), "vec_id"
+    )
+    ranked = scored.select(
+        "query_id", "label",
+        F.row_number().over(w_sys).alias("rn"),
+        F.row_number().over(w_ideal).alias("ideal_rn"),
+    )
+    gain = F.pow(F.lit(2), F.col("label")) - 1.0
+    terms = ranked.select(
+        "query_id",
+        F.when(F.col("rn") <= _NDCG_K,
+               (gain / F.log2(F.col("rn") + 1)).cast("decimal(18,12)"))
+        .alias("dcg_term"),
+        F.when(F.col("ideal_rn") <= _NDCG_K,
+               (gain / F.log2(F.col("ideal_rn") + 1))
+               .cast("decimal(18,12)"))
+        .alias("idcg_term"),
+    )
+    return terms.groupBy("query_id").agg(
+        F.round(F.sum("dcg_term").cast("double"), 6).alias("dcg"),
+        F.round(F.sum("idcg_term").cast("double"), 6).alias("idcg"),
+        F.round(
+            F.sum("dcg_term").cast("double")
+            / F.sum("idcg_term").cast("double"), 6
+        ).alias("ndcg"),
+    )

@@ -742,3 +742,86 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o2") == _CIDR_BLOCK_HI).alias("in_watch_block"),
         )
     )
+
+
+# --- Luhn checksum --------------------------------------------------------
+# Synthetic 16-digit PAN-shaped numbers derived from o_orderkey (the
+# corpus carries no card column; the derivation is shared integer math).
+_LUHN_LEN = 16
+
+
+@query(
+    "fn_luhn_checksum",
+    oracle=f"""
+    WITH cards AS (
+      SELECT o_orderkey,
+             lpad(CAST(o_orderkey * 37 + 11 AS VARCHAR), {_LUHN_LEN}, '0')
+               AS pan
+      FROM orders
+    ), sums AS (
+      SELECT o_orderkey, pan,
+             list_sum([
+               CASE WHEN ({_LUHN_LEN + 1} - i) % 2 = 0 THEN
+                 CASE WHEN 2 * CAST(substring(pan, CAST(i AS INT), 1)
+                                    AS INT) > 9
+                      THEN 2 * CAST(substring(pan, CAST(i AS INT), 1)
+                                    AS INT) - 9
+                      ELSE 2 * CAST(substring(pan, CAST(i AS INT), 1)
+                                    AS INT) END
+               ELSE CAST(substring(pan, CAST(i AS INT), 1) AS INT) END
+               FOR i IN generate_series(1, {_LUHN_LEN})
+             ]) AS luhn_sum
+      FROM cards
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cards,
+           CAST(COUNT(*) FILTER (WHERE luhn_sum % 10 = 0) AS BIGINT)
+             AS n_valid,
+           CAST(COUNT(*) FILTER (WHERE luhn_sum % 10 != 0) AS BIGINT)
+             AS n_invalid,
+           ROUND(CAST(COUNT(*) FILTER (WHERE luhn_sum % 10 = 0)
+                      AS DOUBLE) / COUNT(*), 6) AS valid_rate
+    FROM sums
+    """,
+)
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN (mod-10) checksum validation — the missing half of PII
+    detection: text_pii_redact's regexes find NUMBER-SHAPED strings,
+    but 90% of 16-digit matches are order ids, not cards; the Luhn
+    check is what separates a plausible PAN from noise before a
+    redaction pass burns it. Validates synthetic PAN-shaped numbers
+    (derived from o_orderkey with shared integer math) digit-by-digit:
+    double every second digit from the right, fold >9 back by −9,
+    valid iff the sum ≡ 0 (mod 10).
+
+    Exactness: pure integer digit arithmetic on both engines — the
+    per-digit fold runs as a higher-order array aggregate (Spark
+    F.aggregate over sequence(1,{_LUHN_LEN}); DuckDB list
+    comprehension), no floats until the one rounded rate.
+
+    Scale: map-side arithmetic with a single global count agg — scan
+    speed; in a real redaction pipeline this predicate slots between
+    the regex candidate match and the masking step, cutting false
+    positives at zero extra shuffles."""
+    o = table(spark, sf_dir, "orders")
+    pan = F.lpad((F.col("o_orderkey") * 37 + 11).cast("string"),
+                 _LUHN_LEN, "0")
+    cards = o.select("o_orderkey", pan.alias("pan"))
+    dig = lambda i: F.substr(F.col("pan"), i, F.lit(1)).cast("int")  # noqa: E731
+    luhn_sum = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_LUHN_LEN)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (F.lit(_LUHN_LEN + 1) - i) % 2 == 0,
+            F.when(2 * dig(i) > 9, 2 * dig(i) - 9).otherwise(2 * dig(i)),
+        ).otherwise(dig(i)),
+    )
+    sums = cards.select(luhn_sum.alias("luhn_sum"))
+    valid = F.col("luhn_sum") % 10 == 0
+    return sums.agg(
+        F.count("*").cast("long").alias("n_cards"),
+        F.count_if(valid).cast("long").alias("n_valid"),
+        F.count_if(~valid).cast("long").alias("n_invalid"),
+        F.round(F.count_if(valid).cast("double") / F.count("*"), 6)
+        .alias("valid_rate"),
+    )

@@ -2347,3 +2347,93 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("dominant_period_h"),
                 F.round("r", 6).alias("acf_peak"))
     )
+
+
+@query(
+    "ts_cusum",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), ref AS (
+      SELECT event_type, SUM(x) // COUNT(*) AS k
+      FROM hourly GROUP BY event_type
+    ), pre AS (
+      SELECT h.event_type, h.bucket, h.x,
+             SUM(h.x - r.k) OVER (PARTITION BY h.event_type
+                                  ORDER BY h.bucket) AS p
+      FROM hourly h JOIN ref r ON r.event_type = h.event_type
+    ), cus AS (
+      SELECT event_type, bucket, x,
+             p - LEAST(MIN(p) OVER (PARTITION BY event_type
+                                    ORDER BY bucket), 0) AS cusum
+      FROM pre
+    )
+    SELECT event_type, bucket AS peak_bucket,
+           CAST(x AS BIGINT) AS x_at_peak,
+           CAST(cusum AS BIGINT) AS max_cusum,
+           CAST(n_buckets AS BIGINT) AS n_buckets
+    FROM (
+      SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS n_buckets,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cusum DESC, bucket) AS rn
+      FROM cus
+    ) WHERE rn = 1
+    """,
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM upward-shift detection per event type — the
+    sequential changepoint statistic (Page 1954) that ts_change_detect's
+    window z-gate can't replicate: CUSUM accumulates SMALL persistent
+    deviations until they cross, catching slow drifts a per-bucket
+    sigma test never flags.  The textbook recursion
+    S_t = max(0, S_{t-1} + x_t − k) is sequential, which is exactly
+    what a distributed engine can't run — so the engine uses the
+    prefix identity S_t = P_t − min(0, min_{s≤t} P_s) with
+    P = running sum of (x − k): two window passes over the same
+    partition-and-order, no recursion, no iteration.  Reports each
+    type's peak excursion and when it happened.
+
+    Exactness: the reference level k is the FLOORED per-type mean
+    (exact integer division), so every deviation, prefix sum, minimum
+    and the statistic itself stay in exact BIGINT arithmetic — no
+    float accumulation anywhere.
+
+    Scale: one hash agg to hourly buckets (map-side partials), then
+    two windows and the argmax row_number over the BUCKET table —
+    spine-sized (types × hours), thousands of rows per year per type
+    regardless of event volume; the per-type serialization the window
+    implies is bounded by that spine, not by the corpus."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("x"))
+    )
+    ref = hourly.groupBy("event_type").agg(
+        F.floor(F.sum("x") / F.count("*")).alias("k")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    pre = (
+        hourly.join(F.broadcast(ref), "event_type")
+        .withColumn("p", F.sum(F.col("x") - F.col("k")).over(w))
+    )
+    cus = pre.withColumn(
+        "cusum", F.col("p") - F.least(F.min("p").over(w), F.lit(0))
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = cus.select(
+        "event_type", "bucket", "x", "cusum",
+        F.count("*").over(wt).alias("n_buckets"),
+        F.row_number().over(
+            Window.partitionBy("event_type")
+            .orderBy(F.desc("cusum"), "bucket")
+        ).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("bucket").alias("peak_bucket"),
+        F.col("x").cast("long").alias("x_at_peak"),
+        F.col("cusum").cast("long").alias("max_cusum"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+    )
