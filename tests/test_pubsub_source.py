@@ -314,3 +314,50 @@ def test_client_reader_redelivery_after_deadline_is_at_least_once():
     rows, _ = r2.read(r2.initialOffset())
     assert [bytes(v) for _, v in rows] == [b"only"]
     assert fake.acked == [], "duplicate window exists until an ack lands"
+
+
+def test_two_stage_chained_pipelines(spark, tmp_path):
+    """The reference's primary deployment shape (RM:1-4: enrichment
+    pipelines between pub/sub queues) is SERVICES CHAINED
+    topic-to-topic: stage 1's outgoing topic is stage 2's incoming
+    subscription. Two complete SparkPipelines with independent
+    checkpoints compose through a shared middle topic directory; each
+    stage's offsets commit only after ITS publish (per-stage
+    ack-after-publish), so a crash between stages replays only the
+    unacked stage. Asserts both enrichments land, in order, and both
+    stages committed."""
+    t_in = str(tmp_path / "t0")
+    t_mid = str(tmp_path / "t1")
+    for i in range(4):
+        publish(t_in, json.dumps({"i": i}).encode())
+
+    from py_pubsub_pipeline_spark.pipeline import (
+        CollectingSink,
+        DirectorySink,
+        FileStreamSource,
+        SparkPipeline,
+    )
+
+    SparkPipeline(
+        spark=spark,
+        source=PubSubStreamSource(t_in),
+        sink=DirectorySink(t_mid),
+        processor=lambda m: {**m, "stage1": m["i"] * 10},
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    ).process()
+
+    sink2 = CollectingSink()
+    SparkPipeline(
+        spark=spark,
+        source=FileStreamSource(t_mid),
+        sink=sink2,
+        processor=lambda m: {**m, "stage2": m["stage1"] + 1},
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    ).process()
+
+    out = sorted((json.loads(bytes(r)) for r in sink2.rows),
+                 key=lambda d: d["i"])
+    assert [d["i"] for d in out] == [0, 1, 2, 3]
+    assert all(d["stage2"] == d["i"] * 10 + 1 for d in out)
+    for ckpt in ("ckpt1", "ckpt2"):
+        assert os.listdir(str(tmp_path / ckpt / "commits")), ckpt
