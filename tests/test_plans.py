@@ -657,3 +657,42 @@ def test_pca_v_broadcasts_between_iterations(spark):
     final = _final(_executed(REG["emb_pca_power"].fn(spark, SF_SMALL),
                              spark))
     assert "BroadcastHashJoin" in final, final
+
+
+def test_target_encode_broadcasts_category_stats_no_fact_window(spark):
+    # LOO encode must attach category stats via broadcast join, never a
+    # per-category window over the fact (one-task-per-category hazard).
+    plan = _executed(REG["ml_target_encode"].fn(spark, SF_SMALL), spark)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan, "fact-side window would serialize categories"
+
+
+def test_geo_haversine_is_top_k_not_full_sort(spark):
+    plan = _executed(REG["fn_geo_haversine"].fn(spark, SF_SMALL), spark)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cusum_windows_ride_bucket_spine_single_exchange(spark):
+    # Both window passes and the argmax share the (event_type) spine
+    # partitioning: exactly one shuffle after the hourly hash agg.
+    plan = _final(_executed(REG["ts_cusum"].fn(spark, SF_SMALL), spark))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan  # hourly agg + mean agg + spine window
+    assert "BatchEvalPython" not in plan
+
+
+def test_tokenizer_ops_stay_codegen(spark):
+    for key in ("ml_bpe_pair_counts", "ml_tokenizer_fertility",
+                "text_kneser_ney", "text_readability",
+                "fn_luhn_checksum", "fn_ip_cidr"):
+        plan = _executed(REG[key].fn(spark, SF_SMALL), spark)
+        assert "BatchEvalPython" not in plan, key
+        assert "[codegen id" in plan, key
+
+
+def test_ndcg_terms_quantized_before_sum(spark):
+    # The optimized plan must carry the DECIMAL(18,12) quantization of
+    # the per-rank terms (the libm-portability contract).
+    df = REG["ml_ndcg"].fn(spark, SF_SMALL)
+    assert "decimal(18,12)" in _optimized(df).lower()
