@@ -141,7 +141,8 @@ _R4_NEW = frozenset({
     "graph_assortativity", "ml_bpe_pair_counts", "ml_tokenizer_fertility",
     "text_kneser_ney", "fn_geo_haversine", "fn_ip_cidr",
     "ml_target_encode", "text_readability", "scan_jsonl_corrupt",
-    "ts_cusum", "ml_ndcg", "fn_luhn_checksum",
+    "ts_cusum", "ml_ndcg", "fn_luhn_checksum", "dedup_incremental",
+    "scan_file_lineage", "cdc_debezium_envelope",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

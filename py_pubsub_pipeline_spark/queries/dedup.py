@@ -1062,3 +1062,100 @@ def dedup_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 4)
         .select("name_a", "name_b", "code", F.col("dist").cast("int"))
     )
+
+
+# Incremental split: docs whose md5 first hex digit < 'd' form the
+# standing CORPUS (~81%); the rest are the NEW batch to be admitted.
+_INCR_GATE = "d"
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    tagged AS (
+      SELECT s.doc_id, s.s,
+             substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1) < '{_INCR_GATE}'
+               AS in_corpus
+      FROM sh s
+    ), hits AS (
+      SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+             COUNT(*) AS shared
+      FROM tagged n JOIN tagged c ON c.s = n.s
+      WHERE NOT n.in_corpus AND c.in_corpus
+      GROUP BY 1, 2
+    ), verdicts AS (
+      SELECT h.new_id, h.corpus_id,
+             CAST(h.shared AS DOUBLE)
+               / (sn.n + sc.n - h.shared) AS jaccard
+      FROM hits h
+      JOIN sizes sn ON sn.doc_id = h.new_id
+      JOIN sizes sc ON sc.doc_id = h.corpus_id
+      WHERE CAST(h.shared AS DOUBLE) / (sn.n + sc.n - h.shared)
+            >= {JACCARD_THRESHOLD}
+    )
+    SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_corpus_dups,
+           CAST(MIN(corpus_id) AS BIGINT) AS first_dup_of,
+           ROUND(MAX(jaccard), 6) AS max_jaccard
+    FROM verdicts GROUP BY new_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup — the shape production actually runs:
+    a new crawl batch is admitted against the STANDING corpus, not by
+    re-deduping the world (the full-corpus queries here rebuild
+    everything; a daily pipeline can't).  The corpus/new split is a
+    deterministic md5 gate (~81/19).  Only NEW×CORPUS candidate pairs
+    are generated — the join is one-sided, so its cost scales with
+    the BATCH (times per-shingle corpus df), not with corpus²; new×new
+    pairs are left to the next full compaction, corpus×corpus pairs
+    were already settled when those docs were admitted.  Emits, per
+    new doc that collides, how many corpus near-dups it has, the
+    canonical (lowest-id) collision, and the worst Jaccard — the
+    admission verdict a curation gate consumes.
+
+    Scale: at 100 TB the corpus side of the join is served by the
+    PERSISTED shingle inverted index (the same (h, doc_id) table
+    dedup_ngram_capped builds — write it out partitioned by h bucket
+    and the daily job shuffles only the new batch's shingles into it;
+    a bucketed-table join makes the corpus side zero-shuffle,
+    join_bucketed's plan).  The df cap applies to the corpus postings
+    exactly as in dedup_ngram_capped; uncapped here because the
+    oracle defines exact semantics."""
+    sh = _shingles(spark, sf_dir)
+    in_corpus = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        < _INCR_GATE
+    )
+    tagged = sh.select("doc_id", "s", in_corpus.alias("in_corpus"))
+    new = tagged.filter(~F.col("in_corpus")).select(
+        F.col("doc_id").alias("new_id"), "s"
+    )
+    corpus = tagged.filter(F.col("in_corpus")).select(
+        F.col("doc_id").alias("corpus_id"), "s"
+    )
+    hits = (
+        new.join(corpus, "s")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    verdicts = (
+        hits.join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "new_id")
+                        .withColumnRenamed("n", "nn")), "new_id")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "corpus_id")
+                        .withColumnRenamed("n", "nc")), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("nn") + F.col("nc") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verdicts.groupBy("new_id").agg(
+        F.count("*").cast("long").alias("n_corpus_dups"),
+        F.min("corpus_id").cast("long").alias("first_dup_of"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )

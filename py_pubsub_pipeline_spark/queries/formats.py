@@ -719,3 +719,50 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(good, F.col("lang"))).cast("long")
         .alias("n_langs"),
     )
+
+
+@query(
+    "scan_file_lineage",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS min_row_index,
+           CAST(COUNT(*) - 1 AS BIGINT) AS max_row_index,
+           CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT)
+             AS row_index_checksum,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+    FROM orders
+    """,
+)
+def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL LINEAGE from the scan itself: Spark's hidden
+    `_metadata` struct (file_path/file_name/row_index, Spark ≥3.4)
+    gives every row its physical provenance with ZERO user bookkeeping
+    — the dq/audit primitive behind "which file did this bad row come
+    from" (dq_volume_anomaly finds a count spike; this finds the file
+    to quarantine) and behind record-addressable reprocessing
+    (file_name + row_index is a stable row id for a static corpus).
+
+    The contract under test: row_index is exactly 0..N−1 within each
+    file — pinned by the closed-form checksum Σ row_index = N(N−1)/2
+    plus min/max, all of which the oracle predicts from the row count
+    alone (the driver corpus is one parquet file per table,
+    TESTDATA.md; on a multi-file corpus the same query groups per
+    file and the checksum holds per file).
+
+    Scale: _metadata is populated by the scan operator itself — no
+    join, no window, no shuffle beyond the one file-bounded agg; the
+    columnar read is unchanged (ReadSchema carries only the queried
+    key column)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+        "o_orderkey",
+    )
+    return o.groupBy("file_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("row_index").cast("long").alias("min_row_index"),
+        F.max("row_index").cast("long").alias("max_row_index"),
+        F.sum("row_index").cast("long").alias("row_index_checksum"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+    )

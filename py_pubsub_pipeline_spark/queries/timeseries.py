@@ -2437,3 +2437,101 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cusum").cast("long").alias("max_cusum"),
         F.col("n_buckets").cast("long").alias("n_buckets"),
     )
+
+
+@query(
+    "cdc_debezium_envelope",
+    oracle="""
+    WITH ops AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'd'
+                  WHEN o_orderkey % 10 <= 3 THEN 'u'
+                  ELSE 'c' END AS op
+      FROM orders
+    ), env AS (
+      SELECT to_json(struct_pack(
+               op := op,
+               before := CASE WHEN op != 'c' THEN struct_pack(
+                 o_orderkey := o_orderkey, o_totalprice := o_totalprice)
+               END,
+               after := CASE WHEN op != 'd' THEN struct_pack(
+                 o_orderkey := o_orderkey,
+                 o_totalprice := o_totalprice + 5.0)
+               END)) AS payload
+      FROM ops
+    ), parsed AS (
+      SELECT payload->>'$.op' AS op,
+             CAST(payload->>'$.before.o_orderkey' AS BIGINT) AS b_key,
+             CAST(payload->>'$.after.o_orderkey' AS BIGINT) AS a_key,
+             CAST(payload->>'$.after.o_totalprice' AS DOUBLE) AS a_price
+      FROM env
+    )
+    SELECT op,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(b_key) AS BIGINT) AS n_before,
+           CAST(COUNT(a_key) AS BIGINT) AS n_after,
+           CAST(SUM(CAST(a_price AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_after_price
+    FROM parsed GROUP BY op
+    """,
+)
+def cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEBEZIUM-SHAPED CDC envelope parsing — the ingestion step the
+    other cdc_* ops assume already happened: real change streams
+    arrive as {"op": c|u|d, "before": {...}, "after": {...}} JSON
+    envelopes, and the engine must parse, validate the op/image
+    contract (creates carry no before-image, deletes no after-image),
+    and extract typed images before cdc_latest_state/cdc_apply_merge
+    can compact them. Each engine BUILDS the envelope with its own
+    JSON writer and PARSES it with its own JSON reader (from_json with
+    an explicit nested schema on Spark, JSON-path extraction in
+    DuckDB); the comparison is on the recovered TYPED fields, so the
+    hash proves lossless roundtrip of nested nullable structs and
+    doubles through each engine's full JSON stack — shortest-repr
+    float printing included.
+
+    Scale: map-side string build + parse, one op-bounded hash agg;
+    at 100 TB the parse cost is the scan cost (from_json is codegen'd
+    Jackson, no Python), and malformed envelopes would land in
+    _corrupt_record per the scan_jsonl_corrupt policy rather than
+    killing the stream."""
+    o = table(spark, sf_dir, "orders")
+    op = (
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("d"))
+        .when(F.col("o_orderkey") % 10 <= 3, F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    image = F.struct(
+        F.col("o_orderkey"), F.col("o_totalprice")
+    )
+    after_image = F.struct(
+        F.col("o_orderkey"),
+        (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+    )
+    env = o.select(
+        F.to_json(
+            F.struct(
+                op.alias("op"),
+                F.when(op != "c", image).alias("before"),
+                F.when(op != "d", after_image).alias("after"),
+            )
+        ).alias("payload")
+    )
+    schema = ("op STRING, "
+              "before STRUCT<o_orderkey BIGINT, o_totalprice DOUBLE>, "
+              "after STRUCT<o_orderkey BIGINT, o_totalprice DOUBLE>")
+    parsed = env.select(
+        F.from_json("payload", schema).alias("e")
+    ).select(
+        F.col("e.op").alias("op"),
+        F.col("e.before.o_orderkey").alias("b_key"),
+        F.col("e.after.o_orderkey").alias("a_key"),
+        F.col("e.after.o_totalprice").alias("a_price"),
+    )
+    return parsed.groupBy("op").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("b_key").cast("long").alias("n_before"),
+        F.count("a_key").cast("long").alias("n_after"),
+        F.sum(F.col("a_price").cast("decimal(18,6)")).cast("double")
+        .alias("sum_after_price"),
+    )

@@ -267,3 +267,57 @@ def test_psi_is_nonnegative_and_zero_iff_identical(args):
     assert abs(_psi(ref, ref)) < 1e-12
     # symmetry of the smoothed form
     assert abs(psi - _psi(cur, ref)) < 1e-9
+
+
+# --- CUSUM prefix identity (ts_cusum) ------------------------------------
+# The engine computes Page's recursion S_t = max(0, S_{t-1} + d_t) as
+# S_t = P_t - min(0, min_{s<=t} P_s) with P the prefix sum of d — two
+# window passes instead of a sequential fold. The identity must hold
+# for EVERY deviation sequence, not just the corpus.
+
+
+@given(st.lists(st.integers(min_value=-50, max_value=50), min_size=1,
+                max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_cusum_prefix_identity_matches_sequential_recursion(devs):
+    s, seq = 0, []
+    for d in devs:
+        s = max(0, s + d)
+        seq.append(s)
+    p, running_min, pre = 0, 0, []
+    for d in devs:
+        p += d
+        pre.append(p - min(0, running_min := min(running_min, p)))
+    assert pre == seq
+
+
+# --- Luhn checksum (fn_luhn_checksum) ------------------------------------
+# The digit-fold must agree with the reference algorithm for every
+# numeric string, and appending the correct check digit must validate.
+
+
+def _luhn_sum(pan: str) -> int:
+    total = 0
+    for i, ch in enumerate(pan):  # i is 0-based from the LEFT
+        d = int(ch)
+        if (len(pan) - i) % 2 == 0:  # even position from the right
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total
+
+
+@given(st.integers(min_value=0, max_value=10**15 - 1))
+@settings(max_examples=300, deadline=None)
+def test_luhn_check_digit_construction_validates(body):
+    pan15 = f"{body:015d}"
+    # check digit for a 16-digit PAN whose first 15 digits are pan15:
+    # doubling pattern of the 16-digit layout applies to the body.
+    partial = _luhn_sum(pan15 + "0")
+    check = (10 - partial % 10) % 10
+    assert _luhn_sum(pan15 + str(check)) % 10 == 0
+    # and any OTHER final digit must fail
+    for wrong in range(10):
+        if wrong != check:
+            assert _luhn_sum(pan15 + str(wrong)) % 10 != 0
