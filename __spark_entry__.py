@@ -142,7 +142,8 @@ _R4_NEW = frozenset({
     "text_kneser_ney", "fn_geo_haversine", "fn_ip_cidr",
     "ml_target_encode", "text_readability", "scan_jsonl_corrupt",
     "ts_cusum", "ml_ndcg", "fn_luhn_checksum", "dedup_incremental",
-    "scan_file_lineage", "cdc_debezium_envelope",
+    "scan_file_lineage", "cdc_debezium_envelope", "emb_norm_stats",
+    "agg_heavy_hitters_bounds", "decontaminate_fuzzy",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

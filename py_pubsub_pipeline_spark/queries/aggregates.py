@@ -2517,3 +2517,111 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("vk", 2).alias("tail_threshold"),
                 "hill_alpha")
     )
+
+
+# Distributed heavy-hitters parameters: P shards x top-K candidates.
+_HH_SHARDS = 8
+_HH_K = 20
+_HH_REPORT = 10
+
+
+@query(
+    "agg_heavy_hitters_bounds",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % {_HH_SHARDS} AS shard,
+             UNNEST(string_split(text, ' ')) AS token
+      FROM documents
+    ), shard_counts AS (
+      SELECT shard, token, COUNT(*) AS cnt
+      FROM toks GROUP BY shard, token
+    ), ranked AS (
+      SELECT shard, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY cnt DESC, token) AS rn
+      FROM shard_counts
+    ), thr AS (
+      SELECT shard,
+             MAX(CASE WHEN rn = {_HH_K + 1} THEN cnt ELSE 0 END) AS t
+      FROM ranked GROUP BY shard
+    ), kept AS (
+      SELECT shard, token, cnt FROM ranked WHERE rn <= {_HH_K}
+    ), cand AS (
+      SELECT k.token, SUM(k.cnt) AS lb, SUM(th.t) AS present_thr
+      FROM kept k JOIN thr th ON th.shard = k.shard
+      GROUP BY k.token
+    ), total AS (
+      SELECT SUM(t) AS total_thr FROM thr
+    ), exact AS (
+      SELECT token, COUNT(*) AS exact_cnt
+      FROM toks GROUP BY token
+    )
+    SELECT c.token AS token,
+           CAST(c.lb AS BIGINT) AS lower_bound,
+           CAST(c.lb + t.total_thr - c.present_thr AS BIGINT)
+             AS upper_bound,
+           CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+           (e.exact_cnt BETWEEN c.lb
+              AND c.lb + t.total_thr - c.present_thr) AS within_bounds
+    FROM cand c CROSS JOIN total t
+    JOIN exact e ON e.token = c.token
+    ORDER BY c.lb DESC, c.token LIMIT {_HH_REPORT}
+    """,
+)
+def agg_heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED HEAVY HITTERS with deterministic error bounds — the
+    mergeable-summaries construction (per-shard Misra-Gries-style
+    top-{_HH_K} with threshold tracking, TPUT-style merge): each of
+    {_HH_SHARDS} shards keeps its exact top-{_HH_K} tokens plus its
+    drop threshold (the count at rank {_HH_K + 1} — everything the
+    shard discarded is ≤ it); merging gives every candidate a LOWER
+    bound (sum of kept counts) and an UPPER bound (+ threshold of
+    every shard that dropped it). Unlike agg_countmin_topk's hashed
+    grid this is comparison-based: no collisions, bounds from ranks.
+    Like dedup_minhash_estimate, the query is its own CALIBRATION
+    AUDIT — it joins the exact counts back and asserts
+    lb ≤ exact ≤ ub per candidate (within_bounds must be all-true by
+    THEOREM, and the oracle hash pins it).
+
+    Scale: the whole point — per-shard summaries are k-bounded, so
+    the merge stage moves {_HH_SHARDS}×{_HH_K} rows no matter how
+    many tokens the corpus has; the rank window partitions by shard
+    (parallel, shard-bounded). The exact-count join is the audit
+    half; a production rollout drops it and keeps only the bounds."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % _HH_SHARDS).alias("shard"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    shard_counts = toks.groupBy("shard", "token").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), "token")
+    ranked = shard_counts.withColumn("rn", F.row_number().over(w))
+    thr = ranked.groupBy("shard").agg(
+        F.max(F.when(F.col("rn") == _HH_K + 1, F.col("cnt"))
+              .otherwise(0)).alias("t")
+    )
+    kept = ranked.filter(F.col("rn") <= _HH_K)
+    cand = (
+        kept.join(F.broadcast(thr), "shard")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("lb"), F.sum("t").alias("present_thr"))
+    )
+    total = thr.agg(F.sum("t").alias("total_thr"))
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    ub = F.col("lb") + F.col("total_thr") - F.col("present_thr")
+    return (
+        cand.crossJoin(F.broadcast(total))
+        .join(exact, "token")
+        .select(
+            "token",
+            F.col("lb").cast("long").alias("lower_bound"),
+            ub.cast("long").alias("upper_bound"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("exact_cnt").between(F.col("lb"), ub)
+            .alias("within_bounds"),
+        )
+        .orderBy(F.desc("lower_bound"), "token")
+        .limit(_HH_REPORT)
+    )

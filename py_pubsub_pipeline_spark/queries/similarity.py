@@ -1103,3 +1103,103 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vj", 4).alias("loading"),
         F.round("nrm", 4).alias("eigenvalue"),
     )
+
+
+@query(
+    "emb_norm_stats",
+    oracle="""
+    WITH x AS (
+      SELECT label, vec_id, embedding AS e FROM embeddings
+    ), norms AS (
+      SELECT label, vec_id,
+             sqrt(CAST(list_aggregate(
+               list_transform(e, v -> CAST(CAST(v AS DOUBLE)
+                                           * CAST(v AS DOUBLE)
+                                           AS DECIMAL(18,12))),
+               'sum') AS DOUBLE)) AS nrm
+      FROM x
+    ), comp AS (
+      SELECT label, CAST(i AS INT) AS d, CAST(e[CAST(i AS INT)] AS DOUBLE) AS v
+      FROM x, UNNEST(generate_series(1, len(e))) t(i)
+    ), meanvec AS (
+      SELECT label, d,
+             CAST(SUM(CAST(v AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM comp GROUP BY label, d
+    ), mnorm AS (
+      SELECT label,
+             sqrt(CAST(SUM(CAST(m * m AS DECIMAL(18,12))) AS DOUBLE)) AS mn
+      FROM meanvec GROUP BY label
+    ), per_label AS (
+      SELECT label, COUNT(*) AS n,
+             CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+               AS avg_norm,
+             MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+      FROM norms GROUP BY label
+    )
+    SELECT p.label AS label, CAST(p.n AS BIGINT) AS n,
+           ROUND(p.avg_norm, 6) AS avg_norm,
+           ROUND(p.min_norm, 6) AS min_norm,
+           ROUND(p.max_norm, 6) AS max_norm,
+           ROUND(m.mn / p.avg_norm, 6) AS anisotropy
+    FROM per_label p JOIN mnorm m ON m.label = p.label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING HEALTH MONITOR per label: norm distribution (avg/
+    min/max) plus the ANISOTROPY ratio ||mean vector|| / mean ||v|| —
+    the one-number collapse detector (≈0: directions cancel, healthy
+    isotropic cloud; ≈1: all vectors share a dominant direction, the
+    degenerate cone that makes cosine similarity meaningless and that
+    emb_pca_power's debias axis removes). Run this BEFORE trusting
+    any sim_*/dedup_embedding verdicts on a new embedding model.
+
+    Exactness: each squared component is quantized through
+    DECIMAL(18,12) and folded in decimal (order-independent, the
+    similarity-family rule); sqrt is IEEE exactly-rounded, so
+    per-row norms are bit-identical across engines; the mean vector
+    sums per-dimension in decimal through a (label, dim)-bounded agg.
+
+    Scale: one pass for norms (map-side array fold, no explode) and
+    one posexplode keyed by (label, dim) — shuffle volume is
+    dims x labels x partial-counts, bounded by schema not corpus; the
+    mean-vector join back is dim-table-sized."""
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda v: v.cast("double")  # noqa: E731
+    sq_terms = F.transform(
+        "embedding", lambda v: (xd(v) * xd(v)).cast("decimal(18,12)")
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            sq_terms,
+            F.lit(0).cast("decimal(18,12)"),
+            lambda acc, v: (acc + v).cast("decimal(18,12)"),
+        ).cast("double")
+    )
+    norms = e.select("label", "vec_id", nrm.alias("nrm"))
+    per_label = norms.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum(F.col("nrm").cast("decimal(18,12)")).cast("double")
+         / F.count("*")).alias("avg_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("d", "v")
+    ).select("label", "d", F.col("v").cast("double").alias("v"))
+    meanvec = comp.groupBy("label", "d").agg(
+        (F.sum(F.col("v").cast("decimal(18,12)")).cast("double")
+         / F.count("*")).alias("m")
+    )
+    mnorm = meanvec.groupBy("label").agg(
+        F.sqrt(
+            F.sum((F.col("m") * F.col("m")).cast("decimal(18,12)"))
+            .cast("double")
+        ).alias("mn")
+    )
+    return per_label.join(F.broadcast(mnorm), "label").select(
+        "label", "n",
+        F.round("avg_norm", 6).alias("avg_norm"),
+        F.round("min_norm", 6).alias("min_norm"),
+        F.round("max_norm", 6).alias("max_norm"),
+        F.round(F.col("mn") / F.col("avg_norm"), 6).alias("anisotropy"),
+    )

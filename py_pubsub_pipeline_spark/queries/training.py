@@ -397,3 +397,104 @@ def text_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "email", "pseudo",
         F.md5(out_text).alias("pseudonymized_md5"),
     )
+
+
+# Fuzzy decontamination: eval membership is an md5 gate (~1/16 of the
+# corpus stands in for the benchmark set); signatures agree on >= this
+# many of the 16 minhash slots => estimated Jaccard >= 0.5.
+_FUZZY_EVAL_GATE = "0"
+_FUZZY_MIN_AGREE = 8
+_FUZZY_N_MH = 16
+
+
+@query(
+    "decontaminate_fuzzy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) t(i)
+    ), hashes AS (
+      SELECT doc_id, t.i AS i,
+             MIN(md5(CAST(t.i AS VARCHAR) || '|' || s)) AS mh
+      FROM sh, UNNEST(generate_series(0, {_FUZZY_N_MH - 1})) t(i)
+      GROUP BY doc_id, t.i
+    ), split AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               = '{_FUZZY_EVAL_GATE}' AS is_eval
+      FROM documents
+    ), agree AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+             COUNT(*) AS mh_agree
+      FROM hashes t
+      JOIN split st ON st.doc_id = t.doc_id AND NOT st.is_eval
+      JOIN hashes e ON e.i = t.i AND e.mh = t.mh
+      JOIN split se ON se.doc_id = e.doc_id AND se.is_eval
+      GROUP BY 1, 2
+    )
+    SELECT train_id, eval_id, CAST(mh_agree AS BIGINT) AS mh_agree,
+           ROUND(CAST(mh_agree AS DOUBLE) / {_FUZZY_N_MH}, 6)
+             AS est_jaccard
+    FROM agree WHERE mh_agree >= {_FUZZY_MIN_AGREE}
+    """,
+)
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the paraphrase-robust
+    complement to decontaminate_ngram: exact 8-gram overlap misses an
+    eval item whose wording drifted (translation, whitespace, light
+    paraphrase); MinHash signature agreement estimates JACCARD
+    overlap, so a training doc that shares half its shingle set with
+    any benchmark doc is flagged even with zero verbatim 8-grams.
+    Flags train docs whose 16-slot signature agrees with an eval
+    doc's on ≥ {_FUZZY_MIN_AGREE} slots (Ĵ ≥ 0.5), with the estimate
+    (calibrated corpus-wide by dedup_minhash_estimate).  The eval
+    set is an md5-gate stand-in (~1/16 of docs) for the real
+    benchmark corpus.
+
+    Scale — why this is NOT the LSH-band shape: benchmark sets are
+    SMALL BY NATURE (thousands of docs), so their signature table is
+    a broadcast dim; the probe is one map-side pass over the train
+    corpus's signatures — linear, no banding, no candidate shuffle.
+    The signatures themselves come from the same one-groupBy/16-MIN
+    aggregation as dedup_minhash_lsh (map-side combining, no x16
+    explode). The md5 hash family keeps the oracle exactly
+    reproducible."""
+    from .dedup import _shingles
+
+    sh = _shingles(spark, sf_dir)
+    hashes = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))))
+            .alias(f"mh{i}")
+            for i in range(_FUZZY_N_MH)
+        ]
+    )
+    is_eval = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        == _FUZZY_EVAL_GATE
+    )
+    tagged = hashes.withColumn("is_eval", is_eval)
+    train = tagged.filter(~F.col("is_eval"))
+    ev = tagged.filter(F.col("is_eval"))
+    t, e = train.alias("t"), ev.alias("e")
+    agree = sum(
+        F.when(F.col(f"t.mh{i}") == F.col(f"e.mh{i}"), 1).otherwise(0)
+        for i in range(_FUZZY_N_MH)
+    )
+    return (
+        t.crossJoin(F.broadcast(e))
+        .select(
+            F.col("t.doc_id").alias("train_id"),
+            F.col("e.doc_id").alias("eval_id"),
+            agree.alias("mh_agree"),
+        )
+        .filter(F.col("mh_agree") >= _FUZZY_MIN_AGREE)
+        .select(
+            "train_id", "eval_id",
+            F.col("mh_agree").cast("long").alias("mh_agree"),
+            F.round(F.col("mh_agree").cast("double") / _FUZZY_N_MH, 6)
+            .alias("est_jaccard"),
+        )
+    )
