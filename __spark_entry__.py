@@ -143,7 +143,8 @@ _R4_NEW = frozenset({
     "ml_target_encode", "text_readability", "scan_jsonl_corrupt",
     "ts_cusum", "ml_ndcg", "fn_luhn_checksum", "dedup_incremental",
     "scan_file_lineage", "cdc_debezium_envelope", "emb_norm_stats",
-    "agg_heavy_hitters_bounds", "decontaminate_fuzzy",
+    "agg_heavy_hitters_bounds", "decontaminate_fuzzy", "dq_join_fanout",
+    "graph_hits", "ml_woe_binning",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -278,3 +278,117 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+N_HITS_ITER = 4
+_SNAP = "1000000000000.0"  # 1e12 fixed-point snap (pagerank discipline)
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS: per round, authority = snapped-sum of hub scores
+    over in-edges, max-normalized; then hub = snapped-sum of authority
+    scores over out-edges, max-normalized. Max normalization (not L2)
+    keeps every step order-independent: decimal sums, exact integer
+    max, one double division. MATERIALIZED is load-bearing: each CTE
+    is referenced twice (projection + scalar MAX), and DuckDB's
+    default inlining would re-evaluate the whole prefix 2x per round
+    — 2^8 blowup over 4 rounds (observed as a hung oracle)."""
+    iters = []
+    for i in range(1, N_HITS_ITER + 1):
+        iters.append(f"""
+    ar{i} AS MATERIALIZED (
+      SELECT e.supp AS node,
+             SUM(CAST(FLOOR(h.sc * {_SNAP} + 0.5) AS DECIMAL(28,0))) AS s
+      FROM h{i - 1} h JOIN eb e ON e.cust = h.node GROUP BY e.supp),
+    a{i} AS MATERIALIZED (
+      SELECT node, CAST(s AS DOUBLE)
+               / CAST((SELECT MAX(s) FROM ar{i}) AS DOUBLE) AS sc
+      FROM ar{i}),
+    hr{i} AS MATERIALIZED (
+      SELECT e.cust AS node,
+             SUM(CAST(FLOOR(a.sc * {_SNAP} + 0.5) AS DECIMAL(28,0))) AS s
+      FROM a{i} a JOIN eb e ON e.supp = a.node GROUP BY e.cust),
+    h{i} AS MATERIALIZED (
+      SELECT node, CAST(s AS DOUBLE)
+               / CAST((SELECT MAX(s) FROM hr{i}) AS DOUBLE) AS sc
+      FROM hr{i})""")
+    return f"""
+    WITH eb AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    h0 AS (SELECT DISTINCT cust AS node, CAST(1.0 AS DOUBLE) AS sc
+           FROM eb),
+    {','.join(iters)}
+    SELECT node, 'hub' AS role, ROUND(sc, 6) AS score FROM h{N_HITS_ITER}
+    UNION ALL
+    SELECT node, 'authority' AS role, ROUND(sc, 6) AS score
+    FROM a{N_HITS_ITER}
+    """
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities), {N_HITS_ITER} rounds on
+    the directed customer→supplier purchase graph — the THIRD
+    link-analysis shape beside PageRank (global endorsement) and LPA
+    (communities): on a bipartite buy-graph, hub score finds
+    customers whose baskets span the important suppliers, authority
+    score finds suppliers endorsed by the strong customers — the
+    mutual-reinforcement fixpoint. The curation analogue is
+    query↔document click graphs: authoritative documents are
+    up-sampled into training mixes.
+
+    Determinism (the pagerank discipline, see module header): each
+    per-edge contribution snaps to 1e12 fixed-point BEFORE the
+    per-vertex sum (DECIMAL(28,0) — exact, order-independent);
+    normalization is by the MAX (an exact integer compare), not the
+    L2 norm (whose cross-row float sum would be order-dependent), so
+    every round's vectors are bit-identical across engines.
+
+    Scale: per round, two join+agg passes over the edge list — the
+    same two-shuffle profile as PageRank; the edge list repartitions
+    on its join key once and localCheckpoint truncates lineage per
+    round. Scores move as (id, double) pairs, never adjacency."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .repartition("cust")
+        .localCheckpoint(eager=True)
+    )
+    snap = lambda c: F.floor(c * 1e12 + 0.5).cast("decimal(28,0)")  # noqa: E731
+    h = eb.select("cust").distinct().select(
+        F.col("cust").alias("node"), F.lit(1.0).alias("sc")
+    )
+    a = None
+    for _ in range(N_HITS_ITER):
+        ar = (
+            eb.join(h.withColumnRenamed("node", "cust"), "cust")
+            .groupBy(F.col("supp").alias("node"))
+            .agg(F.sum(snap(F.col("sc"))).alias("s"))
+        )
+        amax = ar.agg(F.max("s").alias("mx"))
+        a = ar.crossJoin(F.broadcast(amax)).select(
+            "node",
+            (F.col("s").cast("double") / F.col("mx").cast("double"))
+            .alias("sc"),
+        ).localCheckpoint(eager=True)
+        hr = (
+            eb.join(a.withColumnRenamed("node", "supp"), "supp")
+            .groupBy(F.col("cust").alias("node"))
+            .agg(F.sum(snap(F.col("sc"))).alias("s"))
+        )
+        hmax = hr.agg(F.max("s").alias("mx"))
+        h = hr.crossJoin(F.broadcast(hmax)).select(
+            "node",
+            (F.col("s").cast("double") / F.col("mx").cast("double"))
+            .alias("sc"),
+        ).localCheckpoint(eager=True)
+    hubs = h.select("node", F.lit("hub").alias("role"),
+                    F.round("sc", 6).alias("score"))
+    auths = a.select("node", F.lit("authority").alias("role"),
+                     F.round("sc", 6).alias("score"))
+    return hubs.unionByName(auths)

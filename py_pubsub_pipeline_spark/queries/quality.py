@@ -1188,3 +1188,64 @@ def dq_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count_if(conflict).cast("double") / F.count("*"), 6)
         .alias("conflict_rate"),
     )
+
+
+_FANOUT_ALERT = 5  # keys multiplying a join by more than this get flagged
+
+
+@query(
+    "dq_join_fanout",
+    oracle=f"""
+    WITH mult AS (
+      SELECT o.o_orderkey, COUNT(l.l_orderkey) AS m
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey
+    )
+    SELECT CAST(m AS BIGINT) AS multiplicity,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(m) AS BIGINT) AS rows_produced,
+           (m > {_FANOUT_ALERT}) AS above_alert,
+           ROUND(CAST(SUM(m) AS DOUBLE)
+                 / SUM(SUM(m)) OVER (), 6) AS share_of_output
+    FROM mult GROUP BY m
+    """,
+)
+def dq_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-FANOUT AUDIT — the dq check for the quietest pipeline
+    killer: a join whose right side multiplies rows (duplicate or
+    unexpectedly-dense keys) inflates every downstream aggregate
+    while remaining perfectly 'correct' SQL. Profiles the orders ⋈
+    lineitem multiplicity DISTRIBUTION: for each fan-out m, how many
+    keys produce it, how many output rows they account for, and
+    whether m exceeds the alert bar ({_FANOUT_ALERT}) — the histogram
+    a platform team pins in CI so a key-cardinality regression (a new
+    duplicate-writing producer, a bad backfill) fails loudly before
+    it silently doubles revenue metrics. The LEFT join keeps
+    zero-match keys (m = 0): fan-IN loss is the symmetric failure.
+
+    Scale: the multiplicity table is one shuffle keyed by the join
+    key (the same shuffle the audited join would do); the histogram
+    agg is bounded by max multiplicity, and the output share runs as
+    a window over that tiny histogram."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    mult = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("m"))
+    )
+    hist = mult.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("m").cast("long").alias("rows_produced"),
+    )
+    w = Window.partitionBy()
+    return hist.select(
+        F.col("m").cast("long").alias("multiplicity"),
+        "n_keys",
+        "rows_produced",
+        (F.col("m") > _FANOUT_ALERT).alias("above_alert"),
+        F.round(
+            F.col("rows_produced").cast("double")
+            / F.sum("rows_produced").over(w), 6
+        ).alias("share_of_output"),
+    )
