@@ -144,7 +144,8 @@ _R4_NEW = frozenset({
     "ts_cusum", "ml_ndcg", "fn_luhn_checksum", "dedup_incremental",
     "scan_file_lineage", "cdc_debezium_envelope", "emb_norm_stats",
     "agg_heavy_hitters_bounds", "decontaminate_fuzzy", "dq_join_fanout",
-    "graph_hits", "ml_woe_binning",
+    "graph_hits", "ml_woe_binning", "ts_downsample_m4",
+    "fn_base64_roundtrip", "privacy_l_diversity",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

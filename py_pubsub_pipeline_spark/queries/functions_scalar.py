@@ -825,3 +825,64 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count_if(valid).cast("double") / F.count("*"), 6)
         .alias("valid_rate"),
     )
+
+
+@query(
+    "fn_base64_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (
+             WHERE from_base64(to_base64(encode(text))) = encode(text)
+               AND unhex(hex(encode(text))) = encode(text)
+           ) AS BIGINT) AS n_roundtrip_ok,
+           md5(string_agg(to_base64(encode(text)), '' ORDER BY doc_id))
+             AS b64_md5,
+           CAST(SUM(length(to_base64(encode(text)))) AS BIGINT)
+             AS b64_chars,
+           CAST(SUM(length(hex(encode(text)))) AS BIGINT) AS hex_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY TRANSPORT CODECS — base64 and hex encode/decode, the
+    boundary functions every opaque-payload pipeline leans on (the
+    reference moves raw bytes through JSON-hostile channels; base64
+    is how binary rides a text envelope, R5/R8's serde cousins).
+    Round-trips every document through BOTH codecs and proves
+    losslessness per row, then fingerprints the base64 TEXT itself —
+    so the hash also pins canonical encoding (RFC 4648 alphabet, '='
+    padding, no line wrapping) across engines, not just
+    decodability.
+
+    Exactness: byte-level equality and md5 over the concatenated
+    encodings in doc_id order; the length sums pin the 4/3 and 2x
+    expansion factors exactly.
+
+    Scale: pure map-side string transforms + one lang-bounded agg —
+    scan-speed; the string_agg fingerprint is the only
+    corpus-ordered reduction and exists for the oracle hash, not the
+    production shape."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.col("text").cast("binary")
+    # Spark's base64() inherits Java's MIME encoder (CRLF every 76
+    # chars); strip the wrapping to the RFC 4648 canonical form DuckDB
+    # emits — the hash comparison is exactly what catches this.
+    b64 = F.regexp_replace(F.base64(raw), "[\r\n]", "")
+    hx = F.hex(raw)
+    ok = (F.unbase64(b64) == raw) & (F.unhex(hx) == raw)
+    per_doc = d.select("doc_id", "lang", b64.alias("b64"),
+                       hx.alias("hx"), ok.alias("ok"))
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_if(F.col("ok")).cast("long").alias("n_roundtrip_ok"),
+        F.md5(
+            F.concat_ws(
+                "", F.array_sort(
+                    F.collect_list(F.struct("doc_id", "b64"))
+                ).getField("b64")
+            ).cast("binary")
+        ).alias("b64_md5"),
+        F.sum(F.length("b64")).cast("long").alias("b64_chars"),
+        F.sum(F.length("hx")).cast("long").alias("hex_chars"),
+    )

@@ -1249,3 +1249,71 @@ def dq_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rows_produced").over(w), 6
         ).alias("share_of_output"),
     )
+
+
+_L_DIV = 2  # every class must exhibit at least this many sensitive values
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'debt'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS sens
+      FROM customer
+    ), classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS n,
+             COUNT(DISTINCT sens) AS l_distinct,
+             MAX(cnt_top) AS top_sens_n
+      FROM (
+        SELECT c_nationkey, c_mktsegment, sens,
+               COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                                           sens) AS cnt_top
+        FROM tagged
+      ) GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(n AS BIGINT) AS n,
+           CAST(l_distinct AS BIGINT) AS l_distinct,
+           (l_distinct < {_L_DIV}) AS homogeneous_risk,
+           ROUND(CAST(top_sens_n AS DOUBLE) / n, 6) AS top_sens_share
+    FROM classes
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit — the attack k-anonymity misses: a class can
+    hold k≥{_L_DIV} members and still leak if they all share one
+    SENSITIVE value (the homogeneity attack: knowing someone is in
+    the class reveals their attribute without identifying their row).
+    For each (nation, segment) quasi-identifier class — the same
+    classes privacy_k_anonymity sizes — counts the distinct sensitive
+    values (account-balance band) and the dominant value's share;
+    classes with fewer than l={_L_DIV} distinct values are flagged.
+    Together the two audits gate a data release: k bounds
+    re-identification, l bounds attribute disclosure.
+
+    Scale: the distinct-count and the dominant-share both ride the
+    (class, sens) key — one hash agg whose exchange is bounded by
+    classes × bands, schema-sized at any corpus; the window over that
+    tiny table is free."""
+    c = table(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    tagged = c.select("c_nationkey", "c_mktsegment", sens.alias("sens"))
+    cells = tagged.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count("*").alias("cnt")
+    )
+    return cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count("*").cast("long").alias("l_distinct"),
+        (F.count("*") < _L_DIV).alias("homogeneous_risk"),
+        F.round(
+            F.max("cnt").cast("double") / F.sum("cnt"), 6
+        ).alias("top_sens_share"),
+    )

@@ -2535,3 +2535,70 @@ def cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("a_price").cast("decimal(18,6)")).cast("double")
         .alias("sum_after_price"),
     )
+
+
+@query(
+    "ts_downsample_m4",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value, ts,
+             event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                             date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                             date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(MIN(value), 6) AS v_min,
+           ROUND(MAX(value), 6) AS v_max,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS v_first,
+           ROUND(MAX(CASE WHEN rn_z = 1 THEN value END), 6) AS v_last
+    FROM pts GROUP BY event_type, bucket
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 DOWNSAMPLING (min/max/first/last per time bucket) — the
+    error-free line-chart reduction (Jugel et al., VLDB 2014): a
+    million points per pixel column render identically to these four,
+    so dashboards over 100 TB of telemetry query the M4 rollup, never
+    raw events. first/last preserve bucket-boundary continuity, min/
+    max preserve the envelope — together they reproduce the exact
+    pixel raster of the full series.
+
+    Exactness: first/last are row_number-selected under the total
+    (ts, event_id) order — no engine-specific first_value tie
+    semantics — and values pass through untouched (one ROUND for the
+    hash only).
+
+    Scale: one window + one hash agg per (series, bucket); output is
+    bucket-bounded (pixels × series), independent of event volume.
+    The window partitions by (series, bucket) so no partition exceeds
+    a bucket's points; at extreme per-bucket density the same four
+    stats also compute as plain min_by/max_by aggregates with the
+    (ts, event_id) key, trading the window for pure map-side
+    partials."""
+    e = table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", "ts").alias("bucket")
+    w = Window.partitionBy("event_type", "bucket")
+    pts = e.select(
+        "event_type", bucket, "value", "ts", "event_id"
+    ).select(
+        "*",
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("rn_a"),
+        F.row_number().over(
+            w.orderBy(F.desc("ts"), F.desc("event_id"))
+        ).alias("rn_z"),
+    )
+    return pts.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6)
+        .alias("v_first"),
+        F.round(F.max(F.when(F.col("rn_z") == 1, F.col("value"))), 6)
+        .alias("v_last"),
+    )
