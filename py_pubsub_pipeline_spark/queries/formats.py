@@ -766,3 +766,67 @@ def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("row_index").cast("long").alias("row_index_checksum"),
         F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
     )
+
+
+@query(
+    "scan_partition_overwrite",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING')
+                AS BIGINT) AS n_restated,
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                         THEN CAST(c_acctbal + 100.0 AS DECIMAL(18,6))
+                         ELSE CAST(c_acctbal AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS bal_after
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def scan_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE — the lakehouse restatement
+    primitive: re-running one day's (here: one segment's) pipeline
+    must replace EXACTLY the partitions it produced and leave every
+    other partition's files untouched (static overwrite mode would
+    truncate the whole table — the classic destroyed-dataset
+    incident; append mode would duplicate). The query materializes a
+    segment-partitioned copy of customer, then overwrites ONLY the
+    BUILDING partition with restated rows (+100 balance) under
+    partitionOverwriteMode=dynamic, reads the whole table back, and
+    aggregates. The oracle derives the expected post-restatement
+    state from the original parquet, so the hash proves: restated
+    partition replaced (no duplicates from the overwrite), other
+    partitions byte-identical, nothing truncated.
+
+    Scale: partition overwrite is an O(partition) metadata+rewrite
+    operation — the restatement job's cost is one partition's data,
+    never the table's; this is the idempotent-backfill foundation
+    under cdc_apply_merge's MERGE and the IdempotentParquetSink's
+    batch-keyed replace."""
+    path = _cache_dir(sf_dir, "part_overwrite")
+    done = os.path.join(path, "_RESTATED")
+    c = table(spark, sf_dir, "customer")
+    if not os.path.exists(done):
+        (
+            c.write.mode("overwrite")
+            .partitionBy("c_mktsegment")
+            .parquet(path)
+        )
+        restated = c.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100.0
+        )
+        (
+            restated.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("c_mktsegment")
+            .parquet(path)
+        )
+        with open(done, "w"):
+            pass
+    back = spark.read.parquet(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if(F.col("c_mktsegment") == "BUILDING").cast("long")
+        .alias("n_restated"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+        .alias("bal_after"),
+    )
