@@ -146,7 +146,7 @@ _R4_NEW = frozenset({
     "agg_heavy_hitters_bounds", "decontaminate_fuzzy", "dq_join_fanout",
     "graph_hits", "ml_woe_binning", "ts_downsample_m4",
     "fn_base64_roundtrip", "privacy_l_diversity",
-    "scan_partition_overwrite",
+    "scan_partition_overwrite", "dq_table_diff", "mix_packing_efficiency",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

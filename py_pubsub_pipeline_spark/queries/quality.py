@@ -1317,3 +1317,85 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt").cast("double") / F.sum("cnt"), 6
         ).alias("top_sens_share"),
     )
+
+
+@query(
+    "dq_table_diff",
+    oracle="""
+    WITH restated AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50.0
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 13 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 17 != 0
+    ), joined AS (
+      SELECT a.c_custkey AS a_key, r.c_custkey AS b_key,
+             CASE
+               WHEN r.c_custkey IS NULL THEN 'removed'
+               WHEN a.c_acctbal = r.c_acctbal
+                AND a.c_mktsegment = r.c_mktsegment THEN 'unchanged'
+               ELSE 'modified' END AS status,
+             CAST(a.c_acctbal != r.c_acctbal AS INT) AS d_bal,
+             CAST(a.c_mktsegment != r.c_mktsegment AS INT) AS d_seg
+      FROM customer a LEFT JOIN restated r ON r.c_custkey = a.c_custkey
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(COALESCE(d_bal, 0)) AS BIGINT) AS n_bal_changed,
+           CAST(SUM(COALESCE(d_seg, 0)) AS BIGINT) AS n_seg_changed
+    FROM joined GROUP BY status
+    """,
+)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE DIFF / RECONCILIATION — the migration-validation
+    primitive: after a restatement, an engine swap, or a backfill,
+    diff the new table against the old ON THE PRIMARY KEY and report
+    per-status row counts plus per-COLUMN change counts ('modified: 97
+    rows, 97 of them in acctbal, 0 in segment' localizes the bug in
+    one read — a plain except/subtract only says 'something differs').
+    The 'new' side here is a derived restatement (arithmetic gates:
+    some rows dropped, some balances bumped, some segments remapped)
+    so the oracle predicts every cell of the diff exactly.
+
+    Scale: ONE key-keyed join (the sides co-partition on the pk —
+    bucketed storage makes it zero-shuffle, join_bucketed's plan) and
+    a status-bounded agg. Column comparisons are map-side; adding
+    columns grows the select list, not the shuffle count. The
+    removed/modified/unchanged partition plus per-column counters is
+    the exact contract of data-diff tools (datafold-style) — here it
+    is one query."""
+    c = table(spark, sf_dir, "customer")
+    restated = (
+        c.filter(F.col("c_custkey") % 17 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 11 == 0,
+                   F.col("c_acctbal") + 50.0)
+            .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+            F.when(F.col("c_custkey") % 13 == 0, F.lit("MACHINERY"))
+            .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        )
+    )
+    a, r = c.alias("a"), restated.alias("r")
+    joined = a.join(r, F.col("a.c_custkey") == F.col("r.c_custkey"),
+                    "left").select(
+        F.when(F.col("r.c_custkey").isNull(), "removed")
+        .when(
+            (F.col("a.c_acctbal") == F.col("r.c_acctbal"))
+            & (F.col("a.c_mktsegment") == F.col("r.c_mktsegment")),
+            "unchanged",
+        )
+        .otherwise("modified").alias("status"),
+        (F.col("a.c_acctbal") != F.col("r.c_acctbal")).cast("int")
+        .alias("d_bal"),
+        (F.col("a.c_mktsegment") != F.col("r.c_mktsegment")).cast("int")
+        .alias("d_seg"),
+    )
+    return joined.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.coalesce(F.col("d_bal"), F.lit(0))).cast("long")
+        .alias("n_bal_changed"),
+        F.sum(F.coalesce(F.col("d_seg"), F.lit(0))).cast("long")
+        .alias("n_seg_changed"),
+    )

@@ -498,3 +498,87 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_jaccard"),
         )
     )
+
+
+@query(
+    "mix_packing_efficiency",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, shard, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+      FROM t)
+    SELECT lang, shard,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+           CAST((MAX(cum_excl + n_tok) + {PACK_BUDGET} - 1)
+                // {PACK_BUDGET} AS BIGINT) AS n_seqs,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE)
+                 / (CAST((MAX(cum_excl + n_tok) + {PACK_BUDGET} - 1)
+                         // {PACK_BUDGET} AS BIGINT) * {PACK_BUDGET}),
+                 6) AS utilization,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (
+             WHERE cum_excl // {PACK_BUDGET}
+                   != (cum_excl + n_tok - 1) // {PACK_BUDGET}
+           ) AS BIGINT) AS n_split_docs
+    FROM c GROUP BY lang, shard
+    """,
+)
+def mix_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING-EFFICIENCY audit of the pack_sequences layout — the two
+    numbers that decide whether concat-and-chunk is good enough or a
+    doc-boundary-respecting packer (first-fit bins) is worth its
+    shuffle: per (lang, shard) stream, the token UTILIZATION
+    (total/(n_seqs·{PACK_BUDGET}) — concat-and-chunk wastes only the
+    final sequence's tail, so this approaches 1 as streams grow) and
+    the count of SPLIT documents (those straddling a
+    {PACK_BUDGET}-token boundary — each split costs the model a
+    mid-document attention break; too many argues for boundary-
+    respecting packing despite its lower utilization).  Shares
+    pack_sequences' exact layout arithmetic, so the audit can never
+    drift from the layout it audits.
+
+    Scale: the same single (lang, shard) sort-shuffle as
+    pack_sequences, then a stream-bounded agg; every quantity is
+    exact integer arithmetic (the HUGEINT window-sum lesson applies —
+    all casts pinned BIGINT)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.select(
+        "lang", "shard", "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_excl"),
+    )
+    n_seqs = F.expr(
+        f"(MAX(cum_excl + n_tok) + {PACK_BUDGET} - 1) DIV {PACK_BUDGET}"
+    )
+    split = (
+        F.expr(f"cum_excl DIV {PACK_BUDGET}")
+        != F.expr(f"(cum_excl + n_tok - 1) DIV {PACK_BUDGET}")
+    )
+    return c.groupBy("lang", "shard").agg(
+        F.sum("n_tok").cast("long").alias("total_tok"),
+        n_seqs.cast("long").alias("n_seqs"),
+        F.round(
+            F.sum("n_tok").cast("double")
+            / (n_seqs * PACK_BUDGET).cast("double"), 6
+        ).alias("utilization"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_if(split).cast("long").alias("n_split_docs"),
+    )
