@@ -147,6 +147,7 @@ _R4_NEW = frozenset({
     "graph_hits", "ml_woe_binning", "ts_downsample_m4",
     "fn_base64_roundtrip", "privacy_l_diversity",
     "scan_partition_overwrite", "dq_table_diff", "mix_packing_efficiency",
+    "ts_wavelet_haar", "dq_sequence_gaps",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -1399,3 +1399,53 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("d_seg"), F.lit(0))).cast("long")
         .alias("n_seg_changed"),
     )
+
+
+@query(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH feed AS (
+      -- the driver corpus's keyspace is dense; the %97/%89 drop gates
+      -- stand in for upstream loss so the gap logic has real holes
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 97 != 0 AND o_orderkey % 89 != 0
+    ), s AS (
+      SELECT o_orderkey AS k,
+             LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      FROM feed
+    )
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - k - 1 AS BIGINT) AS n_missing
+    FROM s WHERE nxt - k > 1
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-GAP detection on a monotone key — the missing-data
+    report an ingestion pipeline runs against upstream-assigned ids
+    (kafka offsets, invoice numbers, auto-increments): every maximal
+    missing RANGE [gap_start, gap_end] with its size, computed from
+    one LEAD over the key order — not a calendar-spine anti-join
+    (which needs the id universe materialized; at 10^12 ids the
+    spine IS the problem) and not N self-joins.  Downstream of this
+    report: re-request the ranges, or pin the loss against the
+    producer's retention window (dq_freshness's temporal cousin, on
+    the KEY axis).
+
+    Scale: one global-order window — the honest cost; at extreme
+    cardinality the same LEAD runs per shard after range
+    partitioning, with shard-boundary pairs checked in a second
+    shard-count-sized pass (the standard split-window rewrite). Gap
+    output is bounded by the number of HOLES, not ids."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 97 != 0) & (F.col("o_orderkey") % 89 != 0)
+    )
+    w = Window.orderBy("o_orderkey")
+    s = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lead("o_orderkey").over(w).alias("nxt"),
+    )
+    return s.filter(F.col("nxt") - F.col("k") > 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("k") - 1).cast("long").alias("n_missing"),
+    )

@@ -2602,3 +2602,91 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rn_z") == 1, F.col("value"))), 6)
         .alias("v_last"),
     )
+
+
+_HAAR_LEVELS = 5  # decompose the first 2^5 = 32 hourly buckets
+
+
+@query(
+    "ts_wavelet_haar",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY bucket) - 1 AS rn
+      FROM hourly
+    ), head AS (
+      SELECT * FROM idx WHERE rn < {2 ** _HAAR_LEVELS}
+    ), coeffs AS (
+      SELECT h.event_type, t.lv,
+             h.rn // CAST(power(2, t.lv) AS BIGINT) AS j,
+             SUM(h.x * (1 - 2 * ((h.rn
+                   // CAST(power(2, t.lv - 1) AS BIGINT)) % 2))) AS d
+      FROM head h, UNNEST(generate_series(1, {_HAAR_LEVELS})) t(lv)
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(lv AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           CAST(SUM(d * d) AS BIGINT) AS detail_energy,
+           CAST(MAX(ABS(d)) AS BIGINT) AS max_abs_coeff
+    FROM coeffs GROUP BY event_type, lv
+    """,
+)
+def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAAR WAVELET detail-energy decomposition of the hourly volume
+    series — the multi-resolution signal profile: level-1 energy is
+    hour-to-hour jitter, level-{_HAAR_LEVELS} energy is day-scale
+    movement, and the energy-by-level spectrum says WHERE the
+    variance lives (a spike at one level = periodicity near 2^level
+    hours — the wavelet view of what ts_dominant_period finds by
+    ACF; energy concentrated at coarse levels = compressible, smooth
+    series — the basis of wavelet telemetry compression).  Unnormal-
+    ized Haar (left-half sum − right-half sum per dyadic block) keeps
+    EVERYTHING in exact BIGINT: counts in, integer coefficients out,
+    integer energies — no sqrt(2) normalization, no floats at all.
+
+    Scale: the detail coefficient at (level, position) is a
+    CONDITIONAL SUM over its dyadic block — so all levels compute as
+    one {_HAAR_LEVELS}-way fan-out of the spine (bounded: 2^{_HAAR_LEVELS}
+    buckets/series) into one hash agg keyed by (series, level, block);
+    no iteration, no per-level passes, unlike the textbook recursive
+    cascade."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    head = (
+        hourly.withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < 2 ** _HAAR_LEVELS)
+    )
+    lv = F.explode(
+        F.sequence(F.lit(1), F.lit(_HAAR_LEVELS))
+    ).alias("lv")
+    fan = head.select("event_type", "x", "rn", lv)
+    blk = F.col("rn") / F.pow(F.lit(2.0), F.col("lv"))
+    sign = 1 - 2 * (
+        (F.col("rn") / F.pow(F.lit(2.0), F.col("lv") - 1)).cast("long") % 2
+    )
+    coeffs = (
+        fan.select(
+            "event_type", "lv",
+            blk.cast("long").alias("j"),
+            (F.col("x") * sign).alias("term"),
+        )
+        .groupBy("event_type", "lv", "j")
+        .agg(F.sum("term").alias("d"))
+    )
+    return coeffs.groupBy("event_type", "lv").agg(
+        F.count("*").cast("long").alias("n_coeffs"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("detail_energy"),
+        F.max(F.abs("d")).cast("long").alias("max_abs_coeff"),
+    ).select(
+        "event_type", F.col("lv").cast("long").alias("level"),
+        "n_coeffs", "detail_energy", "max_abs_coeff",
+    )
