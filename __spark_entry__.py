@@ -147,7 +147,8 @@ _R4_NEW = frozenset({
     "graph_hits", "ml_woe_binning", "ts_downsample_m4",
     "fn_base64_roundtrip", "privacy_l_diversity",
     "scan_partition_overwrite", "dq_table_diff", "mix_packing_efficiency",
-    "ts_wavelet_haar", "dq_sequence_gaps",
+    "ts_wavelet_haar", "dq_sequence_gaps", "scan_csv_column_order",
+    "ml_item_cf", "text_homoglyph_normalize",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -830,3 +830,58 @@ def scan_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
         .alias("bal_after"),
     )
+
+
+@query(
+    "scan_csv_column_order",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS price_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def scan_csv_column_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-ORDER-ROBUST CSV ingestion — the producer-drift footgun,
+    pinned: Spark's CSV reader applies an explicit schema BY POSITION
+    (enforceSchema=true, the default, ignores header names), so a
+    producer that reorders columns silently loads prices into key
+    columns — types even cast cleanly between numeric columns. The
+    robust pattern exercised here: the materialized CSV has its
+    columns DELIBERATELY REORDERED (price, key, priority, custkey);
+    the read goes header-driven (header=true, no positional schema),
+    then selects and casts BY NAME. The oracle aggregates the
+    original parquet — the hash proves every value landed in the
+    right column despite the reordering.
+
+    Scale: same splittable scan as scan_csv; the name-mapped
+    projection is planning-time. The string→typed casts are the cost
+    of CSV's untyped wire format — the docstring-level guidance
+    stands: parquet at ingest, CSV only at the boundary."""
+    def write(df: DataFrame, p: str) -> None:
+        (
+            df.select(  # hostile column order, types via strings
+                F.col("o_totalprice").cast("string"),
+                F.col("o_orderkey").cast("string"),
+                "o_orderpriority",
+                F.col("o_custkey").cast("string"),
+            )
+            .write.mode("overwrite").option("header", True).csv(p)
+        )
+
+    path = _materialize(spark, sf_dir, "csv_reordered", "orders", write)
+    c = spark.read.option("header", True).csv(path)  # names from header
+    typed = c.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return typed.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_custkey").cast("long").alias("custkey_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        .alias("price_sum"),
+    )

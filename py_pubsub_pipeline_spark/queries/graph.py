@@ -825,3 +825,89 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+_CF_TOP = 20
+
+
+@query(
+    "ml_item_cf",
+    oracle=f"""
+    WITH cs AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), deg AS (
+      SELECT supp, COUNT(*) AS n FROM cs GROUP BY supp
+    ), cooc AS (
+      SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS shared
+      FROM cs a JOIN cs b ON b.cust = a.cust AND a.supp < b.supp
+      GROUP BY 1, 2
+    )
+    SELECT c.sa AS item_a, c.sb AS item_b,
+           CAST(c.shared AS BIGINT) AS shared_users,
+           ROUND(CAST(c.shared AS DOUBLE)
+                 / sqrt(CAST(da.n * db.n AS DOUBLE)), 6) AS cosine
+    FROM cooc c
+    JOIN deg da ON da.supp = c.sa
+    JOIN deg db ON db.supp = c.sb
+    ORDER BY ROUND(CAST(c.shared AS DOUBLE)
+                   / sqrt(CAST(da.n * db.n AS DOUBLE)), 6) DESC,
+             c.sa, c.sb
+    LIMIT {_CF_TOP}
+    """,
+)
+def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM COLLABORATIVE FILTERING — the "customers who bought X
+    also bought Y" scorer (Amazon-style neighborhood CF): cosine on
+    the binary user-item matrix, cooc/√(nₐ·n_b), over suppliers
+    sharing customers. Differs from graph_adamic_adar (per-NEIGHBOR
+    degree discounting for link prediction) by normalizing on the
+    ITEM pair's own degrees — the similarity an item-to-item
+    recommender serves; top-{_CF_TOP} pairs ship as the rec table.
+
+    Exactness: co-occurrence and degrees are exact integers; √ of an
+    exact integer product is IEEE exactly-rounded (bit-identical both
+    engines), one rounded division; ordering is on the ROUNDED score
+    with the pair as tiebreak, so the LIMIT is deterministic.
+
+    Scale: candidate pairs come from the per-USER self-join — the
+    same quadratic-in-degree hazard as the shingle inverted index,
+    governed the same way: at 100 TB, cap or sample power users
+    (a user with 10^5 items contributes nothing to item similarity
+    but 10^10 pairs — the dedup_ngram_capped df-cap argument,
+    user-side); degrees broadcast back as an item-bounded dim."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = cs.groupBy("supp").agg(F.count("*").alias("n"))
+    a, b = cs.alias("a"), cs.alias("b")
+    cooc = (
+        a.join(b, (F.col("b.cust") == F.col("a.cust"))
+               & (F.col("a.supp") < F.col("b.supp")))
+        .groupBy(F.col("a.supp").alias("sa"), F.col("b.supp").alias("sb"))
+        .agg(F.count("*").alias("shared"))
+    )
+    da = F.broadcast(deg.withColumnRenamed("supp", "sa")
+                     .withColumnRenamed("n", "na"))
+    db = F.broadcast(deg.withColumnRenamed("supp", "sb")
+                     .withColumnRenamed("n", "nb"))
+    cosine = F.round(
+        F.col("shared").cast("double")
+        / F.sqrt((F.col("na") * F.col("nb")).cast("double")), 6
+    )
+    return (
+        cooc.join(da, "sa").join(db, "sb")
+        .select(
+            F.col("sa").alias("item_a"),
+            F.col("sb").alias("item_b"),
+            F.col("shared").cast("long").alias("shared_users"),
+            cosine.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "item_a", "item_b")
+        .limit(_CF_TOP)
+    )

@@ -1407,3 +1407,72 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_words", "n_sentences", "n_syllables",
         F.round(flesch, 4).alias("flesch"),
     )
+
+
+# Homoglyph / leetspeak canonicalization map (digit -> letter). The
+# obfuscation gate below SIMULATES adversarial substitution on every
+# 9th doc so the normalizer has real work on a clean corpus.
+_LEET_FROM = "0135"
+_LEET_TO = "oles"
+
+
+@query(
+    "text_homoglyph_normalize",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN doc_id % 9 = 0
+                  THEN translate(text, '{_LEET_TO}', '{_LEET_FROM}')
+                  ELSE text END AS wire
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, lang, text, wire,
+             translate(wire, '{_LEET_FROM}', '{_LEET_TO}') AS canon
+      FROM base
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE wire != text) AS BIGINT)
+             AS n_obfuscated,
+           CAST(COUNT(*) FILTER (WHERE canon = text) AS BIGINT)
+             AS n_recovered,
+           CAST(COUNT(DISTINCT md5(wire)) AS BIGINT) AS ndv_wire,
+           CAST(COUNT(DISTINCT md5(canon)) AS BIGINT) AS ndv_canon
+    FROM norm GROUP BY lang
+    """,
+)
+def text_homoglyph_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOMOGLYPH / LEETSPEAK canonicalization — the adversarial-dedup
+    gap: exact and shingle dedup treat 'fr33 sp4m' and 'free spam' as
+    unrelated, so spammers re-enter a deduped corpus by character
+    substitution. The normalizer folds digit-for-letter homoglyphs
+    back ({'->'.join([_LEET_FROM, _LEET_TO])}, one translate() —
+    codepoint-parallel, not regex) BEFORE fingerprinting. The query
+    plants obfuscation on every 9th doc (the corpus is clean;
+    deterministic injection gives the normalizer real work, the
+    dq_sequence_gaps pattern), then proves recovery: every obfuscated
+    doc maps back byte-identically, and the distinct-fingerprint
+    count collapses to the clean corpus's.
+
+    Scale: translate() is map-side and codegen'd; slots in front of
+    text_fingerprint/dedup_exact at scan cost. The real-world map is
+    larger (confusable unicode ranges, NFKC first — text_normalize's
+    job); the mechanism and the audit shape are what's pinned."""
+    d = table(spark, sf_dir, "documents")
+    wire = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.translate("text", _LEET_TO, _LEET_FROM),
+    ).otherwise(F.col("text"))
+    base = d.select("doc_id", "lang", "text", wire.alias("wire"))
+    norm = base.withColumn(
+        "canon", F.translate("wire", _LEET_FROM, _LEET_TO)
+    )
+    return norm.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_if(F.col("wire") != F.col("text")).cast("long")
+        .alias("n_obfuscated"),
+        F.count_if(F.col("canon") == F.col("text")).cast("long")
+        .alias("n_recovered"),
+        F.countDistinct(F.md5("wire")).cast("long").alias("ndv_wire"),
+        F.countDistinct(F.md5("canon")).cast("long").alias("ndv_canon"),
+    )
