@@ -148,7 +148,8 @@ _R4_NEW = frozenset({
     "fn_base64_roundtrip", "privacy_l_diversity",
     "scan_partition_overwrite", "dq_table_diff", "mix_packing_efficiency",
     "ts_wavelet_haar", "dq_sequence_gaps", "scan_csv_column_order",
-    "ml_item_cf", "text_homoglyph_normalize",
+    "ml_item_cf", "text_homoglyph_normalize", "ts_sax_motifs",
+    "text_rake_keywords",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

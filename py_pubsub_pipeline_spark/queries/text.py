@@ -1476,3 +1476,102 @@ def text_homoglyph_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5("wire")).cast("long").alias("ndv_wire"),
         F.countDistinct(F.md5("canon")).cast("long").alias("ndv_canon"),
     )
+
+
+# RAKE stopword delimiter set (the en function words double as phrase
+# boundaries on this corpus) and report size.
+_RAKE_STOPS = ("the", "a", "of", "and", "is")
+_RAKE_TOP = 15
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.i AS pos, w[CAST(t.i AS INT)] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w))) t(i)
+    ), marked AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS stop
+      FROM toks
+    ), phr AS (
+      SELECT doc_id, pos, tok, stop,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS phrase_id
+      FROM marked
+    ), members AS (
+      SELECT doc_id, phrase_id, tok FROM phr WHERE stop = 0
+    ), plen AS (
+      SELECT doc_id, phrase_id, COUNT(*) AS len
+      FROM members GROUP BY doc_id, phrase_id
+    ), scores AS (
+      SELECT m.tok AS word,
+             SUM(p.len) AS degree,
+             COUNT(*) AS freq
+      FROM members m
+      JOIN plen p ON p.doc_id = m.doc_id AND p.phrase_id = m.phrase_id
+      GROUP BY m.tok
+    )
+    SELECT word, CAST(degree AS BIGINT) AS degree,
+           CAST(freq AS BIGINT) AS freq,
+           ROUND(CAST(degree AS DOUBLE) / freq, 6) AS rake_score
+    FROM scores
+    ORDER BY ROUND(CAST(degree AS DOUBLE) / freq, 6) DESC, word
+    LIMIT {_RAKE_TOP}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — the PHRASE-based
+    keyword scorer the frequency family misses: split text into
+    candidate phrases at stopword boundaries, score each word by
+    degree/frequency (degree = total length of phrases it appears in
+    — words living in LONG phrases score high even at low frequency,
+    the opposite bias to raw counts; tfidf finds distinctive TERMS,
+    PMI finds collocated PAIRS, RAKE finds topical PHRASES' heads).
+    Top-{_RAKE_TOP} corpus keywords ship as the tag vocabulary.
+
+    Plan: the phrase segmentation is the gaps-and-islands prefix-sum
+    (win_streaks' identity applied to token streams): stopword flags
+    → running SUM over position = phrase id, no regex splitting, no
+    Python. Exactness: degree and frequency are exact integers; one
+    rounded division; LIMIT under a total (rounded score, word)
+    order.
+
+    Scale: the position window partitions per document (bounded by
+    doc length); phrase stats and word scores are two vocab-bounded
+    hash aggs. At 100 TB this is explode + two shuffles of
+    (word/phrase, small-int) pairs — the text_tokens profile."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    marked = toks.withColumn(
+        "stop", F.col("tok").isin(*_RAKE_STOPS).cast("int")
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    phr = marked.withColumn("phrase_id", F.sum("stop").over(wp))
+    members = phr.filter(F.col("stop") == 0).select(
+        "doc_id", "phrase_id", "tok"
+    )
+    plen = members.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").alias("len")
+    )
+    scores = (
+        members.join(plen, ["doc_id", "phrase_id"])
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.sum("len").alias("degree"), F.count("*").alias("freq"))
+    )
+    rake = F.round(
+        F.col("degree").cast("double") / F.col("freq"), 6
+    )
+    return (
+        scores.select(
+            "word",
+            F.col("degree").cast("long").alias("degree"),
+            F.col("freq").cast("long").alias("freq"),
+            rake.alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "word")
+        .limit(_RAKE_TOP)
+    )

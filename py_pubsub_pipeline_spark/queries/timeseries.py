@@ -2690,3 +2690,113 @@ def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("lv").cast("long").alias("level"),
         "n_coeffs", "detail_energy", "max_abs_coeff",
     )
+
+
+# SAX alphabet: 4 symbols split at the standard-normal quartile
+# breakpoints. One shared literal per breakpoint, both engines.
+_SAX_BP = (-0.6745, 0.0, 0.6745)
+_SAX_WORD = 3   # motif word length (symbols)
+_SAX_TOP = 5    # motifs reported per series
+
+
+@query(
+    "ts_sax_motifs",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE)
+                    / COUNT(*)
+                  - (CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*))
+                    * (CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*))) AS sigma
+      FROM hourly GROUP BY event_type
+    ), sym AS (
+      SELECT h.event_type, h.bucket,
+             CASE WHEN (h.x - s.mu) / s.sigma < {_SAX_BP[0]} THEN 'a'
+                  WHEN (h.x - s.mu) / s.sigma < {_SAX_BP[1]} THEN 'b'
+                  WHEN (h.x - s.mu) / s.sigma < {_SAX_BP[2]} THEN 'c'
+                  ELSE 'd' END AS c
+      FROM hourly h JOIN stats s ON s.event_type = h.event_type
+    ), words AS (
+      SELECT event_type,
+             c || LEAD(c, 1) OVER w || LEAD(c, 2) OVER w AS word
+      FROM sym
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    ), counts AS (
+      SELECT event_type, word, COUNT(*) AS n
+      FROM words WHERE word IS NOT NULL
+      GROUP BY event_type, word
+    )
+    SELECT event_type, word, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, word) AS rn
+      FROM counts
+    ) WHERE rn <= {_SAX_TOP}
+    """,
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX SYMBOLIZATION + MOTIF COUNTS — the time-series indexing
+    classic (Lin/Keogh): z-normalize each series, quantize into a
+    4-letter alphabet at the standard-normal quartile breakpoints,
+    slide a {_SAX_WORD}-symbol window into WORDS, and count them —
+    recurring words are the series' MOTIFS (its behavioral
+    vocabulary: 'ramp-up', 'spike-decay'), and rare words are
+    discords (the anomaly view ts_anomaly_zscore takes pointwise,
+    here shape-wise).  SAX words are also the join key for
+    whole-series similarity search — the dedup-banding idea applied
+    to signals.
+
+    Exactness: μ and σ come from DECIMAL co-moments (exact,
+    order-independent) with IEEE sqrt; every z-value is then the
+    same double on both engines, so symbol assignment at the shared
+    breakpoint literals cannot diverge.
+
+    Scale: spine-bounded throughout — stats and symbols ride the
+    (series, hour) table; the word window is two LEADs; motif counts
+    are alphabet^{_SAX_WORD}-bounded per series."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    mu = (F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+          / F.count("*"))
+    ex2 = (F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)"))
+           .cast("double") / F.count("*"))
+    stats = hourly.groupBy("event_type").agg(
+        mu.alias("mu"), ex2.alias("ex2")
+    ).select(
+        "event_type", "mu",
+        F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu")).alias("sigma"),
+    )
+    z = (F.col("x") - F.col("mu")) / F.col("sigma")
+    sym = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type", "bucket",
+        F.when(z < _SAX_BP[0], "a")
+        .when(z < _SAX_BP[1], "b")
+        .when(z < _SAX_BP[2], "c")
+        .otherwise("d").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    words = sym.select(
+        "event_type",
+        F.concat("c", F.lead("c", 1).over(w), F.lead("c", 2).over(w))
+        .alias("word"),
+    ).filter(F.col("word").isNotNull())
+    counts = words.groupBy("event_type", "word").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("n"), "word")
+    return (
+        counts.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _SAX_TOP)
+        .select("event_type", "word", "n")
+    )
