@@ -2800,3 +2800,157 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SAX_TOP)
         .select("event_type", "word", "n")
     )
+
+
+_HURST_NS = (8, 16, 32, 64)  # R/S window sizes; log2 = 3,4,5,6
+
+
+def _hurst_oracle() -> str:
+    # slope weights (log2(n) - mean(log2)) = -1.5,-0.5,+0.5,+1.5 over
+    # n=8..64; denominator sum((xi-x̄)^2) = 5.0. Exact decimal weights.
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY bucket) - 1 AS rn
+      FROM hourly
+    ), fan AS (
+      SELECT i.event_type, i.x, i.rn, t.n,
+             i.rn // t.n AS blk, i.rn % t.n + 1 AS k
+      FROM idx i, UNNEST([{', '.join(str(n) for n in _HURST_NS)}]) t(n)
+    ), pre AS (
+      SELECT event_type, n, blk, k, x,
+             SUM(x) OVER (PARTITION BY event_type, n, blk
+                          ORDER BY k) AS p
+      FROM fan
+    ), bstat AS (
+      SELECT event_type, n, blk, SUM(x) AS sx, SUM(x * x) AS sxx,
+             COUNT(*) AS cnt
+      FROM fan GROUP BY 1, 2, 3
+    ), z AS (
+      SELECT p.event_type, p.n, p.blk,
+             MAX(p.n * p.p - p.k * b.sx) AS zmax,
+             MIN(p.n * p.p - p.k * b.sx) AS zmin
+      FROM pre p
+      JOIN bstat b ON b.event_type = p.event_type AND b.n = p.n
+                   AND b.blk = p.blk
+      WHERE b.cnt = p.n
+      GROUP BY 1, 2, 3
+    ), rs AS (
+      SELECT z.event_type, z.n,
+             CAST(GREATEST(z.zmax, 0) - LEAST(z.zmin, 0) AS DOUBLE)
+               / sqrt(CAST(b.cnt * b.sxx - b.sx * b.sx AS DOUBLE))
+               AS ratio
+      FROM z
+      JOIN bstat b ON b.event_type = z.event_type AND b.n = z.n
+                   AND b.blk = z.blk
+      WHERE b.cnt * b.sxx - b.sx * b.sx > 0
+    ), avg_rs AS (
+      SELECT event_type, n,
+             log2(CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS DOUBLE)
+                  / COUNT(*)) AS y
+      FROM rs GROUP BY event_type, n
+    )
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(y AS DECIMAL(18,12))
+                          * CAST((log2(n) - 4.5) AS DECIMAL(3,1)))
+                      AS DOUBLE) / 5.0, 6) AS hurst,
+           CAST(COUNT(*) AS BIGINT) AS n_scales
+    FROM avg_rs GROUP BY event_type HAVING COUNT(*) = {len(_HURST_NS)}
+    """
+
+
+@query("ts_hurst_exponent", oracle=_hurst_oracle())
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT by rescaled-range (R/S) analysis — the
+    LONG-MEMORY diagnosis: H≈0.5 says increments are independent
+    (Poisson-like traffic, ts_fano_factor's null), H>0.5 says bursts
+    cluster across scales (self-similar load — capacity planning
+    can't use short-window averages), H<0.5 says mean-reversion.
+    Computes R/S per dyadic block at n = {_HURST_NS}, averages per
+    scale, and fits H as the log2-log2 OLS slope (exact x-grid
+    3..6 ⇒ closed-form weights ±1.5, ±0.5 over denominator 5).
+
+    Exactness — the SCALED-DEVIATION trick: the classic cumulative
+    deviation Z_k = Σ(x−μ) is float; scaling by n makes it
+    Z'_k = n·prefix_k − k·Σ_block — EXACT BIGINT (running integer
+    sums are association-free where running double sums are not),
+    and R/S = (maxZ'−minZ')/√(n·Σx²−(Σx)²) divides two exact
+    integers' images — bit-identical across engines. Per-scale
+    averages and the slope quantize through DECIMAL per the libm
+    rule.
+
+    Scale: one {len(_HURST_NS)}-way fan-out of the hourly spine,
+    block-bounded windows, scale-bounded aggs — the ts_wavelet_haar
+    profile (Haar energies ARE the wavelet view of the same
+    self-similarity this measures)."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    wi = Window.partitionBy("event_type").orderBy("bucket")
+    idx = hourly.select(
+        "event_type", "x", (F.row_number().over(wi) - 1).alias("rn")
+    )
+    fan = idx.select(
+        "event_type", "x", "rn",
+        F.explode(F.array(*[F.lit(n) for n in _HURST_NS])).alias("n"),
+    ).select(
+        "event_type", "x", "rn", "n",
+        F.expr("rn DIV n").alias("blk"),
+        (F.col("rn") % F.col("n") + 1).alias("k"),
+    )
+    wp = Window.partitionBy("event_type", "n", "blk").orderBy("k")
+    pre = fan.withColumn("p", F.sum("x").over(wp))
+    bstat = fan.groupBy("event_type", "n", "blk").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count("*").alias("cnt"),
+    )
+    z = (
+        pre.join(bstat, ["event_type", "n", "blk"])
+        .filter(F.col("cnt") == F.col("n"))
+        .groupBy("event_type", "n", "blk")
+        .agg(
+            F.max(F.col("n") * F.col("p") - F.col("k") * F.col("sx"))
+            .alias("zmax"),
+            F.min(F.col("n") * F.col("p") - F.col("k") * F.col("sx"))
+            .alias("zmin"),
+        )
+    )
+    var_num = F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    rs = (
+        z.join(bstat, ["event_type", "n", "blk"])
+        .filter(var_num > 0)
+        .select(
+            "event_type", "n",
+            (
+                (F.greatest(F.col("zmax"), F.lit(0))
+                 - F.least(F.col("zmin"), F.lit(0))).cast("double")
+                / F.sqrt(var_num.cast("double"))
+            ).alias("ratio"),
+        )
+    )
+    avg_rs = rs.groupBy("event_type", "n").agg(
+        F.log2(
+            F.sum(F.col("ratio").cast("decimal(18,12)")).cast("double")
+            / F.count("*")
+        ).alias("y")
+    )
+    weight = (F.log2(F.col("n")) - 4.5).cast("decimal(3,1)")
+    return (
+        avg_rs.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("y").cast("decimal(18,12)") * weight)
+                .cast("double") / 5.0, 6
+            ).alias("hurst"),
+            F.count("*").cast("long").alias("n_scales"),
+        )
+        .filter(F.col("n_scales") == len(_HURST_NS))
+    )
