@@ -149,7 +149,8 @@ _R4_NEW = frozenset({
     "scan_partition_overwrite", "dq_table_diff", "mix_packing_efficiency",
     "ts_wavelet_haar", "dq_sequence_gaps", "scan_csv_column_order",
     "ml_item_cf", "text_homoglyph_normalize", "ts_sax_motifs",
-    "text_rake_keywords", "ts_hurst_exponent",
+    "text_rake_keywords", "ts_hurst_exponent", "dedup_cdc_chunks",
+    "agg_raking_ipf",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -509,3 +509,149 @@ def subq_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops leaf-only 'assemblies' so the output is the real BOM."""
     table(spark, sf_dir, "part").createOrReplaceTempView("bom_part")
     return spark.sql(_BOM_SQL.format(part="bom_part"))
+
+
+_IPF_ITERS = 3
+_IPF_SNAP = 1e9  # fixed-point snap between scaling passes
+
+
+def _ipf_oracle() -> str:
+    # Unrolled iterative proportional fitting on the nation x segment
+    # cell table: alternately scale rows then columns to uniform
+    # targets. Every pass snaps cells to 1e9 fixed-point DECIMAL so
+    # the marginal sums are exact and order-independent (the pagerank
+    # discipline); MATERIALIZED prevents DuckDB's CTE inlining from
+    # re-evaluating the chain per reference.
+    steps = []
+    for i in range(1, _IPF_ITERS + 1):
+        steps.append(f"""
+    rs{i} AS MATERIALIZED (
+      SELECT nat, SUM(ws) AS s FROM w{i - 1} GROUP BY nat),
+    wr{i} AS MATERIALIZED (
+      SELECT w.nat, w.seg,
+             CAST(FLOOR((CAST(w.ws AS DOUBLE) / {_IPF_SNAP})
+                        * (rt.t / (CAST(r.s AS DOUBLE) / {_IPF_SNAP}))
+                        * {_IPF_SNAP} + 0.5) AS DECIMAL(28,0)) AS ws
+      FROM w{i - 1} w
+      JOIN rs{i} r ON r.nat = w.nat
+      JOIN rowt rt ON rt.nat = w.nat),
+    cs{i} AS MATERIALIZED (
+      SELECT seg, SUM(ws) AS s FROM wr{i} GROUP BY seg),
+    w{i} AS MATERIALIZED (
+      SELECT w.nat, w.seg,
+             CAST(FLOOR((CAST(w.ws AS DOUBLE) / {_IPF_SNAP})
+                        * (ct.t / (CAST(c.s AS DOUBLE) / {_IPF_SNAP}))
+                        * {_IPF_SNAP} + 0.5) AS DECIMAL(28,0)) AS ws
+      FROM wr{i} w
+      JOIN cs{i} c ON c.seg = w.seg
+      JOIN colt ct ON ct.seg = w.seg)""")
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1, 2),
+    tot AS MATERIALIZED (SELECT SUM(n) AS t FROM cells),
+    rowt AS MATERIALIZED (
+      SELECT nat, CAST(t.t AS DOUBLE)
+                  / (SELECT COUNT(DISTINCT nat) FROM cells) AS t
+      FROM (SELECT DISTINCT nat FROM cells), tot t),
+    colt AS MATERIALIZED (
+      SELECT seg, CAST(t.t AS DOUBLE)
+                  / (SELECT COUNT(DISTINCT seg) FROM cells) AS t
+      FROM (SELECT DISTINCT seg FROM cells), tot t),
+    w0 AS MATERIALIZED (
+      SELECT nat, seg,
+             CAST(n * CAST({_IPF_SNAP} AS BIGINT) AS DECIMAL(28,0))
+               AS ws
+      FROM cells),
+    {','.join(steps)}
+    SELECT w.nat AS c_nationkey, w.seg AS c_mktsegment,
+           CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(w.ws AS DOUBLE) / ({_IPF_SNAP}
+                 * CAST(c.n AS DOUBLE)), 6) AS rake_weight
+    FROM w{_IPF_ITERS} w
+    JOIN cells c ON c.nat = w.nat AND c.seg = w.seg
+    """
+
+
+@query("agg_raking_ipf", oracle=_ipf_oracle())
+def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY RAKING (iterative proportional fitting, Deming-Stephan)
+    — the weighting step every survey/census/observational pipeline
+    runs when the sample's joint (nation × segment) mix must be
+    re-weighted to KNOWN marginals without a joint target (here:
+    uniform marginals on both axes, {_IPF_ITERS} row/column passes):
+    each cell gets a rake weight = adjusted mass / observed count,
+    and downstream estimates multiply by it (sample_neyman_allocation
+    plans a future sample; raking repairs the one you already have).
+
+    Determinism: the scaling chain is doubles in one fixed operation
+    order, SNAPPED to 1e9 fixed-point DECIMAL between passes (the
+    pagerank discipline) so every row/column marginal is an exact,
+    order-independent integer sum — iteration {_IPF_ITERS} is
+    bit-identical across engines.
+
+    Scale: the whole algorithm lives on the CELL table (nations ×
+    segments — schema-bounded), built by one fact-table agg; each
+    pass is a cell-keyed join against a marginal dim. Fact-table
+    cost is the initial count, once."""
+    c = table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=True)
+    tot = cells.agg(F.sum("n").alias("t"))
+    n_nat = cells.select("nat").distinct().count()
+    n_seg = cells.select("seg").distinct().count()
+    rowt = (
+        cells.select("nat").distinct()
+        .crossJoin(F.broadcast(tot))
+        .select("nat", (F.col("t").cast("double") / n_nat).alias("t"))
+    )
+    colt = (
+        cells.select("seg").distinct()
+        .crossJoin(F.broadcast(tot))
+        .select("seg", (F.col("t").cast("double") / n_seg).alias("t"))
+    )
+    snap = lambda col: F.floor(col * _IPF_SNAP + 0.5).cast("decimal(28,0)")  # noqa: E731
+    w = cells.select(
+        "nat", "seg",
+        (F.col("n") * F.lit(int(_IPF_SNAP))).cast("decimal(28,0)")
+        .alias("ws"),
+    )
+    for _ in range(_IPF_ITERS):
+        rs = w.groupBy("nat").agg(F.sum("ws").alias("s"))
+        w = (
+            w.join(F.broadcast(rs), "nat")
+            .join(F.broadcast(rowt), "nat")
+            .select(
+                "nat", "seg",
+                snap(
+                    (F.col("ws").cast("double") / _IPF_SNAP)
+                    * (F.col("t")
+                       / (F.col("s").cast("double") / _IPF_SNAP))
+                ).alias("ws"),
+            )
+        )
+        cs = w.groupBy("seg").agg(F.sum("ws").alias("s"))
+        w = (
+            w.join(F.broadcast(cs), "seg")
+            .join(F.broadcast(colt), "seg")
+            .select(
+                "nat", "seg",
+                snap(
+                    (F.col("ws").cast("double") / _IPF_SNAP)
+                    * (F.col("t")
+                       / (F.col("s").cast("double") / _IPF_SNAP))
+                ).alias("ws"),
+            )
+        ).localCheckpoint(eager=True)
+    return w.join(cells, ["nat", "seg"]).select(
+        F.col("nat").alias("c_nationkey"),
+        F.col("seg").alias("c_mktsegment"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("ws").cast("double")
+            / (F.lit(_IPF_SNAP) * F.col("n").cast("double")), 6
+        ).alias("rake_weight"),
+    )

@@ -1159,3 +1159,112 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("corpus_id").cast("long").alias("first_dup_of"),
         F.round(F.max("jaccard"), 6).alias("max_jaccard"),
     )
+
+
+# Content-defined chunking: a token position ends a chunk when the md5
+# of its trailing 3-token window falls in 1/8 of hash space — expected
+# chunk length 8 tokens, boundaries move WITH content, not offsets.
+_CDC_GATE = "2"  # first hex digit < '2' => boundary (2/16 = 1/8)
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.i AS pos, w[CAST(t.i AS INT)] AS tok,
+             CASE WHEN t.i >= 3 AND substr(md5(
+                      w[CAST(t.i AS INT) - 2] || ' ' ||
+                      w[CAST(t.i AS INT) - 1] || ' ' ||
+                      w[CAST(t.i AS INT)]), 1, 1) < '{_CDC_GATE}'
+                  THEN 1 ELSE 0 END AS boundary
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(generate_series(1, len(w))) t(i)
+    ), chunked AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(SUM(boundary) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS h,
+             COUNT(*) AS n_tok
+      FROM chunked GROUP BY doc_id, chunk_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+           ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+             AS dedup_ratio,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6)
+             AS avg_chunk_tok
+    FROM chunks
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup — the STORAGE-layer dedup
+    primitive (rsync/borg/venti lineage) the document-level family
+    can't replace: fixed-offset blocks break on a one-token insert
+    (every later block shifts), but a boundary defined by CONTENT
+    (trailing-window hash in 1/8 of hash space ⇒ ~8-token expected
+    chunks) re-synchronizes immediately, so two near-identical docs
+    share every chunk outside the edit. Reports the corpus's
+    chunk-store dedup ratio — the number a dedup-aware document
+    store would achieve — plus the realized chunk geometry.
+
+    Plan: boundary flags are map-side (md5 of a 3-token slide);
+    chunk ids are the per-doc prefix sum (the gaps-and-islands
+    identity, third use after win_streaks and text_rake_keywords);
+    chunk fingerprints aggregate tokens per (doc, chunk) and the
+    store-level stats are one distinct-agg over fingerprints.
+
+    Scale: everything keys on (doc, chunk) or the chunk hash — the
+    shingle-pipeline profile; expected chunk length is the ONE knob
+    (the gate width), and the md5 family keeps it oracle-exact."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    win3 = F.concat_ws(
+        " ", F.lag("tok", 2).over(wlag), F.lag("tok", 1).over(wlag),
+        F.col("tok")
+    )
+    boundary = F.when(
+        (F.col("pos") >= 3)
+        & (F.substring(F.md5(win3), 1, 1) < _CDC_GATE), 1
+    ).otherwise(0)
+    flagged = toks.withColumn("boundary", boundary)
+    wpre = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = flagged.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(wpre), F.lit(0))
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ).getField("tok"),
+                ).cast("binary")
+            ).alias("h"),
+            F.count("*").alias("n_tok"),
+        )
+    )
+    return chunks.agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct("h").cast("long").alias("n_unique"),
+        F.sum("n_tok").cast("long").alias("total_tok"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("h").cast("double") / F.count("*"),
+            6,
+        ).alias("dedup_ratio"),
+        F.round(F.sum("n_tok").cast("double") / F.count("*"), 6)
+        .alias("avg_chunk_tok"),
+    )
