@@ -582,3 +582,95 @@ def mix_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.count_if(split).cast("long").alias("n_split_docs"),
     )
+
+
+_PREF_PAIRS_PER_GROUP = 3
+
+
+@query(
+    "mix_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               * 1000
+               + len(string_split(text, ' ')) AS q
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang, source, q,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY q DESC, doc_id) AS r_best,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY q ASC, doc_id) AS r_worst
+      FROM scored
+    )
+    SELECT b.lang AS lang, b.source AS source,
+           CAST(b.r_best AS BIGINT) AS pair_rank,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           CAST(b.q - w.q AS BIGINT) AS quality_margin
+    FROM ranked b
+    JOIN ranked w ON w.lang = b.lang AND w.source = b.source
+                 AND w.r_worst = b.r_best
+    WHERE b.r_best <= {_PREF_PAIRS_PER_GROUP} AND b.q > w.q
+    """,
+)
+def mix_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR MINING — the post-training data shape (DPO/
+    RLHF reward modeling consumes (chosen, rejected) pairs): within
+    each (lang, source) stratum, pair the k-th HIGHEST-quality doc
+    with the k-th LOWEST (k ≤ {_PREF_PAIRS_PER_GROUP}), carrying the
+    quality margin as the pair's signal strength — max-margin pairing
+    gives the strongest preference signal per stratum, and pairing
+    WITHIN strata keeps the contrast about quality, not language or
+    domain (the same confound discipline as agg_covariate_balance).
+    Degenerate pairs (equal scores) are dropped, so every emitted
+    pair has a strict preference.
+
+    Exactness: the quality score is a pure-INTEGER composite
+    (distinct-vocab count ×1000 + token count — lexical diversity
+    dominates, length tiebreaks), so ranking, pairing and margins
+    carry no float anywhere; both row_number orders are total.
+
+    Scale: two rank windows per stratum partition and one
+    stratum-keyed self-join on the rank index — window partitions
+    bounded by stratum size; at 100 TB swap the global per-stratum
+    rank for the hash-reservoir top-k/bottom-k (sample_reservoir's
+    TakeOrdered shape) and the pairing logic is unchanged."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    q = (
+        F.size(F.array_distinct(toks)).cast("long") * 1000
+        + F.size(toks)
+    )
+    scored = d.select("doc_id", "lang", "source", q.alias("q"))
+    wb = Window.partitionBy("lang", "source").orderBy(
+        F.desc("q"), "doc_id"
+    )
+    ww = Window.partitionBy("lang", "source").orderBy("q", "doc_id")
+    ranked = scored.select(
+        "doc_id", "lang", "source", "q",
+        F.row_number().over(wb).alias("r_best"),
+        F.row_number().over(ww).alias("r_worst"),
+    )
+    b, w = ranked.alias("b"), ranked.alias("w")
+    return (
+        b.join(
+            w,
+            (F.col("w.lang") == F.col("b.lang"))
+            & (F.col("w.source") == F.col("b.source"))
+            & (F.col("w.r_worst") == F.col("b.r_best")),
+        )
+        .filter(
+            (F.col("b.r_best") <= _PREF_PAIRS_PER_GROUP)
+            & (F.col("b.q") > F.col("w.q"))
+        )
+        .select(
+            F.col("b.lang").alias("lang"),
+            F.col("b.source").alias("source"),
+            F.col("b.r_best").cast("long").alias("pair_rank"),
+            F.col("b.doc_id").alias("chosen_id"),
+            F.col("w.doc_id").alias("rejected_id"),
+            (F.col("b.q") - F.col("w.q")).cast("long")
+            .alias("quality_margin"),
+        )
+    )
