@@ -150,7 +150,8 @@ _R4_NEW = frozenset({
     "ts_wavelet_haar", "dq_sequence_gaps", "scan_csv_column_order",
     "ml_item_cf", "text_homoglyph_normalize", "ts_sax_motifs",
     "text_rake_keywords", "ts_hurst_exponent", "dedup_cdc_chunks",
-    "agg_raking_ipf", "mix_preference_pairs",
+    "agg_raking_ipf", "mix_preference_pairs", "agg_benjamini_hochberg",
+    "win_journey_paths",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -2037,3 +2037,121 @@ def ml_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w", 6).alias("woe"),
         F.round(iv.cast("double"), 6).alias("information_value"),
     )
+
+
+_BH_ALPHA = 0.1
+# Logistic approximation to the normal CDF: Phi(z) ~ 1/(1+exp(-1.702 z)).
+# One shared constant; max |error| ~ 0.0095 — fine for a RANKING-based
+# procedure (BH consumes p-value ORDER, and the map is monotone).
+_BH_LOGISTIC = 1.702
+
+
+@query(
+    "agg_benjamini_hochberg",
+    oracle=f"""
+    WITH rates AS (
+      SELECT c.c_nationkey AS nation,
+             COUNT(*) AS n,
+             SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS k
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ), gl AS (
+      SELECT CAST(SUM(k) AS DOUBLE) / SUM(n) AS p0 FROM rates
+    ), tests AS (
+      SELECT r.nation, r.n, r.k,
+             (CAST(r.k AS DOUBLE) / r.n - g.p0)
+               / sqrt(g.p0 * (1.0 - g.p0) / r.n) AS z
+      FROM rates r CROSS JOIN gl g
+    ), pvals AS (
+      SELECT nation, n, k, z,
+             2.0 * (1.0 / (1.0 + exp({_BH_LOGISTIC} * abs(z)))) AS p
+      FROM tests
+    ), ranked AS (
+      SELECT nation, n, k, z, p,
+             ROW_NUMBER() OVER (ORDER BY p, nation) AS i,
+             COUNT(*) OVER () AS m
+      FROM pvals
+    ), cutoff AS (
+      SELECT COALESCE(MAX(i), 0) AS k_max
+      FROM ranked
+      WHERE CAST(p AS DECIMAL(18,12))
+            <= CAST(i * {_BH_ALPHA} / m AS DECIMAL(18,12))
+    )
+    SELECT r.nation AS nation, CAST(r.n AS BIGINT) AS n,
+           CAST(r.k AS BIGINT) AS k,
+           ROUND(r.z, 6) AS z, ROUND(r.p, 6) AS p_value,
+           CAST(r.i AS BIGINT) AS p_rank,
+           ROUND(r.i * {_BH_ALPHA} / r.m, 6) AS bh_threshold,
+           (r.i <= c.k_max) AS discovery
+    FROM ranked r CROSS JOIN cutoff c
+    """,
+)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR control — the multiplicity correction
+    the single-test family (agg_ab_ztest, agg_chi_square,
+    agg_mann_whitney) silently needs the moment you run one test PER
+    SLICE: testing 25 nations at α=0.1 expects 2-3 false positives;
+    BH's step-up rule (largest k with p₍k₎ ≤ k·α/m; everything
+    ranked at-or-under k discovers) bounds the false-discovery RATE
+    instead. Family here: per-nation urgent-order-rate z-tests
+    against the global rate.
+
+    Determinism: p-values use the logistic CDF approximation
+    Φ(z) ≈ 1/(1+e^(−1.702z)) — a documented, shared-constant,
+    MONOTONE map, so BH (which consumes only p-value ORDER and the
+    k·α/m comparison) is unaffected by its ≤0.01 absolute error; the
+    step-up comparison runs in DECIMAL(18,12) so an exp() last-ulp
+    wiggle can't flip a boundary case; ordering ties break by
+    nation.
+
+    Scale: the test family is slice-bounded (one row per nation);
+    ranking and the step-up MAX are windows over that dim-sized
+    table. The fact-table cost is the one rate aggregation."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    rates = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(urgent.cast("int")).alias("k"),
+        )
+    )
+    glob = rates.agg(
+        (F.sum("k").cast("double") / F.sum("n")).alias("p0")
+    )
+    z = (F.col("k").cast("double") / F.col("n") - F.col("p0")) / F.sqrt(
+        F.col("p0") * (1.0 - F.col("p0")) / F.col("n")
+    )
+    tests = rates.crossJoin(F.broadcast(glob)).select(
+        "nation", "n", "k", z.alias("z")
+    )
+    p = 2.0 * (1.0 / (1.0 + F.exp(_BH_LOGISTIC * F.abs(F.col("z")))))
+    pvals = tests.withColumn("p", p)
+    wr = Window.orderBy("p", "nation")
+    wall = Window.partitionBy()
+    ranked = pvals.select(
+        "nation", "n", "k", "z", "p",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wall).alias("m"),
+    )
+    passes = F.col("p").cast("decimal(18,12)") <= (
+        F.col("i") * _BH_ALPHA / F.col("m")
+    ).cast("decimal(18,12)")
+    cutoff = ranked.agg(
+        F.coalesce(F.max(F.when(passes, F.col("i"))), F.lit(0))
+        .alias("k_max")
+    )
+    return ranked.crossJoin(F.broadcast(cutoff)).select(
+        "nation",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round("z", 6).alias("z"),
+        F.round("p", 6).alias("p_value"),
+        F.col("i").cast("long").alias("p_rank"),
+        F.round(F.col("i") * _BH_ALPHA / F.col("m"), 6)
+        .alias("bh_threshold"),
+        (F.col("i") <= F.col("k_max")).alias("discovery"),
+    )

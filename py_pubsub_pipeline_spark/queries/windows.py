@@ -548,3 +548,67 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1e-12))))
     return (roll.filter(n == _RCORR_W)
             .select("day", F.round(corr, 6).alias("rolling_corr")))
+
+
+_PATH_LEN = 4
+_PATH_TOP = 15
+
+
+@query(
+    "win_journey_paths",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= {_PATH_LEN}
+      GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+)
+def win_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP JOURNEY PATHS — the full-sequence view the Markov ops
+    compress away: win_event_transitions keeps only first-order
+    (A→B) statistics, but product questions are about PATHS
+    ('signup>browse>cart>abandon vs signup>cart>buy'); this ranks
+    the {_PATH_TOP} most common first-{_PATH_LEN}-event sequences —
+    the onboarding-flow fingerprint. ts_markov_entropy_rate says how
+    predictable journeys are; this says WHICH journeys.
+
+    Exactness: per-user ordering is total ((ts, event_id)); the path
+    string aggregates under that explicit order on both engines
+    (never engine-default collect order); counts exact, LIMIT under
+    (count DESC, path) — total.
+
+    Scale: one user-partitioned rank window (bounded by per-user
+    events), one user-keyed path agg, one path-bounded count —
+    paths live in |types|^{_PATH_LEN} space, schema-bounded. The
+    rank-≤-{_PATH_LEN} filter caps state per user BEFORE the path
+    build, so a power user costs the same as a casual one."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _PATH_LEN)
+    paths = ordered.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).getField("event_type"),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATH_TOP)
+    )
