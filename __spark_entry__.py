@@ -151,7 +151,7 @@ _R4_NEW = frozenset({
     "ml_item_cf", "text_homoglyph_normalize", "ts_sax_motifs",
     "text_rake_keywords", "ts_hurst_exponent", "dedup_cdc_chunks",
     "agg_raking_ipf", "mix_preference_pairs", "agg_benjamini_hochberg",
-    "win_journey_paths",
+    "win_journey_paths", "agg_hill_diversity", "scan_manifest_snapshot",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -2625,3 +2625,66 @@ def agg_heavy_hitters_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lower_bound"), "token")
         .limit(_HH_REPORT)
     )
+
+
+@query(
+    "agg_hill_diversity",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents GROUP BY source, lang
+    ), tot AS (
+      SELECT source, SUM(n) AS t FROM counts GROUP BY source
+    ), terms AS (
+      SELECT c.source,
+             CAST(c.n AS DOUBLE) / t.t AS p,
+             CAST(CAST(c.n AS DOUBLE) / t.t
+                  * ln(CAST(c.n AS DOUBLE) / t.t)
+                  AS DECIMAL(18,12)) AS plogp,
+             CAST((CAST(c.n AS DOUBLE) / t.t)
+                  * (CAST(c.n AS DOUBLE) / t.t)
+                  AS DECIMAL(18,12)) AS p2
+      FROM counts c JOIN tot t ON t.source = c.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS hill_q0,
+           ROUND(exp(-CAST(SUM(plogp) AS DOUBLE)), 6) AS hill_q1,
+           ROUND(1.0 / CAST(SUM(p2) AS DOUBLE), 6) AS hill_q2
+    FROM terms GROUP BY source
+    """,
+)
+def agg_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL-NUMBER DIVERSITY PROFILE (q = 0, 1, 2) — the ecology
+    framework that unifies this repo's scattered diversity metrics
+    into one comparable scale of EFFECTIVE CATEGORY COUNTS: q0 =
+    richness (languages present per source), q1 = exp(Shannon)
+    (agg_entropy's H made interpretable — 'effectively 3.2
+    languages'), q2 = inverse Simpson (1/HHI — agg_herfindahl's
+    concentration, inverted). Divergence across q orders IS the
+    skew diagnosis: q0 ≫ q2 means many rare languages hiding behind
+    a dominant one — exactly the imbalance sample_balanced then
+    corrects; all three in the same unit makes corpus mixes
+    comparable across sources and rounds.
+
+    Exactness: proportions are one double division each; the p·ln p
+    and p² terms quantize through DECIMAL(18,12) before their sums
+    (the libm rule — ln and exp get one rounded application each).
+
+    Scale: one (source, lang) hash agg — schema-bounded — then
+    source-keyed term sums; fact cost is the single count scan."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("source").agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    terms = counts.join(F.broadcast(tot), "source").select(
+        "source",
+        (p * F.log(p)).cast("decimal(18,12)").alias("plogp"),
+        (p * p).cast("decimal(18,12)").alias("p2"),
+    )
+    return terms.groupBy("source").agg(
+        F.count("*").cast("long").alias("hill_q0"),
+        F.round(F.exp(-F.sum("plogp").cast("double")), 6)
+        .alias("hill_q1"),
+        F.round(F.lit(1.0) / F.sum("p2").cast("double"), 6)
+        .alias("hill_q2"),
+    )

@@ -885,3 +885,63 @@ def scan_csv_column_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
         .alias("price_sum"),
     )
+
+
+import json as _json
+
+
+@query(
+    "scan_manifest_snapshot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS price_sum
+    FROM orders WHERE o_orderkey % 3 != 2
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-BASED SNAPSHOT READS — the table-format core idea
+    (Iceberg/Delta/Hudi) with zero format dependency: readers resolve
+    a MANIFEST (the committed snapshot's explicit file list), never
+    the directory listing, so uncommitted/aborted/compacting files
+    sitting in the same directory are INVISIBLE and a snapshot is an
+    immutable value. Materializes three data files (orders split
+    three ways), commits a manifest referencing only two, and reads
+    through it — the third file is planted as the classic
+    torn-write hazard; the oracle (keys % 3 != 2) proves it never
+    leaks in. Directory-listing reads are WHY raw-parquet pipelines
+    see half-written data; the staged-then-swap discipline of
+    IdempotentParquetSink/compact_files gets its read-side
+    counterpart here.
+
+    Scale: the manifest is one tiny JSON read on the driver at PLAN
+    time (real formats fan manifests out in trees for 10^6-file
+    tables — same principle); the data read is a plain pruned
+    parquet scan of exactly the listed files."""
+    path = _cache_dir(sf_dir, "manifest_snap")
+    manifest = os.path.join(path, "_manifest.json")
+    if not os.path.exists(manifest):
+        o = table(spark, sf_dir, "orders")
+        for part in range(3):
+            (
+                o.filter(F.col("o_orderkey") % 3 == part)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, f"file-{part}"))
+            )
+        snap = {"snapshot_id": 1,
+                "files": ["file-0", "file-1"]}  # file-2 NOT committed
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(snap, f)
+        os.replace(tmp, manifest)  # atomic commit, the swap discipline
+    with open(manifest) as f:
+        snap = _json.load(f)
+    files = [os.path.join(path, rel) for rel in snap["files"]]
+    committed = spark.read.parquet(*files)
+    return committed.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        .alias("price_sum"),
+    )
