@@ -799,3 +799,70 @@ def phash_dedup_assets(docs: DataFrame) -> DataFrame:
         run,
         "asset_id LONG, doc_id LONG, width INT, height INT, ahash LONG",
     )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id long, n_samples long, zero_crossings long, "
+    "energy long, rms double"
+)
+
+
+def decode_wav_features(payload: bytes) -> tuple[int, int, int]:
+    """Sample-level FEATURE extraction on top of the real RIFF walk:
+    (n_samples, zero_crossings, energy). Zero-crossing counts sign
+    flips between consecutive signed samples (x >= 0 is non-negative);
+    energy is the exact integer sum of squares. These are the two
+    classic frame features (voiced/unvoiced + loudness) computable
+    without an FFT."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:4]!r}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    _, n_channels, _, _, block_align, _ = fmt
+    n = (len(data) // block_align) * n_channels
+    zc, energy, prev_neg = 0, 0, None
+    for k in range(n):
+        (v,) = struct.unpack_from("<h", data, 2 * k)
+        neg = v < 0
+        if prev_neg is not None and neg != prev_neg:
+            zc += 1
+        prev_neg = neg
+        energy += v * v
+    return n, zc, energy
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction (energy + ZCR per
+    asset) through the same chunk-walking decoder as decode_audio."""
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "asset_id", "n_samples", "zero_crossings",
+                    "energy", "rms",
+                )
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n, zc, energy = decode_wav_features(bytes(payload))
+                out["asset_id"].append(aid)
+                out["n_samples"].append(n)
+                out["zero_crossings"].append(zc)
+                out["energy"].append(energy)
+                out["rms"].append(round(math.sqrt(energy / n), 6))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, AUDIO_FEATURE_SCHEMA)

@@ -288,3 +288,66 @@ def mm_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_assets"),
     )
+
+
+@query(
+    "mm_audio_energy_zcr",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS L,
+             1 + length(text) % {FRAME_MOD} AS n_frames
+      FROM documents),
+    samp AS (
+      SELECT doc_id, k,
+             (ascii(substr(text, ((2*k) % L) + 1, 1))
+                + CASE WHEN (2*k) % 3 = 1 THEN 128 ELSE 0 END)
+             + 256 * (ascii(substr(text, ((2*k+1) % L) + 1, 1))
+                + CASE WHEN (2*k+1) % 3 = 1 THEN 128 ELSE 0 END) AS u
+      FROM b, UNNEST(generate_series(0, n_frames - 1)) t(k)),
+    signed_s AS (
+      SELECT doc_id, k,
+             CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS x
+      FROM samp),
+    feat AS (
+      SELECT doc_id,
+             COUNT(*) AS n_samples,
+             SUM(CASE WHEN prev_neg IS NOT NULL
+                       AND (x < 0) != prev_neg THEN 1 ELSE 0 END)
+               AS zc,
+             SUM(x * x) AS energy
+      FROM (
+        SELECT doc_id, x,
+               LAG(x < 0) OVER (PARTITION BY doc_id ORDER BY k)
+                 AS prev_neg
+        FROM signed_s
+      ) GROUP BY doc_id)
+    SELECT doc_id AS asset_id,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(zc AS BIGINT) AS zero_crossings,
+           CAST(energy AS BIGINT) AS energy,
+           ROUND(sqrt(CAST(energy AS DOUBLE) / n_samples), 6) AS rms
+    FROM feat
+    """,
+)
+def mm_audio_energy_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO FEATURE EXTRACTION — the step after decode that
+    mm_decode_featurize does for images: per-asset RMS ENERGY
+    (loudness) and ZERO-CROSSING RATE (the classic no-FFT
+    voiced/unvoiced + noisiness discriminant) over the real PCM
+    sample stream, via the same Arrow-batched RIFF chunk walker as
+    mm_audio_decode. The oracle reconstructs the identical sample
+    stream arithmetically (corpus bytes are ASCII) and replays the
+    sign-flip count and the exact integer energy — so the features
+    are verified at the SAMPLE level: a decoder that drops the last
+    odd sample, mis-signs PCM, or counts a zero sample as negative
+    hash-mismatches.
+
+    Scale: mapInPandas with Arrow batches (the sanctioned Python
+    path for binary media), one Python call per batch; features are
+    per-asset scalars so nothing but (id, 4 numbers) leaves the
+    stage. Energy stays exact BIGINT; rms is one IEEE sqrt + round,
+    identical on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    from ..multimodal import audio_features, synthesize_wav_assets
+
+    return audio_features(synthesize_wav_assets(docs))

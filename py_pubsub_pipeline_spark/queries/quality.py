@@ -1449,3 +1449,74 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nxt") - 1).alias("gap_end"),
         (F.col("nxt") - F.col("k") - 1).cast("long").alias("n_missing"),
     )
+
+
+@query(
+    "dq_format_profile",
+    oracle="""
+    WITH masked AS (
+      SELECT 'c_name' AS col,
+             regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'),
+               '[A-Z]', 'A', 'g') AS mask
+      FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment' AS col,
+             regexp_replace(regexp_replace(regexp_replace(
+               c_mktsegment, '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'),
+               '[A-Z]', 'A', 'g') AS mask
+      FROM customer
+    )
+    SELECT col, mask,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY col), 6) AS share
+    FROM masked GROUP BY col, mask
+    """,
+)
+def dq_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-FORMAT PROFILING — the pattern-mask census every DQ tool
+    runs before writing validation rules: fold each value to its
+    SHAPE (digits→9, lowercase→a, uppercase→A; literals survive) and
+    count the masks per column. One dominant mask = the de-facto
+    format contract; the long tail = the rows that will break a
+    parser ('Aaaaaaaa#999999999' at 99.8% tells you both the rule
+    and the exceptions in a single read — a regex you'd otherwise
+    guess). Runs on the name and segment columns; the mask alphabet
+    extends per type without changing the plan.
+
+    Exactness: three chained global regexp_replace passes with
+    identical RE2-and-Java-safe classes on both engines; counts
+    exact; the share window runs over the mask-bounded profile.
+
+    Scale: map-side masking + a (col, mask)-keyed agg — mask
+    cardinality is format-bounded (a healthy column has a handful),
+    so the exchange is tiny regardless of row count; profiling N
+    columns stacks N scans-worth of masks into the same shape (or
+    one pass with a stack/unpivot)."""
+    c = table(spark, sf_dir, "customer")
+
+    def mask(col: str):
+        m = F.regexp_replace(F.col(col), "[0-9]", "9")
+        m = F.regexp_replace(m, "[a-z]", "a")
+        return F.regexp_replace(m, "[A-Z]", "A")
+
+    masked = c.select(
+        F.lit("c_name").alias("col"), mask("c_name").alias("mask")
+    ).unionByName(
+        c.select(
+            F.lit("c_mktsegment").alias("col"),
+            mask("c_mktsegment").alias("mask"),
+        )
+    )
+    w = Window.partitionBy("col")
+    return (
+        masked.groupBy("col", "mask")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "col", "mask", "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(w), 6
+            ).alias("share"),
+        )
+    )
