@@ -152,7 +152,8 @@ _R4_NEW = frozenset({
     "text_rake_keywords", "ts_hurst_exponent", "dedup_cdc_chunks",
     "agg_raking_ipf", "mix_preference_pairs", "agg_benjamini_hochberg",
     "win_journey_paths", "agg_hill_diversity", "scan_manifest_snapshot",
-    "dq_format_profile", "mm_audio_energy_zcr",
+    "dq_format_profile", "mm_audio_energy_zcr", "ts_spectral_entropy",
+    "scan_time_travel",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -945,3 +945,74 @@ def scan_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
         .alias("price_sum"),
     )
+
+
+@query(
+    "scan_time_travel",
+    oracle="""
+    SELECT snapshot_id, CAST(n AS BIGINT) AS n,
+           CAST(key_sum AS BIGINT) AS key_sum
+    FROM (
+      SELECT 1 AS snapshot_id, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+      FROM orders WHERE o_orderkey % 3 != 2
+      UNION ALL
+      SELECT 2 AS snapshot_id, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+      FROM orders
+    )
+    """,
+)
+def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over manifest snapshots — the second half of the
+    scan_manifest_snapshot contract: because a snapshot is an
+    immutable FILE LIST (never a directory state), committing
+    snapshot 2 (which adds the third data file) does not disturb
+    snapshot 1, and both remain queryable forever — the
+    reproducibility primitive under 'train on the exact corpus
+    snapshot the paper used' and under auditable backfills
+    (dq_table_diff across two snapshots of the same table is the
+    restatement review). Reads BOTH snapshots through their
+    manifests in one query and aggregates each; the oracle derives
+    both states arithmetically, proving snapshot 1 still excludes
+    the late file after snapshot 2 includes it.
+
+    Scale: manifests resolve at plan time (file-list JSON, driver
+    side, O(files)); each snapshot's read is a plain parquet scan of
+    its listed files — time travel costs nothing at read time
+    beyond reading the right files, which is the entire point."""
+    base = _cache_dir(sf_dir, "manifest_snap")  # shares snapshot-1 data
+    m1 = os.path.join(base, "_manifest.json")
+    if not os.path.exists(m1):
+        o = table(spark, sf_dir, "orders")
+        for part in range(3):
+            (
+                o.filter(F.col("o_orderkey") % 3 == part)
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, f"file-{part}"))
+            )
+        tmp = m1 + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"snapshot_id": 1, "files": ["file-0", "file-1"]}, f)
+        os.replace(tmp, m1)
+    m2 = os.path.join(base, "_manifest_v2.json")
+    if not os.path.exists(m2):
+        tmp = m2 + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {"snapshot_id": 2,
+                 "files": ["file-0", "file-1", "file-2"]}, f)
+        os.replace(tmp, m2)
+
+    def snap_df(manifest_path: str):
+        with open(manifest_path) as f:
+            snap = _json.load(f)
+        files = [os.path.join(base, rel) for rel in snap["files"]]
+        return spark.read.parquet(*files).agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        ).select(
+            F.lit(snap["snapshot_id"]).alias("snapshot_id"),
+            F.col("n").cast("long").alias("n"),
+            F.col("key_sum").cast("long").alias("key_sum"),
+        )
+
+    return snap_df(m1).unionByName(snap_df(m2))

@@ -2954,3 +2954,106 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_scales") == len(_HURST_NS))
     )
+
+
+@query(
+    "ts_spectral_entropy",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY bucket) - 1 AS rn
+      FROM hourly
+    ), head AS (
+      SELECT * FROM idx WHERE rn < {2 ** _HAAR_LEVELS}
+    ), coeffs AS (
+      SELECT h.event_type, t.lv,
+             h.rn // CAST(power(2, t.lv) AS BIGINT) AS j,
+             SUM(h.x * (1 - 2 * ((h.rn
+                   // CAST(power(2, t.lv - 1) AS BIGINT)) % 2))) AS d
+      FROM head h, UNNEST(generate_series(1, {_HAAR_LEVELS})) t(lv)
+      GROUP BY 1, 2, 3
+    ), lev AS (
+      SELECT event_type, lv, SUM(d * d) AS e
+      FROM coeffs GROUP BY event_type, lv
+    ), tot AS (
+      SELECT event_type, SUM(e) AS te FROM lev GROUP BY event_type
+    ), terms AS (
+      SELECT l.event_type,
+             CASE WHEN l.e > 0 THEN
+               CAST((CAST(l.e AS DOUBLE) / t.te)
+                    * ln(CAST(l.e AS DOUBLE) / t.te)
+                    AS DECIMAL(18,12))
+             ELSE CAST(0 AS DECIMAL(18,12)) END AS plogp
+      FROM lev l JOIN tot t ON t.event_type = l.event_type
+    )
+    SELECT event_type,
+           ROUND(-CAST(SUM(plogp) AS DOUBLE)
+                 / ln({_HAAR_LEVELS}.0), 6) AS spectral_entropy,
+           CAST(COUNT(*) AS BIGINT) AS n_levels
+    FROM terms GROUP BY event_type
+    """,
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL ENTROPY over the Haar energy-by-level distribution —
+    the one-number summary of ts_wavelet_haar's spectrum: entropy ≈ 1
+    (energy spread evenly over scales) = white-noise-like traffic;
+    entropy ≪ 1 (energy concentrated at one scale) = strongly
+    periodic or trending — so it ranks SERIES by structure, the
+    triage number that decides which series deserve ts_dominant_period
+    / ts_seasonal_index treatment and which are noise not worth
+    modeling. Normalized by ln(levels) to [0, 1].
+
+    Exactness: level energies are the exact BIGINT Haar energies;
+    proportions are one double division; p·ln p terms quantize
+    through DECIMAL(18,12) (the libm rule, as agg_entropy and
+    agg_hill_diversity); one final rounded division.
+
+    Scale: identical fan-out to ts_wavelet_haar (spine-bounded),
+    plus two level-bounded aggs — the level table is {_HAAR_LEVELS}
+    rows per series."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    head = (
+        hourly.withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < 2 ** _HAAR_LEVELS)
+    )
+    fan = head.select(
+        "event_type", "x", "rn",
+        F.explode(F.sequence(F.lit(1), F.lit(_HAAR_LEVELS))).alias("lv"),
+    )
+    blk = (F.col("rn") / F.pow(F.lit(2.0), F.col("lv"))).cast("long")
+    sign = 1 - 2 * (
+        (F.col("rn") / F.pow(F.lit(2.0), F.col("lv") - 1)).cast("long") % 2
+    )
+    lev = (
+        fan.select("event_type", "lv", blk.alias("j"),
+                   (F.col("x") * sign).alias("term"))
+        .groupBy("event_type", "lv", "j")
+        .agg(F.sum("term").alias("d"))
+        .groupBy("event_type", "lv")
+        .agg(F.sum(F.col("d") * F.col("d")).alias("e"))
+    )
+    tot = lev.groupBy("event_type").agg(F.sum("e").alias("te"))
+    p = F.col("e").cast("double") / F.col("te")
+    terms = lev.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.when(F.col("e") > 0, (p * F.log(p)).cast("decimal(18,12)"))
+        .otherwise(F.lit(0).cast("decimal(18,12)")).alias("plogp"),
+    )
+    import math
+
+    return terms.groupBy("event_type").agg(
+        F.round(
+            -F.sum("plogp").cast("double") / math.log(_HAAR_LEVELS), 6
+        ).alias("spectral_entropy"),
+        F.count("*").cast("long").alias("n_levels"),
+    )
