@@ -1520,3 +1520,86 @@ def dq_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@query(
+    "dq_cross_field_consistency",
+    oracle="""
+    WITH joined AS (
+      SELECT l.l_orderkey, l.l_shipdate, o.o_orderdate,
+             l.l_quantity, l.l_extendedprice, l.l_discount
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT 'ship_before_order' AS rule,
+           CAST(COUNT(*) FILTER (WHERE l_shipdate < o_orderdate)
+                AS BIGINT) AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM joined
+    UNION ALL
+    SELECT 'nonpositive_quantity' AS rule,
+           CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM joined
+    UNION ALL
+    SELECT 'discount_out_of_band' AS rule,
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0
+                                    OR l_discount > 0.5) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM joined
+    UNION ALL
+    SELECT 'price_quantity_mismatch' AS rule,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0
+                                   AND l_quantity > 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM joined
+    """,
+)
+def dq_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FIELD consistency rules — the DQ category dq_checks'
+    single-column audits (nulls, domains, referential) can't see:
+    a row can pass every per-column check and still be IMPOSSIBLE
+    as a business fact (shipped before it was ordered, priced at
+    zero for positive quantity). Four rules spanning two tables:
+    temporal ordering (ship ≥ order date — requires the join),
+    sign (quantity > 0), band (discount ∈ [0, 0.5]), and
+    implication (quantity > 0 ⇒ price > 0). One row per rule with
+    violation and checked counts — the CI contract table: any
+    n_violations > 0 fails the build.
+
+    Scale: ONE fact-fact join (the same key shuffle the downstream
+    queries pay anyway) feeds all rules as conditional counts in a
+    single pass — rules share the scan, never one-join-per-rule;
+    adding a rule adds a count_if column, not a stage. The joined
+    CTE evaluates once per rule-block on the oracle side but the
+    Spark plan computes all four from one cached exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_shipdate", "o_orderdate", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("l_shipdate") < F.col("o_orderdate"))
+        .alias("v_ship"),
+        F.count_if(F.col("l_quantity") <= 0).alias("v_qty"),
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5))
+        .alias("v_disc"),
+        F.count_if((F.col("l_extendedprice") <= 0)
+                   & (F.col("l_quantity") > 0)).alias("v_price"),
+    )
+    rules = [
+        ("ship_before_order", "v_ship"),
+        ("nonpositive_quantity", "v_qty"),
+        ("discount_out_of_band", "v_disc"),
+        ("price_quantity_mismatch", "v_price"),
+    ]
+    out = None
+    for name, colname in rules:
+        row = agg.select(
+            F.lit(name).alias("rule"),
+            F.col(colname).cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_checked"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3057,3 +3057,135 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spectral_entropy"),
         F.count("*").cast("long").alias("n_levels"),
     )
+
+
+@query(
+    "ts_granger_lite",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type AS ty, date_trunc('hour', ts) AS b,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), rows_j AS (
+      SELECT c.ty AS cause, e.ty AS effect,
+             e.x AS y, el.x AS x1, c.x AS x2
+      FROM hourly e
+      JOIN hourly el ON el.ty = e.ty
+                    AND el.b + INTERVAL 1 HOUR = e.b
+      JOIN hourly c ON c.ty != e.ty
+                   AND c.b + INTERVAL 1 HOUR = e.b
+    ), mom AS (
+      SELECT cause, effect, COUNT(*) AS n,
+             SUM(y) AS sy, SUM(x1) AS s1, SUM(x2) AS s2,
+             SUM(y * y) AS syy, SUM(x1 * x1) AS s11,
+             SUM(x2 * x2) AS s22, SUM(y * x1) AS sy1,
+             SUM(y * x2) AS sy2, SUM(x1 * x2) AS s12
+      FROM rows_j GROUP BY cause, effect
+    ), corr_t AS (
+      SELECT cause, effect, n,
+             CAST(n * sy1 - sy * s1 AS DOUBLE)
+               / sqrt(CAST((n * syy - sy * sy)
+                           * (n * s11 - s1 * s1) AS DOUBLE)) AS ry1,
+             CAST(n * sy2 - sy * s2 AS DOUBLE)
+               / sqrt(CAST((n * syy - sy * sy)
+                           * (n * s22 - s2 * s2) AS DOUBLE)) AS ry2,
+             CAST(n * s12 - s1 * s2 AS DOUBLE)
+               / sqrt(CAST((n * s11 - s1 * s1)
+                           * (n * s22 - s2 * s2) AS DOUBLE)) AS r12
+      FROM mom
+    )
+    SELECT cause, effect, CAST(n AS BIGINT) AS n,
+           ROUND(ry1 * ry1, 6) AS r2_restricted,
+           ROUND((ry1 * ry1 + ry2 * ry2 - 2.0 * ry1 * ry2 * r12)
+                 / (1.0 - r12 * r12), 6) AS r2_full,
+           ROUND((ry1 * ry1 + ry2 * ry2 - 2.0 * ry1 * ry2 * r12)
+                 / (1.0 - r12 * r12) - ry1 * ry1, 6) AS granger_gain
+    FROM corr_t
+    """,
+)
+def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRANGER-STYLE lagged predictability screen over every ordered
+    series pair: does knowing CAUSE's volume at t−1 improve the
+    prediction of EFFECT at t BEYOND effect's own lag? —
+    R²_full(effect_lag, cause_lag) − R²_restricted(effect_lag), the
+    two-regressor R² in closed correlation form
+    (r_y1² + r_y2² − 2·r_y1·r_y2·r_12)/(1 − r_12²). ts_lagged_corr
+    measures raw cross-correlation; the Granger gain CONDITIONS ON
+    AUTOCORRELATION, killing the 'both series trend together'
+    false positive, and its asymmetry (click→purchase vs
+    purchase→click) is the direction signal.
+
+    Exactness: with integer hourly counts, every co-moment is an
+    exact BIGINT, so each correlation is a ratio of exact integers'
+    images under one IEEE sqrt/divide — bit-identical across engines
+    (the agg_spearman_rho discipline, here on 3 variables); the R²
+    algebra runs in one fixed operation order and rounds at 6.
+
+    Scale: the lag alignment is two spine self-joins keyed on
+    (series, hour) — spine-sized; the co-moment agg is one pass;
+    output is |series|² rows. No per-pair rescans."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.col("event_type").alias("ty"),
+                  F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    eff = hourly.alias("e")
+    el = hourly.alias("el")
+    ca = hourly.alias("c")
+    rows_j = (
+        eff.join(
+            el,
+            (F.col("el.ty") == F.col("e.ty"))
+            & (F.expr("el.b + INTERVAL 1 HOUR") == F.col("e.b")),
+        )
+        .join(
+            ca,
+            (F.col("c.ty") != F.col("e.ty"))
+            & (F.expr("c.b + INTERVAL 1 HOUR") == F.col("e.b")),
+        )
+        .select(
+            F.col("c.ty").alias("cause"), F.col("e.ty").alias("effect"),
+            F.col("e.x").alias("y"), F.col("el.x").alias("x1"),
+            F.col("c.x").alias("x2"),
+        )
+    )
+    mom = rows_j.groupBy("cause", "effect").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"), F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("y") * F.col("x1")).alias("sy1"),
+        F.sum(F.col("y") * F.col("x2")).alias("sy2"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)) \
+            .cast("double")
+        den = F.sqrt(
+            ((F.col("n") * F.col(saa) - F.col(sa) * F.col(sa))
+             * (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)))
+            .cast("double")
+        )
+        return num / den
+
+    ct = mom.select(
+        "cause", "effect", "n",
+        corr("sy1", "sy", "s1", "syy", "s11").alias("ry1"),
+        corr("sy2", "sy", "s2", "syy", "s22").alias("ry2"),
+        corr("s12", "s1", "s2", "s11", "s22").alias("r12"),
+    )
+    r2_full = (
+        F.col("ry1") * F.col("ry1") + F.col("ry2") * F.col("ry2")
+        - 2.0 * F.col("ry1") * F.col("ry2") * F.col("r12")
+    ) / (1.0 - F.col("r12") * F.col("r12"))
+    return ct.select(
+        "cause", "effect", F.col("n").cast("long").alias("n"),
+        F.round(F.col("ry1") * F.col("ry1"), 6).alias("r2_restricted"),
+        F.round(r2_full, 6).alias("r2_full"),
+        F.round(r2_full - F.col("ry1") * F.col("ry1"), 6)
+        .alias("granger_gain"),
+    )
