@@ -153,7 +153,8 @@ _R4_NEW = frozenset({
     "agg_raking_ipf", "mix_preference_pairs", "agg_benjamini_hochberg",
     "win_journey_paths", "agg_hill_diversity", "scan_manifest_snapshot",
     "dq_format_profile", "mm_audio_energy_zcr", "ts_spectral_entropy",
-    "scan_time_travel", "ts_granger_lite", "dq_cross_field_consistency",
+    "scan_time_travel", "ts_granger_lite", "dq_cross_field_consistency", "text_burrows_delta",
+    "ts_newey_west_se",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -1575,3 +1575,134 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "word")
         .limit(_RAKE_TOP)
     )
+
+
+# Burrows' Delta marker words: the corpus's function-word set (shared
+# with the langid lexicon / RAKE stoplist — high-frequency, topic-free).
+_DELTA_WORDS = ("the", "a", "of", "and", "is")
+
+
+@query(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ), totals AS (
+      SELECT source, COUNT(*) AS n FROM toks GROUP BY source
+    ), freqs AS (
+      SELECT t.source, w.wd,
+             CAST(COUNT(*) FILTER (WHERE t.tok = w.wd) AS DOUBLE)
+               / MAX(tt.n) AS f
+      FROM toks t
+      JOIN totals tt ON tt.source = t.source
+      CROSS JOIN (SELECT UNNEST({list(_DELTA_WORDS)}) AS wd) w
+      GROUP BY t.source, w.wd
+    ), stats AS (
+      SELECT wd,
+             CAST(SUM(CAST(f AS DECIMAL(18,12))) AS DOUBLE)
+               / COUNT(*) AS mu,
+             sqrt(CAST(SUM(CAST(f * f AS DECIMAL(18,12))) AS DOUBLE)
+                    / COUNT(*)
+                  - (CAST(SUM(CAST(f AS DECIMAL(18,12))) AS DOUBLE)
+                     / COUNT(*))
+                    * (CAST(SUM(CAST(f AS DECIMAL(18,12))) AS DOUBLE)
+                       / COUNT(*))) AS sigma
+      FROM freqs GROUP BY wd
+    ), z AS (
+      -- zero-variance markers (identical usage everywhere) carry no
+      -- stylistic signal and would divide by zero: dropped, and the
+      -- pair mean divides by the RETAINED word count.
+      SELECT f.source, f.wd, (f.f - s.mu) / s.sigma AS z
+      FROM freqs f JOIN stats s ON s.wd = f.wd
+      WHERE s.sigma > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           ROUND(CAST(SUM(CAST(ABS(a.z - b.z) AS DECIMAL(18,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS delta
+    FROM z a JOIN z b ON b.wd = a.wd AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS' DELTA — the stylometry/authorship distance (Burrows
+    2002): sources are profiled by their FUNCTION-WORD relative
+    frequencies (topic-free words authors use unconsciously),
+    z-normalized per word across sources, and every source pair gets
+    delta = mean |z_a − z_b|. In a curation pipeline this is the
+    SOURCE-STYLE distance matrix: near-zero delta between two
+    'different' crawl sources flags mirrors/syndication that URL
+    dedup missed (stylistic fingerprints survive re-hosting), and
+    high delta identifies stylistic diversity worth preserving in a
+    mix — content-free where text_jsd_vs_corpus is topical.
+
+    Exactness: relative frequencies are one division each; the
+    per-word mean/std use DECIMAL co-moments with IEEE sqrt (the
+    ts_sax_motifs recipe), so every z is bit-identical; |z−z| terms
+    quantize through DECIMAL before the pair sum.
+
+    Scale: profile table is sources × marker-words (schema-bounded);
+    the pair join runs on THAT, never on tokens — the fact cost is
+    one token-stream count. Marker vocabularies of 150+ words (the
+    literary standard) change row counts, not plan shape."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    totals = toks.groupBy("source").agg(F.count("*").alias("n"))
+    counts = (
+        toks.filter(F.col("tok").isin(*_DELTA_WORDS))
+        .groupBy("source", F.col("tok").alias("wd"))
+        .agg(F.count("*").alias("c"))
+    )
+    # dense (source x word) grid: a source missing a marker word gets 0
+    grid = (
+        totals.crossJoin(
+            F.broadcast(
+                d.sparkSession.createDataFrame(
+                    [(w,) for w in _DELTA_WORDS], "wd string"
+                )
+            )
+        )
+        .join(counts, ["source", "wd"], "left")
+        .select(
+            "source", "wd",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double")
+             / F.col("n")).alias("f"),
+        )
+    )
+    mu = (F.sum(F.col("f").cast("decimal(18,12)")).cast("double")
+          / F.count("*"))
+    ef2 = (F.sum((F.col("f") * F.col("f")).cast("decimal(18,12)"))
+           .cast("double") / F.count("*"))
+    stats = grid.groupBy("wd").agg(mu.alias("mu"), ef2.alias("ef2")).select(
+        "wd", "mu",
+        F.sqrt(F.col("ef2") - F.col("mu") * F.col("mu")).alias("sigma"),
+    )
+    z = (
+        grid.join(F.broadcast(stats), "wd")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "source", "wd",
+            ((F.col("f") - F.col("mu")) / F.col("sigma")).alias("z"),
+        )
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.wd") == F.col("a.wd"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(F.col("a.z") - F.col("b.z"))
+                    .cast("decimal(18,12)")
+                ).cast("double") / F.count("*"),
+                6,
+            ).alias("delta")
+        )
+    )

@@ -3189,3 +3189,164 @@ def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r2_full - F.col("ry1") * F.col("ry1"), 6)
         .alias("granger_gain"),
     )
+
+
+_NW_LAGS = 3  # Bartlett-kernel truncation for the HAC variance
+
+
+@query(
+    "ts_newey_west_se",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY d) - 1 AS t FROM daily
+    ), mom AS (
+      SELECT COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+             SUM(t * t) AS stt, SUM(t * y) AS sty
+      FROM idx
+    ), fit AS (
+      SELECT n,
+             CAST(n * sty - st * sy AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS b,
+             CAST(sy AS DOUBLE) / n
+               - (CAST(n * sty - st * sy AS DOUBLE)
+                  / CAST(n * stt - st * st AS DOUBLE))
+                 * (CAST(st AS DOUBLE) / n) AS a,
+             CAST(n * stt - st * st AS DOUBLE) / n AS sxx,
+             CAST(st AS DOUBLE) / n AS xbar
+      FROM mom
+    ), v AS (
+      SELECT i.t,
+             (i.t - f.xbar) * (i.y - f.a - f.b * i.t) AS v,
+             f.b AS b, f.sxx AS sxx, f.n AS n
+      FROM idx i CROSS JOIN fit f
+    ), gamma0 AS (
+      SELECT CAST(SUM(CAST(v * v AS DECIMAL(28,6))) AS DOUBLE) AS g0,
+             MAX(b) AS b, MAX(sxx) AS sxx, MAX(n) AS n
+      FROM v
+    ), gammal AS (
+      SELECT cl.lag_l AS lag_l,
+             CAST(SUM(CAST(cl.v * p.v AS DECIMAL(28,6))) AS DOUBLE) AS gl
+      FROM (SELECT c.t, c.v, s.lag_l
+            FROM v c, UNNEST(generate_series(1, {_NW_LAGS})) s(lag_l)) cl
+      JOIN v p ON p.t = cl.t - cl.lag_l
+      GROUP BY cl.lag_l
+    ), hac AS (
+      SELECT g0.b, g0.sxx, g0.n,
+             g0.g0 + 2.0 * (
+               SELECT CAST(SUM(CAST(
+                 (1.0 - lag_l / {_NW_LAGS + 1}.0) * gl
+                 AS DECIMAL(28,6))) AS DOUBLE)
+               FROM gammal) AS s_hac,
+             g0.g0 AS s_iid
+      FROM gamma0 g0
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(b, 6) AS slope,
+           ROUND(sqrt(s_iid / (n - 2.0)) / sqrt(sxx * n), 6) AS se_ols,
+           ROUND(sqrt(s_hac) / (sxx * n), 6) AS se_hac,
+           ROUND((sqrt(s_hac) / (sxx * n))
+                 / (sqrt(s_iid / (n - 2.0)) / sqrt(sxx * n)), 6)
+             AS hac_inflation
+    FROM hac
+    """,
+)
+def ts_newey_west_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWEY-WEST (HAC) standard error for the daily-volume trend
+    slope — the inference repair for what ts_runs_test DETECTS:
+    serially-correlated residuals make the iid OLS standard error a
+    lie (typically 2-5× too small on autocorrelated telemetry — you
+    'discover' trends that are noise). Bartlett-weighted
+    autocovariances of the score v_t = (t−t̄)·e_t up to lag
+    {_NW_LAGS} give the robust variance; the HAC_INFLATION column
+    (se_hac/se_ols) is the honesty factor to apply to every trend
+    t-statistic this pipeline reports (ts_theil_sen is the robust
+    ESTIMATE; this is the robust UNCERTAINTY).
+
+    Exactness: the fit comes from exact integer co-moments on the
+    exact 0..T−1 day grid, so a, b and every residual are
+    bit-identical doubles; each v·v product quantizes through
+    DECIMAL(28,6) before the autocovariance sums; sqrt/divide at the
+    end, rounded.
+
+    Scale: spine-bounded — one daily agg from the fact table, then
+    everything runs on T rows; the lag products are {_NW_LAGS}
+    self-joins of the T-row score series."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    idx = daily.select(
+        "y",
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("t"),
+    )
+    mom = idx.agg(
+        F.count("*").alias("n"), F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    bnum = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) \
+        .cast("double")
+    bden = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")) \
+        .cast("double")
+    fit = mom.select(
+        "n",
+        (bnum / bden).alias("b"),
+        (F.col("sy").cast("double") / F.col("n")
+         - (bnum / bden) * (F.col("st").cast("double") / F.col("n")))
+        .alias("a"),
+        (bden / F.col("n")).alias("sxx"),
+        (F.col("st").cast("double") / F.col("n")).alias("xbar"),
+    )
+    v = idx.crossJoin(F.broadcast(fit)).select(
+        "t",
+        ((F.col("t") - F.col("xbar"))
+         * (F.col("y") - F.col("a") - F.col("b") * F.col("t")))
+        .alias("v"),
+        "b", "sxx", "n",
+    )
+    g0 = v.agg(
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,6)"))
+        .cast("double").alias("g0"),
+        F.max("b").alias("b"), F.max("sxx").alias("sxx"),
+        F.max("n").alias("n"),
+    )
+    p = v.select(F.col("t").alias("pt"), F.col("v").alias("pv"))
+    lags = v.select(
+        "t", F.col("v").alias("cv"),
+        F.explode(F.sequence(F.lit(1), F.lit(_NW_LAGS))).alias("lag_l"),
+    )
+    gl = (
+        lags.join(p, F.col("pt") == F.col("t") - F.col("lag_l"))
+        .groupBy("lag_l")
+        .agg(
+            F.sum((F.col("cv") * F.col("pv")).cast("decimal(28,6)"))
+            .cast("double").alias("gl")
+        )
+    )
+    s_bart = gl.agg(
+        F.sum(
+            ((1.0 - F.col("lag_l") / float(_NW_LAGS + 1)) * F.col("gl"))
+            .cast("decimal(28,6)")
+        ).cast("double").alias("wsum")
+    )
+    hac = g0.crossJoin(F.broadcast(s_bart)).select(
+        "b", "sxx", "n",
+        (F.col("g0") + 2.0 * F.col("wsum")).alias("s_hac"),
+        F.col("g0").alias("s_iid"),
+    )
+    se_ols = F.sqrt(F.col("s_iid") / (F.col("n") - 2.0)) / F.sqrt(
+        F.col("sxx") * F.col("n")
+    )
+    se_hac = F.sqrt(F.col("s_hac")) / (F.col("sxx") * F.col("n"))
+    return hac.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("b", 6).alias("slope"),
+        F.round(se_ols, 6).alias("se_ols"),
+        F.round(se_hac, 6).alias("se_hac"),
+        F.round(se_hac / se_ols, 6).alias("hac_inflation"),
+    )
