@@ -2155,3 +2155,232 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bh_threshold"),
         (F.col("i") <= F.col("k_max")).alias("discovery"),
     )
+
+
+_UPLIFT_GATE = "8"  # md5(o_orderkey) first hex < '8' => treated (~1/2)
+_UPLIFT_GRID = (-1000.0, 0.0, 2500.0, 5000.0, 7500.0, 10000.0)
+
+
+@query(
+    "ml_uplift_tlearner",
+    oracle=f"""
+    WITH base AS (
+      SELECT substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 1)
+               < '{_UPLIFT_GATE}' AS treated,
+             CAST(c.c_acctbal AS DOUBLE) AS x,
+             CAST(o.o_totalprice AS DOUBLE) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), mom AS (
+      SELECT treated, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      FROM base GROUP BY treated
+    ), fit AS (
+      SELECT treated,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+               * (sx / n) AS a
+      FROM mom
+    )
+    SELECT g.x AS acctbal,
+           ROUND(t.a + t.b * g.x, 4) AS pred_treated,
+           ROUND(cl.a + cl.b * g.x, 4) AS pred_control,
+           ROUND((t.a + t.b * g.x) - (cl.a + cl.b * g.x), 4) AS uplift
+    FROM (SELECT UNNEST([{', '.join(str(v) for v in _UPLIFT_GRID)}])
+            AS x) g
+    CROSS JOIN (SELECT a, b FROM fit WHERE treated) t
+    CROSS JOIN (SELECT a, b FROM fit WHERE NOT treated) cl
+    """,
+)
+def ml_uplift_tlearner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-LEARNER UPLIFT MODELING — the heterogeneous-treatment-effect
+    estimator the experimentation suite stops short of: agg_ab_ztest
+    and agg_diff_in_diff report ONE average effect; the T-learner
+    fits a separate outcome model per arm (here OLS of order value on
+    account balance; treatment = deterministic md5 gate standing in
+    for assignment) and reads the CONDITIONAL effect
+    τ(x) = f₁(x) − f₀(x) off the model pair across a covariate grid —
+    the who-does-the-treatment-help curve targeting decisions need
+    (uplift<0 segments exist even under a positive average).
+
+    Exactness: per-arm co-moments quantize every x·y product through
+    DECIMAL(28,6) (order-independent), the two closed-form fits run
+    in one IEEE order, and the grid is literal constants — both
+    engines evaluate identical doubles before ROUND(4).
+
+    Scale: one fact join + one two-group co-moment agg; the grid
+    evaluation is a constant-size cross join against the 2-row model
+    table. Swapping OLS for any co-moment-expressible learner keeps
+    the shape."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    treated = (
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+        < _UPLIFT_GATE
+    )
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        treated.alias("treated"),
+        F.col("c_acctbal").cast("double").alias("x"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    dd = lambda col: F.sum(col.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    mom = base.groupBy("treated").agg(
+        F.count("*").alias("n"),
+        dd(F.col("x")).alias("sx"), dd(F.col("y")).alias("sy"),
+        dd(F.col("x") * F.col("x")).alias("sxx"),
+        dd(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = mom.select(
+        "treated", b.alias("b"),
+        (F.col("sy") / F.col("n") - b * (F.col("sx") / F.col("n")))
+        .alias("a"),
+    )
+    grid = o.sparkSession.createDataFrame(
+        [(v,) for v in _UPLIFT_GRID], "x double"
+    )
+    t_fit = fit.filter(F.col("treated")).select(
+        F.col("a").alias("ta"), F.col("b").alias("tb"))
+    c_fit = fit.filter(~F.col("treated")).select(
+        F.col("a").alias("ca"), F.col("b").alias("cb"))
+    pred_t = F.col("ta") + F.col("tb") * F.col("x")
+    pred_c = F.col("ca") + F.col("cb") * F.col("x")
+    return (
+        grid.crossJoin(F.broadcast(t_fit))
+        .crossJoin(F.broadcast(c_fit))
+        .select(
+            F.col("x").alias("acctbal"),
+            F.round(pred_t, 4).alias("pred_treated"),
+            F.round(pred_c, 4).alias("pred_control"),
+            F.round(pred_t - pred_c, 4).alias("uplift"),
+        )
+    )
+
+
+_CONF_ALPHA = 0.1  # target 90% coverage
+
+
+@query(
+    "ml_conformal_interval",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY d) - 1 AS t,
+             (ROW_NUMBER() OVER (ORDER BY d) - 1) % 5 AS fold
+      FROM daily
+    ), mom AS (
+      SELECT COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+             SUM(t * t) AS stt, SUM(t * y) AS sty
+      FROM idx WHERE fold < 3
+    ), fit AS (
+      SELECT CAST(n * sty - st * sy AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS b,
+             CAST(sy AS DOUBLE) / n
+               - (CAST(n * sty - st * sy AS DOUBLE)
+                  / CAST(n * stt - st * st AS DOUBLE))
+                 * (CAST(st AS DOUBLE) / n) AS a,
+             n AS n_train
+      FROM mom
+    ), scored AS (
+      SELECT i.t, i.fold, ABS(i.y - f.a - f.b * i.t) AS r
+      FROM idx i CROSS JOIN fit f
+    ), cal AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, t) AS rk,
+             COUNT(*) OVER () AS nc
+      FROM scored WHERE fold = 3
+    ), q AS (
+      SELECT MIN(r) AS qhat
+      FROM cal
+      WHERE rk >= CEIL((nc + 1) * (1.0 - {_CONF_ALPHA}))
+    )
+    SELECT (SELECT CAST(n_train AS BIGINT) FROM fit) AS n_train,
+           (SELECT CAST(MAX(nc) AS BIGINT) FROM cal) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND((SELECT qhat FROM q), 4) AS q_hat,
+           ROUND(CAST(COUNT(*) FILTER (
+             WHERE s.r <= (SELECT qhat FROM q)) AS DOUBLE)
+             / COUNT(*), 4) AS test_coverage
+    FROM scored s WHERE s.fold = 4
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVAL — the distribution-free
+    uncertainty wrapper (Vovk; the modern default for honest
+    forecast bands): fit any model on TRAIN (here the OLS day-trend),
+    take the ⌈(n+1)(1−α)⌉-th smallest absolute residual on a
+    disjoint CALIBRATION fold as q̂, and ŷ ± q̂ covers ≥ 1−α of
+    future points BY THEOREM — no normality, no homoscedasticity
+    (the assumptions ts_newey_west_se just showed are violated).
+    Folds split deterministically by day index mod 5 (3 train / 1
+    cal / 1 test); the test fold's empirical coverage audits the
+    guarantee, the agg_heavy_hitters_bounds pattern of shipping the
+    theorem with its own check.
+
+    Exactness: the fit is exact-integer co-moments; residuals are
+    fixed-order doubles; q̂ is an ORDER STATISTIC (exact pick under
+    the total (r, t) order — the agg_median_ci discipline), not an
+    interpolated quantile.
+
+    Scale: spine-bounded end to end; for per-series intervals the
+    same plan partitions every window and agg by series key."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    rn = F.row_number().over(Window.orderBy("d")) - 1
+    idx = daily.select("y", rn.alias("t"), (rn % 5).alias("fold"))
+    mom = idx.filter(F.col("fold") < 3).agg(
+        F.count("*").alias("n"), F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    bnum = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) \
+        .cast("double")
+    bden = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")) \
+        .cast("double")
+    fit = mom.select(
+        (bnum / bden).alias("b"),
+        (F.col("sy").cast("double") / F.col("n")
+         - (bnum / bden) * (F.col("st").cast("double") / F.col("n")))
+        .alias("a"),
+        F.col("n").alias("n_train"),
+    )
+    scored = idx.crossJoin(F.broadcast(fit)).select(
+        "t", "fold",
+        F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("t"))
+        .alias("r"),
+        "n_train",
+    )
+    wcal = Window.orderBy("r", "t")
+    cal = scored.filter(F.col("fold") == 3).select(
+        "r",
+        F.row_number().over(wcal).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("nc"),
+    )
+    q = cal.filter(
+        F.col("rk") >= F.ceil((F.col("nc") + 1) * (1.0 - _CONF_ALPHA))
+    ).agg(F.min("r").alias("qhat"))
+    ncal = cal.agg(F.max("nc").alias("n_cal"))
+    test = scored.filter(F.col("fold") == 4)
+    return (
+        test.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(ncal))
+        .agg(
+            F.max("n_train").cast("long").alias("n_train"),
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.count("*").cast("long").alias("n_test"),
+            F.round(F.max("qhat"), 4).alias("q_hat"),
+            F.round(
+                F.count_if(F.col("r") <= F.col("qhat")).cast("double")
+                / F.count("*"), 4
+            ).alias("test_coverage"),
+        )
+    )
