@@ -1603,3 +1603,55 @@ def dq_cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "dq_partition_checksums",
+    oracle="""
+    WITH rows_h AS (
+      SELECT c_nationkey,
+             md5(CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+                 || c_mktsegment) AS h
+      FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           md5(string_agg(h, '' ORDER BY h)) AS content_md5
+    FROM rows_h GROUP BY c_nationkey
+    """,
+)
+def dq_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PARTITION CONTENT CHECKSUMS — the replication/migration
+    verifier that makes dq_table_diff affordable: after copying a
+    table across regions or engines, compare one ~33-byte checksum
+    per partition instead of re-reading both sides; only partitions
+    whose checksums disagree get the row-level diff. The checksum is
+    md5 over the SORTED per-row md5s — row order, file order and
+    partitioning cannot affect it (content-addressed, the same
+    engine-independence trick as the oracle harness itself), and
+    this very query hash-matching DuckDB is a live cross-engine
+    replication check.
+
+    Scale: row hashing is map-side; per-partition the sorted
+    aggregation is the honest cost (bounded by partition size — the
+    same bound partition-pruned queries already rely on). An
+    incremental variant folds row hashes with XOR instead (order-
+    free, mergeable, updatable) at the price of weaker collision
+    behavior — stated here as the knob."""
+    c = table(spark, sf_dir, "customer")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+        ).cast("binary")
+    )
+    rows_h = c.select("c_nationkey", h.alias("h"))
+    return rows_h.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.md5(
+            F.concat_ws("", F.array_sort(F.collect_list("h")))
+            .cast("binary")
+        ).alias("content_md5"),
+    )

@@ -612,3 +612,69 @@ def win_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(_PATH_TOP)
     )
+
+
+@query(
+    "win_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), weighted AS (
+      SELECT user_id,
+             epoch_us(nxt) - epoch_us(ts) AS w_us,
+             value
+      FROM seg WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(w_us) AS BIGINT) AS total_us,
+           ROUND(CAST(SUM(CAST(value * w_us AS DECIMAL(28,4)))
+                      AS DOUBLE)
+                 / SUM(w_us), 6) AS twa_value
+    FROM weighted GROUP BY user_id
+    """,
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE — the correct 'average level' for
+    irregularly-sampled state (TWAP in markets, average queue depth,
+    mean feature-flag exposure): a plain AVG over events weights each
+    OBSERVATION equally, silently overweighting bursty periods; here
+    each value persists until the user's next event and is weighted
+    by that holding duration (step-function integral / elapsed time
+    — ts_littles_law's integral, per user, divided by time; the last
+    unclosed segment is excluded, the Kaplan-Meier censoring
+    posture).
+
+    Exactness: durations are exact epoch-microsecond BIGINTs; each
+    value·duration product quantizes through DECIMAL(28,4) before
+    the sum (order-independent); one rounded division per user.
+
+    Scale: one per-user LEAD window (the sessionize_gaps shuffle)
+    and one user-keyed agg — fact-shaped but single-pass; at 100 TB
+    the window partitions by the same user key downstream session
+    analytics already shuffle on."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id", "value", "ts", F.lead("ts").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    # events.ts reads as TIMESTAMP_NTZ; the UTC session tz makes the
+    # cast to instant exact, and only the DIFFERENCE is used anyway.
+    w_us = (
+        F.unix_micros(F.col("nxt").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    weighted = seg.select(
+        "user_id", w_us.alias("w_us"), "value"
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("w_us").cast("long").alias("total_us"),
+        F.round(
+            F.sum((F.col("value") * F.col("w_us")).cast("decimal(28,4)"))
+            .cast("double") / F.sum("w_us"), 6
+        ).alias("twa_value"),
+    )
