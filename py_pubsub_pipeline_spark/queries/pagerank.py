@@ -392,3 +392,110 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     auths = a.select("node", F.lit("authority").alias("role"),
                      F.round("sc", 6).alias("score"))
     return hubs.unionByName(auths)
+
+
+N_KATZ_ITER = 3
+KATZ_BETA = 0.1  # attenuation per walk step; < 1/lambda_max keeps it finite
+
+
+def _katz_oracle() -> str:
+    """Unrolled truncated Katz: x_{i} = beta * A x_{i-1} with x_0 = 1;
+    centrality = sum of the first N_KATZ_ITER walk terms. Each matvec
+    snaps contributions to 1e12 fixed-point and sums in DECIMAL —
+    the pagerank/HITS discipline; MATERIALIZED because each step is
+    referenced by both the next step and the final sum."""
+    steps = []
+    for i in range(1, N_KATZ_ITER + 1):
+        steps.append(f"""
+    k{i} AS MATERIALIZED (
+      SELECT e.v AS node,
+             {KATZ_BETA} * (CAST(SUM(CAST(FLOOR(
+               k.sc * 1000000000000.0 + 0.5) AS DECIMAL(28,0)))
+               AS DOUBLE) / 1000000000000.0) AS sc
+      FROM k{i - 1} k JOIN edges e ON e.u = k.node
+      GROUP BY e.v)""")
+    total = " + ".join(
+        f"COALESCE(k{i}.sc, 0.0)" for i in range(1, N_KATZ_ITER + 1)
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN k{i} ON k{i}.node = verts.node"
+        for i in range(1, N_KATZ_ITER + 1)
+    )
+    return f"""
+    WITH eb AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT cust AS u, supp + {SUPP_OFFSET} AS v FROM eb
+      UNION ALL
+      SELECT supp + {SUPP_OFFSET} AS u, cust AS v FROM eb),
+    verts AS (
+      SELECT DISTINCT u AS node FROM edges),
+    k0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS sc FROM verts),
+    {','.join(steps)}
+    SELECT verts.node AS node, ROUND({total}, 6) AS katz
+    FROM verts
+    {joins}
+    """
+
+
+@query("graph_katz", oracle=_katz_oracle())
+def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KATZ CENTRALITY (truncated at {N_KATZ_ITER} walk steps,
+    β = {KATZ_BETA}) — the walk-counting centrality completing the
+    link-analysis triad: PageRank divides influence by out-degree
+    (endorsement), HITS splits roles on the bipartite structure,
+    Katz counts ALL attenuated walks — so a vertex adjacent to a hub
+    scores even with degree 1, the 'influence by proximity' notion
+    degree and PageRank both miss. Truncation at β·A + β²A² + β³A³
+    is the standard practical form (β < 1/λ_max makes the tail
+    negligible).
+
+    Determinism: each matvec's per-edge contributions snap to 1e12
+    fixed-point and sum in DECIMAL(28,0) (exact, order-independent —
+    the pagerank/HITS discipline), then one double multiply by β;
+    the final sum of {N_KATZ_ITER} doubles is a fixed-order chain.
+
+    Scale: per step one edge join + one destination-keyed agg on the
+    repartitioned/localCheckpointed edge list — the PageRank
+    two-shuffle profile; walk terms move as (id, double) pairs."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    edges = eb.select(
+        F.col("cust").alias("u"), (F.col("supp") + SUPP_OFFSET).alias("v")
+    ).unionByName(
+        eb.select((F.col("supp") + SUPP_OFFSET).alias("u"),
+                  F.col("cust").alias("v"))
+    ).repartition("u").localCheckpoint(eager=True)
+    verts = edges.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    snap = lambda c: F.floor(c * 1e12 + 0.5).cast("decimal(28,0)")  # noqa: E731
+    x = verts.select("node", F.lit(1.0).alias("sc"))
+    terms = []
+    for _ in range(N_KATZ_ITER):
+        x = (
+            edges.join(x.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                (F.lit(KATZ_BETA)
+                 * (F.sum(snap(F.col("sc"))).cast("double") / 1e12))
+                .alias("sc")
+            )
+            .localCheckpoint(eager=True)
+        )
+        terms.append(x)
+    out = verts
+    total = None
+    for i, t in enumerate(terms):
+        out = out.join(
+            t.withColumnRenamed("sc", f"sc{i}"), "node", "left"
+        )
+        c = F.coalesce(F.col(f"sc{i}"), F.lit(0.0))
+        total = c if total is None else total + c
+    return out.select("node", F.round(total, 6).alias("katz"))
