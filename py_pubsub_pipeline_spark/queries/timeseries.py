@@ -3082,6 +3082,9 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(y * x2) AS sy2, SUM(x1 * x2) AS s12
       FROM rows_j GROUP BY cause, effect
     ), corr_t AS (
+      -- degenerate guard (exact integer conditions, engine-identical):
+      -- a zero-variance series or perfectly collinear lag pair has no
+      -- defined correlation/R^2 — dropped, not divided by zero
       SELECT cause, effect, n,
              CAST(n * sy1 - sy * s1 AS DOUBLE)
                / sqrt(CAST((n * syy - sy * sy)
@@ -3093,6 +3096,10 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                / sqrt(CAST((n * s11 - s1 * s1)
                            * (n * s22 - s2 * s2) AS DOUBLE)) AS r12
       FROM mom
+      WHERE n * syy - sy * sy > 0 AND n * s11 - s1 * s1 > 0
+        AND n * s22 - s2 * s2 > 0
+        AND (n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+            != (n * s12 - s1 * s2) * (n * s12 - s1 * s2)
     )
     SELECT cause, effect, CAST(n AS BIGINT) AS n,
            ROUND(ry1 * ry1, 6) AS r2_restricted,
@@ -3172,7 +3179,14 @@ def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return num / den
 
-    ct = mom.select(
+    def v(saa, sa):
+        return F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)
+
+    cov12 = F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")
+    ct = mom.filter(
+        (v("syy", "sy") > 0) & (v("s11", "s1") > 0) & (v("s22", "s2") > 0)
+        & (v("s11", "s1") * v("s22", "s2") != cov12 * cov12)
+    ).select(
         "cause", "effect", "n",
         corr("sy1", "sy", "s1", "syy", "s11").alias("ry1"),
         corr("sy2", "sy", "s2", "syy", "s22").alias("ry2"),
