@@ -155,7 +155,8 @@ _R4_NEW = frozenset({
     "dq_format_profile", "mm_audio_energy_zcr", "ts_spectral_entropy",
     "scan_time_travel", "ts_granger_lite", "dq_cross_field_consistency", "text_burrows_delta",
     "ts_newey_west_se", "ml_uplift_tlearner", "ml_conformal_interval", "dq_partition_checksums",
-    "win_time_weighted_avg", "graph_katz",
+    "win_time_weighted_avg", "graph_katz", "text_fightin_words",
+    "ts_ljung_box",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

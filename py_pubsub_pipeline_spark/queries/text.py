@@ -1706,3 +1706,109 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta")
         )
     )
+
+
+_FW_ALPHA = 0.01  # Dirichlet pseudo-count per word
+_FW_TOP = 10      # top discriminative words per side
+
+
+@query(
+    "text_fightin_words",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CASE WHEN source < 'src1' OR source >= 'src2'
+                  THEN 'corpus_a' ELSE 'corpus_b' END AS grp,
+             UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ), counts AS (
+      SELECT w,
+             SUM(CASE WHEN grp = 'corpus_a' THEN 1 ELSE 0 END) AS ya,
+             SUM(CASE WHEN grp = 'corpus_b' THEN 1 ELSE 0 END) AS yb
+      FROM toks GROUP BY w
+    ), tot AS (
+      SELECT SUM(ya) AS na, SUM(yb) AS nb,
+             COUNT(*) AS v
+      FROM counts
+    ), lo AS (
+      SELECT c.w, c.ya, c.yb,
+             ln((c.ya + {_FW_ALPHA})
+                / (t.na + {_FW_ALPHA} * t.v - c.ya - {_FW_ALPHA}))
+             - ln((c.yb + {_FW_ALPHA})
+                  / (t.nb + {_FW_ALPHA} * t.v - c.yb - {_FW_ALPHA}))
+               AS delta,
+             1.0 / (c.ya + {_FW_ALPHA}) + 1.0 / (c.yb + {_FW_ALPHA})
+               AS var_d
+      FROM counts c CROSS JOIN tot t
+    ), z AS (
+      SELECT w, CAST(ya AS BIGINT) AS count_a,
+             CAST(yb AS BIGINT) AS count_b,
+             ROUND(delta / sqrt(var_d), 6) AS z_score
+      FROM lo
+    )
+    SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY z_score DESC, w) AS rn
+      FROM z) WHERE rn <= {_FW_TOP}
+    UNION ALL
+    SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY z_score, w) AS rn
+      FROM z) WHERE rn <= {_FW_TOP}
+    """,
+)
+def text_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'FIGHTIN' WORDS' (Monroe-Colaresi-Quinn 2008) — the
+    statistically-honest corpus-comparison keyword method: raw
+    count differences crown frequent words, plain log-odds crown
+    rare flukes; the Dirichlet-smoothed log-odds-ratio Z-SCORE
+    δ/√(1/(y_a+α) + 1/(y_b+α)) corrects both, ranking words by how
+    confidently their usage differs between two corpus halves (here
+    a deterministic source split). The standard tool for 'what
+    distinguishes source A from source B' in mix curation — where
+    text_burrows_delta says HOW FAR apart two sources are, this says
+    WHICH WORDS carry the difference. Emits top-{_FW_TOP} per side.
+
+    Exactness: counts exact; each ln applies once to a
+    deterministically-computed double (fixed operation order, shared
+    α literal), z rounds at 6 BEFORE the rank windows so an ulp
+    wiggle cannot reorder the cut; ties break by word.
+
+    Scale: one vocab-keyed count agg (map-side partials), the totals
+    as a broadcast scalar, two rank windows over the vocab table."""
+    d = table(spark, sf_dir, "documents")
+    grp = F.when(
+        (F.col("source") < "src1") | (F.col("source") >= "src2"),
+        "corpus_a",
+    ).otherwise("corpus_b")
+    toks = d.select(grp.alias("grp"),
+                    F.explode(F.split("text", " ")).alias("w"))
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("grp") == "corpus_a", 1).otherwise(0))
+        .alias("ya"),
+        F.sum(F.when(F.col("grp") == "corpus_b", 1).otherwise(0))
+        .alias("yb"),
+    )
+    tot = counts.agg(
+        F.sum("ya").alias("na"), F.sum("yb").alias("nb"),
+        F.count("*").alias("v"),
+    )
+    a = _FW_ALPHA
+    delta = F.log(
+        (F.col("ya") + a)
+        / (F.col("na") + a * F.col("v") - F.col("ya") - a)
+    ) - F.log(
+        (F.col("yb") + a)
+        / (F.col("nb") + a * F.col("v") - F.col("yb") - a)
+    )
+    var_d = 1.0 / (F.col("ya") + a) + 1.0 / (F.col("yb") + a)
+    z = counts.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.col("ya").cast("long").alias("count_a"),
+        F.col("yb").cast("long").alias("count_b"),
+        F.round(delta / F.sqrt(var_d), 6).alias("z_score"),
+    )
+    top_a = z.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("z_score"), "w"))
+    ).filter(F.col("rn") <= _FW_TOP)
+    top_b = z.withColumn(
+        "rn", F.row_number().over(Window.orderBy("z_score", "w"))
+    ).filter(F.col("rn") <= _FW_TOP)
+    return top_a.unionByName(top_b)

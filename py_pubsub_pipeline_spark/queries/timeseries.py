@@ -3364,3 +3364,126 @@ def ts_newey_west_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(se_hac, 6).alias("se_hac"),
         F.round(se_hac / se_ols, 6).alias("hac_inflation"),
     )
+
+
+_LB_LAGS = 6  # Ljung-Box portmanteau horizon
+
+
+@query(
+    "ts_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+               - 1 AS t
+      FROM daily
+    ), mom AS (
+      SELECT event_type, COUNT(*) AS n, SUM(y) AS sy,
+             SUM(y * y) AS syy
+      FROM idx GROUP BY event_type
+    ), lagprod AS (
+      SELECT cl.event_type, cl.lag_l,
+             SUM(cl.y * p.y) AS syl, COUNT(*) AS nl,
+             SUM(cl.y) AS sc, SUM(p.y) AS sp
+      FROM (SELECT i.event_type, i.t, i.y, s.lag_l
+            FROM idx i,
+                 UNNEST(generate_series(1, {_LB_LAGS})) s(lag_l)) cl
+      JOIN idx p ON p.event_type = cl.event_type
+                AND p.t = cl.t - cl.lag_l
+      GROUP BY cl.event_type, cl.lag_l
+    ), acf AS (
+      -- r_l: lag-l autocovariance over the FULL-series variance, both
+      -- from exact integer sums (the standard biased ACF estimator)
+      SELECT lp.event_type, lp.lag_l,
+             (CAST(lp.syl AS DOUBLE)
+              - CAST(lp.sc AS DOUBLE) * lp.sp / lp.nl)
+             / (CAST(m.syy AS DOUBLE)
+                - CAST(m.sy AS DOUBLE) * m.sy / m.n) AS r,
+             m.n AS n
+      FROM lagprod lp JOIN mom m ON m.event_type = lp.event_type
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lags,
+           ROUND(CAST(SUM(CAST(n * (n + 2.0)
+                                * r * r / (n - lag_l)
+                                AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS q_stat,
+           ROUND(MAX(ABS(r)), 6) AS max_abs_acf
+    FROM acf GROUP BY event_type
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU whiteness test — Q = n(n+2)·Σ r²_l/(n−l)
+    over {_LB_LAGS} lags, the standard is-there-ANY-autocorrelation
+    statistic (χ²_{_LB_LAGS} under whiteness; Q ≫ 12.6 rejects at
+    5%): ts_runs_test checks sign patterns, ts_newey_west_se REPAIRS
+    inference assuming autocorrelation exists — Ljung-Box is the
+    gate that says whether it exists at all, per series, and is the
+    residual-whiteness check every fitted forecast model
+    (ts_forecast_baseline_wape) owes its users.
+
+    Exactness: every autocovariance is a ratio built from exact
+    integer sums (counts × counts), so each r_l is a deterministic
+    double; the Q terms quantize through DECIMAL(28,12) before
+    summation (order-independent), one final round.
+
+    Scale: spine-bounded — daily agg, one {_LB_LAGS}-way lag fan-out
+    self-join on the (series, day-index) key, series-bounded aggs."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type", "y", (F.row_number().over(w) - 1).alias("t")
+    )
+    mom = idx.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    fan = idx.select(
+        "event_type", "t", F.col("y").alias("cy"),
+        F.explode(F.sequence(F.lit(1), F.lit(_LB_LAGS))).alias("lag_l"),
+    )
+    p = idx.select(
+        F.col("event_type").alias("pe"), F.col("t").alias("pt"),
+        F.col("y").alias("py"),
+    )
+    lagprod = (
+        fan.join(
+            p,
+            (F.col("pe") == F.col("event_type"))
+            & (F.col("pt") == F.col("t") - F.col("lag_l")),
+        )
+        .groupBy("event_type", "lag_l")
+        .agg(
+            F.sum(F.col("cy") * F.col("py")).alias("syl"),
+            F.count("*").alias("nl"),
+            F.sum("cy").alias("sc"), F.sum("py").alias("sp"),
+        )
+    )
+    r = (
+        F.col("syl").cast("double")
+        - F.col("sc").cast("double") * F.col("sp") / F.col("nl")
+    ) / (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    )
+    acf = lagprod.join(mom, "event_type").select(
+        "event_type", "lag_l", r.alias("r"), "n"
+    )
+    qterm = (
+        F.col("n") * (F.col("n") + 2.0)
+        * F.col("r") * F.col("r") / (F.col("n") - F.col("lag_l"))
+    ).cast("decimal(28,12)")
+    return acf.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.count("*").cast("long").alias("n_lags"),
+        F.round(F.sum(qterm).cast("double"), 6).alias("q_stat"),
+        F.round(F.max(F.abs("r")), 6).alias("max_abs_acf"),
+    )
