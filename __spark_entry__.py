@@ -156,7 +156,8 @@ _R4_NEW = frozenset({
     "scan_time_travel", "ts_granger_lite", "dq_cross_field_consistency", "text_burrows_delta",
     "ts_newey_west_se", "ml_uplift_tlearner", "ml_conformal_interval", "dq_partition_checksums",
     "win_time_weighted_avg", "graph_katz", "text_fightin_words",
-    "ts_ljung_box",
+    "ts_ljung_box", "fn_fiscal_445", "agg_ab_srm_check",
+    "ml_learning_curve",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -2384,3 +2384,205 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("test_coverage"),
         )
     )
+
+
+@query(
+    "agg_ab_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)
+                       < 'cd' THEN 'treatment' ELSE 'control' END
+               AS arm
+      FROM orders
+    ), cells AS (
+      SELECT arm, COUNT(*) AS n FROM assigned GROUP BY arm
+    ), tot AS (
+      SELECT SUM(n) AS nt FROM cells
+    )
+    SELECT c.arm AS arm, CAST(c.n AS BIGINT) AS n,
+           CASE WHEN c.arm = 'treatment' THEN 0.80078125
+                ELSE 0.19921875 END AS expected_share,
+           ROUND(CAST(c.n AS DOUBLE) / t.nt, 6) AS observed_share,
+           ROUND(
+             (CAST(c.n AS DOUBLE)
+              - t.nt * CASE WHEN c.arm = 'treatment'
+                            THEN 0.80078125 ELSE 0.19921875 END)
+             * (CAST(c.n AS DOUBLE)
+                - t.nt * CASE WHEN c.arm = 'treatment'
+                              THEN 0.80078125 ELSE 0.19921875 END)
+             / (t.nt * CASE WHEN c.arm = 'treatment'
+                            THEN 0.80078125 ELSE 0.19921875 END),
+             6) AS chi2_term,
+           (CAST(c.n AS DOUBLE) / t.nt
+            - CASE WHEN c.arm = 'treatment'
+                   THEN 0.80078125 ELSE 0.19921875 END)
+           * (CAST(c.n AS DOUBLE) / t.nt
+              - CASE WHEN c.arm = 'treatment'
+                     THEN 0.80078125 ELSE 0.19921875 END)
+           < 0.0001 AS within_tolerance
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO MISMATCH (SRM) check — the #1 experiment-validity
+    gate (Microsoft/LinkedIn run it on every experiment, and ~6% of
+    experiments fail it): before reading ANY metric from
+    agg_ab_ztest/agg_cuped, verify the realized assignment split
+    matches the DESIGNED ratio — a mismatch means broken logging,
+    biased redirect, or bot filtering ate one arm, and every
+    downstream readout is garbage. The md5 2-hex-char gate < 'cd'
+    assigns 205/256 = 0.80078125 exactly (the hash-gate family's
+    designed share is a dyadic rational, stated as an exact literal,
+    not '0.8'); the chi-square-vs-design terms and a tolerance flag
+    come back per arm.
+
+    Exactness: counts exact; expected shares are exact double
+    literals; fixed-order arithmetic rounded at 6.
+
+    Scale: one map-side assignment + a 2-row agg — the cheapest
+    query in the registry guarding the most expensive mistake."""
+    o = table(spark, sf_dir, "orders")
+    arm = F.when(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+        < "cd",
+        "treatment",
+    ).otherwise("control")
+    cells = o.select(arm.alias("arm")).groupBy("arm").agg(
+        F.count("*").alias("n")
+    )
+    tot = cells.agg(F.sum("n").alias("nt"))
+    exp_share = F.when(
+        F.col("arm") == "treatment", F.lit(0.80078125)
+    ).otherwise(F.lit(0.19921875))
+    nd = F.col("n").cast("double")
+    ntd = F.col("nt").cast("double")
+    dev = nd - ntd * exp_share
+    share_dev = nd / F.col("nt") - exp_share
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        F.col("n").cast("long").alias("n"),
+        exp_share.alias("expected_share"),
+        F.round(nd / F.col("nt"), 6).alias("observed_share"),
+        F.round(dev * dev / (ntd * exp_share), 6).alias("chi2_term"),
+        (share_dev * share_dev < 0.0001).alias("within_tolerance"),
+    )
+
+
+# Nested training fractions as md5 2-hex-char gates (exact dyadic
+# shares of 256): '19'=25/256, '33'=51/256, '66'=102/256, 'cc'=204/256.
+# Test set = the complement of the largest gate, so every train set is
+# disjoint from test and nested in the next larger one.
+_LC_GATES = (("10pct", "19"), ("20pct", "33"),
+             ("40pct", "66"), ("80pct", "cc"))
+
+
+def _lc_oracle() -> str:
+    fits = []
+    evals = []
+    for label, gate in _LC_GATES:
+        fits.append(f"""
+    m_{label} AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      FROM base WHERE g < '{gate}'),
+    f_{label} AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+               * (sx / n) AS a
+      FROM m_{label})""")
+        evals.append(f"""
+    SELECT '{label}' AS train_frac,
+           (SELECT CAST(n AS BIGINT) FROM f_{label}) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(CAST(SUM(CAST(
+             (t.y - f.a - f.b * t.x) * (t.y - f.a - f.b * t.x)
+             AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 4) AS test_mse
+    FROM test t CROSS JOIN f_{label} f""")
+    return f"""
+    WITH base AS (
+      SELECT substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 2) AS g,
+             CAST(c.c_acctbal AS DOUBLE) AS x,
+             CAST(o.o_totalprice AS DOUBLE) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), test AS (
+      SELECT x, y FROM base WHERE g >= 'cc'
+    ),{','.join(fits)}
+    {' UNION ALL '.join(evals)}
+    """
+
+
+@query("ml_learning_curve", oracle=_lc_oracle())
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNING CURVE — held-out error versus training-set size, the
+    scaling-law measurement and the budget question behind every
+    'do we need more data?' debate: NESTED subsets (10% ⊂ 20% ⊂ 40%
+    ⊂ 80% via md5-gate thresholds — the nesting removes subset-choice
+    noise, so curve differences are pure sample-size effect) each fit
+    the model (OLS of order value on account balance), and all
+    evaluate on the SAME disjoint test set. A flat curve says the
+    model is capacity-limited (more data won't help — change the
+    model); a falling curve says data-limited (mix_token_budget's
+    epoch planning becomes the lever).
+
+    Exactness: gates are exact hex-prefix comparisons; co-moments and
+    squared errors quantize through DECIMAL before sums; fits are
+    fixed-order closed forms.
+
+    Scale: ONE scan computes all four models' co-moments as
+    conditional aggregates (nested gates are cumulative predicates —
+    no per-size rescans); the 4-row model table broadcasts back onto
+    the shared test set for one evaluation pass."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+        .alias("g"),
+        F.col("c_acctbal").cast("double").alias("x"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    dd = lambda col: F.sum(col.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    agg_cols = []
+    for label, gate in _LC_GATES:
+        inset = F.col("g") < gate
+        agg_cols += [
+            F.count_if(inset).alias(f"n_{label}"),
+            dd(F.when(inset, F.col("x"))).alias(f"sx_{label}"),
+            dd(F.when(inset, F.col("y"))).alias(f"sy_{label}"),
+            dd(F.when(inset, F.col("x") * F.col("x")))
+            .alias(f"sxx_{label}"),
+            dd(F.when(inset, F.col("x") * F.col("y")))
+            .alias(f"sxy_{label}"),
+        ]
+    mom = base.agg(*agg_cols)
+    fits = None
+    for label, _ in _LC_GATES:
+        n = F.col(f"n_{label}").cast("double")
+        bnum = n * F.col(f"sxy_{label}") - F.col(f"sx_{label}") \
+            * F.col(f"sy_{label}")
+        bden = n * F.col(f"sxx_{label}") - F.col(f"sx_{label}") \
+            * F.col(f"sx_{label}")
+        row = mom.select(
+            F.lit(label).alias("train_frac"),
+            F.col(f"n_{label}").cast("long").alias("n_train"),
+            (bnum / bden).alias("b"),
+            (F.col(f"sy_{label}") / n - (bnum / bden)
+             * (F.col(f"sx_{label}") / n)).alias("a"),
+        )
+        fits = row if fits is None else fits.unionByName(row)
+    test = base.filter(F.col("g") >= "cc").select("x", "y")
+    err = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    return (
+        test.crossJoin(F.broadcast(fits))
+        .groupBy("train_frac", "n_train")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.round(
+                F.sum((err * err).cast("decimal(28,4)")).cast("double")
+                / F.count("*"), 4
+            ).alias("test_mse"),
+        )
+    )

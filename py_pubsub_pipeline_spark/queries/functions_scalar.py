@@ -886,3 +886,95 @@ def fn_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("b64")).cast("long").alias("b64_chars"),
         F.sum(F.length("hx")).cast("long").alias("hex_chars"),
     )
+
+
+# --- fiscal 4-4-5 calendar -----------------------------------------------
+# Fiscal year starts at the ISO week containing Jan 1 of the dataset's
+# first year; quarters are 4+4+5-week periods (13-week quarters, the
+# retail standard). Week index = epoch-days DIV 7 relative to a fixed
+# Monday anchor — pure integer arithmetic on both engines.
+_FISCAL_ANCHOR_DAYS = 8040  # 1992-01-06 (a Monday) as days since epoch
+# The anchor PRECEDES the corpus's earliest date, keeping every week
+# index non-negative — integer div/mod then agree across engines
+# (negative operands hit floor-vs-truncate and remainder-sign
+# divergence).
+
+
+@query(
+    "fn_fiscal_445",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice,
+             (CAST(epoch(o_orderdate) AS BIGINT) // 86400
+              - {_FISCAL_ANCHOR_DAYS}) // 7 AS wk
+      FROM orders
+    ), tagged AS (
+      SELECT o_totalprice,
+             wk // 52 AS fy,
+             wk % 52 AS fw,
+             CASE WHEN wk % 52 < 13 THEN 1
+                  WHEN wk % 52 < 26 THEN 2
+                  WHEN wk % 52 < 39 THEN 3
+                  ELSE 4 END AS fq,
+             CASE WHEN (wk % 52) % 13 < 4 THEN 1
+                  WHEN (wk % 52) % 13 < 8 THEN 2
+                  ELSE 3 END AS fp
+      FROM base
+    )
+    SELECT CAST(fy AS BIGINT) AS fiscal_year,
+           CAST(fq AS BIGINT) AS fiscal_quarter,
+           CAST(fp AS BIGINT) AS fiscal_period,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM tagged GROUP BY fy, fq, fp
+    """,
+)
+def fn_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISCAL 4-4-5 CALENDAR mapping — the retail/FP&A time axis the
+    Gregorian functions can't produce: 13-week quarters split into
+    4-, 4- and 5-week periods, so every period contains exactly the
+    same weekday mix and period-over-period comparisons aren't
+    polluted by how many weekends fell in a month (the reason the
+    pattern exists). The mapping is pure integer arithmetic on the
+    epoch-day week index from a fixed Monday anchor — no weekday
+    functions (fn_business_days' lesson: engines disagree on
+    dayofweek origins; epoch math never does). Revenue rolls up by
+    (fiscal year, quarter, period).
+
+    Exactness: week index, year, quarter and period are all integer
+    div/mod; revenue sums in DECIMAL.
+
+    Scale: map-side tagging + one calendar-bounded agg — the fiscal
+    columns cost nothing and normally land in fn_calendar_spine's
+    generated dimension for broadcast-joining everything else."""
+    o = table(spark, sf_dir, "orders")
+    wk = F.floor(
+        (
+            F.floor(
+                F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+                / 86400
+            )
+            - _FISCAL_ANCHOR_DAYS
+        )
+        / 7
+    )
+    fw = wk % 52
+    tagged = o.select(
+        "o_totalprice",
+        F.floor(wk / 52).alias("fy"),
+        F.when(fw < 13, 1).when(fw < 26, 2).when(fw < 39, 3)
+        .otherwise(4).alias("fq"),
+        F.when(fw % 13 < 4, 1).when(fw % 13 < 8, 2).otherwise(3)
+        .alias("fp"),
+    )
+    return tagged.groupBy("fy", "fq", "fp").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        .alias("revenue"),
+    ).select(
+        F.col("fy").cast("long").alias("fiscal_year"),
+        F.col("fq").cast("long").alias("fiscal_quarter"),
+        F.col("fp").cast("long").alias("fiscal_period"),
+        "n_orders", "revenue",
+    )
