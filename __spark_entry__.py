@@ -157,7 +157,7 @@ _R4_NEW = frozenset({
     "ts_newey_west_se", "ml_uplift_tlearner", "ml_conformal_interval", "dq_partition_checksums",
     "win_time_weighted_avg", "graph_katz", "text_fightin_words",
     "ts_ljung_box", "fn_fiscal_445", "agg_ab_srm_check",
-    "ml_learning_curve",
+    "ml_learning_curve", "ml_class_weights", "agg_attribution_models",
 })
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this

@@ -2586,3 +2586,184 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("test_mse"),
         )
     )
+
+
+_ENS_BETA = 0.999  # effective-number-of-samples decay (Cui et al. 2019)
+
+
+@query(
+    "ml_class_weights",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), eff AS (
+      SELECT lang, n,
+             (1.0 - power({_ENS_BETA}, n)) / (1.0 - {_ENS_BETA})
+               AS e_n
+      FROM counts
+    ), w AS (
+      SELECT lang, n, e_n, 1.0 / e_n AS raw_w FROM eff
+    ), norm AS (
+      SELECT CAST(SUM(CAST(raw_w AS DECIMAL(18,12))) AS DOUBLE) AS tw,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM w
+    )
+    SELECT w.lang AS lang, CAST(w.n AS BIGINT) AS n,
+           ROUND(w.e_n, 4) AS effective_n,
+           ROUND(w.raw_w / nm.tw * nm.k, 6) AS class_weight
+    FROM w CROSS JOIN norm nm
+    """,
+)
+def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE-NUMBER class weights (Cui et al., CVPR 2019) — the
+    principled answer to 'weight rare classes by 1/n or 1/√n?':
+    samples overlap in information, so the effective sample count is
+    (1−β^n)/(1−β), which saturates — weights grow for rare classes
+    but STOP rewarding raw count differences between two already-huge
+    classes (inverse-frequency weighting over-boosts mid-size classes;
+    β→1 recovers 1/n, β→0 recovers uniform). Emits per-language
+    weights normalized to mean 1 — the loss-weighting companion to
+    sample_balanced's data-side rebalancing (weight the loss or
+    resample the data; both consume this table's n).
+
+    Exactness: power(β, n) with integer n is exponentiation-by-
+    squaring territory but engines may differ by ulps — outputs round
+    at 4/6 and the normalization sum quantizes through DECIMAL.
+
+    Scale: one language-bounded count agg; everything after runs on
+    the class table."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    e_n = (1.0 - F.pow(F.lit(_ENS_BETA), F.col("n"))) / (1.0 - _ENS_BETA)
+    w = counts.select("lang", "n", e_n.alias("e_n")).withColumn(
+        "raw_w", 1.0 / F.col("e_n")
+    )
+    norm = w.agg(
+        F.sum(F.col("raw_w").cast("decimal(18,12)")).cast("double")
+        .alias("tw"),
+        F.count("*").alias("k"),
+    )
+    return w.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.round("e_n", 4).alias("effective_n"),
+        F.round(F.col("raw_w") / F.col("tw") * F.col("k"), 6)
+        .alias("class_weight"),
+    )
+
+
+_ATTR_WINDOW = 5  # touchpoints credited per conversion (last-N-touch)
+
+
+@query(
+    "agg_attribution_models",
+    oracle=f"""
+    WITH purch AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT p.event_id AS conv_id, e.event_type AS channel,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY e.ts DESC, e.event_id DESC) AS pos
+      FROM purch p
+      JOIN events e ON e.user_id = p.user_id
+                   AND (e.ts < p.ts
+                        OR (e.ts = p.ts AND e.event_id < p.event_id))
+    ), windowed AS (
+      SELECT conv_id, channel, pos,
+             MAX(pos) OVER (PARTITION BY conv_id) AS k
+      FROM (SELECT * FROM touches WHERE pos <= {_ATTR_WINDOW})
+    ), credits AS (
+      SELECT channel,
+             CASE WHEN pos = 1 THEN 1.0 ELSE 0.0 END AS last_touch,
+             CASE WHEN pos = k THEN 1.0 ELSE 0.0 END AS first_touch,
+             1.0 / k AS linear,
+             CASE WHEN k = 1 THEN 1.0
+                  WHEN k = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = k THEN 0.4
+                  ELSE 0.2 / (k - 2) END AS u_shaped
+      FROM windowed
+    )
+    SELECT channel,
+           ROUND(CAST(SUM(CAST(last_touch AS DECIMAL(18,12)))
+                      AS DOUBLE), 4) AS last_touch,
+           ROUND(CAST(SUM(CAST(first_touch AS DECIMAL(18,12)))
+                      AS DOUBLE), 4) AS first_touch,
+           ROUND(CAST(SUM(CAST(linear AS DECIMAL(18,12)))
+                      AS DOUBLE), 4) AS linear,
+           ROUND(CAST(SUM(CAST(u_shaped AS DECIMAL(18,12)))
+                      AS DOUBLE), 4) AS u_shaped
+    FROM credits GROUP BY channel
+    """,
+)
+def agg_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION — four credit models over each
+    conversion's last {_ATTR_WINDOW} touchpoints, side by side:
+    last-touch (what ad platforms default to), first-touch
+    (discovery credit), linear (equal split) and U-shaped (40/40
+    endpoints, 20 spread between). Every model sums to exactly 1.0
+    per conversion BY CONSTRUCTION, so each column totals the
+    conversion count and the models are directly comparable — the
+    spread between a channel's last-touch and first-touch credit is
+    the closer-vs-opener diagnosis that budget reallocation reads
+    (funnel_conversion counts stage transitions; this divides the
+    conversion's value among the stages).
+
+    Exactness: positions come from the total (ts, event_id) order;
+    rational credits (1/k, 0.2/(k−2)) are identical IEEE divisions
+    both engines and quantize through DECIMAL(18,12) before the
+    channel sums.
+
+    Scale: the touch join is per-user and window-capped at
+    {_ATTR_WINDOW} rows per conversion BEFORE the credit math, so
+    state per conversion is bounded; output is channel-bounded. The
+    rank window partitions per conversion (small by cap)."""
+    e = table(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touches = (
+        purch.join(
+            e,
+            (F.col("user_id") == F.col("p_user"))
+            & (
+                (F.col("ts") < F.col("p_ts"))
+                | ((F.col("ts") == F.col("p_ts"))
+                   & (F.col("event_id") < F.col("conv_id")))
+            ),
+        )
+        .select(
+            "conv_id", F.col("event_type").alias("channel"),
+            "ts", "event_id",
+        )
+    )
+    wpos = Window.partitionBy("conv_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    windowed = (
+        touches.withColumn("pos", F.row_number().over(wpos))
+        .filter(F.col("pos") <= _ATTR_WINDOW)
+        .withColumn(
+            "k", F.max("pos").over(Window.partitionBy("conv_id"))
+        )
+    )
+    pos, k = F.col("pos"), F.col("k")
+    credits = windowed.select(
+        "channel",
+        F.when(pos == 1, 1.0).otherwise(0.0).alias("last_touch"),
+        F.when(pos == k, 1.0).otherwise(0.0).alias("first_touch"),
+        (1.0 / k).alias("linear"),
+        F.when(k == 1, 1.0)
+        .when(k == 2, 0.5)
+        .when((pos == 1) | (pos == k), 0.4)
+        .otherwise(0.2 / (k - 2)).alias("u_shaped"),
+    )
+    dsum12 = lambda c: F.round(  # noqa: E731
+        F.sum(F.col(c).cast("decimal(18,12)")).cast("double"), 4
+    ).alias(c)
+    return credits.groupBy("channel").agg(
+        dsum12("last_touch"), dsum12("first_touch"),
+        dsum12("linear"), dsum12("u_shaped"),
+    )
