@@ -26,12 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for roughly the first 50 keys of
 # queries() per round.  _DRIVER_RECORDED is the literal union of the
-# GREEN key sets in CORRECTNESS_r01/r02/r03.json (148 keys).
-# Enumeration order: (1) keys still owed a green driver record — the 5
-# never recorded plus pack_sequences (r03 hash-red from an oracle
-# typing bug, fixed this round — it needs a re-record); (2) keys first
-# registered in round 4 (_R4_NEW — append every new key here!); (3) the
-# already-recorded greens.
+# GREEN key sets in CORRECTNESS_r01..r04.json (198 keys; r04's 50 rows
+# were all green).  The registry is FROZEN at 375 for round 5 — the
+# enumeration's only job now is to drain the 177-key record backlog:
+# (1) _PRIORITY — the LLM-pipeline / lakehouse keys a real user hits
+#     first (round-4 verdict ordering), (2) the rest of the unrecorded
+#     keys in registry order, (3) the already-recorded greens.
 _DRIVER_RECORDED = frozenset({
     # --- CORRECTNESS_r01.json ---
     "agg_approx", "agg_collect", "agg_cube", "agg_distinct",
@@ -77,102 +77,52 @@ _DRIVER_RECORDED = frozenset({
     "scd2_intervals", "funnel_conversion", "retention_cohorts",
     "decontaminate_ngram", "text_pii_redact", "sample_balanced",
     "scan_jsonl",
+    # --- CORRECTNESS_r04.json greens (all 50 rows green) ---
+    "agg_ab_ztest", "agg_abc_classification", "agg_bitmap_rollup",
+    "agg_bootstrap_se", "agg_chi_square", "agg_covariate_balance",
+    "agg_cuped", "agg_diff_in_diff", "agg_eb_shrunk_rates", "agg_entropy",
+    "agg_extreme_value_gumbel", "agg_gini_lorenz",
+    "agg_heavy_hitters_bounds", "agg_herfindahl_index",
+    "agg_hill_diversity", "agg_hill_tail_index", "agg_kmv_theta",
+    "agg_ks_test", "agg_mann_whitney", "agg_market_basket",
+    "agg_means_family", "agg_median_ci", "agg_parallel_trends",
+    "agg_power_mde", "agg_price_volume_bridge", "agg_ratio_delta_method",
+    "agg_revenue_concentration", "agg_spearman_rho", "agg_sprt_sequential",
+    "agg_trimmed_mean", "agg_var_es", "agg_weighted_median",
+    "fn_business_days", "fn_collate", "fn_variant", "fn_xml",
+    "join_bloom_prefilter", "layout_zorder", "pack_sequences",
+    "sample_balanced_exact", "scan_csv", "scan_partition_pruned",
+    "sim_topk_bucketed", "win_event_transitions", "win_interval_coalesce",
+    "win_journey_paths", "win_max_drawdown", "win_rolling_corr",
+    "win_skyline_pareto", "win_time_weighted_avg",
 })
 
 
-# Keys first registered in round 4: enumerate after the backlog (which
-# must drain first) but before the recorded greens.
-_R4_NEW = frozenset({
-    "shuffle_deterministic", "mix_domain_weights", "quantile_bucketize",
-    "corr_matrix", "text_winnow", "scan_orc", "agg_sketch_rollup",
-    "text_html_strip", "dedup_url_normalize", "graph_label_prop",
-    "dedup_paragraph", "subq_recursive_cte", "agg_bitmap_rollup",
-    "fn_variant", "fn_xml", "fn_collate", "ml_kmeans_train", "ts_ewma",
-    "quality_gate", "join_asof_nearest", "bm25_score", "rank_fusion_rrf",
-    "feature_hashing", "text_perplexity_lm", "win_rolling_distinct",
-    "ts_anomaly_zscore", "ml_linreg_ols", "mm_video_framesample",
-    "join_bloom_prefilter", "cdc_apply_merge", "ts_gapfill_linear",
-    "agg_countmin_topk", "win_streaks", "join_asof_tolerance",
-    "sample_importance", "agg_bitmap_intersect", "scan_binaryfile",
-    "ml_knn_classify", "ml_naive_bayes", "join_interval_outer",
-    "dq_drift_psi", "win_rolling_median", "join_scd2_pit",
-    "fn_explode_outer", "join_null_safe", "dedup_minhash_estimate",
-    "scan_schema_evolution", "text_pseudonymize", "ts_lagged_corr",
-    "dedup_containment", "ts_change_detect", "dedup_span_fraction",
-    "agg_means_family", "agg_entropy", "agg_gini_lorenz",
-    "sample_reservoir", "privacy_k_anonymity", "text_zipf_slope",
-    "join_fuzzy_levenshtein", "ts_outlier_mad", "graph_degree_stats",
-    "mix_token_budget", "ml_decision_stump", "win_skyline_pareto",
-    "mm_image_dedup_ahash", "scan_csv_permissive", "ts_concurrency_peak",
-    "agg_kmv_theta", "text_novelty_rate", "ts_stickiness_dau_mau",
-    "win_event_transitions", "ml_logreg_irls", "agg_bootstrap_se",
-    "agg_market_basket", "ts_interarrival_stats", "graph_kcore_peel",
-    "agg_rfm_segments", "ml_langid_confusion", "dq_benford_digits",
-    "agg_weighted_median", "ts_disorder_ratio", "ts_bounce_rate",
-    "agg_ratio_delta_method", "text_stem_suffix", "graph_adamic_adar",
-    "fn_business_days", "ts_survival_km", "emb_pca_power",
-    "retention_ltv_curve", "dq_freshness", "ml_crossval_ols",
-    "win_max_drawdown", "agg_revenue_concentration", "graph_modularity",
-    "agg_eb_shrunk_rates", "scan_csv_multiline", "agg_trimmed_mean",
-    "sample_neyman_allocation", "subq_bom_rollup", "agg_ab_ztest",
-    "agg_mann_whitney", "ts_theil_sen", "ml_cohens_kappa",
-    "ts_fano_factor", "agg_chi_square", "agg_spearman_rho",
-    "agg_var_es", "ts_littles_law", "text_vocab_coverage",
-    "retention_growth_accounting", "dq_simpsons_paradox",
-    "agg_herfindahl_index", "ml_gains_lift", "text_term_burstiness",
-    "ml_auc_roc", "agg_ks_test", "scan_wholetext", "agg_power_mde",
-    "ts_outage_windows", "win_interval_coalesce", "ts_seasonal_index",
-    "graph_clustering_coeff", "agg_extreme_value_gumbel",
-    "agg_covariate_balance", "text_jsd_vs_corpus", "agg_cuped",
-    "ts_forecast_baseline_wape", "dedup_skeleton",
-    "agg_price_volume_bridge", "agg_abc_classification",
-    "dq_heartbeat_completeness", "agg_parallel_trends",
-    "text_pmi_collocations", "agg_diff_in_diff", "ts_mann_kendall",
-    "ts_process_capability", "text_yule_k", "ts_runs_test",
-    "ml_brier_decomposition", "dedup_sorted_neighborhood",
-    "agg_sprt_sequential", "dedup_golden_record",
-    "ts_markov_entropy_rate", "ml_shapley_r2", "fn_calendar_spine",
-    "dq_volume_anomaly", "ts_seasonal_strength",
-    "fn_rounding_mode_audit", "ts_peak_detection",
-    "dedup_phonetic_block", "win_rolling_corr",
-    "ts_changepoint_binseg", "scan_recursive_lookup",
-    "ml_average_precision", "agg_median_ci", "ts_dominant_period",
-    "agg_hill_tail_index", "ml_cost_curve", "dq_label_consistency",
-    "graph_assortativity", "ml_bpe_pair_counts", "ml_tokenizer_fertility",
-    "text_kneser_ney", "fn_geo_haversine", "fn_ip_cidr",
-    "ml_target_encode", "text_readability", "scan_jsonl_corrupt",
-    "ts_cusum", "ml_ndcg", "fn_luhn_checksum", "dedup_incremental",
-    "scan_file_lineage", "cdc_debezium_envelope", "emb_norm_stats",
-    "agg_heavy_hitters_bounds", "decontaminate_fuzzy", "dq_join_fanout",
-    "graph_hits", "ml_woe_binning", "ts_downsample_m4",
-    "fn_base64_roundtrip", "privacy_l_diversity",
-    "scan_partition_overwrite", "dq_table_diff", "mix_packing_efficiency",
-    "ts_wavelet_haar", "dq_sequence_gaps", "scan_csv_column_order",
-    "ml_item_cf", "text_homoglyph_normalize", "ts_sax_motifs",
-    "text_rake_keywords", "ts_hurst_exponent", "dedup_cdc_chunks",
-    "agg_raking_ipf", "mix_preference_pairs", "agg_benjamini_hochberg",
-    "win_journey_paths", "agg_hill_diversity", "scan_manifest_snapshot",
-    "dq_format_profile", "mm_audio_energy_zcr", "ts_spectral_entropy",
-    "scan_time_travel", "ts_granger_lite", "dq_cross_field_consistency", "text_burrows_delta",
-    "ts_newey_west_se", "ml_uplift_tlearner", "ml_conformal_interval", "dq_partition_checksums",
-    "win_time_weighted_avg", "graph_katz", "text_fightin_words",
-    "ts_ljung_box", "fn_fiscal_445", "agg_ab_srm_check",
-    "ml_learning_curve", "ml_class_weights", "agg_attribution_models",
-})
+# Unrecorded keys to enumerate FIRST, in this exact order — the
+# LLM-data-pipeline and lakehouse operators a reference user would hit
+# first (round-4 verdict item 1 ordering).  Everything unrecorded and
+# not listed here follows in registry order.
+_PRIORITY = (
+    "bm25_score", "text_perplexity_lm", "decontaminate_fuzzy",
+    "dedup_incremental", "mix_preference_pairs", "ml_bpe_pair_counts",
+    "ml_tokenizer_fertility", "text_kneser_ney", "cdc_apply_merge",
+    "dq_table_diff", "ml_kmeans_train", "subq_recursive_cte",
+    "scan_orc", "dedup_cdc_chunks",
+)
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this
 # round number; tests derive the expected set from those artifacts
 # (bump this when folding a new round's records in).
-_RECORDED_THROUGH = 3
+_RECORDED_THROUGH = 4
 
 
 def _ordered():
     specs = load_all()
-    tier1 = [n for n in specs
-             if n not in _DRIVER_RECORDED and n not in _R4_NEW]
-    tier2 = [n for n in specs if n in _R4_NEW]
-    tier3 = [n for n in specs if n in _DRIVER_RECORDED]
-    return {n: specs[n] for n in tier1 + tier2 + tier3}
+    backlog = [n for n in _PRIORITY if n not in _DRIVER_RECORDED]
+    backlog += [n for n in specs
+                if n not in _DRIVER_RECORDED and n not in _PRIORITY]
+    recorded = [n for n in specs if n in _DRIVER_RECORDED]
+    return {n: specs[n] for n in backlog + recorded}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,11 +1,15 @@
 """Driver-contract consistency: the tiered enumeration in
-__spark_entry__ must stay a clean partition of the registry as keys
-are added (a typo'd or forgotten tier entry silently reorders what a
-capped driver run records).
+__spark_entry__ must stay a clean partition of the registry as records
+land (a typo'd or forgotten tier entry silently reorders what a capped
+driver run records).
 
 Counts are DERIVED from the tier sets, never hardcoded (the round-3
 lesson: a literal 52 drifted stale the moment a key was registered
 without updating the constant).
+
+Round 5 froze the registry at 375: the enumeration is now just
+(priority backlog, remaining backlog in registry order, recorded
+greens) — the backlog drains as CORRECTNESS artifacts land.
 """
 
 from __future__ import annotations
@@ -25,8 +29,14 @@ _REPO = pathlib.Path(__file__).resolve().parent.parent
 def test_tier_sets_are_registry_subsets():
     names = set(load_all())
     assert entry._DRIVER_RECORDED <= names, entry._DRIVER_RECORDED - names
-    assert entry._R4_NEW <= names, entry._R4_NEW - names
-    assert not (entry._DRIVER_RECORDED & entry._R4_NEW)
+    assert set(entry._PRIORITY) <= names, set(entry._PRIORITY) - names
+    assert len(set(entry._PRIORITY)) == len(entry._PRIORITY)
+
+
+def test_registry_frozen_at_375():
+    # Round-5 consolidation: the registry must not grow while the
+    # driver-record backlog drains (round-4 verdict item 1).
+    assert len(load_all()) == 375
 
 
 def test_recorded_set_matches_correctness_artifacts():
@@ -54,32 +64,18 @@ def test_recorded_set_matches_correctness_artifacts():
     )
 
 
-def test_every_new_key_is_tiered():
-    # Every key not yet driver-recorded must be either in the backlog
-    # (tier 1) or listed in _R4_NEW; tier 1 must shrink, never grow,
-    # as rounds record keys.  The backlog is whatever the CORRECTNESS
-    # artifacts haven't recorded green — derived, not hardcoded.
-    names = set(load_all())
-    tier1 = {
-        n for n in names
-        if n not in entry._DRIVER_RECORDED and n not in entry._R4_NEW
-    }
-    expected_tier1 = names - entry._DRIVER_RECORDED - entry._R4_NEW
-    assert tier1 == expected_tier1
-    # sanity: the three tiers partition the registry
-    assert tier1 | entry._R4_NEW | entry._DRIVER_RECORDED == names
-
-
 def test_enumeration_orders_tiers_and_covers_registry():
     names = list(entry.queries())
     specs = load_all()
     assert set(names) == set(specs)
-    t1_end = len(set(specs) - entry._DRIVER_RECORDED - entry._R4_NEW)
-    t2_end = t1_end + len(entry._R4_NEW)
-    assert all(n not in entry._DRIVER_RECORDED and n not in entry._R4_NEW
-               for n in names[:t1_end])
-    assert all(n in entry._R4_NEW for n in names[t1_end:t2_end])
-    assert all(n in entry._DRIVER_RECORDED for n in names[t2_end:])
+    prio = [n for n in entry._PRIORITY if n not in entry._DRIVER_RECORDED]
+    backlog_n = len(set(specs) - entry._DRIVER_RECORDED)
+    # priority keys lead, verbatim and in order
+    assert names[:len(prio)] == prio
+    # then the rest of the backlog, then only recorded greens
+    assert all(n not in entry._DRIVER_RECORDED
+               for n in names[:backlog_n])
+    assert all(n in entry._DRIVER_RECORDED for n in names[backlog_n:])
 
 
 def test_oracle_sql_matches_queries_keys():
