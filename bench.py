@@ -46,7 +46,11 @@ HEADLINE = [
     "limit_topk",           # global top-k
     "dedup_ngram_capped",   # df-capped shingle inverted-index near-dup
     "dedup_ngram_jaccard",  # uncapped exact near-dup diagnostic
-    "sim_topk",             # brute-force cosine top-k
+    "sim_topk",             # brute-force cosine top-k (since round 5:
+                            # the driver-free cogrouped tile kernel —
+                            # same key, same oracle, new plan; rounds
+                            # 1-4 timed the probe-collect mapInPandas
+                            # form, now sim_topk_driver_baseline)
     "text_tokens",          # tokenize+explode+count
     "stream_tumbling",      # time-window agg (batch twin)
 ]

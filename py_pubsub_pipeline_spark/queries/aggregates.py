@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exprs import davg, dsum, sql_davg, sql_dsum
+from ..functions.splitwin import split_window
 from ..registry import query
 from ..tables import table
 
@@ -1054,25 +1055,26 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL comparison (100*cum >= p*tot) — no percentage division,
     so no float boundary for the engines to disagree on.
 
-    Plan: one hash agg to per-customer revenue, then rank + running
-    sum over the customer aggregate (a total-order window: exact
-    answer requires it — at extreme customer counts the approx path
-    is quantile_bucketize's boundary histogram over revenue). Ties
-    in revenue break on the key."""
+    Plan: one hash agg to per-customer revenue, then the global rank
+    + running sum run through the split-window rewrite
+    (functions/splitwin.py): deterministic revenue shards, parallel
+    per-shard windows, shard-count-sized boundary pass — never a
+    single-task total-order sort. Ties in revenue break on the
+    key."""
     o = table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("rev"))
-    wcum = (Window.orderBy(F.col("rev").desc(), "o_custkey")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wall = Window.partitionBy()
-    ranked = cust.select(
-        F.sum("rev").over(wcum).alias("cum"),
-        F.sum("rev").over(wall).alias("tot"),
-        F.row_number().over(
-            Window.orderBy(F.col("rev").desc(), "o_custkey")).alias("rnk"),
-    )
-    n_cust = cust.agg(F.count("*").cast("long").alias("n_customers"))
-    return ranked.crossJoin(F.broadcast(n_cust)).agg(
+    tot = cust.agg(F.sum("rev").alias("tot"),
+                   F.count(F.lit(1)).cast("long").alias("n_customers"))
+    ranked = split_window(
+        cust,
+        [F.col("rev").desc(), "o_custkey"],
+        bucket="rev",
+        descending=True,
+        running_sums={"cum": "rev"},
+        row_number="rnk",
+    ).select("cum", "rnk")
+    return ranked.crossJoin(F.broadcast(tot)).agg(
         F.any_value("n_customers").alias("n_customers"),
         *[
             F.min(F.when(100 * F.col("cum") >= p * F.col("tot"),
@@ -1342,27 +1344,33 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals; the rank sum goes through DECIMAL(28,1), so U is exact
     and the normal-approximation z is identical double arithmetic.
 
-    Scale: the combined ranking is a total-order window — the exact
-    test's honest cost (same note as agg_revenue_concentration); at
-    extreme n, bucket values first and rank the weighted histogram
-    (identical U from grouped ranks)."""
+    Scale: ranks come from the weighted histogram — one hash agg
+    collapses rows to distinct values (tied rows SHARE an average
+    rank, so grouping is lossless), and the rank cumsum over the
+    value domain runs through the split-window rewrite
+    (functions/splitwin.py): sharded parallel windows, never a
+    single-task total-order sort."""
     o = table(spark, sf_dir, "orders")
     s = o.select(
         F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B")
         .alias("arm"),
         F.col("o_totalprice").alias("v"),
     )
-    ranked = s.select(
-        "arm",
-        (F.rank().over(Window.orderBy("v")).cast("double")
-         + (F.count("*").over(Window.partitionBy("v")).cast("double")
-            - 1.0) / 2.0).alias("r"),
+    hist = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("arm") == "A").alias("na_v"),
+    )
+    h = split_window(hist, ["v"], running_sums={"cum": "n"})
+    ranked = h.select(
+        "n", "na_v",
+        ((F.col("cum") - F.col("n")).cast("double")
+         + (F.col("n").cast("double") + 1.0) / 2.0).alias("r"),
     )
     sums = ranked.agg(
-        F.count_if(F.col("arm") == "A").alias("na"),
-        F.count_if(F.col("arm") == "B").alias("nb"),
-        F.sum(F.when(F.col("arm") == "A", F.col("r"))
-              .cast("decimal(28,1)")).cast("double").alias("ra"),
+        F.sum("na_v").alias("na"),
+        F.sum(F.col("n") - F.col("na_v")).alias("nb"),
+        F.sum((F.col("na_v") * F.col("r")).cast("decimal(28,1)"))
+        .cast("double").alias("ra"),
     )
     na, nb = F.col("na"), F.col("nb")
     u = F.col("ra") - na * (na + 1.0) / 2.0
@@ -1666,24 +1674,37 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(nm/(n+m))*D is what tables threshold). dq_drift_psi bins
     first; KS is the binning-free drift test.
 
-    Plan: one total-order window carrying two running counts (exact
-    integers), then a 1-row max aggregate — ECDF ratios divide exact
-    counts, so the sup is over identical doubles. The exact test
-    needs the merged sort (agg_mann_whitney's note); the binned
-    fallback at extreme n IS dq_drift_psi's spine."""
+    Plan: the ECDF steps come from the (value, arm) histogram — one
+    hash agg collapses rows to distinct cells (within a cell the gap
+    moves monotonically, so its max sits at a cell boundary; the
+    previous cell's end is in the evaluated set, making the grouped
+    sup EXACTLY the row-level sup), and the two running counts cumsum
+    through the split-window rewrite (functions/splitwin.py): sharded
+    parallel windows, never a single-task merged sort. ECDF ratios
+    divide exact integers, so the sup is over identical doubles."""
     o = table(spark, sf_dir, "orders")
     s = o.select(
         F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0).alias("a"),
         F.col("o_totalprice").alias("v"),
     )
-    w = (Window.orderBy("v", "a")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wall = Window.partitionBy()
-    steps = s.select(
-        F.sum("a").over(w).alias("ca"),
-        F.sum(F.lit(1) - F.col("a")).over(w).alias("cb"),
-        F.sum("a").over(wall).alias("na"),
-        F.sum(F.lit(1) - F.col("a")).over(wall).alias("nb"),
+    cells = s.groupBy("v", "a").agg(F.count(F.lit(1)).alias("cnt"))
+    h = split_window(
+        cells,
+        ["v", "a"],
+        bucket="v",
+        running_sums={
+            "ca": F.col("a") * F.col("cnt"),
+            "cb": (1 - F.col("a")) * F.col("cnt"),
+        },
+    )
+    totals = cells.agg(
+        F.sum(F.col("a") * F.col("cnt")).alias("na"),
+        F.sum((1 - F.col("a")) * F.col("cnt")).alias("nb"),
+    )
+    steps = h.crossJoin(F.broadcast(totals)).select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+        "na", "nb",
     )
     gap = F.abs(F.col("ca").cast("double") / F.col("na")
                 - F.col("cb").cast("double") / F.col("nb"))

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.splitwin import split_window
 from ..registry import query
 from ..tables import table
 
@@ -1343,10 +1344,14 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute exactly 1/2. The single most-quoted classifier
     metric, computed without sampling, binning, or approximation.
 
-    Plan: map-side scoring, one total-order rank window (the exact
-    metric's honest cost — agg_mann_whitney's note; the histogram-
-    rank fallback applies), and a 1-row aggregate whose rank sum
-    goes through DECIMAL(28,1)."""
+    Plan: map-side scoring, then the weighted-histogram rank — one
+    hash agg collapses rows to distinct scores (tied rows SHARE an
+    average rank, so grouping loses nothing), and the rank cumsum
+    over the score domain runs through the split-window rewrite
+    (functions/splitwin.py): sharded parallel windows, never a
+    single-task global sort. Rank sums go through DECIMAL(28,1);
+    average rank for a score group = rows_before + (n+1)/2, exactly
+    the RANK + (ties-1)/2 the oracle spells."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     scored = d.select(
@@ -1356,16 +1361,20 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double")
          / F.greatest(F.size(toks), F.lit(1))).alias("score"),
     )
-    ranked = scored.select(
-        "y",
-        (F.rank().over(Window.orderBy("score")).cast("double")
-         + (F.count("*").over(Window.partitionBy("score")).cast("double")
-            - 1.0) / 2.0).alias("r"),
+    hist = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("np_v"),
+    )
+    h = split_window(hist, ["score"], running_sums={"cum": "n"})
+    ranked = h.select(
+        "np_v", "n",
+        ((F.col("cum") - F.col("n")).cast("double")
+         + (F.col("n").cast("double") + 1.0) / 2.0).alias("r"),
     )
     sums = ranked.agg(
-        F.count_if(F.col("y") == 1).alias("np"),
-        F.count_if(F.col("y") == 0).alias("nn"),
-        F.sum(F.when(F.col("y") == 1, F.col("r")).cast("decimal(28,1)"))
+        F.sum("np_v").alias("np"),
+        F.sum(F.col("n") - F.col("np_v")).alias("nn"),
+        F.sum((F.col("np_v") * F.col("r")).cast("decimal(28,1)"))
         .cast("double").alias("rp"),
     )
     np_, nn_ = F.col("np"), F.col("nn")
@@ -1632,10 +1641,12 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form tie averaging — the pinned order IS the metric's
     definition here, stated rather than hidden).
 
-    Plan: map-side scoring, one total-order window carrying the
-    running true-positive count (the exact-ranking-metric cost —
-    ml_auc_roc's note), precision terms DECIMAL-quantized before
-    the mean."""
+    Plan: map-side scoring, then the split-window rewrite
+    (functions/splitwin.py) carries the global position and running
+    true-positive count across deterministic score shards — parallel
+    windows plus a shard-count-sized boundary pass, never a
+    single-task global sort. Precision terms DECIMAL-quantized
+    before the mean."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     scored = d.select(
@@ -1645,14 +1656,14 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the", "a", "of", "and", "is"))).cast("double")
          / F.greatest(F.size(toks), F.lit(1))).alias("score"),
     )
-    worder = Window.orderBy(F.col("score").desc(), "doc_id")
-    ranked = scored.select(
-        "y",
-        F.row_number().over(worder).alias("k"),
-        F.sum("y").over(
-            worder.rowsBetween(Window.unboundedPreceding,
-                               Window.currentRow)).alias("tp"),
-    )
+    ranked = split_window(
+        scored,
+        [F.col("score").desc(), "doc_id"],
+        bucket="score",
+        descending=True,
+        row_number="k",
+        running_sums={"tp": "y"},
+    ).select("y", "k", "tp")
     term = F.when(F.col("y") == 1,
                   F.col("tp").cast("double") / F.col("k")) \
         .cast("decimal(18,12)")

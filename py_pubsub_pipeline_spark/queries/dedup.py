@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.splitwin import split_window, str_bucket
 from ..registry import query
 from ..tables import table
 
@@ -888,16 +889,17 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary (different head noun, adjacent spelling), at linear
     O(n*w) candidates instead of per-block quadratic.
 
-    Plan: DISTINCT collapses to the name domain, one total-order
-    rank (domain-sized — the concentration note; at extreme
-    cardinality sort WITHIN coarse prefixes and overlap the seams,
-    the standard multi-pass SNM), then a banded self-join on rank
-    ranges — rn is dense so the band join is an equi-join per
-    offset under the hood. Distance applies to the O(n*w) stream."""
+    Plan: DISTINCT collapses to the name domain, the global position
+    comes from the split-window rewrite (functions/splitwin.py) —
+    deterministic shards over an 8-byte name-prefix proxy, parallel
+    per-shard numbering, shard-count-sized boundary pass, never a
+    single-task total-order sort — then a banded self-join on rank
+    ranges: rn is dense so the band join is an equi-join per offset
+    under the hood. Distance applies to the O(n*w) stream."""
     p = table(spark, sf_dir, "part")
     names = p.select(F.col("p_name").alias("name")).distinct()
-    ordered = names.withColumn(
-        "rn", F.row_number().over(Window.orderBy("name")))
+    ordered = split_window(
+        names, ["name"], bucket=str_bucket("name"), row_number="rn")
     a = ordered.select(F.col("name").alias("name_a"),
                        F.col("rn").alias("ra"))
     b = ordered.select(F.col("name").alias("name_b"),

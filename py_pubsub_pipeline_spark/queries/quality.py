@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exprs import dsum, sql_dsum
+from ..functions.splitwin import split_window
 from ..registry import query
 from ..tables import table
 
@@ -1431,18 +1432,18 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     producer's retention window (dq_freshness's temporal cousin, on
     the KEY axis).
 
-    Scale: one global-order window — the honest cost; at extreme
-    cardinality the same LEAD runs per shard after range
-    partitioning, with shard-boundary pairs checked in a second
-    shard-count-sized pass (the standard split-window rewrite). Gap
-    output is bounded by the number of HOLES, not ids."""
+    Scale: the LEAD runs per shard via the split-window rewrite
+    (functions/splitwin.py): deterministic equal-width shards over
+    the key, one parallel hash exchange, shard seams patched from a
+    shard-count-sized boundary pass — never a single-task global
+    sort. Gap output is bounded by the number of HOLES, not ids."""
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderkey") % 97 != 0) & (F.col("o_orderkey") % 89 != 0)
     )
-    w = Window.orderBy("o_orderkey")
-    s = o.select(
-        F.col("o_orderkey").alias("k"),
-        F.lead("o_orderkey").over(w).alias("nxt"),
+    s = split_window(
+        o.select(F.col("o_orderkey").alias("k")),
+        ["k"],
+        lead={"nxt": "k"},
     )
     return s.filter(F.col("nxt") - F.col("k") > 1).select(
         (F.col("k") + 1).alias("gap_start"),

@@ -106,8 +106,10 @@ def test_dedup_ngram_reuses_inverted_index_exchange(spark):
 
 
 def test_sim_topk_is_arrow_vectorized(spark):
+    # Since round 5 sim_topk shares the driver-free cogrouped tile
+    # kernel: Arrow cogroup, no row UDF, no probe collect.
     plan = _executed(REG["sim_topk"].fn(spark, SF_SMALL), spark)
-    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "BatchEvalPython" not in plan  # Arrow batches, not row UDF
 
 
@@ -219,7 +221,8 @@ def test_sample_balanced_has_no_per_language_window(spark):
     assert "SortMergeJoin" not in final, final
 
 
-@pytest.mark.parametrize("key", ["sim_topk_bucketed", "sim_adc_int8"])
+@pytest.mark.parametrize(
+    "key", ["sim_topk", "sim_topk_bucketed", "sim_adc_int8"])
 def test_probe_topk_builds_without_driver_jobs(spark, key):
     # Both consumers of the shared cogrouped tile harness
     # (_probe_topk_bucketed): the probe set must stay a DataFrame —
