@@ -183,35 +183,36 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-style 5-table chain, built dimension-side-first: the
-    selective filters (region = ASIA, 2-year orderdate range) shrink
-    region⋈nation⋈customer⋈orders to a small keyed dim, and lineitem —
-    the one genuinely large table at every SF — stays the PROBE side
-    of the final broadcast join. Left to size estimates Catalyst
-    built the hash relation on pruned lineitem (fine at sf0.1, fatal
-    at 100 TB where lineitem never fits); fact-probes-dim is the
-    orientation that survives scale-up, and is 1.5x faster here too.
-    The final join carries NO broadcast hint: AQE sees the runtime
-    size of dims and picks broadcast (build side = dims) here, and at
-    a scale where the filtered dims no longer fit it degrades to a
-    shuffled join on orderkey instead of OOMing on a forced hint."""
+    """TPC-H-Q5-style 5-table chain, written FLAT fact-probes-dims:
+    lineitem — the one genuinely large table at every SF — streams
+    through three consecutive hash joins (filtered orders, customer,
+    nation⋈region) inside one whole-stage-codegen pass. The three
+    build sides are INDEPENDENT subtrees, so AQE materializes their
+    broadcast stages concurrently instead of walking the round-3
+    nested dim chain's four DEPENDENT builds one driver roundtrip at
+    a time (r → n⋈r → c⋈nr → ⋈o): measured 0.684s → 0.388s at sf0.1,
+    same single post-join shuffle (the final agg), identical rows.
+    Only region/nation — small at ANY scale — carry broadcast hints;
+    the orders and customer hops are left to AQE, which broadcasts
+    them here and degrades to a shuffled join at a scale where the
+    filtered sides stop fitting, instead of OOMing on a forced hint.
+    Fact-probes-dim orientation is still fixed at construction:
+    lineitem is the left/stream side of every hop."""
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation")
-    c = table(spark, sf_dir, "customer")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
-    )
+    ).select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    dims = (
-        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-               c.c_nationkey == n.n_nationkey)
-        .join(o, o.o_custkey == c.c_custkey)
-        .select("n_name", "o_orderkey")
-    )
     return (
-        li.join(dims, li.l_orderkey == F.col("o_orderkey"))
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(nr, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count("*").alias("n_items"), dsum(disc, "revenue"))
     )
