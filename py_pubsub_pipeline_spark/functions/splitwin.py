@@ -115,12 +115,20 @@ def split_window(
     stats = df.agg(F.min(b).alias("__sw_mn"), F.max(b).alias("__sw_mx"))
     s = df.crossJoin(F.broadcast(stats))
     mn, mx = F.col("__sw_mn"), F.col("__sw_mx")
-    raw = F.when(mx == mn, F.lit(0)).otherwise(
-        F.least(F.floor((b - mn) / ((mx - mn) / shards)),
-                F.lit(shards - 1))
+    # Null keys sort first under asc, last under desc (Spark's
+    # default placement): both cases mean "the extreme shard on the
+    # null end", which is raw = 0 under either direction — asc maps
+    # raw 0 to shard 0 (first), desc mirrors it to the LAST shard.
+    # (desc_nulls_first / asc_nulls_last orders are not supported.)
+    # The null guard must come FIRST: F.least SKIPS nulls, so
+    # least(floor(null/w), shards-1) would silently return shards-1
+    # and flip null placement under desc.
+    raw = (
+        F.when(b.isNull(), F.lit(0))
+        .when(mx == mn, F.lit(0))
+        .otherwise(F.least(F.floor((b - mn) / ((mx - mn) / shards)),
+                           F.lit(shards - 1)))
     )
-    # null keys sort first under asc, last under desc (Spark default)
-    raw = F.coalesce(raw, F.lit(0) if not descending else F.lit(shards - 1))
     shard = (F.lit(shards - 1) - raw) if descending else raw
     s = s.withColumn(_SHARD, shard.cast("int")).drop("__sw_mn", "__sw_mx")
 

@@ -2158,19 +2158,25 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     B, cycle-count C). Class boundaries compare in exact DECIMAL
     (100*cum vs share*tot — no percentage division).
 
-    Plan: part-level hash agg, one total-order window over the part
-    aggregate (the exact method's cost — boundary-histogram approx
-    at extreme part counts, concentration's note), 3-class agg."""
+    Plan: part-level hash agg, then the cumulative revenue over the
+    part aggregate runs through the split-window rewrite
+    (functions/splitwin.py): deterministic revenue shards, parallel
+    per-shard windows, shard-count-sized boundary pass — never a
+    single-task total-order sort — then the 3-class agg."""
     li = table(spark, sf_dir, "lineitem")
     parts = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("rev"))
-    wcum = (Window.orderBy(F.col("rev").desc(), "pk")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wall = Window.partitionBy()
-    ranked = parts.select(
+    tot = parts.agg(F.sum("rev").alias("tot"))
+    ranked = split_window(
+        parts,
+        [F.col("rev").desc(), "pk"],
+        bucket="rev",
+        descending=True,
+        running_sums={"cum": "rev"},
+    ).crossJoin(F.broadcast(tot)).select(
         "rev",
-        (F.sum("rev").over(wcum) - F.col("rev")).alias("cum_excl"),
-        F.sum("rev").over(wall).alias("tot"),
+        (F.col("cum") - F.col("rev")).alias("cum_excl"),
+        "tot",
     )
     cls = (F.when(100 * F.col("cum_excl") < 80 * F.col("tot"), "A")
            .when(100 * F.col("cum_excl") < 95 * F.col("tot"), "B")
@@ -2380,25 +2386,28 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     run it. The earliest-crossing tie-break (H1 boundary at-or-before
     the H0 crossing wins) replays the sequential decision exactly.
 
-    Plan: one cumulative window over the key-ordered stream (total
-    order — the sequential test IS sequential; at scale the walk
-    runs on per-batch PARTIAL sums then a spine-sized window, same
-    two-level trick as ts_concurrency_peak), with per-observation
-    LLR terms pre-quantized to 9-decimal constants so both engines
-    accumulate identical DECIMALs — the crossing index is exact."""
+    Plan: the cumulative walk over the key-ordered stream runs
+    through the split-window rewrite (functions/splitwin.py) — the
+    sequential test IS sequential, but the running LLR sum is
+    associative, so per-shard partial walks + shard-prefix offsets
+    replay it exactly in parallel (the two-level trick the
+    docstring used to only promise). Per-observation LLR terms are
+    pre-quantized to 9-decimal constants so both engines accumulate
+    identical DECIMALs — the crossing index is exact."""
     o = table(spark, sf_dir, "orders")
     obs = o.select(
         F.col("o_orderkey").alias("k"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
-    wcum = (Window.orderBy("k")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    walk = obs.select(
-        F.sum(F.when(F.col("y") == 1, F.lit(_SPRT_LLR))
-              .otherwise(F.lit(-_SPRT_LLR)).cast("decimal(18,9)"))
-        .over(wcum).alias("llr"),
-        F.row_number().over(Window.orderBy("k")).alias("i"),
-    )
+    walk = split_window(
+        obs,
+        ["k"],
+        running_sums={
+            "llr": F.when(F.col("y") == 1, F.lit(_SPRT_LLR))
+            .otherwise(F.lit(-_SPRT_LLR)).cast("decimal(18,9)")
+        },
+        row_number="i",
+    ).select("llr", "i")
     up = F.min(F.when(F.col("llr") >= _SPRT_BOUND, F.col("i")))
     dn = F.min(F.when(F.col("llr") <= -_SPRT_BOUND, F.col("i")))
     return walk.agg(

@@ -2005,21 +2005,38 @@ def ml_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized through DECIMAL(18,12) before the IV sum, final
     ROUND(6)).
 
-    Scale note — the honest caveat: NTILE over a global order is one
-    serial pass; at 100 TB the binning step swaps to broadcast
-    quantile BOUNDARIES (quantile_bucketize's plan) and everything
-    downstream — the {_WOE_BINS}-row cell table, the WOE/IV math —
-    is bin-bounded and free. The NTILE form is kept here because it
-    makes the oracle exact at any corpus."""
+    Scale: the exact equal-count binning runs through the
+    split-window rewrite (functions/splitwin.py) — a parallel global
+    ROW_NUMBER over (price, key) plus NTILE's closed-form bucket
+    assignment (the first n mod k buckets take ceil(n/k) rows, the
+    rest floor(n/k)), bit-identical to the engines' NTILE at any
+    corpus — never the single-task NTILE window rounds 1-4 carried.
+    Everything downstream — the {_WOE_BINS}-row cell table, the
+    WOE/IV math — is bin-bounded and free."""
     o = table(spark, sf_dir, "orders")
     base = o.select(
         "o_totalprice", "o_orderkey",
         F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
         .otherwise(0).alias("y"),
     )
-    w_bin = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = base.select(
-        "y", F.ntile(_WOE_BINS).over(w_bin).alias("bin")
+    n_tot = base.agg(F.count(F.lit(1)).alias("n"))
+    rn = split_window(
+        base,
+        ["o_totalprice", "o_orderkey"],
+        bucket="o_totalprice",
+        row_number="rn",
+    ).crossJoin(F.broadcast(n_tot))
+    big = F.floor(F.col("n") / _WOE_BINS) + 1
+    num_big = F.col("n") % _WOE_BINS
+    small = F.floor(F.col("n") / _WOE_BINS)
+    binned = rn.select(
+        "y",
+        F.when(F.col("rn") <= big * num_big,
+               F.floor((F.col("rn") - 1) / big) + 1)
+        .otherwise(num_big
+                   + F.floor((F.col("rn") - big * num_big - 1) / small)
+                   + 1)
+        .cast("int").alias("bin"),
     )
     cells = binned.groupBy("bin").agg(
         F.sum("y").alias("good"),

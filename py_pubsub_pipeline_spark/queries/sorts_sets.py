@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.splitwin import split_window
 from ..registry import query
 from ..tables import table
 
@@ -27,17 +28,23 @@ from ..tables import table
 )
 def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort with explicit nulls placement, materialized as a
-    global position column (single-partition window is test-scale only;
-    the sort itself is a distributed range-partitioned sort)."""
+    global position column via the split-window rewrite
+    (functions/splitwin.py): deterministic size shards (nulls mirror
+    Spark's desc_nulls_last into the final shard), parallel per-shard
+    numbering, shard-count-sized offset pass — never the
+    single-partition window the first four rounds carried here."""
     p = table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", F.nullif(F.col("p_size"), F.lit(25)).alias("sz")
     )
-    w = Window.orderBy(
-        F.col("sz").desc_nulls_last(),
-        F.col("p_brand").asc_nulls_first(),
-        F.col("p_partkey").asc(),
-    )
-    return p.withColumn("pos", F.row_number().over(w))
+    return split_window(
+        p,
+        [F.col("sz").desc_nulls_last(),
+         F.col("p_brand").asc_nulls_first(),
+         F.col("p_partkey").asc()],
+        bucket="sz",
+        descending=True,
+        row_number="pos",
+    ).select("p_partkey", "p_brand", "sz", "pos")
 
 
 @query(

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.splitwin import split_window
 from ..registry import query
 from ..tables import table
 
@@ -1003,30 +1004,32 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass is acceptable), read straight off the cumulative frequency
     curve that text_zipf_slope fits.
 
-    Plan: token hash agg (vocab-bounded shuffle), rank + running sum
-    over the vocab aggregate, and the curve is sampled AT the K
-    boundary rows (rnk = k), so output is |Ks| rows regardless of
-    vocab size. The full-vocab rank window carries (term, count)
-    pairs only; the Zipf top-k TakeOrdered trick applies when even
-    the vocab aggregate needs cutting first."""
+    Plan: token hash agg (vocab-bounded shuffle), then rank AND
+    running sum over the vocab aggregate come from ONE split-window
+    pass (functions/splitwin.py): deterministic count shards,
+    parallel per-shard windows, shard-count-sized offset pass —
+    never the single-task full-vocab window (and one window stage
+    where rounds 1-4 ran two). The curve is sampled AT the K
+    boundary rows (rnk <= k), so output is |Ks| rows regardless of
+    vocab size. Shard-balance note: the hapax tail (c = 1) ties into
+    one shard — the split still parallelizes the head, and tie
+    colocation is what keeps the numbering exact."""
     d = table(spark, sf_dir, "documents")
     c = (
         d.select(F.explode(_tokens()).alias("w"))
         .groupBy("w").agg(F.count("*").alias("c"))
     )
-    r = c.select(
-        "c",
-        F.row_number().over(
-            Window.orderBy(F.col("c").desc(), "w")).alias("rnk"),
-        F.sum("c").over(Window.partitionBy()).alias("tot"),
-    )
-    cum = r.select(
-        "rnk", "tot",
-        F.sum("c").over(
-            Window.orderBy("rnk")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cm"),
-    )
+    tot = c.agg(F.sum("c").alias("tot"))
+    cum = split_window(
+        c,
+        [F.col("c").desc(), "w"],
+        # log-space buckets: term counts are Zipfian, so equal-width
+        # on raw c would pile the tail into one shard
+        bucket=F.log(F.col("c").cast("double")),
+        descending=True,
+        row_number="rnk",
+        running_sums={"cm": "c"},
+    ).crossJoin(F.broadcast(tot)).select("rnk", "tot", "cm")
     ks = spark.range(1).select(
         F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("k"))
     return (
@@ -1805,10 +1808,17 @@ def text_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("yb").cast("long").alias("count_b"),
         F.round(delta / F.sqrt(var_d), 6).alias("z_score"),
     )
-    top_a = z.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.desc("z_score"), "w"))
-    ).filter(F.col("rn") <= _FW_TOP)
-    top_b = z.withColumn(
-        "rn", F.row_number().over(Window.orderBy("z_score", "w"))
-    ).filter(F.col("rn") <= _FW_TOP)
+    # TakeOrdered per direction (per-partition top-k, merged on the
+    # driver) instead of a full-vocab rank window; the rank column is
+    # re-derived over the bounded <=_FW_TOP-row result.
+    top_a = (
+        z.orderBy(F.desc("z_score"), "w").limit(_FW_TOP)
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy(F.desc("z_score"), "w")))
+    )
+    top_b = (
+        z.orderBy("z_score", "w").limit(_FW_TOP)
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy("z_score", "w")))
+    )
     return top_a.unionByName(top_b)

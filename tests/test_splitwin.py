@@ -24,6 +24,7 @@ from conftest import SF_SMALL
 REG = load_all()
 
 SPLITWIN_QUERIES = [
+    # the round-4 verdict's seven
     "dq_sequence_gaps",
     "ml_auc_roc",
     "ml_average_precision",
@@ -31,6 +32,12 @@ SPLITWIN_QUERIES = [
     "agg_ks_test",
     "agg_revenue_concentration",
     "dedup_sorted_neighborhood",
+    # found by the same audit in round 5
+    "agg_abc_classification",
+    "agg_sprt_sequential",
+    "sort_multi",
+    "ml_woe_binning",
+    "text_vocab_coverage",
 ]
 
 
@@ -112,6 +119,26 @@ def test_matches_builtin_string_order(spark):
         row_number="rn", lead={"nx": "name"}, shards=4,
     )
     assert _by_id(naive, "rn", "nx") == _by_id(got, "rn", "nx")
+
+
+def test_null_keys_follow_spark_default_placement(spark):
+    # Regression: F.least SKIPS nulls, so an unguarded
+    # least(floor(null/w), shards-1) bucketed null keys into the
+    # FIRST shard under descending order — caught by sort_multi's
+    # NULLS LAST oracle going red.
+    rows = [(i, None if i % 7 == 0 else (i * 37) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, sz int")
+    for order, desc in (
+        ([F.col("sz").desc_nulls_last(), "id"], True),
+        ([F.col("sz").asc_nulls_first(), "id"], False),
+    ):
+        naive = df.select(
+            "id", F.row_number().over(Window.orderBy(*order)).alias("rn"))
+        got = split_window(
+            df, order, bucket="sz", descending=desc,
+            row_number="rn", shards=8)
+        assert _by_id(naive, "rn") == _by_id(got, "rn"), (
+            f"null placement broken for descending={desc}")
 
 
 def test_degenerate_single_value_and_empty(spark):
