@@ -530,25 +530,32 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped shingle sets (both engines, same definition, exact oracle).
     Rationale: a shingle in >{DF_CAP} docs is boilerplate with no
     discriminative value; dropping it removes noise pairs as well as
-    the blowup. The df pass itself is one vocab-bounded hash agg."""
+    the blowup."""
     sh = _hashed_shingles(spark, sf_dir)
-    # The cap filter inverts into a BROADCAST ANTI-JOIN on the STOP
-    # LIST (shingles with df > cap): its size is bounded by
-    # total_occurrences / DF_CAP and in practice is the boilerplate
-    # vocabulary — tiny — while the kept side is nearly everything, so
-    # joining against the small complement keeps the filter map-side.
-    # Measured fastest of three formulations at sf0.1 (anti-join 1.56s
-    # vs 2.49s for the df-table equi-join it replaces vs 1.92s for a
-    # collect_list postings build whose pair explode is interpreted,
-    # not codegen).  If a corpus ever produced a stop list too big to
-    # broadcast, drop the broadcast hint and AQE falls back to a
-    # shuffled anti-join — same semantics, one more shuffle.
-    stop = sh.groupBy("h").agg(F.count("*").alias("df")).filter(
-        F.col("df") > DF_CAP
-    ).select("h")
+    # The df cap is computed as COUNT(*) OVER (PARTITION BY h) on the
+    # shingle stream itself, NOT as a separate df aggregation joined
+    # back: the window's hash exchange on h is the SAME exchange the
+    # self-join needs, so the corpus is shingled and shuffled exactly
+    # ONCE — the final AQE plan runs one ShuffleQueryStage over the
+    # shingle stream with every other consumer a ReusedExchange (the
+    # MERGE hint keeps both join inputs on that exchange; AQE's
+    # broadcast election would rebuild the shingle projection for the
+    # broadcast side instead of reusing the shuffle).  Sizes re-read
+    # the same exchange output before their own doc_id aggregation.
+    # Interleaved A/B at sf0.1 (round 5, same box state): 1.52s vs
+    # 2.15s for the prior broadcast-anti-join-stop-list form (which
+    # paid three shingle computations: df agg, join, sizes) vs 2.49s
+    # for a df-table equi-join vs 1.92s for a collect_list postings
+    # build whose pair explode is interpreted, not codegen.  Skew: a
+    # boilerplate shingle's occurrences land in one window partition,
+    # but the per-key work is a linear count — same skew class as the
+    # df aggregation it replaces — and those rows are dropped before
+    # pair generation, which stays bounded by |shingles|*DF_CAP.
     kept = (
-        sh.join(F.broadcast(stop), "h", "left_anti")
-        .hint("SHUFFLE_HASH")
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("df") <= DF_CAP)
+        .drop("df")
+        .hint("MERGE")
     )
     a, b = kept.alias("a"), kept.alias("b")
     shared = (
