@@ -105,6 +105,26 @@ def test_dedup_ngram_reuses_inverted_index_exchange(spark):
     assert "ReusedExchange" in plan, plan
 
 
+def test_dedup_capped_shingles_once_behind_shared_exchange(spark):
+    # The df cap is a COUNT(*) OVER (PARTITION BY h) on the shingle
+    # stream so its hash exchange IS the self-join's exchange: the
+    # corpus must be shingled/shuffled once (every other consumer a
+    # ReusedExchange), never re-derived per branch, and the join must
+    # stay on that exchange (sort-merge) rather than AQE rebuilding
+    # the projection for a broadcast side.
+    plan = _final(
+        _executed(REG["dedup_ngram_capped"].fn(spark, SF_SMALL), spark)
+    )
+    assert "ReusedExchange" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    # exactly one materialized shuffle of the shingle stream: every
+    # hashpartitioning(h...) beyond the first is a reuse
+    import re
+
+    h_exchanges = re.findall(r"Exchange hashpartitioning\(h#", plan)
+    assert len(h_exchanges) <= 1, plan
+
+
 def test_sim_topk_is_arrow_vectorized(spark):
     # Since round 5 sim_topk shares the driver-free cogrouped tile
     # kernel: Arrow cogroup, no row UDF, no probe collect.
