@@ -43,8 +43,13 @@ from py_pubsub_pipeline_spark.session import get_spark  # noqa: E402
 from py_pubsub_pipeline_spark.tables import TABLE_NAMES, table  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-OUT = "/tmp/sf1"
-MULT = 10
+# MULT=10 over the sf0.1 base is the canonical sf1 artifact; override
+# SPARK_GRAFT_SCALE_MULT to probe other scales (e.g. 30 -> ~sf3, the
+# crossover probe) — the corpus dir, metric label, and artifact name
+# all derive from it so the sf1 artifact is never clobbered.
+MULT = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "10"))
+SF_LABEL = f"sf{MULT / 10:g}"
+OUT = f"/tmp/{SF_LABEL}"
 
 # Bump whenever the corpus construction scheme changes.  The per-table
 # "exists -> skip" rebuild cache once silently reused a corpus built
@@ -162,9 +167,9 @@ def main() -> int:
     total_s = round(sum(r["spark_sec"] for r in results.values()), 3)
     total_d = round(sum(r["duckdb_sec"] for r in results.values()), 3)
     doc = {
-        "metric": "headline_query_wall_seconds_sf1",
-        "sf": 1.0,
-        "corpus": f"{OUT} (10x replication of sf0.1, see scripts/bench_sf1.py)",
+        "metric": f"headline_query_wall_seconds_{SF_LABEL}",
+        "sf": MULT / 10,
+        "corpus": f"{OUT} ({MULT}x replication of sf0.1, see scripts/bench_sf1.py)",
         "spark_total_sec": total_s,
         "duckdb_total_sec": total_d,
         "ratio_total": round(total_s / total_d, 2),
@@ -172,7 +177,7 @@ def main() -> int:
     }
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_sf1.json",
+        f"BENCH_{SF_LABEL}.json",
     )
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=2)
