@@ -54,6 +54,55 @@ def _by_id(df, *cols):
             for r in df.select("id", *cols).collect()}
 
 
+# --- property: equality with the built-in window for ALL inputs ------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _prop_rows = st.lists(
+        st.tuples(
+            st.one_of(st.none(),
+                      st.integers(min_value=-1000, max_value=1000)),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @given(data=_prop_rows,
+           shards=st.integers(min_value=1, max_value=5),
+           descending=st.booleans())
+    @settings(max_examples=12, deadline=None)
+    def test_property_matches_builtin_any_input(spark, data, shards,
+                                                descending):
+        rows = [(i, k, v) for i, (k, v) in enumerate(data)]
+        df = spark.createDataFrame(rows, "id long, k long, v long")
+        key = F.col("k").desc() if descending else F.col("k")
+        order = [key, F.col("id")]
+        got = _by_id(
+            split_window(
+                df, order, bucket=F.col("k"), descending=descending,
+                running_sums={"cs": "v"}, row_number="rn", rank="rk",
+                lead={"nx": "v"}, shards=shards,
+            ),
+            "cs", "rn", "rk", "nx",
+        )
+        w = Window.orderBy(*order)
+        wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        want = _by_id(
+            df.withColumn("cs", F.sum("v").over(wcum))
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("rk", F.rank().over(w))
+            .withColumn("nx", F.lead("v").over(w)),
+            "cs", "rn", "rk", "nx",
+        )
+        assert got == want
+
+
 def test_matches_builtin_rank_rownumber_cumsum_lead(tied_df):
     naive = tied_df.select(
         "id",
