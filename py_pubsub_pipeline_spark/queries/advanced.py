@@ -291,7 +291,7 @@ _RC_DEPTH = 2  # recursion bound: supplier seeds -> customers -> suppliers
     reach(node, depth) AS (
       SELECT node, 0 FROM seeds
       UNION ALL
-      SELECT e.v, r.depth + 1
+      SELECT DISTINCT e.v, r.depth + 1
       FROM reach r JOIN edges e ON e.u = r.node
       WHERE r.depth < {_RC_DEPTH}
     )
@@ -314,7 +314,14 @@ def subq_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round cost as the manual loop, minus the driver round-trips;
     the depth bound caps total work at depth * |edges|.  The engine
     materializes each step's result, so memory is frontier-sized, not
-    closure-sized."""
+    closure-sized.
+
+    The recursive term is SELECT DISTINCT: without it each step emits
+    PATHS (frontier x edge multiplicity), which grows multiplicatively
+    with depth — ~840k rows by depth 2 at sf0.1 (tripping Spark's 1M
+    recursion-row safety limit) and exponentially at corpus scale.
+    Deduping per step bounds every frontier by the NODE count; the
+    outer MIN(depth) is unchanged by the dedup."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
@@ -338,7 +345,7 @@ def subq_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach(node, depth) AS (
       SELECT node, 0 FROM seeds
       UNION ALL
-      SELECT e.v, r.depth + 1
+      SELECT DISTINCT e.v, r.depth + 1
       FROM reach r JOIN edges e ON e.u = r.node
       WHERE r.depth < {_RC_DEPTH}
     )

@@ -14,7 +14,7 @@ outside sort_multi's test-only global row_number.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -173,8 +173,8 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_dist",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-           ROUND(CUME_DIST()   OVER w, 6) AS cd,
+           FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+           FLOOR(CUME_DIST()   OVER w * 1000000 + 0.5) / 1000000 AS cd,
            NTILE(4) OVER w AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -183,14 +183,26 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank / cume_dist /
     ntile per nation, ordered by a unique (acctbal, custkey) key so
-    ranks are total and the quartile split is deterministic."""
+    ranks are total and the quartile split is deterministic.
+
+    Rounding: floor(x*1e6 + 0.5) on BOTH engines, not ROUND(x, 6) —
+    percent_rank emits fractions like 41/640 whose nearest double sits
+    just under the .5 boundary; Spark's ROUND re-reads the double's
+    SHORTEST decimal form ("0.0640625" -> half-up -> ...63) while
+    DuckDB rounds the raw binary value (-> ...62). The explicit floor
+    runs the identical double arithmetic on both sides (first seen as
+    a 3-row hash mismatch at sf0.1; sf0.01 has no boundary fraction)."""
     c = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+
+    def _r6(col: Column) -> Column:
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        _r6(F.percent_rank().over(w)).alias("pr"),
+        _r6(F.cume_dist().over(w)).alias("cd"),
         F.ntile(4).over(w).alias("quartile"),
     )
 
