@@ -40,3 +40,24 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+# Scale-boundary regression keys: these two diverged ONLY at sf0.1
+# (the full-registry sf0.001/sf0.01 sweeps were green), so the
+# parametrized gate above cannot protect them.  subq_recursive_cte's
+# undeduped frontier enumerated paths (~840k rows by depth 2 at sf0.1,
+# tripping Spark's 1M recursion-row limit); win_dist's ROUND(x, 6)
+# split from DuckDB on percent_rank fractions whose nearest double
+# sits just under the .5 rounding boundary.  Pin both at the scale
+# that exposed them.
+_SF_BOUNDARY = "/root/testdata/sf0.1"
+
+
+@pytest.mark.parametrize("name", ["subq_recursive_cte", "win_dist"])
+def test_scale_boundary_keys_match_oracle_at_sf01(name, spark):
+    c = duckdb_connect(_SF_BOUNDARY)
+    try:
+        rep = compare(spark, REGISTRY[name], _SF_BOUNDARY, c)
+    finally:
+        c.close()
+    assert rep["ok"], rep.get("why", rep)
