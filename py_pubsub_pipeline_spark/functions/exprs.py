@@ -34,10 +34,22 @@ def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
-    """The DuckDB twin of dsum()."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+    """The DuckDB twin of dsum().
+
+    The decimal->double hop goes THROUGH VARCHAR: DuckDB's direct
+    decimal->double cast converts the int128 unscaled value to double
+    and then divides by 10^scale — two roundings, up to 1 ulp off the
+    correctly-rounded result once the sum outgrows double's 15.95
+    significant digits (first seen at sf1: an exact decimal sum of
+    27864155010.941590 cast directly to 27864155010.941593 while
+    Spark's BigDecimal.doubleValue — and strtod — give ...94159).
+    Parsing the decimal STRING rounds once, bit-matching Spark at any
+    magnitude."""
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale})))"
+            f" AS STRING) AS DOUBLE) AS {alias}")
 
 
 def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
-    return (f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    return (f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale})))"
+            f" AS STRING) AS DOUBLE)"
             f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}")

@@ -27,6 +27,16 @@ from .tables import TABLE_NAMES
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Guard the box: an oracle whose plan degenerates (e.g. a
+    # multi-referenced CTE evaluated by inlining) can otherwise spill
+    # unbounded temp — one did >78 GB at sf1 and took the machine's
+    # /tmp (and the Spark JVM's spill dirs) down with it.  20 GB is
+    # two orders of magnitude above any legitimate oracle at the
+    # scales this harness runs.
+    try:
+        con.execute("SET max_temp_directory_size='20GB'")
+    except Exception:
+        pass  # older DuckDB without the setting
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.isdir(path):  # Spark-written dataset dir, not a file

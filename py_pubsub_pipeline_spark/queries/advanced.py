@@ -240,13 +240,12 @@ def subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
-                AS DOUBLE)
-             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS wavg_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS effective_discount_keep
     FROM lineitem
     GROUP BY l_returnflag
@@ -488,7 +487,7 @@ _BOM_SQL = """
     )
     SELECT u.anc AS assembly,
            CAST(COUNT(*) AS BIGINT) AS n_components,
-           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(28,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
              AS rolled_up_cost
     FROM up u JOIN {part} p ON p.p_partkey = u.node
     GROUP BY u.anc

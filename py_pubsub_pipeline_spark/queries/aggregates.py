@@ -223,7 +223,7 @@ def agg_groupingsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -275,8 +275,10 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minmax_by",
     oracle="""
     SELECT l_returnflag,
-           MIN_BY(l_orderkey, l_extendedprice) AS cheapest_order,
-           MAX_BY(l_orderkey, l_extendedprice) AS priciest_order,
+           (MIN({'p': l_extendedprice, 'k': l_orderkey})).k
+             AS cheapest_order,
+           (MAX({'p': l_extendedprice, 'nk': -l_orderkey})).nk * -1
+             AS priciest_order,
            FIRST(l_linestatus ORDER BY l_orderkey, l_linenumber)
              AS first_status
     FROM lineitem
@@ -284,17 +286,26 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Argmin/argmax aggregation (min_by/max_by) + a deterministic
-    any_value. The ordering columns double as tie-breaks: extended
-    prices are distinct-enough in the corpus that min/max_by are
-    unambiguous (verified by the oracle hash at both SFs)."""
+    """Argmin/argmax aggregation + a deterministic any_value, with the
+    tie-break IN the aggregate: min/max over a (price, key) struct, so
+    among tied extreme prices both engines pick the SMALLEST orderkey
+    (the max side negates the key inside the struct).  A bare
+    min_by/max_by leaves the tie choice to the engine — unambiguous on
+    the base corpus's near-distinct prices, but nondeterministic the
+    moment a corpus carries duplicate extremes (the sf1 replicated
+    corpus does, and a 100 TB crawl certainly would: this diverged
+    from the oracle at sf1 and was fixed to the struct form)."""
     li = table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
     first_status = F.first("l_linestatus").over(w)
     base = li.withColumn("first_status", first_status)
     return base.groupBy("l_returnflag").agg(
-        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
-        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        F.min(F.struct(F.col("l_extendedprice").alias("p"),
+                       F.col("l_orderkey").alias("k")))["k"]
+        .alias("cheapest_order"),
+        (F.max(F.struct(F.col("l_extendedprice").alias("p"),
+                        (-F.col("l_orderkey")).alias("nk")))["nk"] * -1)
+        .alias("priciest_order"),
         F.first("first_status").alias("first_status"),
     )
 
@@ -450,8 +461,8 @@ def agg_means_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS INT) AS n_langs,
            ROUND(
              LOG2(CAST(SUM(c) AS DOUBLE))
-             - CAST(SUM(CAST(c * LOG2(CAST(c AS DOUBLE))
-                             AS DECIMAL(18,6))) AS DOUBLE)
+             - CAST(CAST(SUM(CAST(c * LOG2(CAST(c AS DOUBLE))
+                             AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                / CAST(SUM(c) AS DOUBLE),
              6) AS entropy_bits
     FROM cl GROUP BY source
@@ -493,7 +504,7 @@ _GINI_BIN = 25_000.0
       SELECT o_orderpriority AS prio,
              CAST(FLOOR(o_totalprice / {_GINI_BIN}) AS BIGINT) AS bin,
              COUNT(*) AS nb,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sb
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sb
       FROM orders GROUP BY 1, 2
     ), l AS (
       SELECT prio,
@@ -509,8 +520,8 @@ _GINI_BIN = 25_000.0
              p AS (PARTITION BY prio)
     )
     SELECT prio,
-           ROUND(1.0 - CAST(SUM(CAST((f_cum - f_prev) * (l_cum + l_prev)
-                                     AS DECIMAL(18,9))) AS DOUBLE),
+           ROUND(1.0 - CAST(CAST(SUM(CAST((f_cum - f_prev) * (l_cum + l_prev)
+                                     AS DECIMAL(18,9))) AS STRING) AS DOUBLE),
                  6) AS gini
     FROM l GROUP BY prio
     """,
@@ -726,18 +737,18 @@ _BOOT_B = 32
       FROM orders, UNNEST(generate_series(0, {_BOOT_B - 1})) r(r)
     ), reps AS (
       SELECT r,
-             CAST(SUM(CAST(wt * x AS DECIMAL(28,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(wt * x AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
                / SUM(wt) AS m
       FROM w GROUP BY r
     ), point AS (
-      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+      SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
                / COUNT(*) AS pm,
              COUNT(*) AS n
       FROM orders
     )
     SELECT ROUND(point.pm, 6) AS point_mean,
-           ROUND(SQRT(CAST(SUM(CAST((reps.m - point.pm) * (reps.m - point.pm)
-                                    AS DECIMAL(28,9))) AS DOUBLE)
+           ROUND(SQRT(CAST(CAST(SUM(CAST((reps.m - point.pm) * (reps.m - point.pm)
+                                    AS DECIMAL(28,9))) AS STRING) AS DOUBLE)
                       / ({_BOOT_B} - 1)), 6) AS boot_se,
            CAST({_BOOT_B} AS INT) AS n_replicates,
            CAST(ANY_VALUE(point.n) AS BIGINT) AS n_rows
@@ -943,19 +954,19 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_cust AS (
       SELECT c.c_mktsegment AS seg, o.o_custkey,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS x,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS x,
              CAST(COUNT(*) AS DOUBLE) AS y
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY 1, 2
     ), mom AS (
       SELECT seg, COUNT(*) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS mx,
-             CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS my,
-             CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(x AS DECIMAL(28,4))) AS STRING) AS DOUBLE) / COUNT(*) AS mx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(28,4))) AS STRING) AS DOUBLE) / COUNT(*) AS my,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS STRING) AS DOUBLE)
                / COUNT(*) AS mxx,
-             CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS STRING) AS DOUBLE)
                / COUNT(*) AS myy,
-             CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS STRING) AS DOUBLE)
                / COUNT(*) AS mxy
       FROM per_cust GROUP BY seg
     )
@@ -1095,11 +1106,9 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p_brand
     ), gstats AS (
       -- method-of-moments Beta prior from the brand-level rates
-      SELECT CAST(SUM(CAST(CAST(k AS DOUBLE) / n AS DECIMAL(18,9)))
-                  AS DOUBLE) / COUNT(*) AS mu,
-             CAST(SUM(CAST((CAST(k AS DOUBLE) / n)
-                           * (CAST(k AS DOUBLE) / n) AS DECIMAL(18,9)))
-                  AS DOUBLE) / COUNT(*) AS m2,
+      SELECT CAST(CAST(SUM(CAST(CAST(k AS DOUBLE) / n AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*) AS mu,
+             CAST(CAST(SUM(CAST((CAST(k AS DOUBLE) / n)
+                           * (CAST(k AS DOUBLE) / n) AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*) AS m2,
              COUNT(*) AS nb
       FROM br
     ), prior AS (
@@ -1179,16 +1188,15 @@ def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o.o_orderpriority AS prio,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2)))
-                      AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+           ROUND(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
            ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2)))
                         FILTER (WHERE o.o_totalprice >= b.lo
                                   AND o.o_totalprice <= b.hi) AS DOUBLE)
                  / COUNT(*) FILTER (WHERE o.o_totalprice >= b.lo
                                       AND o.o_totalprice <= b.hi), 6)
              AS mean_trimmed,
-           ROUND(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)
-                               AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+           ROUND(CAST(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)
+                               AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*), 6)
              AS mean_winsorized
     FROM orders o JOIN b ON b.prio = o.o_orderpriority
     GROUP BY o.o_orderpriority
@@ -1397,10 +1405,10 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n.n AS BIGINT) AS n_rows,
            CAST((SELECT COUNT(*) FROM rm) AS INT) AS n_segments,
            CAST((SELECT COUNT(*) FROM cm) AS INT) AS n_priorities,
-           ROUND(CAST(SUM(CAST(
+           ROUND(CAST(CAST(SUM(CAST(
              POWER(cells.obs - CAST(rm.rt * cm.ct AS DOUBLE) / n.n, 2)
              / (CAST(rm.rt * cm.ct AS DOUBLE) / n.n)
-             AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi_square
+             AS DECIMAL(28,9))) AS STRING) AS DOUBLE), 6) AS chi_square
     FROM cells
     JOIN rm ON rm.seg = cells.seg
     JOIN cm ON cm.prio = cells.prio
@@ -1467,19 +1475,14 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(
-             (COUNT(*) * CAST(SUM(CAST(rx * ry AS DECIMAL(38,2)))
-                              AS DOUBLE)
-              - CAST(SUM(CAST(rx AS DECIMAL(28,1))) AS DOUBLE)
-                * CAST(SUM(CAST(ry AS DECIMAL(28,1))) AS DOUBLE))
+             (COUNT(*) * CAST(CAST(SUM(CAST(rx * ry AS DECIMAL(38,2))) AS STRING) AS DOUBLE)
+              - CAST(CAST(SUM(CAST(rx AS DECIMAL(28,1))) AS STRING) AS DOUBLE)
+                * CAST(CAST(SUM(CAST(ry AS DECIMAL(28,1))) AS STRING) AS DOUBLE))
              / SQRT(
-                 (COUNT(*) * CAST(SUM(CAST(rx * rx AS DECIMAL(38,2)))
-                                  AS DOUBLE)
-                  - POWER(CAST(SUM(CAST(rx AS DECIMAL(28,1)))
-                               AS DOUBLE), 2))
-                 * (COUNT(*) * CAST(SUM(CAST(ry * ry AS DECIMAL(38,2)))
-                                    AS DOUBLE)
-                    - POWER(CAST(SUM(CAST(ry AS DECIMAL(28,1)))
-                                 AS DOUBLE), 2))),
+                 (COUNT(*) * CAST(CAST(SUM(CAST(rx * rx AS DECIMAL(38,2))) AS STRING) AS DOUBLE)
+                  - POWER(CAST(CAST(SUM(CAST(rx AS DECIMAL(28,1))) AS STRING) AS DOUBLE), 2))
+                 * (COUNT(*) * CAST(CAST(SUM(CAST(ry * ry AS DECIMAL(38,2))) AS STRING) AS DOUBLE)
+                    - POWER(CAST(CAST(SUM(CAST(ry AS DECIMAL(28,1))) AS STRING) AS DOUBLE), 2))),
              6) AS spearman_rho
     FROM ranked GROUP BY flag
     """,
@@ -1795,12 +1798,12 @@ _GUMBEL_HORIZON = 1000
       FROM events GROUP BY 1, 2
     ), mom AS (
       SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS STRING) AS DOUBLE)
                / COUNT(*) AS mu,
              SQRT(GREATEST(
-               CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS STRING) AS DOUBLE)
                  / COUNT(*)
-               - POWER(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+               - POWER(CAST(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS STRING) AS DOUBLE)
                        / COUNT(*), 2), 1e-12)) AS sd,
              MAX(c) AS observed_max
       FROM cnts GROUP BY event_type
@@ -1956,15 +1959,15 @@ def agg_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND COUNT(*) FILTER (WHERE year(o_orderdate) = 1996) > 0
     ), mom AS (
       SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(x AS DECIMAL(28,4))) AS STRING) AS DOUBLE) / COUNT(*)
                AS mx,
-             CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(y AS DECIMAL(28,4))) AS STRING) AS DOUBLE) / COUNT(*)
                AS my,
-             CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS STRING) AS DOUBLE) / COUNT(*)
                AS mxx,
-             CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS STRING) AS DOUBLE) / COUNT(*)
                AS mxy,
-             CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS STRING) AS DOUBLE) / COUNT(*)
                AS myy
       FROM cust
     )
@@ -2043,9 +2046,9 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH yr AS (
       SELECT p_brand,
              CAST(year(l_shipdate) AS INT) AS y,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
                AS qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
                AS rev
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE year(l_shipdate) IN (1995, 1996)
@@ -2195,16 +2198,16 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
       SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
              CAST(month(o_orderdate) AS DOUBLE) AS t,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
                AS rev
       FROM orders WHERE year(o_orderdate) = 1995
       GROUP BY 1, 2
     ), mom AS (
       SELECT arm, COUNT(*) AS n,
-             CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS st,
-             CAST(SUM(CAST(rev AS DECIMAL(28,4))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(t * t AS DECIMAL(18,6))) AS DOUBLE) AS stt,
-             CAST(SUM(CAST(t * rev AS DECIMAL(38,4))) AS DOUBLE) AS sty
+             CAST(CAST(SUM(CAST(t AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS st,
+             CAST(CAST(SUM(CAST(rev AS DECIMAL(28,4))) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(t * t AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS stt,
+             CAST(CAST(SUM(CAST(t * rev AS DECIMAL(38,4))) AS STRING) AS DOUBLE) AS sty
       FROM monthly GROUP BY arm
     ), slopes AS (
       SELECT arm, (n * sty - st * sy) / (n * stt - st * st) AS slope
@@ -2273,7 +2276,7 @@ def agg_parallel_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN year(o_orderdate) = 1996 THEN 'post'
                   ELSE 'pre' END AS period,
              COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
                / COUNT(*) AS mean_v
       FROM orders WHERE year(o_orderdate) IN (1995, 1996)
       GROUP BY 1, 2
@@ -2503,8 +2506,7 @@ _HILL_K = 200
     SELECT CAST({_HILL_K} AS INT) AS k,
            ROUND(t.vk, 2) AS tail_threshold,
            ROUND({_HILL_K}.0
-                 / CAST(SUM(CAST(LN(s.v / t.vk) AS DECIMAL(18,9)))
-                        AS DOUBLE), 6) AS hill_alpha
+                 / CAST(CAST(SUM(CAST(LN(s.v / t.vk) AS DECIMAL(18,9))) AS STRING) AS DOUBLE), 6) AS hill_alpha
     FROM sel s, thresh t
     WHERE s.r <= {_HILL_K}
     GROUP BY t.vk

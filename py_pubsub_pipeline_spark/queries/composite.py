@@ -281,8 +281,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q6",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
-                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount
+                AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -599,7 +599,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHERE o.o_custkey = c.c_custkey
                           AND o.o_orderstatus = 'P'))
     SELECT cntrycode, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS totacctbal
     FROM eligible
     GROUP BY cntrycode
     ORDER BY cntrycode

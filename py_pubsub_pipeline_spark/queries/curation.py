@@ -571,6 +571,7 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_DEPTH = 4
 _CMS_WIDTH = 1024
 _CMS_TOPK = 10
+_CMS_SLACK = 4  # candidate-slate width multiplier for the exact recount
 
 
 @query(
@@ -592,19 +593,25 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely from groupBy/join so the sketch is mergeable (counter
     grids from two corpus shards ADD).
 
-    The oracle is the EXACT top-{_CMS_TOPK}: CMS guarantees est >=
-    true with overestimation only on hash collisions, and at width
-    {_CMS_WIDTH} against this vocabulary the collision mass is zero —
-    the sketch answer IS the exact answer, which is precisely the
-    regime a production sketch is sized for (width ~ e/eps). The
-    candidate set here is the distinct-token dim; at 100 TB you'd
-    carry a space-saving candidate list beside the grid instead of
-    re-deriving distinct tokens.
+    The oracle is the EXACT top-{_CMS_TOPK}, made scale-robust by the
+    standard two-pass pattern: the sketch (est >= true, inflated only
+    by collisions) NOMINATES a {_CMS_SLACK}x candidate slate, and a
+    second pass recounts ONLY those tokens exactly, so collisions can
+    reorder the slate's tail but not the exact final top-k.  (The
+    pre-round-5 form asserted the sketch answer itself was exact —
+    true at the certified widths/vocabularies, but the 10x-vocabulary
+    sf1 corpus pushed collision mass over zero and broke the oracle;
+    the recount makes the contract hold at any corpus whose true
+    top-{_CMS_TOPK} survives into a {_CMS_SLACK}x-slack est ranking,
+    the same slack analysis a production CMS+heap pipeline runs.)
 
     Scale: sketch build = one explode + a {_CMS_DEPTH}x-fanout
     hash-agg onto <= {_CMS_DEPTH * _CMS_WIDTH} cells (map-side
     partials collapse each task to the grid size); estimate = two
-    broadcast joins of grid-sized dims; top-k = TakeOrdered."""
+    broadcast joins of grid-sized dims; candidate slate = TakeOrdered
+    over the grid-sized estimate; exact recount = one more token-
+    stream pass filtered by a broadcast semi-join on the slate (the
+    stream is touched twice, each time collapsing map-side)."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split("text", " ")).alias("token"))
     r = F.explode(
@@ -631,7 +638,17 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.min("c").cast("long").alias("est"))
     )
-    return est.orderBy(F.col("est").desc(), "token").limit(_CMS_TOPK)
+    slate = (
+        est.orderBy(F.col("est").desc(), "token")
+        .limit(_CMS_TOPK * _CMS_SLACK)
+        .select("token")
+    )
+    exact = (
+        tok.join(F.broadcast(slate), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("est"))
+    )
+    return exact.orderBy(F.col("est").desc(), "token").limit(_CMS_TOPK)
 
 
 @query(
@@ -866,12 +883,10 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_logreg_irls",
     oracle="""
     WITH stats AS (
-      SELECT CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+      SELECT CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                / COUNT(*) AS mu,
-             SQRT(CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(28,6)))
-                       AS DOUBLE) / COUNT(*)
-                  - POWER(CAST(SUM(CAST(n_chars AS DECIMAL(18,6)))
-                               AS DOUBLE) / COUNT(*), 2)) AS sd
+             SQRT(CAST(CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*)
+                  - POWER(CAST(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS STRING) AS DOUBLE) / COUNT(*), 2)) AS sd
       FROM documents
     ), d AS (
       SELECT (n_chars - s.mu) / s.sd AS x,
@@ -879,24 +894,22 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents, stats s
     ), it1 AS (
       -- Newton step from beta = (0,0): p = 0.5, w = 0.25 for every row
-      SELECT CAST(SUM(CAST(y - 0.5 AS DECIMAL(18,9))) AS DOUBLE) AS g0,
-             CAST(SUM(CAST((y - 0.5) * x AS DECIMAL(18,9))) AS DOUBLE) AS g1,
-             CAST(SUM(CAST(0.25 AS DECIMAL(18,9))) AS DOUBLE) AS h00,
-             CAST(SUM(CAST(0.25 * x AS DECIMAL(18,9))) AS DOUBLE) AS h01,
-             CAST(SUM(CAST(0.25 * x * x AS DECIMAL(18,9))) AS DOUBLE) AS h11
+      SELECT CAST(CAST(SUM(CAST(y - 0.5 AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS g0,
+             CAST(CAST(SUM(CAST((y - 0.5) * x AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS g1,
+             CAST(CAST(SUM(CAST(0.25 AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS h00,
+             CAST(CAST(SUM(CAST(0.25 * x AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS h01,
+             CAST(CAST(SUM(CAST(0.25 * x * x AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS h11
       FROM d
     ), b1 AS (
       SELECT (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
              (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
       FROM it1
     ), it2 AS (
-      SELECT CAST(SUM(CAST(y - p AS DECIMAL(18,9))) AS DOUBLE) AS g0,
-             CAST(SUM(CAST((y - p) * x AS DECIMAL(18,9))) AS DOUBLE) AS g1,
-             CAST(SUM(CAST(p * (1 - p) AS DECIMAL(18,9))) AS DOUBLE) AS h00,
-             CAST(SUM(CAST(p * (1 - p) * x AS DECIMAL(18,9)))
-                  AS DOUBLE) AS h01,
-             CAST(SUM(CAST(p * (1 - p) * x * x AS DECIMAL(18,9)))
-                  AS DOUBLE) AS h11,
+      SELECT CAST(CAST(SUM(CAST(y - p AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS g0,
+             CAST(CAST(SUM(CAST((y - p) * x AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS g1,
+             CAST(CAST(SUM(CAST(p * (1 - p) AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS h00,
+             CAST(CAST(SUM(CAST(p * (1 - p) * x AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS h01,
+             CAST(CAST(SUM(CAST(p * (1 - p) * x * x AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS h11,
              ANY_VALUE(bb0) AS pb0, ANY_VALUE(bb1) AS pb1
       FROM (SELECT x, y, b.b0 AS bb0, b.b1 AS bb1,
                    1.0 / (1.0 + EXP(-(b.b0 + b.b1 * x))) AS p
@@ -1020,7 +1033,7 @@ _RFM_Q = 5  # quintile scores per dimension
              date_diff('day', MAX(o_orderdate),
                        TIMESTAMP '{_RFM_SNAPSHOT} 00:00:00') AS recency,
              COUNT(*) AS frequency,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
                AS monetary
       FROM orders GROUP BY o_custkey
     ), b AS (
@@ -1048,7 +1061,7 @@ _RFM_Q = 5  # quintile scores per dimension
     )
     SELECT r_score, f_score, m_score,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(CAST(SUM(CAST(monetary AS DECIMAL(28,2))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(monetary AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
                  / COUNT(*), 4) AS avg_monetary
     FROM scored GROUP BY 1, 2, 3
     """,
@@ -1118,11 +1131,11 @@ _CV_FOLDS = 5
       FROM lineitem
     ), fm AS (
       SELECT fold, COUNT(*) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+             CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x*x AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(x*y AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS syy
       FROM rows_f GROUP BY fold
     ), tot AS (
       SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
@@ -1146,7 +1159,7 @@ _CV_FOLDS = 5
            ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
            ROUND(1.0 - (vsyy + vn*b0*b0 + b1*b1*vsxx - 2.0*b0*vsy
                         - 2.0*b1*vsxy + 2.0*b0*b1*vsx)
-                       / (vsyy - vsy*vsy/vn), 6) AS test_r2
+                       / (vsyy - vsy*vsy/vn), 6) + 0.0 AS test_r2
     FROM fit
     """,
 )
@@ -1217,7 +1230,12 @@ def ml_crossval_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vn").cast("long").alias("n_test"),
         F.round("b0", 6).alias("beta0"),
         F.round("b1", 6).alias("beta1"),
-        F.round(F.lit(1.0) - sse / sst, 6).alias("test_r2"),
+        # + 0.0 normalizes IEEE negative zero: at scales where test R^2
+        # rounds to exactly 0, DuckDB's ROUND keeps the -0.0 sign and
+        # Spark's doesn't (sf1 parity split on repr('-0.0') vs '0.0');
+        # adding +0.0 maps -0.0 -> +0.0 on both engines and is exact
+        # for every other value.
+        (F.round(F.lit(1.0) - sse / sst, 6) + F.lit(0.0)).alias("test_r2"),
     )
 
 
@@ -1406,26 +1424,25 @@ _BRIER_BINS = 10
       FROM scored
     ), per_b AS (
       SELECT b, COUNT(*) AS n,
-             CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(p AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*)
                AS pbar,
-             CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(y AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*)
                AS ybar
       FROM binned GROUP BY b
     ), tot AS (
       SELECT SUM(n) AS n,
-             CAST(SUM(CAST(n * ybar AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(n * ybar AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                / SUM(n) AS ybase,
-             (SELECT CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(18,9)))
-                          AS DOUBLE) / COUNT(*) FROM binned) AS brier
+             (SELECT CAST(CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*) FROM binned) AS brier
       FROM per_b
     )
     SELECT ROUND(t.brier, 6) AS brier,
-           ROUND(CAST(SUM(CAST(b.n * (b.pbar - b.ybar) * (b.pbar - b.ybar)
-                               AS DECIMAL(18,9))) AS DOUBLE) / t.n, 6)
+           ROUND(CAST(CAST(SUM(CAST(b.n * (b.pbar - b.ybar) * (b.pbar - b.ybar)
+                               AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / t.n, 6)
              AS calibration,
-           ROUND(CAST(SUM(CAST(b.n * (b.ybar - t.ybase)
+           ROUND(CAST(CAST(SUM(CAST(b.n * (b.ybar - t.ybase)
                                * (b.ybar - t.ybase)
-                               AS DECIMAL(18,9))) AS DOUBLE) / t.n, 6)
+                               AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / t.n, 6)
              AS resolution,
            ROUND(t.ybase * (1.0 - t.ybase), 6) AS uncertainty
     FROM per_b b, tot t
@@ -1511,15 +1528,15 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ), mom AS (
       SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(x1 AS DECIMAL(28,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(x2 AS DECIMAL(28,6))) AS DOUBLE) AS s2,
-             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x1*x1 AS DECIMAL(38,6))) AS DOUBLE) AS s11,
-             CAST(SUM(CAST(x2*x2 AS DECIMAL(38,6))) AS DOUBLE) AS s22,
-             CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(x1*x2 AS DECIMAL(38,6))) AS DOUBLE) AS s12,
-             CAST(SUM(CAST(x1*y AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
-             CAST(SUM(CAST(x2*y AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+             CAST(CAST(SUM(CAST(x1 AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(x2 AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x1*x1 AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS s11,
+             CAST(CAST(SUM(CAST(x2*x2 AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS s22,
+             CAST(CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(x1*x2 AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS s12,
+             CAST(CAST(SUM(CAST(x1*y AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS s1y,
+             CAST(CAST(SUM(CAST(x2*y AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS s2y
       FROM z
     ), corr AS (
       SELECT (n*s1y - s1*sy)
@@ -1621,9 +1638,9 @@ def ml_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
-           ROUND(CAST(SUM(CAST(CASE WHEN y = 1
+           ROUND(CAST(CAST(SUM(CAST(CASE WHEN y = 1
                                     THEN CAST(tp AS DOUBLE) / k END
-                               AS DECIMAL(18,12))) AS DOUBLE)
+                               AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
                  / SUM(y), 6) AS average_precision,
            ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS base_rate
     FROM ranked
@@ -1780,12 +1797,12 @@ _TE_SMOOTH = 10
       SELECT SUM(price) AS s_g, COUNT(*) AS n_g FROM oc
     )
     SELECT oc.o_orderkey, oc.c_nationkey,
-           ROUND(
-             (CAST(pn.s_n - oc.price AS DOUBLE)
-              + {_TE_SMOOTH}.0 * (CAST(g.s_g AS DOUBLE)
+           FLOOR(
+             (CAST(CAST(pn.s_n - oc.price AS STRING) AS DOUBLE)
+              + {_TE_SMOOTH}.0 * (CAST(CAST(g.s_g AS STRING) AS DOUBLE)
                                   / CAST(g.n_g AS DOUBLE)))
-             / CAST(pn.n_n - 1 + {_TE_SMOOTH} AS DOUBLE),
-             6) AS nation_price_enc
+             / CAST(pn.n_n - 1 + {_TE_SMOOTH} AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS nation_price_enc
     FROM oc
     JOIN per_nation pn ON pn.c_nationkey = oc.c_nationkey
     CROSS JOIN gl g
@@ -1807,7 +1824,11 @@ def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: all sums run in DECIMAL(18,6) (order-independent), the
     leave-one-out subtraction happens IN decimal, and the two final
     divisions execute in the same IEEE order on both engines before
-    ROUND(6).
+    ROUND(6).  The oracle's decimal->double hops go through VARCHAR:
+    DuckDB's direct cast double-rounds (int128 then /10^scale), up to
+    1 ulp off Spark's correctly-rounded BigDecimal path once a
+    nation's sum passes double's 15.95 significant digits (split at
+    sf1; see functions/exprs.py sql_dsum).
 
     Scale: the category stats are a groupBy onto a nation-bounded dim
     that BROADCASTS back onto the fact rows (no window over the fact
@@ -1839,7 +1860,14 @@ def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "c_nationkey",
-            F.round(enc, 6).alias("nation_price_enc"),
+            # floor(x*1e6 + 0.5), not ROUND(x, 6): at sf1 one encoding
+            # lands where x*1e6 rounds IEEE-exactly onto the .5
+            # boundary — DuckDB's multiply-based ROUND goes up while
+            # Spark's BigDecimal ROUND reads the decimal value and
+            # goes down.  The floor form runs the identical double
+            # arithmetic on both engines, boundary or not.
+            (F.floor(enc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("nation_price_enc"),
         )
     )
 
@@ -2200,10 +2228,10 @@ _UPLIFT_GRID = (-1000.0, 0.0, 2500.0, 5000.0, 7500.0, 10000.0)
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     ), mom AS (
       SELECT treated, COUNT(*) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sxy
       FROM base GROUP BY treated
     ), fit AS (
       SELECT treated,
@@ -2511,10 +2539,10 @@ def _lc_oracle() -> str:
         fits.append(f"""
     m_{label} AS (
       SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sxy
       FROM base WHERE g < '{gate}'),
     f_{label} AS (
       SELECT n,
@@ -2526,9 +2554,9 @@ def _lc_oracle() -> str:
     SELECT '{label}' AS train_frac,
            (SELECT CAST(n AS BIGINT) FROM f_{label}) AS n_train,
            CAST(COUNT(*) AS BIGINT) AS n_test,
-           ROUND(CAST(SUM(CAST(
+           ROUND(CAST(CAST(SUM(CAST(
              (t.y - f.a - f.b * t.x) * (t.y - f.a - f.b * t.x)
-             AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*), 4) AS test_mse
+             AS DECIMAL(28,4))) AS STRING) AS DOUBLE) / COUNT(*), 4) AS test_mse
     FROM test t CROSS JOIN f_{label} f""")
     return f"""
     WITH base AS (
@@ -2632,7 +2660,7 @@ _ENS_BETA = 0.999  # effective-number-of-samples decay (Cui et al. 2019)
     ), w AS (
       SELECT lang, n, e_n, 1.0 / e_n AS raw_w FROM eff
     ), norm AS (
-      SELECT CAST(SUM(CAST(raw_w AS DECIMAL(18,12))) AS DOUBLE) AS tw,
+      SELECT CAST(CAST(SUM(CAST(raw_w AS DECIMAL(18,12))) AS STRING) AS DOUBLE) AS tw,
              CAST(COUNT(*) AS BIGINT) AS k
       FROM w
     )
@@ -2714,14 +2742,10 @@ _ATTR_WINDOW = 5  # touchpoints credited per conversion (last-N-touch)
       FROM windowed
     )
     SELECT channel,
-           ROUND(CAST(SUM(CAST(last_touch AS DECIMAL(18,12)))
-                      AS DOUBLE), 4) AS last_touch,
-           ROUND(CAST(SUM(CAST(first_touch AS DECIMAL(18,12)))
-                      AS DOUBLE), 4) AS first_touch,
-           ROUND(CAST(SUM(CAST(linear AS DECIMAL(18,12)))
-                      AS DOUBLE), 4) AS linear,
-           ROUND(CAST(SUM(CAST(u_shaped AS DECIMAL(18,12)))
-                      AS DOUBLE), 4) AS u_shaped
+           ROUND(CAST(CAST(SUM(CAST(last_touch AS DECIMAL(18,12))) AS STRING) AS DOUBLE), 4) AS last_touch,
+           ROUND(CAST(CAST(SUM(CAST(first_touch AS DECIMAL(18,12))) AS STRING) AS DOUBLE), 4) AS first_touch,
+           ROUND(CAST(CAST(SUM(CAST(linear AS DECIMAL(18,12))) AS STRING) AS DOUBLE), 4) AS linear,
+           ROUND(CAST(CAST(SUM(CAST(u_shaped AS DECIMAL(18,12))) AS STRING) AS DOUBLE), 4) AS u_shaped
     FROM credits GROUP BY channel
     """,
 )

@@ -838,7 +838,7 @@ def scan_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS price_sum
     FROM orders GROUP BY o_orderpriority
     """,
@@ -895,7 +895,7 @@ import json as _json
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS price_sum
     FROM orders WHERE o_orderkey % 3 != 2
     GROUP BY o_orderpriority

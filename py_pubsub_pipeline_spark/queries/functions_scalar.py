@@ -326,7 +326,7 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus AS status,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS sum_price,
            MIN(o_orderkey) AS min_key
     FROM orders GROUP BY o_orderstatus
@@ -376,7 +376,7 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer)
     SELECT lower(seg2) AS seg,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_bal
     FROM mixed GROUP BY lower(seg2)
     """,
 )
@@ -436,7 +436,7 @@ def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(bdays) AS BIGINT) AS min_bdays,
            CAST(MAX(bdays) AS BIGINT) AS max_bdays,
-           ROUND(CAST(SUM(CAST(bdays AS DECIMAL(28,0))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(bdays AS DECIMAL(28,0))) AS STRING) AS DOUBLE)
                  / COUNT(*), 6) AS avg_bdays
     FROM bd GROUP BY prio
     """,
@@ -545,8 +545,7 @@ def fn_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(*) FILTER (WHERE half_up <> half_even) AS BIGINT)
              AS n_divergent,
-           ROUND(CAST(SUM(CAST(half_up - half_even AS DECIMAL(18,6)))
-                      AS DOUBLE), 4) AS cumulative_bias
+           ROUND(CAST(CAST(SUM(CAST(half_up - half_even AS DECIMAL(18,6))) AS STRING) AS DOUBLE), 4) AS cumulative_bias
     FROM r
     """,
 )
@@ -925,7 +924,7 @@ _FISCAL_ANCHOR_DAYS = 8040  # 1992-01-06 (a Monday) as days since epoch
            CAST(fq AS BIGINT) AS fiscal_quarter,
            CAST(fp AS BIGINT) AS fiscal_period,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS revenue
     FROM tagged GROUP BY fy, fq, fp
     """,

@@ -394,14 +394,21 @@ _KCORE_MINW = 2
 
 
 def _kcore_oracle() -> str:
+    # Every CTE is AS MATERIALIZED: each round references the previous
+    # round's edge set three times (degree agg + two semi-joins) and
+    # the trajectory reads every round, so an INLINING evaluation
+    # multiplies the base pair join per reference — at sf1 the inlined
+    # form spilled >78 GB of DuckDB temp before dying, while the
+    # materialized form runs in ~5 s.  (The Spark side has the same
+    # barrier via localCheckpoint per round.)
     rounds = []
     prev = "e0"
     for r in range(1, _KCORE_ROUNDS + 1):
         rounds.append(f"""
-    k{r} AS (
+    k{r} AS MATERIALIZED (
       SELECT u FROM (SELECT u, COUNT(*) AS d FROM {prev} GROUP BY u)
       WHERE d >= {_KCORE_K}
-    ), e{r} AS (
+    ), e{r} AS MATERIALIZED (
       SELECT e.u, e.v FROM {prev} e
       JOIN k{r} a ON a.u = e.u JOIN k{r} b ON b.u = e.v
     )""")
@@ -412,9 +419,9 @@ def _kcore_oracle() -> str:
            CAST(COUNT(*) AS BIGINT) AS n_edges FROM e{r}"""
         for r in range(1, _KCORE_ROUNDS + 1))
     return f"""
-    WITH items AS (
+    WITH items AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
-    ), e0 AS (
+    ), e0 AS MATERIALIZED (
       SELECT u, v FROM (
         SELECT a.p AS u, b.p AS v, COUNT(*) AS w
         FROM items a JOIN items b ON b.ok = a.ok AND a.p <> b.p
@@ -505,7 +512,7 @@ _AA_TOPK = 20
       WHERE e1.u < e2.v
     ), cand AS (
       SELECT w.u, w.v,
-             CAST(SUM(CAST(1.0 / LN(d.d) AS DECIMAL(18,9))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(1.0 / LN(d.d) AS DECIMAL(18,9))) AS STRING) AS DOUBLE)
                AS aa,
              COUNT(*) AS n_common
       FROM wedge w
@@ -598,10 +605,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((SELECT m2 FROM m) / 2 AS BIGINT) AS n_edges,
            CAST(COUNT(*) AS BIGINT) AS n_communities,
-           ROUND(CAST(SUM(CAST(
+           ROUND(CAST(CAST(SUM(CAST(
              CAST(ec AS DOUBLE) / m.m2
              - (CAST(dc AS DOUBLE) / m.m2) * (CAST(dc AS DOUBLE) / m.m2)
-             AS DECIMAL(18,12))) AS DOUBLE), 6) AS modularity
+             AS DECIMAL(18,12))) AS STRING) AS DOUBLE), 6) AS modularity
     FROM per_c, m
     GROUP BY m.m2
     """,
@@ -677,10 +684,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY w.z
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           ROUND(CAST(SUM(CAST(
+           ROUND(CAST(CAST(SUM(CAST(
              CAST(2 * COALESCE(t.t, 0) AS DOUBLE)
              / (CAST(d.d AS DOUBLE) * (d.d - 1))
-             AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
+             AS DECIMAL(18,12))) AS STRING) AS DOUBLE) / COUNT(*), 6)
              AS avg_clustering,
            ROUND(CAST(SUM(COALESCE(t.t, 0)) AS DOUBLE)
                  / SUM(CAST(d.d AS DOUBLE) * (d.d - 1) / 2), 6)
@@ -759,19 +766,14 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
-           ROUND((COUNT(*) * CAST(SUM(CAST(x*y AS DECIMAL(28,4)))
-                                  AS DOUBLE)
-                  - CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)
-                    * CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE))
+           ROUND((COUNT(*) * CAST(CAST(SUM(CAST(x*y AS DECIMAL(28,4))) AS STRING) AS DOUBLE)
+                  - CAST(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+                    * CAST(CAST(SUM(CAST(y AS DECIMAL(18,4))) AS STRING) AS DOUBLE))
                  / SQRT(GREATEST(
-                     (COUNT(*) * CAST(SUM(CAST(x*x AS DECIMAL(28,4)))
-                                      AS DOUBLE)
-                      - POWER(CAST(SUM(CAST(x AS DECIMAL(18,4)))
-                                   AS DOUBLE), 2))
-                     * (COUNT(*) * CAST(SUM(CAST(y*y AS DECIMAL(28,4)))
-                                        AS DOUBLE)
-                        - POWER(CAST(SUM(CAST(y AS DECIMAL(18,4)))
-                                     AS DOUBLE), 2)), 1e-12)), 6)
+                     (COUNT(*) * CAST(CAST(SUM(CAST(x*x AS DECIMAL(28,4))) AS STRING) AS DOUBLE)
+                      - POWER(CAST(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS STRING) AS DOUBLE), 2))
+                     * (COUNT(*) * CAST(CAST(SUM(CAST(y*y AS DECIMAL(28,4))) AS STRING) AS DOUBLE)
+                        - POWER(CAST(CAST(SUM(CAST(y AS DECIMAL(18,4))) AS STRING) AS DOUBLE), 2)), 1e-12)), 6)
              AS assortativity
     FROM ed
     """,

@@ -298,7 +298,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range_band",
     oracle="""
     SELECT t.tier, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS tier_total
     FROM orders o
     JOIN (VALUES ('small', 0.0, 100000.0),

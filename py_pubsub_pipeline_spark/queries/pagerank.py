@@ -409,9 +409,8 @@ def _katz_oracle() -> str:
         steps.append(f"""
     k{i} AS MATERIALIZED (
       SELECT e.v AS node,
-             {KATZ_BETA} * (CAST(SUM(CAST(FLOOR(
-               k.sc * 1000000000000.0 + 0.5) AS DECIMAL(28,0)))
-               AS DOUBLE) / 1000000000000.0) AS sc
+             {KATZ_BETA} * (CAST(CAST(SUM(CAST(FLOOR(
+               k.sc * 1000000000000.0 + 0.5) AS DECIMAL(28,0))) AS STRING) AS DOUBLE) / 1000000000000.0) AS sc
       FROM k{i - 1} k JOIN edges e ON e.u = k.node
       GROUP BY e.v)""")
     total = " + ".join(

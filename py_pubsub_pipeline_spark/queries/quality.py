@@ -727,7 +727,7 @@ def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
              date_diff('month', f.cohort,
                        CAST(date_trunc('month', o.o_orderdate) AS DATE))
                AS k,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
                AS revenue
       FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
       GROUP BY 1, 2
@@ -844,14 +844,12 @@ _NEYMAN_BUDGET = 1000
       SELECT c_mktsegment AS stratum,
              COUNT(*) AS nh,
              SQRT(GREATEST(
-               CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6)))
-                    AS DOUBLE) / COUNT(*)
-               - POWER(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6)))
-                            AS DOUBLE) / COUNT(*), 2), 0.0)) AS sh
+               CAST(CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS STRING) AS DOUBLE) / COUNT(*)
+               - POWER(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*), 2), 0.0)) AS sh
       FROM customer GROUP BY c_mktsegment
     ), z AS (
       SELECT SUM(nh) AS n_total,
-             CAST(SUM(CAST(nh * sh AS DECIMAL(28,9))) AS DOUBLE) AS znh
+             CAST(CAST(SUM(CAST(nh * sh AS DECIMAL(28,9))) AS STRING) AS DOUBLE) AS znh
       FROM strata
     )
     SELECT s.stratum, CAST(s.nh AS BIGINT) AS population,
@@ -1094,11 +1092,11 @@ def dq_heartbeat_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     ), mom AS (
       SELECT event_type,
-             CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS STRING) AS DOUBLE) / COUNT(*)
                AS mu,
              SQRT(GREATEST(
-               CAST(SUM(CAST(c*c AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
-               - POWER(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(c*c AS DECIMAL(38,0))) AS STRING) AS DOUBLE) / COUNT(*)
+               - POWER(CAST(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS STRING) AS DOUBLE)
                        / COUNT(*), 2), 1e-12)) AS sd
       FROM daily GROUP BY event_type
     )

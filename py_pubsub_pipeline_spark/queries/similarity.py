@@ -820,7 +820,7 @@ def _kmeans_oracle() -> str:
         FROM v CROSS JOIN c{i - 1} c) WHERE rn = 1),
     u{i} AS (
       SELECT k, d.i AS pos,
-             CAST(SUM(CAST(e[d.i] AS DECIMAL(28,12))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(e[d.i] AS DECIMAL(28,12))) AS STRING) AS DOUBLE)
                / COUNT(*) AS val
       FROM a{i}, UNNEST(generate_series(1, len(e))) d(i)
       GROUP BY k, d.i),
@@ -1036,14 +1036,14 @@ def _pca_oracle() -> str:
         blocks.append(f"""
     s{i} AS (
       SELECT ex.vec_id,
-             CAST(SUM(CAST(ex.xj * v.vj AS DECIMAL(18,9))) AS DOUBLE) AS s
+             CAST(CAST(SUM(CAST(ex.xj * v.vj AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS s
       FROM ex JOIN {prev} v ON v.j = ex.j GROUP BY ex.vec_id
     ), w{i} AS (
       SELECT ex.j,
-             CAST(SUM(CAST(s.s * ex.xj AS DECIMAL(18,9))) AS DOUBLE) AS wj
+             CAST(CAST(SUM(CAST(s.s * ex.xj AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS wj
       FROM ex JOIN s{i} s ON s.vec_id = ex.vec_id GROUP BY ex.j
     ), n{i} AS (
-      SELECT SQRT(CAST(SUM(CAST(wj * wj AS DECIMAL(28,12))) AS DOUBLE))
+      SELECT SQRT(CAST(CAST(SUM(CAST(wj * wj AS DECIMAL(28,12))) AS STRING) AS DOUBLE))
         AS nrm
       FROM w{i}
     ), v{i} AS (
@@ -1136,15 +1136,15 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM x, UNNEST(generate_series(1, len(e))) t(i)
     ), meanvec AS (
       SELECT label, d,
-             CAST(SUM(CAST(v AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS m
+             CAST(CAST(SUM(CAST(v AS DECIMAL(18,12))) AS STRING) AS DOUBLE) / COUNT(*) AS m
       FROM comp GROUP BY label, d
     ), mnorm AS (
       SELECT label,
-             sqrt(CAST(SUM(CAST(m * m AS DECIMAL(18,12))) AS DOUBLE)) AS mn
+             sqrt(CAST(CAST(SUM(CAST(m * m AS DECIMAL(18,12))) AS STRING) AS DOUBLE)) AS mn
       FROM meanvec GROUP BY label
     ), per_label AS (
       SELECT label, COUNT(*) AS n,
-             CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS STRING) AS DOUBLE) / COUNT(*)
                AS avg_norm,
              MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
       FROM norms GROUP BY label

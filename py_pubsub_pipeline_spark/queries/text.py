@@ -738,8 +738,8 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(1.0 - CAST(n_seen AS DOUBLE) / n_grams
-                               AS DECIMAL(18,9))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(1.0 - CAST(n_seen AS DOUBLE) / n_grams
+                               AS DECIMAL(18,9))) AS STRING) AS DOUBLE)
                  / COUNT(*), 6) AS avg_novelty
     FROM per_doc GROUP BY source
     """,
@@ -910,7 +910,7 @@ def text_stem_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS agree
       FROM cells
     ), ch AS (
-      SELECT CAST(SUM(CAST(tr.rt * pc.cp AS DECIMAL(38,0))) AS DOUBLE)
+      SELECT CAST(CAST(SUM(CAST(tr.rt * pc.cp AS DECIMAL(38,0))) AS STRING) AS DOUBLE)
                AS chance_num
       FROM (SELECT t, SUM(c) AS rt FROM cells GROUP BY t) tr
       JOIN (SELECT p, SUM(c) AS cp FROM cells GROUP BY p) pc
@@ -1135,10 +1135,10 @@ _JSD_TOPV = 200  # capped vocabulary: top-N corpus terms + OTHER
       CROSS JOIN gtot
     )
     SELECT source,
-           ROUND(CAST(SUM(CAST(
+           ROUND(CAST(CAST(SUM(CAST(
              0.5 * p * LN(2.0 * p / (p + q)) / LN(2.0)
              + 0.5 * q * LN(2.0 * q / (p + q)) / LN(2.0)
-             AS DECIMAL(18,12))) AS DOUBLE), 6) AS jsd_bits
+             AS DECIMAL(18,12))) AS STRING) AS DOUBLE), 6) AS jsd_bits
     FROM probs GROUP BY source
     """,
 )
@@ -1603,13 +1603,13 @@ _DELTA_WORDS = ("the", "a", "of", "and", "is")
       GROUP BY t.source, w.wd
     ), stats AS (
       SELECT wd,
-             CAST(SUM(CAST(f AS DECIMAL(18,12))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(f AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
                / COUNT(*) AS mu,
-             sqrt(CAST(SUM(CAST(f * f AS DECIMAL(18,12))) AS DOUBLE)
+             sqrt(CAST(CAST(SUM(CAST(f * f AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
                     / COUNT(*)
-                  - (CAST(SUM(CAST(f AS DECIMAL(18,12))) AS DOUBLE)
+                  - (CAST(CAST(SUM(CAST(f AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
                      / COUNT(*))
-                    * (CAST(SUM(CAST(f AS DECIMAL(18,12))) AS DOUBLE)
+                    * (CAST(CAST(SUM(CAST(f AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
                        / COUNT(*))) AS sigma
       FROM freqs GROUP BY wd
     ), z AS (
@@ -1621,8 +1621,7 @@ _DELTA_WORDS = ("the", "a", "of", "and", "is")
       WHERE s.sigma > 0
     )
     SELECT a.source AS source_a, b.source AS source_b,
-           ROUND(CAST(SUM(CAST(ABS(a.z - b.z) AS DECIMAL(18,12)))
-                      AS DOUBLE) / COUNT(*), 6) AS delta
+           ROUND(CAST(CAST(SUM(CAST(ABS(a.z - b.z) AS DECIMAL(18,12))) AS STRING) AS DOUBLE) / COUNT(*), 6) AS delta
     FROM z a JOIN z b ON b.wd = a.wd AND a.source < b.source
     GROUP BY a.source, b.source
     """,

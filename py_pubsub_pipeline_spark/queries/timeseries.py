@@ -805,7 +805,7 @@ N_LAGS = 4  # cross-correlation lags 0..3 hours
     oracle=f"""
     WITH px AS (
       SELECT date_trunc('hour', ts) AS b,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS x
       FROM events WHERE event_type = 'purchase' GROUP BY 1),
     cy AS (
       SELECT date_trunc('hour', ts) AS b,
@@ -868,7 +868,7 @@ CP_SIGMA = 3.0  # deviation gate
     oracle=f"""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS b,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS x
       FROM events WHERE event_type = 'purchase' GROUP BY 1),
     scored AS (
       SELECT b, x,
@@ -1061,8 +1061,8 @@ def ts_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.mon,
            CAST(COUNT(*) AS BIGINT) AS n_days,
            CAST(ANY_VALUE(m.mau) AS BIGINT) AS mau,
-           ROUND(CAST(SUM(CAST(CAST(d.dau AS DOUBLE) / m.mau
-                               AS DECIMAL(18,9))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(CAST(d.dau AS DOUBLE) / m.mau
+                               AS DECIMAL(18,9))) AS STRING) AS DOUBLE)
                  / COUNT(*), 6) AS stickiness
     FROM dau d JOIN mau m ON m.mon = d.mon
     GROUP BY d.mon
@@ -1115,10 +1115,9 @@ def ts_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
            CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
            CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
-           ROUND(CAST(SUM(CAST(gap_us AS DECIMAL(28,0))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(gap_us AS DECIMAL(28,0))) AS STRING) AS DOUBLE)
                  / COUNT(gap_us), 4) AS mean_gap_us,
-           ROUND(1.0e6 / (CAST(SUM(CAST(gap_us AS DECIMAL(28,0)))
-                               AS DOUBLE) / COUNT(gap_us)), 6)
+           ROUND(1.0e6 / (CAST(CAST(SUM(CAST(gap_us AS DECIMAL(28,0))) AS STRING) AS DOUBLE) / COUNT(gap_us)), 6)
              AS rate_per_sec
     FROM gaps GROUP BY event_type
     """,
@@ -1306,7 +1305,7 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS y
       FROM events GROUP BY 1, 2
     ), slopes AS (
       SELECT a.event_type,
@@ -1374,18 +1373,18 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_minutes,
-           ROUND(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS STRING) AS DOUBLE)
                  / COUNT(*), 6) AS mean_rate,
-           ROUND((CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE)
+           ROUND((CAST(CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS STRING) AS DOUBLE)
                     / COUNT(*)
-                  - POWER(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+                  - POWER(CAST(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS STRING) AS DOUBLE)
                           / COUNT(*), 2))
-                 / (CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+                 / (CAST(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS STRING) AS DOUBLE)
                     / COUNT(*)), 6) AS fano,
-           (CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
-            - POWER(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS STRING) AS DOUBLE) / COUNT(*)
+            - POWER(CAST(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS STRING) AS DOUBLE)
                     / COUNT(*), 2))
-           / (CAST(SUM(CAST(c AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*))
+           / (CAST(CAST(SUM(CAST(c AS DECIMAL(28,0))) AS STRING) AS DOUBLE) / COUNT(*))
              > 1.5 AS overdispersed
     FROM cnts GROUP BY event_type
     """,
@@ -1443,7 +1442,7 @@ def ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS UNBOUNDED PRECEDING)
     ), integ AS (
       SELECT event_type,
-             CAST(SUM(CAST(conc * dur AS DECIMAL(28,0))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(conc * dur AS DECIMAL(28,0))) AS STRING) AS DOUBLE)
                AS area,
              MAX(sec) - MIN(sec) AS span
       FROM run WHERE dur IS NOT NULL GROUP BY event_type
@@ -1600,7 +1599,7 @@ def ts_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT mo AS month_of_year,
            CAST(COUNT(*) AS BIGINT) AS n_years,
-           ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18,9))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(ratio AS DECIMAL(18,9))) AS STRING) AS DOUBLE)
                  / COUNT(*), 6) AS seasonal_index
     FROM idx GROUP BY mo
     """,
@@ -1793,12 +1792,12 @@ _SPEC_LO, _SPEC_HI = 0.0, 200.0  # value spec limits for capability
     oracle=f"""
     WITH mom AS (
       SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS STRING) AS DOUBLE)
                / COUNT(*) AS mu,
              SQRT(GREATEST(
-               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
                  / COUNT(*)
-               - POWER(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+               - POWER(CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS STRING) AS DOUBLE)
                        / COUNT(*), 2), 1e-12)) AS sd
       FROM events GROUP BY event_type
     )
@@ -1943,10 +1942,10 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a, SUM(c) AS ra FROM cells GROUP BY a
     ), tot AS (SELECT SUM(c) AS n FROM cells)
     SELECT CAST(tot.n AS BIGINT) AS n_transitions,
-           ROUND(CAST(SUM(CAST(
+           ROUND(CAST(CAST(SUM(CAST(
              -(CAST(cells.c AS DOUBLE) / tot.n)
                * LN(CAST(cells.c AS DOUBLE) / rows_.ra) / LN(2.0)
-             AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy_rate_bits,
+             AS DECIMAL(18,12))) AS STRING) AS DOUBLE), 6) AS entropy_rate_bits,
            ROUND(LOG2(CAST((SELECT COUNT(*) FROM rows_) AS DOUBLE)), 6)
              AS max_entropy_bits
     FROM cells JOIN rows_ ON rows_.a = cells.a CROSS JOIN tot
@@ -2002,7 +2001,7 @@ def ts_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
       SELECT CAST(year(o_orderdate) AS INT) AS yr,
              CAST(month(o_orderdate) AS INT) AS mo,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE)
                AS rev
       FROM orders GROUP BY 1, 2
     ), complete AS (
@@ -2010,14 +2009,14 @@ def ts_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT monthly.* FROM monthly JOIN complete USING (yr)
     ), ymean AS (
-      SELECT yr, CAST(SUM(CAST(rev AS DECIMAL(28,4))) AS DOUBLE) / 12
+      SELECT yr, CAST(CAST(SUM(CAST(rev AS DECIMAL(28,4))) AS STRING) AS DOUBLE) / 12
         AS ym
       FROM m GROUP BY yr
     ), detr AS (
       SELECT m.mo, m.rev / y.ym AS ratio
       FROM m JOIN ymean y ON y.yr = m.yr
     ), idx AS (
-      SELECT mo, CAST(SUM(CAST(ratio AS DECIMAL(18,9))) AS DOUBLE)
+      SELECT mo, CAST(CAST(SUM(CAST(ratio AS DECIMAL(18,9))) AS STRING) AS DOUBLE)
                / COUNT(*) AS si
       FROM detr GROUP BY mo
     ), resid AS (
@@ -2027,10 +2026,8 @@ def ts_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
            ROUND(GREATEST(0.0, 1.0 -
-             (CAST(SUM(CAST(remainder * remainder AS DECIMAL(18,12)))
-                   AS DOUBLE)
-              / CAST(SUM(CAST(detrended * detrended AS DECIMAL(18,12)))
-                     AS DOUBLE))), 6) AS seasonal_strength
+             (CAST(CAST(SUM(CAST(remainder * remainder AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
+              / CAST(CAST(SUM(CAST(detrended * detrended AS DECIMAL(18,12))) AS STRING) AS DOUBLE))), 6) AS seasonal_strength
     FROM resid
     """,
 )
@@ -2087,15 +2084,15 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS y
       FROM events GROUP BY 1, 2
     ), mom AS (
       SELECT event_type,
-             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*)
                AS mu,
              SQRT(GREATEST(
-               CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
-               - POWER(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS STRING) AS DOUBLE) / COUNT(*)
+               - POWER(CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS STRING) AS DOUBLE)
                        / COUNT(*), 2), 1e-12)) AS sd
       FROM hourly GROUP BY event_type
     ), nb AS (
@@ -2251,17 +2248,17 @@ _ACF_MAX_LAG = 48
     WITH hourly AS (
       SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS y
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS y
       FROM events GROUP BY 1, 2
     ), mom AS (
       SELECT event_type,
-             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) / COUNT(*)
                AS mu
       FROM hourly GROUP BY event_type
     ), acf AS (
       SELECT a.event_type, l.lag,
-             CAST(SUM(CAST((a.y - m.mu) * (b.y - m.mu)
-                           AS DECIMAL(28,9))) AS DOUBLE) AS num,
+             CAST(CAST(SUM(CAST((a.y - m.mu) * (b.y - m.mu)
+                           AS DECIMAL(28,9))) AS STRING) AS DOUBLE) AS num,
              COUNT(*) AS n_pairs
       FROM hourly a
       JOIN mom m ON m.event_type = a.event_type
@@ -2271,8 +2268,7 @@ _ACF_MAX_LAG = 48
       GROUP BY a.event_type, l.lag
     ), var_ AS (
       SELECT hourly.event_type,
-             CAST(SUM(CAST((y - m.mu) * (y - m.mu) AS DECIMAL(28,9)))
-                  AS DOUBLE) AS ss
+             CAST(CAST(SUM(CAST((y - m.mu) * (y - m.mu) AS DECIMAL(28,9))) AS STRING) AS DOUBLE) AS ss
       FROM hourly JOIN mom m ON m.event_type = hourly.event_type
       GROUP BY hourly.event_type
     )
@@ -2470,7 +2466,7 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COUNT(b_key) AS BIGINT) AS n_before,
            CAST(COUNT(a_key) AS BIGINT) AS n_after,
-           CAST(SUM(CAST(a_price AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(a_price AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS sum_after_price
     FROM parsed GROUP BY op
     """,
@@ -2708,13 +2704,13 @@ _SAX_TOP = 5    # motifs reported per series
       FROM events GROUP BY 1, 2
     ), stats AS (
       SELECT event_type,
-             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                / COUNT(*) AS mu,
-             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE)
+             sqrt(CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS STRING) AS DOUBLE)
                     / COUNT(*)
-                  - (CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+                  - (CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                      / COUNT(*))
-                    * (CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+                    * (CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                        / COUNT(*))) AS sigma
       FROM hourly GROUP BY event_type
     ), sym AS (
@@ -2851,7 +2847,7 @@ def _hurst_oracle() -> str:
       WHERE b.cnt * b.sxx - b.sx * b.sx > 0
     ), avg_rs AS (
       SELECT event_type, n,
-             log2(CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS DOUBLE)
+             log2(CAST(CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
                   / COUNT(*)) AS y
       FROM rs GROUP BY event_type, n
     )
@@ -3237,12 +3233,12 @@ _NW_LAGS = 3  # Bartlett-kernel truncation for the HAC variance
              f.b AS b, f.sxx AS sxx, f.n AS n
       FROM idx i CROSS JOIN fit f
     ), gamma0 AS (
-      SELECT CAST(SUM(CAST(v * v AS DECIMAL(28,6))) AS DOUBLE) AS g0,
+      SELECT CAST(CAST(SUM(CAST(v * v AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS g0,
              MAX(b) AS b, MAX(sxx) AS sxx, MAX(n) AS n
       FROM v
     ), gammal AS (
       SELECT cl.lag_l AS lag_l,
-             CAST(SUM(CAST(cl.v * p.v AS DECIMAL(28,6))) AS DOUBLE) AS gl
+             CAST(CAST(SUM(CAST(cl.v * p.v AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS gl
       FROM (SELECT c.t, c.v, s.lag_l
             FROM v c, UNNEST(generate_series(1, {_NW_LAGS})) s(lag_l)) cl
       JOIN v p ON p.t = cl.t - cl.lag_l
@@ -3250,9 +3246,9 @@ _NW_LAGS = 3  # Bartlett-kernel truncation for the HAC variance
     ), hac AS (
       SELECT g0.b, g0.sxx, g0.n,
              g0.g0 + 2.0 * (
-               SELECT CAST(SUM(CAST(
+               SELECT CAST(CAST(SUM(CAST(
                  (1.0 - lag_l / {_NW_LAGS + 1}.0) * gl
-                 AS DECIMAL(28,6))) AS DOUBLE)
+                 AS DECIMAL(28,6))) AS STRING) AS DOUBLE)
                FROM gammal) AS s_hac,
              g0.g0 AS s_iid
       FROM gamma0 g0
@@ -3408,9 +3404,9 @@ _LB_LAGS = 6  # Ljung-Box portmanteau horizon
     )
     SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
            CAST(COUNT(*) AS BIGINT) AS n_lags,
-           ROUND(CAST(SUM(CAST(n * (n + 2.0)
+           ROUND(CAST(CAST(SUM(CAST(n * (n + 2.0)
                                 * r * r / (n - lag_l)
-                                AS DECIMAL(28,12))) AS DOUBLE), 6)
+                                AS DECIMAL(28,12))) AS STRING) AS DOUBLE), 6)
              AS q_stat,
            ROUND(MAX(ABS(r)), 6) AS max_abs_acf
     FROM acf GROUP BY event_type

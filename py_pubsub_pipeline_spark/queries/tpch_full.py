@@ -132,8 +132,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
                     THEN CAST(l.l_extendedprice * (1 - l.l_discount)
                          AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
-           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                      AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+           / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS mkt_share
     FROM lineitem l
     JOIN part p     ON p.p_partkey   = l.l_partkey
     JOIN supplier s ON s.s_suppkey   = l.l_suppkey

@@ -490,10 +490,10 @@ _RCORR_W = 7  # rolling window: 7 daily points
     oracle=f"""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END
-                           AS DECIMAL(18,6))) AS DOUBLE) AS x,
-             CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
-                           END AS DECIMAL(18,6))) AS DOUBLE) AS y
+             CAST(CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END
+                           AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS x,
+             CAST(CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                           END AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS y
       FROM events GROUP BY 1
     ), roll AS (
       SELECT day,
@@ -643,8 +643,7 @@ def win_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_segments,
            CAST(SUM(w_us) AS BIGINT) AS total_us,
-           ROUND(CAST(SUM(CAST(value * w_us AS DECIMAL(28,4)))
-                      AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(value * w_us AS DECIMAL(28,4))) AS STRING) AS DOUBLE)
                  / SUM(w_us), 6) AS twa_value
     FROM weighted GROUP BY user_id
     """,
