@@ -126,54 +126,78 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quantile_bucketize",
     oracle=f"""
-    WITH b AS (
-      SELECT quantile_disc(l_extendedprice,
-               [{", ".join(str(k / 10.0) for k in range(1, N_BUCKETS))}])
-             AS bnds
-      FROM lineitem),
+    WITH hist AS MATERIALIZED (
+      SELECT l_extendedprice AS v, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n FROM hist),
+    cum AS (
+      SELECT v, cnt, SUM(cnt) OVER (ORDER BY v) AS cum FROM hist),
+    b AS (
+      SELECT [{", ".join(
+          f"MIN(CASE WHEN cum >= ({k} * n + 9) // 10 THEN v END)"
+          for k in range(1, N_BUCKETS))}] AS bnds
+      FROM cum, tot),
     assigned AS (
-      SELECT l_extendedprice AS v,
-             CAST(len(list_filter(b.bnds, x -> x <= l_extendedprice))
-                  AS INT) AS bucket
-      FROM lineitem, b)
-    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      SELECT h.v, h.cnt,
+             CAST(len(list_filter(b.bnds, x -> x <= h.v)) AS INT) AS bucket
+      FROM hist h, b)
+    SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n,
            MIN(v) AS min_price, MAX(v) AS max_price
     FROM assigned GROUP BY bucket
     """,
 )
 def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile feature binning (the quality-score calibration shape):
-    compute the 9 exact decile boundaries of l_extendedprice with
-    percentile_disc — DISCRETE percentiles pick actual data values, so
-    both engines select the identical double and no interpolation
-    arithmetic can diverge — then assign every row its bucket as the
-    count of boundaries <= value, and profile each bucket.
+    exact decile boundaries of l_extendedprice under the SQL
+    percentile_disc rule — boundary_k = smallest actual value whose
+    cumulative count reaches ceil(k·n/10), so both engines select the
+    identical double and no interpolation arithmetic can diverge —
+    then every value gets its bucket as the count of boundaries <= it.
 
-    Scale: boundaries are one aggregate (exact percentile buffers per
-    partition here; at 100 TB swap in approx_percentile with a bounded
-    error and re-derive the same plan — the bucket-assign stage is
-    unchanged), then a 9-element array broadcast into a map-side
-    projection; the per-bucket profile is a 10-group hash agg.  No
-    global sort, no window."""
+    Physical shape (round-5 rewrite): the boundaries come from the
+    value HISTOGRAM — one (value, count) hash agg, a split-window
+    running count over the value domain, and nine conditional MINs
+    with the rank thresholds in exact integer arithmetic
+    ((k·n+9) DIV 10).  The previous form ran nine independent
+    percentile_disc aggregates, EACH buffering every value in the
+    task: ~9 full-column in-heap copies, which OOMed an 8 GB heap at
+    sf1 — the documented exact-percentile hazard arriving an order of
+    magnitude earlier than expected.  The histogram form's memory is
+    bounded by shard width at any corpus size, and the bucket
+    assignment + profile also run on the histogram (distinct values),
+    never re-touching raw rows.
+
+    Scale: one fact-scan hash agg (map-side combining), one domain-
+    sized split-window exchange, a 9-element broadcast, a domain-sized
+    profile agg.  No global sort, no full-column buffers."""
+    from ..functions.splitwin import split_window
+
     li = table(spark, sf_dir, "lineitem")
-    bnds = li.agg(
+    hist = (
+        li.groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = split_window(hist, ["v"], running_sums={"cum": "cnt"})
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    bnds = cum.crossJoin(F.broadcast(tot)).agg(
         F.array(*[
-            F.expr(
-                f"percentile_disc({k / 10.0}) WITHIN GROUP "
-                f"(ORDER BY l_extendedprice)"
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({k} * n + 9) DIV 10"),
+                    F.col("v"),
+                )
             )
             for k in range(1, N_BUCKETS)
         ]).alias("bnds")
     )
-    assigned = li.select(F.col("l_extendedprice").alias("v")).join(
-        F.broadcast(bnds)
-    ).select(
+    assigned = hist.crossJoin(F.broadcast(bnds)).select(
         "v",
+        "cnt",
         F.size(F.filter(F.col("bnds"), lambda x: x <= F.col("v")))
         .cast("int").alias("bucket"),
     )
     return assigned.groupBy("bucket").agg(
-        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("n"),
         F.min("v").alias("min_price"),
         F.max("v").alias("max_price"),
     )
