@@ -23,6 +23,13 @@ RUNTIME_CONFS = {
     # convert in tables.table() (ns DIV 1000 -> microseconds, matching
     # DuckDB's ns->us truncation — verified exact on the corpus).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Recursive-CTE row guard: the default 1M aborts LEGITIMATE
+    # linear-growth recursions (subq_bom_rollup's ancestor closure is
+    # depth x |part| ~= 1.4M rows at sf1).  50M keeps the runaway
+    # protection (a diverging recursion still dies) while covering
+    # every corpus this harness runs; the level limit (100) stays at
+    # its default.
+    "spark.sql.cteRecursionRowLimit": "50000000",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
