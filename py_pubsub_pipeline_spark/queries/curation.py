@@ -629,6 +629,17 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{_CMS_TOPK} survives into a {_CMS_SLACK}x-slack est ranking,
     the same slack analysis a production CMS+heap pipeline runs.)
 
+    Certified envelope: exact through sf1 (~350k vocabulary; ~86
+    tokens/cell).  The sf10 probe (3.5M vocabulary) breaks the slate:
+    this synthetic corpus's token counts are nearly UNIFORM — the
+    true top-10 gap is ~55 counts while collision noise at 850
+    tokens/cell is ~2000 — so no broadcast-sized width can rank the
+    near-ties, and no slack rescues a slate the noise fully scrambles.
+    That is the textbook CMS limitation (heavy-hitter sketches need a
+    skewed distribution to have anything to find); on Zipfian real
+    text the same grid ranks the head reliably, and production sizes
+    width ~ stream_mass / (head gap) per the standard analysis.
+
     Scale: sketch build = one explode + a {_CMS_DEPTH}x-fanout
     hash-agg onto <= {_CMS_DEPTH * _CMS_WIDTH} cells (map-side
     partials collapse each task to the grid size); estimate = two
