@@ -26,12 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for roughly the first 50 keys of
 # queries() per round.  _DRIVER_RECORDED is the literal union of the
-# GREEN key sets in CORRECTNESS_r01..r05.json (248 keys; r05's 50 rows
+# GREEN key sets in CORRECTNESS_r01..r06.json (298 keys; r06's 50 rows
 # were all green).  The registry is FROZEN at 375 — the enumeration's
-# only job now is to drain the 127-key record backlog:
-# (1) _PRIORITY — the curation/quality/lakehouse keys a real user hits
-#     first (round-5 verdict ordering), (2) the rest of the unrecorded
-#     keys in registry order, (3) the already-recorded greens.
+# only job now is to drain the 77-key record backlog:
+# (1) _PRIORITY — the graph/ml keys a reference user hits before the
+#     statistics tail (round-6 verdict ordering), (2) the rest of the
+#     unrecorded keys in registry order, (3) the already-recorded
+#     greens.
 _DRIVER_RECORDED = frozenset({
     # --- CORRECTNESS_r01.json ---
     "agg_approx", "agg_collect", "agg_cube", "agg_distinct",
@@ -113,44 +114,63 @@ _DRIVER_RECORDED = frozenset({
     "text_rake_keywords", "text_readability", "text_stem_suffix",
     "text_term_burstiness", "text_vocab_coverage", "text_yule_k",
     "text_zipf_slope",
+    # --- CORRECTNESS_r06.json greens (all 50 rows green) ---
+    "agg_bitmap_intersect", "agg_countmin_topk", "agg_sketch_rollup",
+    "cdc_debezium_envelope", "corr_matrix", "dedup_paragraph",
+    "dedup_url_normalize", "dq_drift_psi", "dq_format_profile",
+    "dq_freshness", "dq_join_fanout", "dq_partition_checksums",
+    "dq_volume_anomaly", "emb_norm_stats", "feature_hashing",
+    "fn_explode_outer", "join_null_safe", "join_scd2_pit",
+    "mix_domain_weights", "mix_packing_efficiency", "mix_token_budget",
+    "mm_audio_energy_zcr", "mm_image_dedup_ahash", "mm_video_framesample",
+    "privacy_k_anonymity", "privacy_l_diversity", "quantile_bucketize",
+    "rank_fusion_rrf", "sample_importance", "sample_reservoir",
+    "scan_binaryfile", "scan_csv_column_order", "scan_csv_multiline",
+    "scan_csv_permissive", "scan_file_lineage", "scan_jsonl_corrupt",
+    "scan_manifest_snapshot", "scan_partition_overwrite",
+    "scan_recursive_lookup", "scan_schema_evolution", "scan_time_travel",
+    "scan_wholetext", "shuffle_deterministic", "text_html_strip",
+    "text_pseudonymize", "text_winnow", "ts_ewma", "win_rolling_distinct",
+    "win_rolling_median", "win_streaks",
 })
 
 
 # Unrecorded keys to enumerate FIRST, in this exact order — the
-# LLM-data-pipeline and lakehouse operators a reference user would hit
-# first (round-4 verdict item 1 ordering).  Everything unrecorded and
-# not listed here follows in registry order.
+# graph/ml/data-quality operators a reference user hits before the
+# statistics long tail (round-6 verdict item 1 ordering).  Everything
+# unrecorded and not listed here follows in registry order.
 _PRIORITY = (
-    # curation / quality / mixing — the round-5 verdict's named list
-    "dedup_paragraph", "dedup_url_normalize", "corr_matrix",
-    "agg_countmin_topk", "text_html_strip", "dq_drift_psi",
-    "mix_domain_weights", "mix_token_budget", "quantile_bucketize",
-    "text_winnow", "text_pseudonymize", "rank_fusion_rrf",
-    "feature_hashing", "agg_sketch_rollup", "agg_bitmap_intersect",
-    "mix_packing_efficiency", "emb_norm_stats",
-    # multimodal plumbing
-    "mm_video_framesample", "mm_image_dedup_ahash", "mm_audio_energy_zcr",
-    # sampling / privacy / data-quality gates
-    "sample_reservoir", "sample_importance", "privacy_k_anonymity",
-    "privacy_l_diversity", "dq_freshness", "dq_volume_anomaly",
-    "dq_join_fanout", "dq_format_profile", "dq_partition_checksums",
-    "shuffle_deterministic",
-    # lakehouse scan surface
-    "scan_schema_evolution", "scan_csv_permissive", "scan_jsonl_corrupt",
-    "scan_time_travel", "scan_file_lineage", "scan_binaryfile",
-    "scan_wholetext", "scan_manifest_snapshot", "scan_partition_overwrite",
-    "scan_csv_multiline", "scan_recursive_lookup", "scan_csv_column_order",
-    "cdc_debezium_envelope",
-    # join / window stragglers ahead of the statistics long tail
-    "join_null_safe", "join_scd2_pit", "fn_explode_outer",
-    "win_rolling_distinct", "win_streaks", "win_rolling_median",
-    "ts_ewma",
+    # graph suite — dedup-adjacent, a curation user hits these first
+    "graph_degree_stats", "graph_kcore_peel", "graph_label_prop",
+    "graph_clustering_coeff", "graph_adamic_adar", "graph_modularity",
+    "graph_assortativity", "graph_hits", "graph_katz",
+    # ml evaluation / feature-prep suite
+    "ml_linreg_ols", "ml_logreg_irls", "ml_auc_roc",
+    "ml_average_precision", "ml_ndcg", "ml_gains_lift",
+    "ml_brier_decomposition", "ml_target_encode", "ml_woe_binning",
+    "ml_class_weights", "ml_naive_bayes", "ml_decision_stump",
+    "ml_crossval_ols", "ml_learning_curve", "ml_item_cf",
+    "ml_shapley_r2", "ml_cost_curve", "ml_conformal_interval",
+    "ml_uplift_tlearner",
+    # data-quality / retention / sampling stragglers
+    "dq_benford_digits", "dq_sequence_gaps", "dq_heartbeat_completeness",
+    "dq_label_consistency", "dq_cross_field_consistency",
+    "dq_simpsons_paradox", "retention_ltv_curve",
+    "retention_growth_accounting", "sample_neyman_allocation",
+    "subq_bom_rollup",
+    # experimentation aggregates
+    "agg_raking_ipf", "agg_rfm_segments", "agg_benjamini_hochberg",
+    "agg_ab_srm_check", "agg_attribution_models",
+    # time-series: the everyday ops ahead of the statistics tail
+    "ts_gapfill_linear", "ts_anomaly_zscore", "ts_outlier_mad",
+    "ts_change_detect", "ts_lagged_corr", "ts_survival_km",
+    "ts_seasonal_index", "ts_stickiness_dau_mau",
 )
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this
 # round number; tests derive the expected set from those artifacts
 # (bump this when folding a new round's records in).
-_RECORDED_THROUGH = 5
+_RECORDED_THROUGH = 6
 
 
 def _ordered():

@@ -19,3 +19,22 @@ def test_registry_md_is_current():
     assert out.read_text() == registry_map.generate(), (
         "REGISTRY.md stale — run scripts/registry_map.py"
     )
+
+
+def test_registry_md_survives_later_driver_artifact():
+    """The driver writes CORRECTNESS_r{N}.json AFTER the builder's final
+    commit; the generator must ignore rounds past _RECORDED_THROUGH so
+    that write can never invalidate the committed REGISTRY.md (the
+    round-5/6 red-test recurrence)."""
+    fake = registry_map.REPO / "CORRECTNESS_r99.json"
+    assert not fake.exists()
+    before = registry_map.generate()
+    fake.write_text(
+        '{"agg_group": {"rows_match": true, "schema_match": true, '
+        '"hash_match": true, "spark_rows": 1, "oracle_rows": 1, '
+        '"err": null}}'
+    )
+    try:
+        assert registry_map.generate() == before
+    finally:
+        fake.unlink()
