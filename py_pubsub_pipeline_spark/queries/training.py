@@ -304,20 +304,64 @@ def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_balanced_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-language quota variant of sample_balanced: each
     language keeps precisely t docs (t = the smallest language's
-    count), chosen by md5 rank.  Deterministic like the hash-gate form,
-    but the rank window serializes each language onto one task — use
-    when language cardinality × per-language size is small (quota
-    precision matters more than parallelism); the hash-gate rate
-    filter above is the 100 TB default."""
+    count), chosen by md5 rank.  Deterministic like the hash-gate
+    form; the hash-gate rate filter above stays the default when
+    Binomial(n, t/n) per-language counts are acceptable.
+
+    SPLIT-SHARD RANK (the splitwin.py rewrite, specialised to a
+    per-group quota): a plain ``Window.partitionBy(lang)`` serializes
+    each language onto ONE task — the plan that dies first when one
+    language holds 10^10 docs.  Instead each doc gets a deterministic
+    shard from the top 32 bits of its own md5 order key (u = first 8
+    hex chars as an int, shard = u * S >> 32 — pure integer map-side
+    math, monotone in the md5 string order because equal-length
+    lowercase hex sorts lexicographically as its numeric value), so:
+
+    1. per-(lang, shard) counts -> prefix offsets via a window over
+       <= S rows per language (tiny, bounded by shard count);
+    2. shards whose offset already exceeds the quota t are dropped
+       BEFORE the rank window ever sorts them (broadcast semi-style
+       inner join) — the expensive sort sees ~t survivors per
+       language, not n;
+    3. ROW_NUMBER per (lang, shard) + the shard's offset = the exact
+       global per-language md5 rank; keep rank <= t.
+
+    Scale: one hash exchange on (lang, shard) = S parallel tasks per
+    language instead of 1; the count pass is a partial-agg shuffle of
+    (lang, shard, n) rows only; offsets and quota join as broadcasts.
+    Equal md5 prefixes shard together, so rank ties (impossible here
+    anyway — doc_id breaks them) never straddle a boundary."""
     d = table(spark, sf_dir, "documents")
     tgt = d.groupBy("lang").count().agg(F.min("count").alias("t"))
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    s = d.select(
+        "doc_id", "lang", h.alias("__sbx_h"),
+        F.shiftright(u * shards, 32).cast("int").alias("__sbx_shard"),
+    )
+    per = s.groupBy("lang", "__sbx_shard").agg(F.count(F.lit(1)).alias("n"))
+    woff = (
+        Window.partitionBy("lang").orderBy("__sbx_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per.select(
+        "lang", "__sbx_shard",
+        F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("__sbx_off"),
+    )
+    # Shards that start at or past the quota contribute nothing; prune
+    # them before the sort (inner join doubles as the qualifier).
+    qual = (
+        offs.join(F.broadcast(tgt))
+        .filter(F.col("__sbx_off") < F.col("t"))
+    )
+    wloc = Window.partitionBy("lang", "__sbx_shard").orderBy(
+        "__sbx_h", "doc_id"
     )
     return (
-        d.select("doc_id", "lang", F.row_number().over(w).alias("r"))
-        .join(F.broadcast(tgt))
-        .filter(F.col("r") <= F.col("t"))
+        s.join(F.broadcast(qual), ["lang", "__sbx_shard"])
+        .withColumn("__sbx_r", F.row_number().over(wloc))
+        .filter(F.col("__sbx_r") + F.col("__sbx_off") <= F.col("t"))
         .select("doc_id", "lang")
     )
 

@@ -230,6 +230,22 @@ def test_pack_sequences_single_exchange(spark):
     assert "BatchEvalPython" not in final
 
 
+def test_sample_balanced_exact_shards_within_language(spark):
+    # The exact-quota sampler must NOT serialize a language onto one
+    # task: its rank window partitions on (lang, shard) — the md5-
+    # prefix shard restores parallelism within a language — and the
+    # quota/offset sides join as broadcasts.  A Window partitioned on
+    # lang alone (the pre-round-7 form) fails here.
+    df = REG["sample_balanced_exact"].fn(spark, SF_SMALL)
+    opt = _optimized(df)
+    spec = next(ln for ln in opt.splitlines()
+                if "row_number" in ln and "windowspecdefinition" in ln)
+    assert "__sbx_shard" in spec, spec
+    final = _final(_executed(df, spark))
+    assert "SortMergeJoin" not in final, final
+    assert "BroadcastHashJoin" in final, final
+
+
 def test_sample_balanced_has_no_per_language_window(spark):
     # The hash-gate rate filter must be a map-side gate behind two
     # broadcast joins: a Window over lang = one task per language at
