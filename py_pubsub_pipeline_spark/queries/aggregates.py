@@ -1189,9 +1189,10 @@ def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderpriority AS prio,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS STRING) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
-           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2)))
+           ROUND(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2)))
                         FILTER (WHERE o.o_totalprice >= b.lo
-                                  AND o.o_totalprice <= b.hi) AS DOUBLE)
+                                  AND o.o_totalprice <= b.hi)
+                       AS STRING) AS DOUBLE)
                  / COUNT(*) FILTER (WHERE o.o_totalprice >= b.lo
                                       AND o.o_totalprice <= b.hi), 6)
              AS mean_trimmed,
@@ -1547,9 +1548,9 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderpriority AS prio,
            CAST(COUNT(*) AS BIGINT) AS n,
            ANY_VALUE(b.var5) AS var_5pct,
-           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2)))
+           ROUND(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2)))
                         FILTER (WHERE o.o_totalprice <= b.var5)
-                      AS DOUBLE)
+                       AS STRING) AS DOUBLE)
                  / COUNT(*) FILTER (WHERE o.o_totalprice <= b.var5), 6)
              AS expected_shortfall,
            CAST(COUNT(*) FILTER (WHERE o.o_totalprice <= b.var5)

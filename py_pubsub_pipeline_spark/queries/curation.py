@@ -629,6 +629,13 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{_CMS_TOPK} survives into a {_CMS_SLACK}x-slack est ranking,
     the same slack analysis a production CMS+heap pipeline runs.)
 
+    The slate dependency is GUARDED, not assumed (round-7): the plan
+    asserts kth exact recount > the slate's minimum sketch estimate —
+    the sufficient condition for "no excluded token can displace the
+    top-k" (excluded tokens have true <= est <= slate floor) — and
+    raises through assert_true when a distribution defeats the slate,
+    so the operator can error but never silently mis-rank.
+
     Certified envelope: exact through sf1 (~350k vocabulary; ~86
     tokens/cell).  The sf10 probe (3.5M vocabulary) breaks the slate:
     this synthetic corpus's token counts are nearly UNIFORM — the
@@ -673,17 +680,39 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.min("c").cast("long").alias("est"))
     )
-    slate = (
+    slate_est = (
         est.orderBy(F.col("est").desc(), "token")
         .limit(_CMS_TOPK * _CMS_SLACK)
-        .select("token")
     )
     exact = (
-        tok.join(F.broadcast(slate), "token", "left_semi")
+        tok.join(F.broadcast(slate_est.select("token")), "token", "left_semi")
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("est"))
     )
-    return exact.orderBy(F.col("est").desc(), "token").limit(_CMS_TOPK)
+    topk = exact.orderBy(F.col("est").desc(), "token").limit(_CMS_TOPK)
+    # Verifiable slate guard: every token OUTSIDE the slate has
+    # true count <= its est <= the slate's minimum est (CMS never
+    # under-counts), so kth_exact > slate_floor proves no excluded
+    # token can displace the exact top-k.  assert_true makes a
+    # too-narrow slate (the documented sf10 uniform-counts break)
+    # fail LOUDLY at run time instead of returning a silently
+    # unprovable ranking; it lives in a filter so column pruning
+    # cannot drop the check.
+    kth = topk.agg(F.min("est").alias("__kth_exact"))
+    floor_ = slate_est.agg(F.min("est").alias("__slate_floor"))
+    return (
+        topk.join(F.broadcast(kth)).join(F.broadcast(floor_))
+        .where(
+            F.assert_true(
+                F.col("__kth_exact") > F.col("__slate_floor"),
+                F.lit(
+                    "agg_countmin_topk: candidate slate too narrow for "
+                    "this distribution — widen _CMS_WIDTH or _CMS_SLACK"
+                ),
+            ).isNull()
+        )
+        .drop("__kth_exact", "__slate_floor")
+    )
 
 
 @query(

@@ -769,7 +769,9 @@ def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid = (
         (F.col("mn") == 0)
         & (F.col("mx") == F.col("n") - 1)
-        & (F.col("ck") == F.col("n") * (F.col("n") - 1) / 2)
+        # integer DIV: long/long `/` is DOUBLE, whose 53-bit mantissa
+        # silently rounds the exact checksum past ~1.3e8 rows per file
+        & (F.col("ck") == F.expr("n * (n - 1) DIV 2"))
     ).cast("int")
     summary = per_file.agg(
         F.sum("n").cast("long").alias("n_rows"),

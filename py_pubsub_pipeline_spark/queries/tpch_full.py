@@ -129,9 +129,9 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8",
     oracle="""
     SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+           CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
                     THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+                         AS DECIMAL(18,6)) ELSE 0 END) AS STRING) AS DOUBLE)
            / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                       AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS mkt_share
     FROM lineitem l
