@@ -21,6 +21,14 @@ def test_registry_md_is_current():
     )
 
 
+def test_registry_md_has_certification_column():
+    # The parity-certification stamp (round-5 verdict task 7): backlog
+    # confidence must be readable off the artifact itself.
+    text = (registry_map.REPO / "REGISTRY.md").read_text()
+    assert "| certified |" in text
+    assert "sf1(r05)" in text  # the round-5 full-sf1 sweep is stamped
+
+
 def test_registry_md_survives_later_driver_artifact():
     """The driver writes CORRECTNESS_r{N}.json AFTER the builder's final
     commit; the generator must ignore rounds past _RECORDED_THROUGH so
