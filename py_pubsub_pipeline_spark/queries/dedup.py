@@ -21,8 +21,11 @@ Scale notes:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.splitwin import split_window, str_bucket
 from ..registry import query
@@ -102,8 +105,47 @@ def _gram_hashes() -> F.Column:
     )
 
 
+# Cross-query shingle sharing (opt-in): several near-dup operators
+# start from the identical (doc_id, h) hashed-shingle relation, but
+# Spark's ReusedExchange only dedups WITHIN one query plan — a basket
+# or pipeline running the capped and uncapped passes over the same
+# corpus re-tokenizes and re-hashes it once per query.  A production
+# multi-pass curation DAG materializes that intermediate once (cache,
+# or a staged table); share_shingles() is that feature: while the
+# context is open, every _hashed_shingles() consumer for the same
+# sf_dir reads the persisted relation (8-byte hashes + doc ids — the
+# narrowest possible spill unit, MEMORY_AND_DISK so an executor that
+# can't hold its slice degrades to local disk, never OOM).  Off by
+# default so single-query plans, plan gates, and oracle parity are
+# byte-identical with and without the feature.
+_SHINGLE_CACHE: dict[str, DataFrame] = {}
+
+
+@contextmanager
+def share_shingles(spark: SparkSession, sf_dir: str):
+    """Materialize the hashed-shingle relation once for every
+    consumer inside the context.  The persist is LAZY — the first
+    consumer pays the build, exactly like any staged intermediate —
+    and is dropped on exit."""
+    d = table(spark, sf_dir, "documents")
+    df = d.select("doc_id", F.explode(_gram_hashes()).alias("h")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _SHINGLE_CACHE[sf_dir] = df
+    try:
+        yield df
+    finally:
+        _SHINGLE_CACHE.pop(sf_dir, None)
+        df.unpersist()
+
+
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h): one row per distinct hashed shingle per doc."""
+    """(doc_id, h): one row per distinct hashed shingle per doc.
+    Served from the share_shingles() materialization when one is
+    open for this sf_dir."""
+    cached = _SHINGLE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", F.explode(_gram_hashes()).alias("h"))
 
