@@ -3165,20 +3165,29 @@ def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x1") * F.col("x2")).alias("s12"),
     )
 
+    # All co-moment algebra in decimal(38,0): the variance-product
+    # terms v11*v22 and cov12^2 reach ~1e28 at sf10 (hourly counts
+    # ~1e4 squared, summed over ~1e3 hours, squared again) — far past
+    # long's 9.2e18, which ANSI mode turns into a runtime overflow.
+    # DuckDB's side already promotes to HUGEINT; decimal keeps Spark
+    # exact to 38 digits (~sf1000 on this shape) and still loud, not
+    # wrapped, beyond that.
+    def D(c: str) -> F.Column:
+        return F.col(c).cast("decimal(38,0)")
+
     def corr(sab, sa, sb, saa, sbb):
-        num = (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)) \
-            .cast("double")
+        num = (D("n") * D(sab) - D(sa) * D(sb)).cast("double")
         den = F.sqrt(
-            ((F.col("n") * F.col(saa) - F.col(sa) * F.col(sa))
-             * (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)))
+            ((D("n") * D(saa) - D(sa) * D(sa))
+             * (D("n") * D(sbb) - D(sb) * D(sb)))
             .cast("double")
         )
         return num / den
 
     def v(saa, sa):
-        return F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)
+        return D("n") * D(saa) - D(sa) * D(sa)
 
-    cov12 = F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")
+    cov12 = D("n") * D("s12") - D("s1") * D("s2")
     ct = mom.filter(
         (v("syy", "sy") > 0) & (v("s11", "s1") > 0) & (v("s22", "s2") > 0)
         & (v("s11", "s1") * v("s22", "s2") != cov12 * cov12)
