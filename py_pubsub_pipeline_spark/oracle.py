@@ -37,6 +37,16 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         con.execute("SET max_temp_directory_size='20GB'")
     except Exception:
         pass  # older DuckDB without the setting
+    # Same guard, RAM side: DuckDB's default limit (80% of the box)
+    # ignores the Spark JVM sharing it — at sf10 one degenerate
+    # oracle allocation got the whole parity PROCESS OS-OOM-killed
+    # (round 7), losing every later key's result.  24 GB fails the
+    # one oracle loudly instead; anything legitimate spills to the
+    # capped temp dir.
+    try:
+        con.execute("SET memory_limit='24GB'")
+    except Exception:
+        pass
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.isdir(path):  # Spark-written dataset dir, not a file
