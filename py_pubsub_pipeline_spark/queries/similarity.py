@@ -305,6 +305,38 @@ def _probe_topk_bucketed(
 
 
 N_BLOCKS = 8  # block-matmul decomposition for all-pairs cosine
+_BLOCK_ROWS = 6_000  # target vectors per block: tile score matrix
+#                      <= 6k^2 doubles = 288 MB, fits one task's heap
+
+
+def _pairs_n_blocks(path: str) -> int:
+    """Block count for the ALL-PAIRS tile decomposition, sized from
+    the parquet footer so each tile's score matrix fits an executor
+    (round-7: the fixed 8-block grid meant 62k-wide tiles at sf10 —
+    a 31 GB per-task matrix, the exact OOM the decomposition exists
+    to prevent; the docstring's own 'scaling up = raising N_BLOCKS'
+    is now automatic).  Footer metadata is a driver-side FILE read
+    (pyarrow), not a Spark job, so the zero-driver-jobs construction
+    gate still holds; pair coverage is block-count-invariant (every
+    unordered pair lands in exactly one tile), so results are
+    unchanged at every scale.  Falls back to the 8-block floor if
+    the footer is unreadable."""
+    import os as _os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if _os.path.isdir(path):
+            n = sum(
+                pq.read_metadata(_os.path.join(path, f)).num_rows
+                for f in _os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = pq.read_metadata(path).num_rows
+    except Exception:
+        return N_BLOCKS
+    return max(N_BLOCKS, -(-n // _BLOCK_ROWS))
 
 
 @query(
@@ -356,7 +388,8 @@ def _blocked_cos_pairs(
     import os as _os
 
     path = _os.path.join(sf_dir, "embeddings.parquet")
-    blocks = [(ba, bb) for ba in range(N_BLOCKS) for bb in range(ba, N_BLOCKS)]
+    nb = _pairs_n_blocks(path)
+    blocks = [(ba, bb) for ba in range(nb) for bb in range(ba, nb)]
 
     def _side(key_blk: str) -> DataFrame:
         bp = spark.createDataFrame(blocks, "ba int, bb int")
@@ -364,7 +397,7 @@ def _blocked_cos_pairs(
             spark.read.parquet(path)
             .select(
                 "vec_id", "embedding",
-                (F.col("vec_id") % N_BLOCKS).alias("blk"),
+                (F.col("vec_id") % nb).alias("blk"),
             )
             .join(F.broadcast(bp), F.col("blk") == F.col(key_blk))
             .select("ba", "bb", "vec_id", "embedding")

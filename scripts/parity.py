@@ -45,6 +45,20 @@ _ENVELOPE_BELOW = {
             "counts defeat any broadcast-width slate and the plan's "
             "assert_true guard raises by design (see docstring)"
         ),
+        "sim_pairs_cosine": (
+            "deliberately-quadratic exact diagnostic (all-pairs "
+            "cosine): the DuckDB oracle is an O(N^2) nested loop — "
+            "1.25e11 pairs at sf10, days of oracle time.  The Spark "
+            "side tiles adaptively (round 7) and remains runnable; "
+            "certified through sf1 (2.5e9 pairs).  The sub-quadratic "
+            "production paths (sim_lsh_bucketed, sim_ivf, "
+            "dedup_minhash_lsh) certify at sf10 instead"
+        ),
+        "dedup_embedding": (
+            "same all-pairs oracle as sim_pairs_cosine — "
+            "oracle-infeasible at sf10, certified through sf1; "
+            "LSH/minhash variants are the at-scale path"
+        ),
     },
 }
 
