@@ -44,6 +44,19 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
 
 
+def _sql_wide_minhash(n: int) -> str:
+    """DuckDB CTE body: n minhash slots as n independent MIN aggregates
+    in ONE pass over the shingle stream (mirrors the Spark plan shape).
+    The earlier UNNEST(generate_series(0, n-1)) formulation exploded
+    the shingle stream n-fold before grouping — at sf10 that overflowed
+    the oracle's 24GB memory + 20GB temp envelope; this form holds the
+    stream at 1x and only widens the (tiny) per-doc output row."""
+    cols = ",\n             ".join(
+        f"MIN(md5('{i}|' || s)) AS mh{i}" for i in range(n)
+    )
+    return f"SELECT doc_id,\n             {cols}\n      FROM sh GROUP BY doc_id"
+
+
 def _grams() -> F.Column:
     """Column expr: distinct word-3-gram shingles of `text`. Built with
     higher-order functions — one projection, no Python."""
@@ -322,14 +335,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SQL_SHINGLES},
-    hashes AS (
-      SELECT doc_id, t.i AS i, MIN(md5(CAST(t.i AS VARCHAR) || '|' || s)) AS mh
-      FROM sh, UNNEST(generate_series(0, {N_MINHASH - 1})) t(i)
-      GROUP BY doc_id, t.i),
+    sig_w AS ({_sql_wide_minhash(N_MINHASH)}),
     bands AS (
-      SELECT doc_id, i // {N_MINHASH // N_BANDS} AS band,
-             string_agg(mh, '|' ORDER BY i) AS sig
-      FROM hashes GROUP BY 1, 2),
+      SELECT doc_id, b.b AS band,
+             CASE b.b {" ".join(
+                 f"WHEN {b} THEN " + " || '|' || ".join(
+                     f"mh{b * (N_MINHASH // N_BANDS) + j}"
+                     for j in range(N_MINHASH // N_BANDS))
+                 for b in range(N_BANDS))}
+             END AS sig
+      FROM sig_w, UNNEST(generate_series(0, {N_BANDS - 1})) b(b)),
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b
@@ -639,23 +654,17 @@ N_EST_HASHES = 32  # minhash slots for the Jaccard estimator
       JOIN sizes sb ON sb.doc_id = i.b_id
       WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
             >= {JACCARD_THRESHOLD}),
-    hashes AS (
-      SELECT doc_id, t.i AS i,
-             MIN(md5(CAST(t.i AS VARCHAR) || '|' || s)) AS mh
-      FROM sh, UNNEST(generate_series(0, {N_EST_HASHES - 1})) t(i)
-      GROUP BY doc_id, t.i),
-    agree AS (
-      SELECT p.a_id, p.b_id,
-             SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS mh_agree
-      FROM pairs p
-      JOIN hashes ha ON ha.doc_id = p.a_id
-      JOIN hashes hb ON hb.doc_id = p.b_id AND hb.i = ha.i
-      GROUP BY 1, 2)
+    sig_w AS ({_sql_wide_minhash(N_EST_HASHES)})
     SELECT p.a_id, p.b_id, p.jaccard,
-           CAST(g.mh_agree AS BIGINT) AS mh_agree,
-           g.mh_agree / {N_EST_HASHES}.0 AS mh_est
+           CAST({" + ".join(
+               f"(CASE WHEN ha.mh{i} = hb.mh{i} THEN 1 ELSE 0 END)"
+               for i in range(N_EST_HASHES))} AS BIGINT) AS mh_agree,
+           ({" + ".join(
+               f"(CASE WHEN ha.mh{i} = hb.mh{i} THEN 1 ELSE 0 END)"
+               for i in range(N_EST_HASHES))}) / {N_EST_HASHES}.0 AS mh_est
     FROM pairs p
-    JOIN agree g ON g.a_id = p.a_id AND g.b_id = p.b_id
+    JOIN sig_w ha ON ha.doc_id = p.a_id
+    JOIN sig_w hb ON hb.doc_id = p.b_id
     """,
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
