@@ -103,6 +103,37 @@ def main() -> int:
     con = duckdb_connect(args.sf)
     n_fail = 0
     results: dict[str, dict] = {}
+
+    def _selector() -> str:
+        if args.unrecorded:
+            return "unrecorded"
+        if args.slice is not None:
+            return (f"slice {args.slice % args.slices}"
+                    f"/{args.slices} (md5-bucket)")
+        return "named"
+
+    def _checkpoint() -> None:
+        """Rewrite the artifact after EVERY key (atomic rename), with
+        a `partial` marker while keys remain — a sweep killed by a
+        box deadline loses nothing and needs no log salvage."""
+        if not args.json:
+            return
+        art = {
+            "sf_dir": args.sf,
+            "selector": _selector(),
+            "passed": sum(1 for v in results.values() if v.get("ok")),
+            "total": sum(1 for v in results.values()
+                         if "skipped" not in v),
+            "results": results,
+        }
+        not_run = [n for n in names if n not in results]
+        if not_run:
+            art["partial"] = True
+            art["not_run"] = not_run
+        tmp = args.json + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(art, fh, indent=1, sort_keys=True)
+        os.replace(tmp, args.json)
     for name in names:
         if name not in registry:
             print(f"?? {name}: not registered")
@@ -119,6 +150,7 @@ def main() -> int:
                 "why": f"EXC {type(e).__name__}: {str(e)[:300]}",
             }
             n_fail += 1
+            _checkpoint()
             continue
         dt = time.time() - t0
         if rep["ok"]:
@@ -131,6 +163,7 @@ def main() -> int:
             results[name] = {"ok": False,
                              "why": rep.get("why", "")[:500]}
         sys.stdout.flush()
+        _checkpoint()
     for name, why in skipped.items():
         print(f"skip {name}: {why[:120]}")
         results[name] = {"ok": None, "skipped": why}
@@ -138,21 +171,7 @@ def main() -> int:
           + (f", {len(skipped)} skipped (documented envelope)"
              if skipped else ""))
     if args.json:
-        if args.unrecorded:
-            selector = "unrecorded"
-        elif args.slice is not None:
-            selector = (f"slice {args.slice % args.slices}"
-                        f"/{args.slices} (md5-bucket)")
-        else:
-            selector = "named"
-        with open(args.json, "w") as fh:
-            json.dump({
-                "sf_dir": args.sf,
-                "selector": selector,
-                "passed": len(names) - n_fail,
-                "total": len(names),
-                "results": results,
-            }, fh, indent=1, sort_keys=True)
+        _checkpoint()
         print(f"-- wrote {args.json}")
     return 1 if n_fail else 0
 
