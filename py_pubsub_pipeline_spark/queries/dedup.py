@@ -349,11 +349,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    cdocs AS (
+      SELECT a_id AS doc_id FROM cand UNION SELECT b_id FROM cand),
+    shc AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN cdocs USING (doc_id)),
     inter AS (
       SELECT c.a_id, c.b_id, COUNT(*) AS shared
       FROM cand c
-      JOIN sh sa ON sa.doc_id = c.a_id
-      JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+      JOIN shc sa ON sa.doc_id = c.a_id
+      JOIN shc sb ON sb.doc_id = c.b_id AND sb.s = sa.s
       GROUP BY 1, 2)
     SELECT i.a_id, i.b_id,
            CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
