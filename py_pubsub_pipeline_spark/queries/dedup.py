@@ -658,7 +658,11 @@ N_EST_HASHES = 32  # minhash slots for the Jaccard estimator
       JOIN sizes sb ON sb.doc_id = i.b_id
       WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
             >= {JACCARD_THRESHOLD}),
-    sig_w AS ({_sql_wide_minhash(N_EST_HASHES)})
+    pdocs AS (
+      SELECT a_id AS doc_id FROM pairs UNION SELECT b_id FROM pairs),
+    shp AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN pdocs USING (doc_id)),
+    sig_w AS ({_sql_wide_minhash(N_EST_HASHES).replace("FROM sh ", "FROM shp ")})
     SELECT p.a_id, p.b_id, p.jaccard,
            CAST({" + ".join(
                f"(CASE WHEN ha.mh{i} = hb.mh{i} THEN 1 ELSE 0 END)"
