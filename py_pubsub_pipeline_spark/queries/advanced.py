@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exprs import dsum, sql_dsum
+from ..functions.ckpt import DISK as _DISK
 from ..registry import query
 from ..tables import table
 
@@ -605,7 +606,7 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = c.groupBy(
         F.col("c_nationkey").alias("nat"),
         F.col("c_mktsegment").alias("seg"),
-    ).agg(F.count("*").alias("n")).localCheckpoint(eager=True)
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=True, storageLevel=_DISK)
     tot = cells.agg(F.sum("n").alias("t"))
     n_nat = cells.select("nat").distinct().count()
     n_seg = cells.select("seg").distinct().count()
@@ -651,7 +652,7 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / (F.col("s").cast("double") / _IPF_SNAP))
                 ).alias("ws"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=_DISK)
     return w.join(cells, ["nat", "seg"]).select(
         F.col("nat").alias("c_nationkey"),
         F.col("seg").alias("c_mktsegment"),

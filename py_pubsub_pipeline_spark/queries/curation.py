@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.splitwin import split_window
+from ..functions.ckpt import DISK as _DISK
 from ..registry import query
 from ..tables import table
 
@@ -1264,7 +1265,7 @@ def ml_crossval_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         m(F.col("x") * F.col("x"), 38).alias("sxx"),
         m(F.col("x") * F.col("y"), 38).alias("sxy"),
         m(F.col("y") * F.col("y"), 38).alias("syy"),
-    ).localCheckpoint(eager=False)  # k rows; reused by tot AND pf —
+    ).localCheckpoint(eager=False, storageLevel=_DISK)  # k rows; reused by tot AND pf —
     # without the barrier both consumers re-scan the fact table
     tot = fm.agg(*[F.sum(c).alias(c)
                    for c in ("n", "sx", "sy", "sxx", "sxy", "syy")])
@@ -1542,7 +1543,7 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(F.col("p") * _BRIER_BINS).cast("int"),
                 F.lit(_BRIER_BINS - 1)).alias("b"),
         "p", "y",
-    ).localCheckpoint(eager=False)  # feeds per-bin AND global brier
+    ).localCheckpoint(eager=False, storageLevel=_DISK)  # feeds per-bin AND global brier
 
     def dm(e):
         return F.sum(e.cast("decimal(18,9)")).cast("double") / F.count("*")

@@ -15,9 +15,14 @@ Scale notes:
   upgrade is alternating large-star/small-star (Kiveris et al.,
   "Connected Components in MapReduce and Beyond", SoCC'14), which
   converges in O(log^2 n) rounds with the same per-round shape.
-- `localCheckpoint(eager=True)` after every round truncates the plan
-  lineage — without it the logical plan doubles per iteration and
-  analysis cost explodes (the classic iterative-Spark trap).
+- `localCheckpoint(eager=True, storageLevel=DISK_ONLY)` after every
+  round truncates the plan lineage — without it the logical plan
+  doubles per iteration and analysis cost explodes (the classic
+  iterative-Spark trap). DISK_ONLY because the default storage level
+  pins every superseded round's blocks in executor storage memory
+  until driver GC: at sf10 the co-purchase graph's per-round edge
+  sets accumulated past an 8g heap and killed the JVM (round-7 sweep
+  find; see functions/ckpt.py).
 - The convergence test (did any label change?) is a count on the
   joined old/new frames — one extra small job per round, driver-side
   control flow only; all data stays distributed.
@@ -32,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ckpt import DISK as _DISK
 from ..registry import query
 from ..tables import table
 from .dedup import JACCARD_THRESHOLD, _SQL_SHINGLES, dedup_ngram_jaccard
@@ -45,7 +51,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     undirected (one row per direction). Returns (doc_id, component)
     where component = min doc_id reachable."""
     labels = vertices.select("doc_id", F.col("doc_id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True, storageLevel=_DISK)
     changed = -1
     for _ in range(max_rounds):
         prop = (
@@ -68,7 +74,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                     "old_component"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_DISK)
         )
         changed = (
             merged.filter(F.col("component") < F.col("old_component"))
@@ -121,7 +127,7 @@ def connected_components_star(
     Both are semantics-preserving (connectivity invariant); the
     fixpoint is a forest of stars rooted at component minima.
     """
-    e = _symmetrize(edges).localCheckpoint(eager=True)
+    e = _symmetrize(edges).localCheckpoint(eager=True, storageLevel=_DISK)
     rounds = 0
     for _ in range(max_rounds):
         # large-star: emit (v, m) for v in Γ(u), v > u. m is computed
@@ -136,7 +142,7 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e2 = _symmetrize(large).localCheckpoint(eager=True)
+        e2 = _symmetrize(large).localCheckpoint(eager=True, storageLevel=_DISK)
         # small-star: emit (v, m) for v in Γ(u), v <= u, plus (u, m)
         le = e2.filter(F.col("v") <= F.col("u"))
         m_le = le.groupBy("u").agg(
@@ -147,7 +153,7 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(m_le.select("u", F.col("m").alias("v")))
         )
-        e3 = _symmetrize(small).localCheckpoint(eager=True)
+        e3 = _symmetrize(small).localCheckpoint(eager=True, storageLevel=_DISK)
         rounds += 1
         # Fixpoint: the edge set is stable (stars everywhere).
         changed = (
@@ -214,7 +220,7 @@ def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     ).unionByName(
         pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_DISK)
     # Iterate only over vertices that HAVE edges (the near-dup graph is
     # a sliver of the corpus); the untouched majority joins in as
     # their-own-component rows at the end — no per-round work for them.
@@ -259,7 +265,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximates) keep per-key fan-in bounded."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_DISK)
     e1 = pairs.alias("e1")
     e2 = pairs.alias("e2")
     e3 = pairs.alias("e3")
@@ -462,7 +468,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v").agg(F.count("*").alias("w"))
         .filter(F.col("w") >= _KCORE_MINW)
         .select("u", "v")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     traj = []
     for r in range(1, _KCORE_ROUNDS + 1):
@@ -475,7 +481,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(keep, "u")
             .join(keep.withColumnRenamed("u", "v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_DISK)
         )
         traj.append(
             e.agg(
@@ -720,7 +726,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "ok").filter(F.col("u") != F.col("v"))
         .groupBy("u", "v").agg(F.count("*").alias("w"))
         .filter(F.col("w") >= _KCORE_MINW).select("u", "v")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     deg = e.groupBy("u").agg(F.count("*").alias("d"))
     e1 = e.select(F.col("v").alias("z"), F.col("u").alias("wu"))

@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ckpt import DISK as _DISK
 from ..registry import query
 from ..tables import table
 
@@ -175,7 +176,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("supp") + SUPP_OFFSET).alias("u"),
             F.col("cust").alias("v"),
         )
-    ).repartition("u").localCheckpoint(eager=True)
+    ).repartition("u").localCheckpoint(eager=True, storageLevel=_DISK)
     verts = (
         table(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("node"))
@@ -185,7 +186,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_DISK)
     )
     lbl = verts.select("node", F.col("node").alias("lbl"))
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
@@ -200,7 +201,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_DISK)
         )
     return lbl.select("node", F.col("lbl").alias("community"))
 
@@ -234,7 +235,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = (
         edges.join(deg, "u")
         .repartition("u")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_DISK)
     )
     verts = (
         table(spark, sf_dir, "customer")
@@ -245,7 +246,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_DISK)
     )
     ranks = verts.select("node", F.lit(1.0).cast("double").alias("pr"))
     for _ in range(N_ITER):
@@ -275,7 +276,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_DISK)
         )
     return ranks
 
@@ -357,7 +358,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_suppkey").alias("supp"))
         .distinct()
         .repartition("cust")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_DISK)
     )
     snap = lambda c: F.floor(c * 1e12 + 0.5).cast("decimal(28,0)")  # noqa: E731
     h = eb.select("cust").distinct().select(
@@ -375,7 +376,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (F.col("s").cast("double") / F.col("mx").cast("double"))
             .alias("sc"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=_DISK)
         hr = (
             eb.join(a.withColumnRenamed("node", "supp"), "supp")
             .groupBy(F.col("cust").alias("node"))
@@ -386,7 +387,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (F.col("s").cast("double") / F.col("mx").cast("double"))
             .alias("sc"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=_DISK)
     hubs = h.select("node", F.lit("hub").alias("role"),
                     F.round("sc", 6).alias("score"))
     auths = a.select("node", F.lit("authority").alias("role"),
@@ -471,9 +472,9 @@ def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         eb.select((F.col("supp") + SUPP_OFFSET).alias("u"),
                   F.col("cust").alias("v"))
-    ).repartition("u").localCheckpoint(eager=True)
+    ).repartition("u").localCheckpoint(eager=True, storageLevel=_DISK)
     verts = edges.select(F.col("u").alias("node")).distinct() \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_DISK)
     snap = lambda c: F.floor(c * 1e12 + 0.5).cast("decimal(28,0)")  # noqa: E731
     x = verts.select("node", F.lit(1.0).alias("sc"))
     terms = []
@@ -486,7 +487,7 @@ def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (F.sum(snap(F.col("sc"))).cast("double") / 1e12))
                 .alias("sc")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_DISK)
         )
         terms.append(x)
     out = verts

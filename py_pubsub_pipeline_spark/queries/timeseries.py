@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ckpt import DISK as _DISK
 from ..registry import query
 from ..tables import table
 
@@ -2306,7 +2307,7 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
          / F.lit(3_600_000_000)).cast("long").alias("h"),
     ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-          .alias("y")).localCheckpoint(eager=False)
+          .alias("y")).localCheckpoint(eager=False, storageLevel=_DISK)
     mom = hourly.groupBy("event_type").agg(
         (F.sum(F.col("y").cast("decimal(28,6)")).cast("double")
          / F.count("*")).alias("mu"))
