@@ -34,7 +34,8 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # two orders of magnitude above any legitimate oracle at the
     # scales this harness runs.
     try:
-        con.execute("SET max_temp_directory_size='20GB'")
+        con.execute("SET max_temp_directory_size='%s'"
+                    % os.environ.get("SPARK_GRAFT_ORACLE_TEMP_CAP", "20GB"))
     except Exception:
         pass  # older DuckDB without the setting
     # Same guard, RAM side: DuckDB's default limit (80% of the box)
@@ -44,7 +45,8 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # one oracle loudly instead; anything legitimate spills to the
     # capped temp dir.
     try:
-        con.execute("SET memory_limit='24GB'")
+        con.execute("SET memory_limit='%s'"
+                    % os.environ.get("SPARK_GRAFT_ORACLE_MEM_CAP", "24GB"))
     except Exception:
         pass
     for name in TABLE_NAMES:
