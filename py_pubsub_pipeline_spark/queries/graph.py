@@ -502,15 +502,15 @@ _AA_TOPK = 20
 @query(
     "graph_adamic_adar",
     oracle=f"""
-    WITH items AS (
+    WITH items AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
-    ), e AS (
+    ), e AS MATERIALIZED (
       SELECT u, v FROM (
         SELECT a.p AS u, b.p AS v, COUNT(*) AS w
         FROM items a JOIN items b ON b.ok = a.ok AND a.p <> b.p
         GROUP BY 1, 2)
       WHERE w >= {_KCORE_MINW}
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT u AS z, COUNT(*) AS d FROM e GROUP BY u
     ), wedge AS (
       SELECT e1.u AS u, e2.v AS v, e1.v AS z
@@ -670,15 +670,15 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_clustering_coeff",
     oracle=f"""
-    WITH items AS (
+    WITH items AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
-    ), e AS (
+    ), e AS MATERIALIZED (
       SELECT u, v FROM (
         SELECT a.p AS u, b.p AS v, COUNT(*) AS w
         FROM items a JOIN items b ON b.ok = a.ok AND a.p <> b.p
         GROUP BY 1, 2)
       WHERE w >= {_KCORE_MINW}
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT u, COUNT(*) AS d FROM e GROUP BY u
     ), tri AS (
       -- closed wedges at the midpoint z: neighbors u < v that are
