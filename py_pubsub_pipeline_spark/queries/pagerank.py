@@ -79,10 +79,10 @@ def _oracle_sql() -> str:
         JOIN deg d ON d.u = r.node
         GROUP BY e.v) s ON s.node = vt.node)""")
     return f"""
-    WITH eb AS (
+    WITH eb AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT cust AS u, supp + {SUPP_OFFSET} AS v FROM eb
       UNION ALL
       SELECT supp + {SUPP_OFFSET} AS u, cust AS v FROM eb),
@@ -123,10 +123,10 @@ def _lpa_oracle() -> str:
                                   ORDER BY c DESC, lbl) AS rn
         FROM cnt{i}) WHERE rn = 1)""")
     return f"""
-    WITH eb AS (
+    WITH eb AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT cust AS u, supp + {SUPP_OFFSET} AS v FROM eb
       UNION ALL
       SELECT supp + {SUPP_OFFSET} AS u, cust AS v FROM eb),
@@ -314,7 +314,7 @@ def _hits_oracle() -> str:
                / CAST((SELECT MAX(s) FROM hr{i}) AS DOUBLE) AS sc
       FROM hr{i})""")
     return f"""
-    WITH eb AS (
+    WITH eb AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
     h0 AS (SELECT DISTINCT cust AS node, CAST(1.0 AS DOUBLE) AS sc
@@ -422,14 +422,14 @@ def _katz_oracle() -> str:
         for i in range(1, N_KATZ_ITER + 1)
     )
     return f"""
-    WITH eb AS (
+    WITH eb AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT cust AS u, supp + {SUPP_OFFSET} AS v FROM eb
       UNION ALL
       SELECT supp + {SUPP_OFFSET} AS u, cust AS v FROM eb),
-    verts AS (
+    verts AS MATERIALIZED (
       SELECT DISTINCT u AS node FROM edges),
     k0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS sc FROM verts),
     {','.join(steps)}
