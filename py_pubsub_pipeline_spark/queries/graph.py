@@ -589,9 +589,9 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_modularity",
     oracle=f"""
-    WITH items AS (
+    WITH items AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
-    ), e AS (
+    ), e AS MATERIALIZED (
       SELECT u, v FROM (
         SELECT a.p AS u, b.p AS v, COUNT(*) AS w
         FROM items a JOIN items b ON b.ok = a.ok AND a.p <> b.p
@@ -599,7 +599,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE w >= {_KCORE_MINW}
     ), lab AS (
       SELECT p_partkey AS p, p_brand AS c FROM part
-    ), el AS (
+    ), el AS MATERIALIZED (
       SELECT cu.c AS cu, cv.c AS cv
       FROM e JOIN lab cu ON cu.p = e.u JOIN lab cv ON cv.p = e.v
     ), m AS (SELECT COUNT(*) AS m2 FROM el),  -- 2m (directed both ways)
