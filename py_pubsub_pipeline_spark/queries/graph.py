@@ -236,11 +236,11 @@ def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangles",
     oracle=f"""
     WITH {_SQL_SHINGLES},
-    inter AS (
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    e AS (
+    e AS MATERIALIZED (
       SELECT a_id AS u, b_id AS v FROM inter
       JOIN sizes sa ON sa.doc_id = a_id
       JOIN sizes sb ON sb.doc_id = b_id

@@ -717,7 +717,7 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_novelty_rate",
     oracle="""
-    WITH g AS (
+    WITH g AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              md5(t.s) AS gh
       FROM (
