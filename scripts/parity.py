@@ -59,6 +59,15 @@ _ENVELOPE_BELOW = {
             "oracle-infeasible at sf10, certified through sf1; "
             "LSH/minhash variants are the at-scale path"
         ),
+        "join_full": (
+            "COMPARISON-infeasible at sf10, not engine-infeasible: "
+            "the full-outer output is 76M rows and this harness "
+            "replicates the driver's check (collect both engines' "
+            "results into Python and canonicalize) — the collect "
+            "killed a 16g sweep JVM.  The Spark plan itself is a "
+            "plain sort-merge full-outer join, certified through sf1 "
+            "(7.6M rows collected and hash-matched)"
+        ),
     },
 }
 
@@ -94,11 +103,14 @@ def main() -> int:
     elif args.slice is not None:
         names = [n for n in sorted(registry)
                  if _slice_of(n, args.slices) == args.slice % args.slices]
-        env = _ENVELOPE_BELOW.get(os.path.basename(args.sf.rstrip("/")), {})
-        skipped = {n: env[n] for n in names if n in env}
-        names = [n for n in names if n not in skipped]
     else:
         names = args.names or sorted(registry)
+    # Documented scale envelopes apply in EVERY selection mode — a
+    # named sweep list must not re-run a key whose envelope ends
+    # below the probed scale (recorded as a skip, never silently).
+    env = _ENVELOPE_BELOW.get(os.path.basename(args.sf.rstrip("/")), {})
+    skipped = {n: env[n] for n in names if n in env}
+    names = [n for n in names if n not in skipped]
     spark = get_spark("parity")
     con = duckdb_connect(args.sf)
     n_fail = 0
@@ -144,13 +156,29 @@ def main() -> int:
         try:
             rep = compare(spark, registry[name], args.sf, con)
         except Exception as e:  # noqa: BLE001
-            print(f"!! {name}: EXC {type(e).__name__}: {str(e)[:300]}")
-            results[name] = {
-                "ok": False,
-                "why": f"EXC {type(e).__name__}: {str(e)[:300]}",
-            }
+            msg = f"EXC {type(e).__name__}: {str(e)[:300]}"
+            print(f"!! {name}: {msg}")
+            if "Connection refused" in msg:
+                # The Spark JVM is gone — every later key would be
+                # junk failures.  Abort loudly; the incremental
+                # artifact keeps everything finished so far and lists
+                # the rest under not_run for a restart.
+                print(f"-- ABORT: Spark JVM dead at {name}; "
+                      f"artifact preserves completed keys")
+                _checkpoint()
+                return 2
+            results[name] = {"ok": False, "why": msg}
             n_fail += 1
             _checkpoint()
+            # A DuckDB connection that hit a resource cap can be left
+            # corrupt (observed: temp accounting stuck at the cap,
+            # then a native segfault keys later, taking the whole
+            # sweep down).  A fresh connection per failure is cheap.
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            con = duckdb_connect(args.sf)
             continue
         dt = time.time() - t0
         if rep["ok"]:
