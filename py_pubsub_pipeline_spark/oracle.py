@@ -33,6 +33,17 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # /tmp (and the Spark JVM's spill dirs) down with it.  20 GB is
     # two orders of magnitude above any legitimate oracle at the
     # scales this harness runs.
+    # Isolate each connection's spill space: DuckDB's default temp
+    # dir is .tmp under the CWD, so two concurrent oracle processes
+    # share it and DELETE EACH OTHER'S spill files — observed at sf10
+    # as cross-process IO aborts ("could not remove file") and native
+    # segfaults mid-sweep.
+    try:
+        tmpdir = f"/tmp/duckdb_oracle_{os.getpid()}"
+        os.makedirs(tmpdir, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmpdir}'")
+    except Exception:
+        pass
     try:
         con.execute("SET max_temp_directory_size='%s'"
                     % os.environ.get("SPARK_GRAFT_ORACLE_TEMP_CAP", "20GB"))
