@@ -86,7 +86,7 @@ def _oracle_sql() -> str:
       SELECT cust AS u, supp + {SUPP_OFFSET} AS v FROM eb
       UNION ALL
       SELECT supp + {SUPP_OFFSET} AS u, cust AS v FROM eb),
-    deg AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS outdeg
+    deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS DOUBLE) AS outdeg
             FROM edges GROUP BY u),
     verts AS (
       SELECT c_custkey AS node FROM customer
@@ -109,14 +109,14 @@ def _lpa_oracle() -> str:
     iters = []
     for i in range(1, N_LPA_ITER + 1):
         iters.append(f"""
-    cnt{i} AS (
+    cnt{i} AS MATERIALIZED (
       SELECT node, lbl, COUNT(*) AS c FROM (
         SELECT e.v AS node, r.lbl FROM l{i - 1} r
         JOIN edges e ON e.u = r.node
         UNION ALL
         SELECT node, lbl FROM l{i - 1}
       ) GROUP BY node, lbl),
-    l{i} AS (
+    l{i} AS MATERIALIZED (
       SELECT node, lbl FROM (
         SELECT node, lbl,
                ROW_NUMBER() OVER (PARTITION BY node
