@@ -66,7 +66,7 @@ def _oracle_sql() -> str:
     iters = []
     for i in range(1, N_ITER + 1):
         iters.append(f"""
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT vt.node,
              {TELEPORT} + {DAMPING}
                * (COALESCE(CAST(s.s AS DOUBLE), 0.0) / 1000000000000.0) AS pr

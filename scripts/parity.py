@@ -59,6 +59,23 @@ _ENVELOPE_BELOW = {
             "oracle-infeasible at sf10, certified through sf1; "
             "LSH/minhash variants are the at-scale path"
         ),
+        "dedup_minhash_lsh": (
+            "ORACLE-infeasible at sf10, not engine-infeasible: the "
+            "DuckDB twin must re-derive 16 md5 minhash slots over the "
+            "~500M-shingle corpus and exact-verify candidates; after "
+            "the wide-MIN single-pass rewrite AND candidate semi-join "
+            "prefilters it still exhausted a 56GB isolated temp cap "
+            "(tried 20/40/56GB, round 7).  The Spark side runs at "
+            "sf10; exact through sf1; the sf10-certified near-dup "
+            "paths are dedup_ngram_jaccard/_capped, dedup_simhash, "
+            "dedup_containment"
+        ),
+        "dedup_minhash_estimate": (
+            "same md5-minhash oracle family as dedup_minhash_lsh "
+            "(32 slots + the exact-pair join) — exhausted a 56GB "
+            "isolated temp cap after the same rewrites; exact "
+            "through sf1"
+        ),
         "join_full": (
             "COMPARISON-infeasible at sf10, not engine-infeasible: "
             "the full-outer output is 76M rows and this harness "
