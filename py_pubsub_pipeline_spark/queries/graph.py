@@ -841,12 +841,12 @@ _CF_TOP = 20
 @query(
     "ml_item_cf",
     oracle=f"""
-    WITH cs AS (
+    WITH cs AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT supp, COUNT(*) AS n FROM cs GROUP BY supp
-    ), cooc AS (
+    ), cooc AS MATERIALIZED (
       SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS shared
       FROM cs a JOIN cs b ON b.cust = a.cust AND a.supp < b.supp
       GROUP BY 1, 2
