@@ -862,7 +862,15 @@ def audio_features(assets: DataFrame) -> DataFrame:
                 out["n_samples"].append(n)
                 out["zero_crossings"].append(zc)
                 out["energy"].append(energy)
-                out["rms"].append(round(math.sqrt(energy / n), 6))
+                # floor(x*1e6+0.5)/1e6, NOT round(x, 6): Python's
+                # round and DuckDB's ROUND disagree on values whose
+                # decimal repr straddles a half — first observed at
+                # sf10 magnitude (1 ulp in the 6th decimal). The
+                # floor trick is identical IEEE arithmetic on both
+                # engines (the round-5 exactness rule).
+                out["rms"].append(
+                    math.floor(math.sqrt(energy / n) * 1e6 + 0.5) / 1e6
+                )
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, AUDIO_FEATURE_SCHEMA)

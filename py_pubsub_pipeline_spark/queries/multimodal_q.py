@@ -325,7 +325,8 @@ def mm_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_samples AS BIGINT) AS n_samples,
            CAST(zc AS BIGINT) AS zero_crossings,
            CAST(energy AS BIGINT) AS energy,
-           ROUND(sqrt(CAST(energy AS DOUBLE) / n_samples), 6) AS rms
+           FLOOR(sqrt(CAST(energy AS DOUBLE) / n_samples)
+                 * 1000000 + 0.5) / 1000000 AS rms
     FROM feat
     """,
 )
