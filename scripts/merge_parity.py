@@ -49,7 +49,12 @@ def main() -> int:
                 results[k] = v
     env = _ENVELOPE_BELOW.get(os.path.basename(sf_dir.rstrip("/")), {})
     for k, why in env.items():
-        results.setdefault(k, {"ok": None, "skipped": why})
+        # The documented envelope ADJUDICATES a failed attempt (the
+        # attempt evidence is what the envelope entry cites) — but a
+        # green result always outranks it: if the key actually
+        # passed, record the pass.
+        if not results.get(k, {}).get("ok"):
+            results[k] = {"ok": None, "skipped": why}
     not_run = [k for k in registry if k not in results]
     art = {
         "sf_dir": sf_dir,
