@@ -1,0 +1,757 @@
+"""RAG-era corpus-construction operators (round 8): retrieval
+chunking, embedding-quality audits, curriculum/budget mixing,
+differential-privacy release, calibration, and weighted sampling.
+
+These extend the training-data surface (training.py / curation.py)
+with the operations a retrieval-augmented / multi-stage training
+pipeline runs between "curated documents" and "served index":
+overlap-chunk the corpus for retrieval, audit what dimension
+truncation costs recall (matryoshka), audit embedding drift by
+label slice, order the corpus into a curriculum, allocate a token
+budget across domains under a repetition cap (water-filling),
+release counts under differential privacy, check probability
+calibration, and draw a weight-proportional sample with
+Horvitz-Thompson weights.
+
+Determinism: integer/decimal arithmetic wherever a value crosses the
+hash comparison; doubles only through identical expression trees on
+both engines (IEEE ops are bit-deterministic; only libm calls and
+accumulation order are not, and those quantize through DECIMAL per
+the registry.py contract); every rank order ends in a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import table
+
+# --- chunking -----------------------------------------------------------
+CHUNK_W = 64   # tokens per retrieval chunk
+CHUNK_S = 48   # stride (CHUNK_W - CHUNK_S = 16 tokens of overlap)
+
+# --- matryoshka ---------------------------------------------------------
+MRL_DIMS = 16  # truncated prefix dimensionality (of 64)
+MRL_K = 10     # top-k whose recall is audited
+MRL_QUERIES = 50  # vec_id < 50 are the probe queries (as sim_topk)
+
+# --- water-filling ------------------------------------------------------
+# Repetition caps by quality tier (epochs): md5-gated ~60% of sources
+# stand in for the "curated" tier that tolerates more repetition; the
+# rest are the "web" tier.  Tiered caps are what make the water level
+# meaningful — a uniform cap on a near-uniform corpus either never or
+# always binds.
+WF_CAP_CURATED = 4
+WF_CAP_WEB = 2
+WF_TIER_GATE = "8"  # md5(source) first hex < '8' => curated
+WF_BUDGET_MULT = 2  # token budget = 2x the corpus
+
+# --- priority sampling --------------------------------------------------
+PPS_K = 100  # sample size
+
+# --- DP release ---------------------------------------------------------
+DP_EPS = 1  # epsilon (sensitivity 1 for a count)
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id, w, len(w) AS n,
+             UNNEST(generate_series(0, len(w) - 1, {CHUNK_S})) AS st
+      FROM t)
+    SELECT doc_id,
+           CAST(st // {CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(st AS BIGINT) AS start_tok,
+           CAST(LEAST({CHUNK_W}, n - st) AS BIGINT) AS n_tok,
+           md5(array_to_string(
+             w[st + 1 : st + LEAST({CHUNK_W}, n - st)], ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window retrieval chunking: each document becomes
+    {CHUNK_W}-token chunks on a {CHUNK_S}-token stride (16 tokens of
+    overlap), the layout a RAG indexer feeds the embedder.  Each chunk
+    carries its start offset, true length (tail chunks are short), and
+    an md5 of the chunk text so the hash pins exact token-boundary
+    agreement.
+
+    Scale: zero shuffle — tokenize, generate the start offsets with
+    ``sequence``, explode, slice.  Fan-out is tokens/{CHUNK_S} per doc
+    (~1.33 rows per {CHUNK_W} tokens), linear in corpus bytes and
+    embarrassingly parallel; the chunk table partitions exactly like
+    the documents scan that produced it."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    t = d.select("doc_id", w.alias("w"), F.size(w).alias("n"))
+    s = t.select(
+        "doc_id", "w", "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_S))
+        ).alias("st"),
+    )
+    n_tok = F.least(F.lit(CHUNK_W), F.col("n") - F.col("st"))
+    return s.select(
+        "doc_id",
+        (F.col("st").cast("long") / CHUNK_S).cast("long").alias("chunk_id"),
+        F.col("st").cast("long").alias("start_tok"),
+        n_tok.cast("long").alias("n_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("st") + 1, n_tok))
+        ).alias("chunk_md5"),
+    )
+
+
+@query(
+    "emb_drift_centroid",
+    oracle="""
+    WITH dim AS (SELECT UNNEST(generate_series(1, 64)) AS i),
+    ex AS (
+      SELECT label, dim.i - 1 AS d, CAST(e[dim.i] AS DOUBLE) AS x
+      FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      CROSS JOIN dim),
+    per AS (
+      SELECT label, d, SUM(CAST(x AS DECIMAL(28,12))) AS s
+      FROM ex GROUP BY label, d),
+    nl AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    tot AS (SELECT COUNT(*) AS nn FROM embeddings),
+    g AS (SELECT d, SUM(s) AS gs FROM per GROUP BY d),
+    cg AS (
+      SELECT per.label, per.d,
+             CAST(CAST(per.s AS VARCHAR) AS DOUBLE) / nl.n AS cd,
+             CAST(CAST(g.gs AS VARCHAR) AS DOUBLE) / tot.nn AS gd
+      FROM per JOIN nl USING (label) JOIN g USING (d) CROSS JOIN tot),
+    dots AS (
+      SELECT label,
+             CAST(CAST(SUM(CAST(cd * gd AS DECIMAL(28,12))) AS VARCHAR)
+                  AS DOUBLE) AS dp,
+             CAST(CAST(SUM(CAST(cd * cd AS DECIMAL(28,12))) AS VARCHAR)
+                  AS DOUBLE) AS cc
+      FROM cg GROUP BY label),
+    gn AS (
+      SELECT CAST(CAST(SUM(CAST(gd * gd AS DECIMAL(28,12))) AS VARCHAR)
+                  AS DOUBLE) AS gg
+      FROM (SELECT DISTINCT d, gd FROM cg))
+    SELECT dots.label, nl.n,
+           FLOOR(dots.dp / (SQRT(dots.cc) * SQRT(gn.gg)) * 1e6 + 0.5) / 1e6
+             AS cos_to_global
+    FROM dots JOIN nl USING (label) CROSS JOIN gn
+    """,
+)
+def emb_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift monitor: cosine similarity of each
+    label's centroid to the global corpus centroid.  A label slice
+    whose centroid swings away from the corpus (or all labels
+    collapsing to cosine ~1, the anisotropy failure emb_norm_stats
+    flags) is the first sign a re-embedded or newly ingested slice no
+    longer lives in the same space — run before trusting any cross-
+    slice sim_* verdict.
+
+    Scale: one posexplode (64x fan-out, map-side) into a (label, dim)
+    hash agg with map-side partials — the shuffle moves labels x 64
+    partial sums, never vectors.  Everything after is schema-bounded:
+    the global centroid is a 64-row broadcast, the cosine a per-label
+    fold over 64 rows.  Per-dimension sums accumulate in
+    DECIMAL(28,12) (order-independent), divisions and sqrt are single
+    IEEE ops, and the final cosine rounds via the shared floor trick."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    ex = e.select("label", F.posexplode("e").alias("d", "x"))
+    per = ex.groupBy("label", "d").agg(
+        F.sum(F.col("x").cast("decimal(28,12)")).alias("s")
+    )
+    nl = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = e.agg(F.count(F.lit(1)).alias("nn"))
+    g = per.groupBy("d").agg(F.sum("s").alias("gs"))
+    cg = (
+        per.join(F.broadcast(nl), "label")
+        .join(F.broadcast(g), "d")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "d",
+            (F.col("s").cast("double") / F.col("n")).alias("cd"),
+            (F.col("gs").cast("double") / F.col("nn")).alias("gd"),
+        )
+    )
+    dots = cg.groupBy("label").agg(
+        F.sum((F.col("cd") * F.col("gd")).cast("decimal(28,12)"))
+        .cast("double").alias("dp"),
+        F.sum((F.col("cd") * F.col("cd")).cast("decimal(28,12)"))
+        .cast("double").alias("cc"),
+    )
+    gn = (
+        cg.select("d", "gd").distinct()
+        .agg(
+            F.sum((F.col("gd") * F.col("gd")).cast("decimal(28,12)"))
+            .cast("double").alias("gg")
+        )
+    )
+    return (
+        dots.join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(gn))
+        .select(
+            "label",
+            "n",
+            (
+                F.floor(
+                    F.col("dp")
+                    / (F.sqrt(F.col("cc")) * F.sqrt(F.col("gg")))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("cos_to_global"),
+        )
+    )
+
+
+_SQL_COS = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+def _mrl_rank_sql(vec: str) -> str:
+    """Oracle CTE body: per-query top-{MRL_K} by cosine on `vec`."""
+    cos = _SQL_COS.format(a=f"q.{vec}", b=f"c.{vec}")
+    return f"""
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY FLOOR(({cos}) * 1e6 + 0.5) DESC, c.vec_id) AS rnk
+        FROM q JOIN c ON q.vec_id <> c.vec_id)
+      WHERE rnk <= {MRL_K}"""
+
+
+@query(
+    "emb_matryoshka_eval",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ef,
+                      CAST(embedding AS DOUBLE[])[1:{MRL_DIMS}] AS et
+               FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id < {MRL_QUERIES}),
+    c AS (SELECT * FROM b),
+    topf AS ({_mrl_rank_sql('ef')}),
+    topt AS ({_mrl_rank_sql('et')})
+    SELECT topf.query_id,
+           CAST(COUNT(topt.neighbor_id) AS BIGINT) AS n_common,
+           CAST(COUNT(topt.neighbor_id) * 100 / {MRL_K} AS BIGINT)
+             AS recall_pct
+    FROM topf LEFT JOIN topt USING (query_id, neighbor_id)
+    GROUP BY topf.query_id
+    """,
+)
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: for each probe query, exact
+    top-{MRL_K} cosine neighbors using the FULL 64-dim embedding vs
+    using only the first {MRL_DIMS} dims, and the per-query recall of
+    the truncated index against the full one.  This is the
+    measurement behind every "truncate MRL embeddings to cut the
+    vector index 4x" decision — it prices the recall loss before the
+    index is rebuilt.
+
+    Scale: both rankings pre-reduce per (query, candidate-block) —
+    block-local top-{MRL_K} first (parallel bounded sorts behind one
+    hash exchange), then the global re-rank sees blocks x {MRL_K}
+    rows per query.  The probe set is broadcast (bounded at
+    {MRL_QUERIES}); candidates stream linearly.  Ranking keys are
+    floor-quantized at 1e-6 with a neighbor-id tie-break on both
+    engines, so last-ulp noise cannot reorder an overlap membership."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ef"),
+        F.slice(
+            F.transform("embedding", lambda x: x.cast("double")),
+            1, MRL_DIMS,
+        ).alias("et"),
+    )
+    q = base.filter(F.col("vec_id") < MRL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ef").alias("qf"),
+        F.col("et").alias("qt"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("ef").alias("cf"),
+        F.col("et").alias("ct"),
+        (F.col("vec_id") % 32).cast("int").alias("blk"),
+    )
+
+    def dot(a: str, b: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def topk(qv: str, cv: str) -> DataFrame:
+        scored = (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                "blk",
+                F.floor(
+                    dot(qv, cv)
+                    / (F.sqrt(dot(qv, qv)) * F.sqrt(dot(cv, cv)))
+                    * 1e6
+                    + F.lit(0.5)
+                ).alias("score"),
+            )
+        )
+        wb = Window.partitionBy("query_id", "blk").orderBy(
+            F.col("score").desc(), "neighbor_id"
+        )
+        local = scored.withColumn("r1", F.row_number().over(wb)).filter(
+            F.col("r1") <= MRL_K
+        )
+        wg = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), "neighbor_id"
+        )
+        return (
+            local.withColumn("rnk", F.row_number().over(wg))
+            .filter(F.col("rnk") <= MRL_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    topf = topk("qf", "cf")
+    topt = topk("qt", "ct").withColumn("hit", F.lit(1))
+    return (
+        topf.join(topt, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_common"),
+            (F.count("hit") * 100 / MRL_K).cast("long").alias("recall_pct"),
+        )
+        .select("query_id", F.col("n_common").cast("long").alias("n_common"),
+                "recall_pct")
+    )
+
+
+@query(
+    "mix_curriculum",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_tok, doc_id) AS rk
+      FROM t),
+    s AS (
+      SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS sidx
+      FROM (SELECT DISTINCT source FROM t)),
+    ns AS (SELECT COUNT(*) AS n_src FROM s)
+    SELECT r.doc_id, r.source, r.n_tok,
+           CAST((r.rk - 1) * ns.n_src + (s.sidx - 1) AS BIGINT) AS pos
+    FROM r JOIN s USING (source) CROSS JOIN ns
+    """,
+)
+def mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-ordered curriculum with stratified source interleave:
+    within each source documents are ranked easiest-first (token
+    count, doc_id tie-break), and global training position
+    ``pos = (rank-1) * n_sources + source_index`` round-robins the
+    sources so no training window sees a single-domain run — the
+    standard curriculum + domain-mixing layout.
+
+    Scale (the split-shard rank, as sample_balanced_exact): a plain
+    per-source rank window serializes each source onto one task.
+    Instead each doc gets a deterministic shard by equal-width
+    bucketing of n_tok between the source's broadcast min/max (equal
+    lengths shard together, so rank tie semantics survive), the rank
+    window runs per (source, shard) — S parallel tasks per source —
+    and per-shard counts (a tiny <=S-row window per source) correct
+    the offsets to the exact per-source rank."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bounds = t.groupBy("source").agg(
+        F.min("n_tok").alias("mn"), F.max("n_tok").alias("mx")
+    )
+    sh = (
+        t.join(F.broadcast(bounds), "source")
+        .select(
+            "doc_id", "source", "n_tok",
+            F.expr(
+                f"CAST((n_tok - mn) * {shards} DIV (mx - mn + 1) AS INT)"
+            ).alias("shard"),
+        )
+    )
+    per = sh.groupBy("source", "shard").agg(F.count(F.lit(1)).alias("cnt"))
+    woff = (
+        Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per.select(
+        "source", "shard",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+    )
+    wloc = Window.partitionBy("source", "shard").orderBy("n_tok", "doc_id")
+    ranked = (
+        sh.join(F.broadcast(offs), ["source", "shard"])
+        .withColumn("rk", F.row_number().over(wloc) + F.col("off"))
+    )
+    srcs = t.select("source").distinct()
+    sidx = srcs.select(
+        "source",
+        F.row_number().over(Window.orderBy("source")).alias("sidx"),
+    )
+    ns = sidx.agg(F.count(F.lit(1)).alias("n_src"))
+    return (
+        ranked.join(F.broadcast(sidx), "source")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "doc_id", "source", "n_tok",
+            ((F.col("rk") - 1) * F.col("n_src") + (F.col("sidx") - 1))
+            .cast("long").alias("pos"),
+        )
+    )
+
+
+@query(
+    "mix_water_filling",
+    oracle=f"""
+    WITH dom AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, tok,
+             CAST(CASE WHEN substr(md5(source), 1, 1) < '{WF_TIER_GATE}'
+                       THEN {WF_CAP_CURATED} ELSE {WF_CAP_WEB} END * tok
+                  AS BIGINT) AS cap,
+             CAST(FLOOR(SQRT(CAST(tok AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS wq
+      FROM dom),
+    tt AS (SELECT CAST({WF_BUDGET_MULT} * SUM(tok) AS BIGINT) AS budget
+           FROM dom),
+    srt AS (
+      SELECT *,
+             (cap * 1000000000) // wq AS r_milli,
+             ROW_NUMBER() OVER (ORDER BY (cap * 1000000000) // wq, source)
+               AS k,
+             COALESCE(SUM(cap) OVER (
+               ORDER BY (cap * 1000000000) // wq, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cap_excl,
+             SUM(wq) OVER (
+               ORDER BY (cap * 1000000000) // wq, source
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_suf
+      FROM w),
+    cand AS (
+      SELECT srt.*, ((tt.budget - cap_excl) * 1000000000) // w_suf
+               AS lam_milli,
+             COALESCE(LAG(r_milli) OVER (ORDER BY k), 0) AS r_prev
+      FROM srt CROSS JOIN tt),
+    pick AS (
+      SELECT MIN(lam_milli) AS lam
+      FROM cand
+      WHERE lam_milli >= r_prev AND lam_milli < r_milli)
+    SELECT source, tok, cap,
+           CAST(CASE WHEN pick.lam IS NULL OR cand.r_milli <= pick.lam
+                     THEN cap
+                     ELSE (pick.lam * wq) // 1000000000 END AS BIGINT)
+             AS alloc,
+           CAST(1000 * (CASE WHEN pick.lam IS NULL OR cand.r_milli <= pick.lam
+                        THEN cap
+                        ELSE (pick.lam * wq) // 1000000000 END) // tok
+                AS BIGINT) AS epochs_milli
+    FROM cand CROSS JOIN pick
+    """,
+)
+def mix_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling across domains: allocate a training
+    budget of {WF_BUDGET_MULT}x the corpus across sources with demand
+    proportional to sqrt(tokens) (the temperature-mixing rule) under a
+    hard per-domain repetition cap — {WF_CAP_CURATED} epochs for the
+    curated tier, {WF_CAP_WEB} for the web tier (tier = an md5 gate on
+    the source, standing in for a quality label) — the
+    data-constrained-scaling allocation.  Domains whose cap sits below
+    the water level saturate at the cap; the remaining budget spreads
+    over the rest at a common level lambda with
+    ``alloc = min(cap, lambda * w)``.
+
+    The exact threshold comes from the classic sorted sweep: domains
+    ordered by cap/w, lambda candidate for "first k-1 saturated" is
+    (budget - sum(saturated caps)) / sum(remaining w); the unique k
+    with r_(k-1) <= lambda < r_k wins.  All of it in exact integer
+    milli-units (sqrt is IEEE-exact, then quantized to micro once) on
+    a schema-bounded domain table — both engines run the identical
+    integer algebra, so the discrete surrogate is bit-reproducible.
+
+    Scale: one fact-side hash agg to (source, tokens); everything
+    after runs on rows bounded by domain cardinality.  BIGINT head-
+    room: budget * 1e9 caps at ~9e18 — exact through ~4.5e9 corpus
+    tokens per run (document and re-derive in DECIMAL beyond)."""
+    d = table(spark, sf_dir, "documents")
+    dom = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("tok")
+    )
+    cap_epochs = F.when(
+        F.substring(F.md5(F.col("source")), 1, 1) < WF_TIER_GATE,
+        F.lit(WF_CAP_CURATED),
+    ).otherwise(F.lit(WF_CAP_WEB))
+    w = dom.select(
+        "source", "tok",
+        (cap_epochs * F.col("tok")).cast("long").alias("cap"),
+        F.floor(F.sqrt(F.col("tok").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long").alias("wq"),
+    )
+    tt = dom.agg(
+        (F.lit(WF_BUDGET_MULT) * F.sum("tok")).cast("long").alias("budget")
+    )
+    r_milli = F.expr("cap * 1000000000 DIV wq")
+    wr = Window.orderBy(r_milli, "source")
+    srt = w.select(
+        "source", "tok", "cap", "wq",
+        r_milli.alias("r_milli"),
+        F.row_number().over(wr).alias("k"),
+        F.coalesce(
+            F.sum("cap").over(
+                wr.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cap_excl"),
+        F.sum("wq").over(
+            wr.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ).alias("w_suf"),
+    )
+    wk = Window.orderBy("k")
+    cand = srt.crossJoin(F.broadcast(tt)).select(
+        "*",
+        F.expr("(budget - cap_excl) * 1000000000 DIV w_suf")
+        .alias("lam_milli"),
+    ).withColumn(
+        "r_prev", F.coalesce(F.lag("r_milli").over(wk), F.lit(0))
+    )
+    pick = cand.filter(
+        (F.col("lam_milli") >= F.col("r_prev"))
+        & (F.col("lam_milli") < F.col("r_milli"))
+    ).agg(F.min("lam_milli").alias("lam"))
+    alloc = F.when(
+        F.col("lam").isNull() | (F.col("r_milli") <= F.col("lam")),
+        F.col("cap"),
+    ).otherwise(F.expr("lam * wq DIV 1000000000"))
+    return cand.crossJoin(F.broadcast(pick)).select(
+        "source", "tok", "cap",
+        alloc.cast("long").alias("alloc"),
+        F.expr(
+            "CAST(1000 * (CASE WHEN lam IS NULL OR r_milli <= lam THEN cap "
+            "ELSE lam * wq DIV 1000000000 END) DIV tok AS BIGINT)"
+        ).alias("epochs_milli"),
+    )
+
+
+@query(
+    "privacy_dp_count",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n,
+             CAST(('0x' || substr(md5(lang || '|' || source), 1, 13))
+                  AS BIGINT) AS h
+      FROM documents GROUP BY lang, source),
+    u AS (
+      SELECT lang, source, n,
+             (h + 0.5) / 4503599627370496.0 AS uu
+      FROM g),
+    nz AS (
+      SELECT lang, source, n,
+             CASE WHEN uu >= 0.5 THEN 1 ELSE -1 END AS sgn,
+             CAST(LN(1.0 - 2.0 * ABS(uu - 0.5)) AS DECIMAL(18,12)) AS lq
+      FROM u)
+    SELECT lang, source,
+           CAST(ROUND(CAST(n AS DECIMAL(18,12))
+                      - sgn * lq / {DP_EPS}, 4) AS DECIMAL(18,4)) AS noisy_n
+    FROM nz
+    """,
+)
+def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per-(lang, source) doc
+    counts with Laplace(1/epsilon) noise, epsilon={DP_EPS} and
+    sensitivity 1 — the third privacy gate beside k-anonymity and
+    l-diversity (those audit, this one actually perturbs).  The noise
+    draw is the standard inverse-CDF transform of a uniform; the
+    uniform is md5-derived from the group key (53 bits, never 0 or 1
+    by the +0.5 offset), so the release is reproducible run-to-run —
+    the seeded-RNG posture every other sampling op here uses.
+
+    Scale: one hash agg; the noise is map-side arithmetic on the
+    group rows.  Determinism: the uniform and the 1-2|u-0.5| argument
+    are exact dyadic doubles, the single libm LN quantizes through
+    DECIMAL(18,12) (registry.py contract), and everything after is
+    exact decimal arithmetic rounded half-up to 4 decimals on both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "lang", "source")), 1, 13),
+        16, 10,
+    ).cast("long")
+    uu = (h + F.lit(0.5)) / F.lit(float(2**52))
+    sgn = F.when(uu >= 0.5, F.lit(1)).otherwise(F.lit(-1))
+    lq = F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uu - F.lit(0.5))).cast(
+        "decimal(18,12)"
+    )
+    return g.select(
+        "lang", "source",
+        F.round(
+            F.col("n").cast("decimal(18,12)") - sgn * lq / DP_EPS, 4
+        ).cast("decimal(18,4)").alias("noisy_n"),
+    )
+
+
+@query(
+    "ml_calibration_ece",
+    oracle="""
+    WITH s AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS BIGINT)))
+               AS bin,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+      FROM events),
+    b AS (
+      SELECT bin, COUNT(*) AS n, SUM(y) AS k FROM s GROUP BY bin),
+    e AS (
+      SELECT bin, n, k,
+             bin * 100 + 50 AS conf_milli,
+             (k * 1000) // n AS acc_milli
+      FROM b)
+    SELECT bin, n, CAST(k AS BIGINT) AS k,
+           CAST(conf_milli AS BIGINT) AS conf_milli,
+           CAST(acc_milli AS BIGINT) AS acc_milli,
+           CAST(ABS(acc_milli - conf_milli) AS BIGINT) AS gap_milli,
+           CAST((SUM(n * ABS(acc_milli - conf_milli)) OVER ()) * 1000
+                // (SUM(n) OVER ()) AS BIGINT) AS ece_micro
+    FROM e
+    """,
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error: event value
+    deciles stand in for a model's predicted probability (bin
+    midpoint = stated confidence), outcome = click; per bin the
+    empirical accuracy, the |accuracy - confidence| gap, and the
+    population-weighted ECE — the calibration audit that belongs
+    beside ml_brier_decomposition (Brier says how good, ECE says how
+    honest the stated probabilities are).
+
+    Scale: one conditional hash agg to <=10 bins; the ECE window runs
+    over those bin rows only.  Arithmetic is pure integer milli/micro
+    units (the FLOOR-before-CAST rule pins the one double division),
+    so the hash cannot drift at any scale."""
+    e = table(spark, sf_dir, "events")
+    s = e.select(
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0), F.floor(F.col("value") / 10.0).cast("long")
+            ),
+        ).alias("bin"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+    )
+    b = s.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("k")
+    )
+    ew = b.select(
+        "bin", "n", "k",
+        (F.col("bin") * 100 + 50).cast("long").alias("conf_milli"),
+        F.expr("k * 1000 DIV n").alias("acc_milli"),
+    )
+    wall = Window.partitionBy()
+    return ew.select(
+        "bin", "n", "k", "conf_milli", "acc_milli",
+        F.abs(F.col("acc_milli") - F.col("conf_milli")).alias("gap_milli"),
+        F.expr(
+            "SUM(n * ABS(acc_milli - conf_milli)) OVER () * 1000"
+        ).cast("long").alias("_wg"),
+    ).withColumn("_tn", F.sum("n").over(wall)).select(
+        "bin", "n", "k", "conf_milli", "acc_milli", "gap_milli",
+        F.expr("_wg DIV _tn").cast("long").alias("ece_micro"),
+    )
+
+
+@query(
+    "sample_priority_ppswor",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             (CAST(n_chars AS BIGINT) * 1000000000) //
+             ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1000000000) + 1) AS key
+      FROM documents),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rn
+      FROM k),
+    t AS (
+      SELECT COALESCE(MAX(CASE WHEN rn = {PPS_K + 1} THEN key END), 0)
+               AS tau
+      FROM r WHERE rn <= {PPS_K + 1})
+    SELECT doc_id, w, key,
+           CAST(GREATEST(w, t.tau) AS BIGINT) AS ht_weight
+    FROM r CROSS JOIN t
+    WHERE rn <= {PPS_K}
+    """,
+)
+def sample_priority_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup PPSWOR): each document
+    draws priority w/u (w = byte weight, u = md5-uniform), the top
+    {PPS_K} priorities form the sample, and each sampled item carries
+    the Horvitz-Thompson estimation weight max(w, tau) with tau = the
+    ({PPS_K}+1)-th priority — an unbiased weighted sample whose
+    estimator variance is provably near-optimal.  This is how a
+    100 TB corpus yields a faithful weighted sample for eval or
+    profiling in one pass.
+
+    Exactness: priority is the integer surrogate (w * 1e9) DIV (u9+1)
+    (u9 = 60 md5 bits mod 1e9) — identical integer algebra on both
+    engines, doc_id tie-break, no float anywhere.
+
+    Scale: the top-({PPS_K}+1) runs as TakeOrderedAndProject (per-task
+    partial top-k, no global sort — plan-gated); tau and the rank
+    recheck run on the {PPS_K}+1 collected rows, a bounded single
+    task."""
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    k = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        (h % F.lit(1000000000)).alias("u9"),
+    ).select(
+        "doc_id", "w",
+        F.expr("w * 1000000000 DIV (u9 + 1)").alias("key"),
+    )
+    top = k.orderBy(F.col("key").desc(), "doc_id").limit(PPS_K + 1)
+    wr = Window.orderBy(F.col("key").desc(), "doc_id")
+    wall = Window.partitionBy()
+    r = top.withColumn("rn", F.row_number().over(wr))
+    return (
+        r.withColumn(
+            "tau",
+            F.coalesce(
+                F.max(F.when(F.col("rn") == PPS_K + 1, F.col("key"))).over(
+                    wall
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("rn") <= PPS_K)
+        .select(
+            "doc_id", "w", "key",
+            F.greatest(F.col("w"), F.col("tau")).cast("long")
+            .alias("ht_weight"),
+        )
+    )

@@ -754,3 +754,50 @@ def test_ndcg_terms_quantized_before_sum(spark):
     # the per-rank terms (the libm-portability contract).
     df = REG["ml_ndcg"].fn(spark, SF_SMALL)
     assert "decimal(18,12)" in _optimized(df).lower()
+
+
+def test_chunk_overlap_is_shuffle_free_codegen(spark):
+    # Chunking is tokenize + sequence + explode + slice: pure map-side
+    # generation, no exchange, no Python.
+    plan = _final(_executed(REG["text_chunk_overlap"].fn(spark, SF_SMALL),
+                            spark))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ppswor_takes_ordered_not_global_sort(spark):
+    # The top-(k+1) priority cut must plan TakeOrderedAndProject
+    # (per-task partial top-k); a global Sort+single-partition
+    # Exchange of the corpus fails the 100 TB contract.
+    plan = _executed(REG["sample_priority_ppswor"].fn(spark, SF_SMALL), spark)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_drift_centroid_shuffles_partials_not_vectors(spark):
+    # The (label, dim) aggregation must partial-aggregate map-side so
+    # the exchange moves labels x 64 partial sums, not exploded rows.
+    plan = _executed(REG["emb_drift_centroid"].fn(spark, SF_SMALL), spark)
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_curriculum_rank_window_is_sharded(spark):
+    # The per-source rank must run per (source, shard) — a bare
+    # per-source window serializes each source onto one task.
+    df = REG["mix_curriculum"].fn(spark, SF_SMALL)
+    opt = _optimized(df)
+    assert "windowspecdefinition(source" in opt and "shard" in opt, opt
+
+
+def test_matryoshka_broadcasts_probes_no_smj(spark):
+    # Probe set (50 rows) broadcasts against the streaming candidate
+    # scan; the inequality join must be broadcast nested-loop, never
+    # a SortMergeJoin / shuffled cartesian.
+    plan = _final(_executed(REG["emb_matryoshka_eval"].fn(spark, SF_SMALL),
+                            spark))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # The block-local pre-top-k must ride Spark's rank-limit pushdown
+    # (WindowGroupLimit) so block sorts are k-bounded.
+    assert "WindowGroupLimit" in plan
