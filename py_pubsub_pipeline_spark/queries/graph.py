@@ -919,3 +919,122 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "item_a", "item_b")
         .limit(_CF_TOP)
     )
+
+
+_BFS_ROUNDS = 4
+_BFS_SEED_MOD = 19  # seeds: graph vertices with p % 19 == 0
+
+
+def _bfs_oracle() -> str:
+    # Same materialized-CTE discipline as _kcore_oracle: the frontier
+    # and visited sets are referenced by every later round, so inlining
+    # would re-evaluate the co-purchase base join per reference.
+    rounds = []
+    for r in range(1, _BFS_ROUNDS + 1):
+        rounds.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT DISTINCT e.v AS u
+      FROM e JOIN d{r - 1} f ON e.u = f.u
+      LEFT JOIN vis{r - 1} s ON s.u = e.v
+      WHERE s.u IS NULL
+    ), vis{r} AS MATERIALIZED (
+      SELECT u FROM vis{r - 1} UNION ALL SELECT u FROM d{r}
+    )""")
+    hist = "\n    UNION ALL\n".join(
+        f"    SELECT {r} AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d{r}"
+        for r in range(0, _BFS_ROUNDS + 1))
+    return f"""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), e AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+        FROM items a JOIN items b ON b.ok = a.ok AND a.p <> b.p
+        GROUP BY 1, 2)
+      WHERE w >= {_KCORE_MINW}
+    ), verts AS MATERIALIZED (
+      SELECT DISTINCT u FROM e
+    ), d0 AS MATERIALIZED (
+      SELECT u FROM verts WHERE u % {_BFS_SEED_MOD} = 0
+    ), vis0 AS MATERIALIZED (
+      SELECT u FROM d0
+    ),{",".join(rounds)}
+{hist}
+    UNION ALL
+    SELECT -1 AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM verts LEFT JOIN vis{_BFS_ROUNDS} s USING (u) WHERE s.u IS NULL
+    """
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance on the part co-purchase graph:
+    seeds are the vertices with partkey % {_BFS_SEED_MOD} == 0 (a
+    deterministic sprinkling standing in for "labeled/trusted nodes"),
+    and each vertex gets the minimum hop count to any seed within
+    {_BFS_ROUNDS} rounds.  Output is the reachability histogram
+    (dist -> node count, dist = -1 for vertices still unreached) —
+    the proximity-to-trust signal behind spam-distance /
+    TrustRank-style curation and the fourth iterative-graph shape
+    beside value propagation (pagerank), label diffusion
+    (label_prop), and structure shrinking (kcore).
+
+    Scale: each round is one edge-keyed hash join (frontier against
+    the adjacency) + a distinct + an anti join against the visited
+    set — all vertex-keyed shuffles, frontier-sized not graph-sized;
+    rounds checkpoint to DISK_ONLY (functions/ckpt.py) so lineage and
+    executor storage stay flat in iteration count.  The bounded round
+    count is the production posture (distance saturates at the
+    diameter of interest); the histogram output is schema-bounded."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("p")).distinct()
+    a = items.select("ok", F.col("p").alias("u"))
+    b = items.select("ok", F.col("p").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v").agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _KCORE_MINW)
+        .select("u", "v")
+        .localCheckpoint(eager=True, storageLevel=_DISK)
+    )
+    verts = e.select("u").distinct()
+    frontier = verts.filter(F.col("u") % _BFS_SEED_MOD == 0).localCheckpoint(
+        eager=True, storageLevel=_DISK
+    )
+    visited = frontier
+    hist = [
+        frontier.agg(
+            F.lit(0).alias("dist"),
+            F.count("*").cast("long").alias("n_nodes"),
+        )
+    ]
+    for r in range(1, _BFS_ROUNDS + 1):
+        frontier = (
+            e.join(frontier, "u")
+            .select(F.col("v").alias("u"))
+            .distinct()
+            .join(visited, "u", "left_anti")
+            .localCheckpoint(eager=True, storageLevel=_DISK)
+        )
+        visited = visited.unionAll(frontier).localCheckpoint(
+            eager=True, storageLevel=_DISK
+        )
+        hist.append(
+            frontier.agg(
+                F.lit(r).alias("dist"),
+                F.count("*").cast("long").alias("n_nodes"),
+            )
+        )
+    unreached = (
+        verts.join(visited, "u", "left_anti")
+        .agg(
+            F.lit(-1).alias("dist"),
+            F.count("*").cast("long").alias("n_nodes"),
+        )
+    )
+    out = hist[0]
+    for h in hist[1:]:
+        out = out.unionAll(h)
+    return out.unionAll(unreached)

@@ -755,3 +755,277 @@ def sample_priority_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ht_weight"),
         )
     )
+
+
+# --- semantic prune / MMR ----------------------------------------------
+SEM_BITS = 4          # sign-bit blocking width (as sim_lsh_bucketed)
+SEM_TAU_MICRO = 300000  # cosine >= 0.3 => semantic near-dup
+MMR_QUERIES = 10
+MMR_POOL = 20
+MMR_K = 5
+# lambda = 0.7 as integer weights: score = 7*rel - 3*penalty (units of
+# 1e-7 cosine; no division anywhere, so no floor-vs-truncate risk).
+MMR_WREL = 7
+MMR_WPEN = 3
+
+_SQL_COS_MICRO = (
+    "FLOOR((" + _SQL_COS + ") * 1e6 + 0.5)"
+)
+
+
+def _sql_signbucket(col: str) -> str:
+    return " || ".join(
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(SEM_BITS)
+    )
+
+
+@query(
+    "dedup_semantic_prune",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             {_sql_signbucket("CAST(embedding AS DOUBLE[])")} AS bkt
+      FROM embeddings),
+    close AS (
+      SELECT hi.vec_id, COUNT(*) AS n_close
+      FROM b lo JOIN b hi ON hi.bkt = lo.bkt AND lo.vec_id < hi.vec_id
+      WHERE {_SQL_COS_MICRO.format(a="lo.e", b="hi.e")} >= {SEM_TAU_MICRO}
+      GROUP BY hi.vec_id)
+    SELECT b.vec_id, b.bkt,
+           CAST(COALESCE(close.n_close, 0) AS BIGINT) AS n_close,
+           close.n_close IS NULL AS kept
+    FROM b LEFT JOIN close USING (vec_id)
+    """,
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: embeddings block by the sign
+    pattern of their leading {SEM_BITS} dimensions (the
+    sim_lsh_bucketed family), and within a block any vector with a
+    LOWER-id neighbor at cosine >= {SEM_TAU_MICRO / 1e6} is dropped —
+    the one-pass keep-the-representative rule that turns pairwise
+    "semantically same" into a pruned corpus.  Output is the full
+    verdict table (kept flag + how many in-block near-dups precede
+    each vector), which is what the downstream filter joins against.
+
+    Scale: candidate generation is an equi-join on the block key —
+    keys shuffle, vectors never cross except within a block.  Block
+    population is corpus/2^{SEM_BITS}; at 100 TB widen the sign
+    prefix (every added bit quarters the expected in-block pair
+    count) exactly as the LSH band family does — the recall trade
+    (near-dups straddling a sign boundary are missed) is the standard
+    blocked-dedup contract, measured for this family by
+    dedup_minhash_estimate's calibration audit.  Cosines are
+    floor-quantized at 1e-6 before the threshold so a last-ulp
+    difference cannot flip a membership."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    bkt = F.concat(
+        *[
+            F.when(F.element_at("e", i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(SEM_BITS)
+        ]
+    )
+    b = base.select("vec_id", "e", bkt.alias("bkt"))
+
+    def dot(a: str, c: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(c), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    lo = b.select(
+        F.col("vec_id").alias("lo_id"), F.col("e").alias("le"), "bkt"
+    )
+    hi = b.select(
+        F.col("vec_id").alias("vec_id"), F.col("e").alias("he"), "bkt"
+    )
+    close = (
+        lo.join(hi, "bkt")
+        .filter(F.col("lo_id") < F.col("vec_id"))
+        .filter(
+            F.floor(
+                dot("le", "he")
+                / (F.sqrt(dot("le", "le")) * F.sqrt(dot("he", "he")))
+                * 1e6
+                + F.lit(0.5)
+            )
+            >= SEM_TAU_MICRO
+        )
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    return b.join(close, "vec_id", "left").select(
+        "vec_id",
+        "bkt",
+        F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_close"),
+        F.col("nc").isNull().alias("kept"),
+    )
+
+
+def _mmr_oracle() -> str:
+    rel_micro = _SQL_COS_MICRO.format(a="q.e", b="c.e")
+    sim_micro = _SQL_COS_MICRO.format(a="x.e", b="y.e")
+    rounds = []
+    prev_sel = "sel1"
+    for t in range(2, MMR_K + 1):
+        rounds.append(f"""
+    pen{t} AS MATERIALIZED (
+      SELECT pr.qid, pr.b AS cid, MAX(pr.sim) AS pen
+      FROM pr JOIN {prev_sel} s ON s.qid = pr.qid AND s.cid = pr.a
+      GROUP BY pr.qid, pr.b),
+    sc{t} AS MATERIALIZED (
+      SELECT pool.qid, pool.cid,
+             {MMR_WREL} * pool.rel
+               - {MMR_WPEN} * COALESCE(pen{t}.pen, 0) AS score
+      FROM pool
+      LEFT JOIN pen{t} ON pen{t}.qid = pool.qid AND pen{t}.cid = pool.cid
+      LEFT JOIN {prev_sel} s ON s.qid = pool.qid AND s.cid = pool.cid
+      WHERE s.cid IS NULL),
+    pick{t} AS MATERIALIZED (
+      SELECT qid, cid, {t} AS t, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc{t})
+      WHERE rn = 1),
+    sel{t} AS MATERIALIZED (
+      SELECT qid, cid, t, score FROM {prev_sel}
+      UNION ALL SELECT qid, cid, t, score FROM pick{t})""")
+        prev_sel = f"sel{t}"
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id < {MMR_QUERIES}),
+    c AS (SELECT * FROM b),
+    pool AS MATERIALIZED (
+      SELECT qid, cid, rel FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CAST({rel_micro} AS BIGINT) AS rel,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {rel_micro} DESC, c.vec_id) AS rn
+        FROM q JOIN c ON q.vec_id <> c.vec_id)
+      WHERE rn <= {MMR_POOL}),
+    pr AS MATERIALIZED (
+      SELECT p1.qid, p1.cid AS a, p2.cid AS b,
+             CAST({sim_micro} AS BIGINT) AS sim
+      FROM pool p1
+      JOIN pool p2 ON p2.qid = p1.qid AND p2.cid <> p1.cid
+      JOIN b x ON x.vec_id = p1.cid
+      JOIN b y ON y.vec_id = p2.cid),
+    sel1 AS MATERIALIZED (
+      SELECT qid, cid, 1 AS t, {MMR_WREL} * rel AS score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY rel DESC, cid) AS rn FROM pool)
+      WHERE rn = 1),{",".join(rounds)}
+    SELECT qid AS query_id, cid AS vec_id,
+           CAST(t AS BIGINT) AS mmr_rank, CAST(score AS BIGINT) AS score
+    FROM sel{MMR_K}
+    """
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking: for each probe query the
+    top-{MMR_POOL} cosine candidates are greedily re-selected into a
+    diversified top-{MMR_K} — each step picks
+    argmax {MMR_WREL}*relevance - {MMR_WPEN}*max-similarity-to-
+    already-picked (lambda = 0.7) — the serving-side step that stops a
+    RAG context window from filling with five copies of the same
+    passage (dedup_semantic_prune cleans the corpus; MMR cleans the
+    RESULT LIST).
+
+    Scale: relevance scoring is the broadcast-probe linear scan (as
+    emb_matryoshka_eval); everything after operates on the bounded
+    pool (queries x {MMR_POOL} rows, pairwise sims queries x
+    {MMR_POOL}^2) — the greedy recursion unrolls {MMR_K} rounds of
+    joins over those bounded frames, never touching the corpus again.
+    All scores are integer (floor-quantized cosines, integer lambda
+    weights, NO division — Spark DIV truncates where DuckDB //
+    floors, so negatives never cross a divide)."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q = base.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    c = base.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+
+    def dot(a: str, b_: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b_), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def cos_micro(a: str, b_: str) -> F.Column:
+        return F.floor(
+            dot(a, b_) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b_, b_))) * 1e6
+            + F.lit(0.5)
+        ).cast("long")
+
+    wq = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")
+    pool = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cos_micro("qe", "ce").alias("rel"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("qid", "cid", "rel")
+    )
+    p1 = pool.select("qid", F.col("cid").alias("a"))
+    p2 = pool.select("qid", F.col("cid").alias("b"))
+    bx = base.select(F.col("vec_id").alias("a"), F.col("e").alias("ae"))
+    by = base.select(F.col("vec_id").alias("b"), F.col("e").alias("be"))
+    pr = (
+        p1.join(p2, "qid")
+        .filter(F.col("a") != F.col("b"))
+        .join(bx, "a")
+        .join(by, "b")
+        .select("qid", "a", "b", cos_micro("ae", "be").alias("sim"))
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")
+    sel = (
+        pool.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid", "cid", F.lit(1).alias("t"),
+            (F.lit(MMR_WREL) * F.col("rel")).alias("score"),
+        )
+    )
+    for t in range(2, MMR_K + 1):
+        pen = (
+            pr.join(
+                sel.select("qid", F.col("cid").alias("a")), ["qid", "a"]
+            )
+            .groupBy("qid", F.col("b").alias("cid"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        sc = (
+            pool.join(sel.select("qid", "cid"), ["qid", "cid"], "left_anti")
+            .join(pen, ["qid", "cid"], "left")
+            .select(
+                "qid", "cid",
+                (
+                    F.lit(MMR_WREL) * F.col("rel")
+                    - F.lit(MMR_WPEN) * F.coalesce(F.col("pen"), F.lit(0))
+                ).alias("score"),
+            )
+        )
+        ws = Window.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+        pick = (
+            sc.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("qid", "cid", F.lit(t).alias("t"), "score")
+        )
+        sel = sel.unionAll(pick)
+    return sel.select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("vec_id"),
+        F.col("t").cast("long").alias("mmr_rank"),
+        F.col("score").cast("long").alias("score"),
+    )

@@ -801,3 +801,20 @@ def test_matryoshka_broadcasts_probes_no_smj(spark):
     # The block-local pre-top-k must ride Spark's rank-limit pushdown
     # (WindowGroupLimit) so block sorts are k-bounded.
     assert "WindowGroupLimit" in plan
+
+
+def test_semantic_prune_joins_on_bucket_key(spark):
+    # Candidate generation must be an equi-join on the sign bucket —
+    # never a nested-loop/cartesian pair enumeration.
+    plan = _final(_executed(REG["dedup_semantic_prune"].fn(spark, SF_SMALL),
+                            spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mmr_pool_cut_rides_window_group_limit(spark):
+    # The per-query pool cut must push the rank limit into the sort
+    # (WindowGroupLimit); everything after operates on bounded frames.
+    plan = _final(_executed(REG["sim_mmr_rerank"].fn(spark, SF_SMALL), spark))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -164,3 +164,142 @@ def test_ppswor_sample_is_topk_with_ht_floor(spark):
         assert tau <= keys[-1]
         for r in rows:
             assert r["ht_weight"] == max(r["w"], tau)
+
+
+def _seq_dot(a, b):
+    # EXACTLY Spark's F.aggregate fold order (left-to-right doubles),
+    # so floor-quantized cosines match bit-for-bit.
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _cos_micro(a, b):
+    import math
+
+    return math.floor(
+        _seq_dot(a, b) / (math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b)))
+        * 1e6 + 0.5
+    )
+
+
+def _vecs(spark, sf=SF_MED):
+    return {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in table(spark, sf, "embeddings").collect()
+    }
+
+
+def test_bfs_hops_matches_python_bfs(spark):
+    # Recompute the multi-source BFS from the same co-purchase edges.
+    from py_pubsub_pipeline_spark.queries import graph as g
+
+    li = (
+        table(spark, SF_MED, "lineitem")
+        .selectExpr("l_orderkey AS ok", "l_partkey AS p")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "ok")
+        .selectExpr("a.p AS u", "b.p AS v")
+        .filter("u <> v")
+        .groupBy("u", "v")
+        .count()
+        .filter(f"count >= {g._KCORE_MINW}")
+        .select("u", "v")
+        .collect()
+    )
+    adj: dict[int, set] = {}
+    for r in pairs:
+        adj.setdefault(r["u"], set()).add(r["v"])
+    verts = set(adj)
+    frontier = {u for u in verts if u % g._BFS_SEED_MOD == 0}
+    visited = set(frontier)
+    expected = {0: len(frontier)}
+    for r in range(1, g._BFS_ROUNDS + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set())
+        frontier = nxt - visited
+        visited |= frontier
+        expected[r] = len(frontier)
+    expected[-1] = len(verts - visited)
+    got = {
+        r["dist"]: r["n_nodes"] for r in _rows("graph_bfs_hops", spark)
+    }
+    assert got == expected
+
+
+def test_semantic_prune_matches_bruteforce(spark):
+    vecs = _vecs(spark)
+    bkt = {
+        i: "".join("1" if v[d] >= 0 else "0" for d in range(rag.SEM_BITS))
+        for i, v in vecs.items()
+    }
+    n_close = {}
+    for i, v in vecs.items():
+        n_close[i] = sum(
+            1
+            for j, u in vecs.items()
+            if j < i and bkt[j] == bkt[i]
+            and _cos_micro(u, v) >= rag.SEM_TAU_MICRO
+        )
+    rows = _rows("dedup_semantic_prune", spark)
+    assert len(rows) == len(vecs)
+    dropped = 0
+    for r in rows:
+        assert r["bkt"] == bkt[r["vec_id"]]
+        assert r["n_close"] == n_close[r["vec_id"]], r
+        assert r["kept"] == (r["n_close"] == 0)
+        dropped += 0 if r["kept"] else 1
+    assert dropped > 0  # the threshold actually prunes something
+
+
+def test_mmr_rerank_matches_greedy_reference(spark):
+    vecs = _vecs(spark)
+    rows = _rows("sim_mmr_rerank", spark)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(rag.MMR_QUERIES))
+    for qid, sel_rows in by_q.items():
+        sel_rows.sort(key=lambda r: r["mmr_rank"])
+        qv = vecs[qid]
+        rel = {
+            c: _cos_micro(qv, v) for c, v in vecs.items() if c != qid
+        }
+        pool = sorted(rel, key=lambda c: (-rel[c], c))[: rag.MMR_POOL]
+        chosen: list[int] = []
+        for t in range(1, rag.MMR_K + 1):
+            best = None
+            for c in pool:
+                if c in chosen:
+                    continue
+                pen = max(
+                    (_cos_micro(vecs[c], vecs[s]) for s in chosen),
+                    default=0,
+                )
+                score = rag.MMR_WREL * rel[c] - rag.MMR_WPEN * pen
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            _, c, score = best
+            chosen.append(c)
+            got = sel_rows[t - 1]
+            assert (got["vec_id"], got["score"]) == (c, score), (
+                qid, t, got, c, score,
+            )
+        # Diversification really happened for at least some query if
+        # the pure-relevance order differs from the MMR order.
+    assert any(
+        [r["vec_id"] for r in by_q[q]]
+        != sorted(
+            {c: _cos_micro(vecs[q], v) for c, v in vecs.items() if c != q},
+            key=lambda c: (
+                -_cos_micro(vecs[q], vecs[c]), c,
+            ),
+        )[: rag.MMR_K]
+        for q in by_q
+    )
