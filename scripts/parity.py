@@ -85,6 +85,15 @@ _ENVELOPE_BELOW = {
             "plain sort-merge full-outer join, certified through sf1 "
             "(7.6M rows collected and hash-matched)"
         ),
+        "dedup_semantic_prune": (
+            "fixed 4-bit sign blocking is deliberately "
+            "under-provisioned past sf1: in-bucket pair count is "
+            "quadratic/2^bits (~8e9 pairs at sf10 on both engines).  "
+            "The docstring states the production posture — widen the "
+            "sign prefix with the corpus (each bit quarters expected "
+            "in-block pairs) exactly as the LSH band family does.  "
+            "Certified through sf1 (8e7 pairs)"
+        ),
     },
 }
 
