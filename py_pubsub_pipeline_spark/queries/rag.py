@@ -1029,3 +1029,273 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("long").alias("mmr_rank"),
         F.col("score").cast("long").alias("score"),
     )
+
+
+# --- hard negatives / context packing / DP sum ---------------------------
+HN_QUERIES = 10   # probe queries (vec_id < 10, the MMR probe set)
+HN_K = 5          # hard negatives mined per query
+HN_BLK = 32       # candidate blocks for the pre-cut (as matryoshka)
+
+CPK_QUERIES = 10  # probe queries for context packing
+CPK_POOL = 20     # relevance pool per query (as MMR)
+CPK_BUDGET = 1024  # context-window token budget
+
+DPS_CLIP = 2000   # per-record contribution clip (chars) => sensitivity
+
+
+@query(
+    "rag_hard_negatives",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id < {HN_QUERIES})
+    SELECT query_id, vec_id, hn_rank, rel_micro FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST({_SQL_COS_MICRO.format(a="q.e", b="c.e")} AS BIGINT)
+               AS rel_micro,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_SQL_COS_MICRO.format(a="q.e", b="c.e")} DESC,
+                        c.vec_id) AS hn_rank
+      FROM q JOIN b c ON c.label <> q.label)
+    WHERE hn_rank <= {HN_K}
+    """,
+)
+def rag_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training: for each probe
+    query, the top-{HN_K} cosine-nearest vectors whose LABEL differs
+    from the query's — the candidates a bi-encoder scores high but a
+    supervisor says are wrong, which is exactly the contrastive batch
+    a retriever is fine-tuned against (random negatives are too easy;
+    these are the ones that move the loss).
+
+    Scale: the broadcast-probe linear scan (emb_matryoshka_eval's
+    shape) with the label-mismatch predicate fused into the scan —
+    candidates stream once, never self-join.  The top-{HN_K} pre-cuts
+    per (query, candidate-block) via WindowGroupLimit, so every
+    per-partition sort is k-bounded and the global re-rank sees
+    blocks x {HN_K} rows per query.  Scores are floor-quantized
+    micro-cosines with a vec_id tie-break on both engines."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        "label",
+    )
+    q = base.filter(F.col("vec_id") < HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    c = base.select(
+        "vec_id",
+        F.col("e").alias("ce"),
+        "label",
+        (F.col("vec_id") % HN_BLK).cast("int").alias("blk"),
+    )
+
+    def dot(a: str, b_: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b_), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        c.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id", "vec_id", "blk",
+            F.floor(
+                dot("qe", "ce")
+                / (F.sqrt(dot("qe", "qe")) * F.sqrt(dot("ce", "ce")))
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long").alias("rel_micro"),
+        )
+    )
+    wb = Window.partitionBy("query_id", "blk").orderBy(
+        F.col("rel_micro").desc(), "vec_id"
+    )
+    wg = Window.partitionBy("query_id").orderBy(
+        F.col("rel_micro").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("r1", F.row_number().over(wb))
+        .filter(F.col("r1") <= HN_K)
+        .withColumn("hn_rank", F.row_number().over(wg))
+        .filter(F.col("hn_rank") <= HN_K)
+        .select("query_id", "vec_id",
+                F.col("hn_rank").cast("long").alias("hn_rank"), "rel_micro")
+    )
+
+
+@query(
+    "rag_context_pack",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id < {CPK_QUERIES}),
+    pool AS (
+      SELECT query_id, vec_id, rel_micro,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY rel_micro DESC, vec_id) AS pack_rank
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST({_SQL_COS_MICRO.format(a="q.e", b="c.e")} AS BIGINT)
+                 AS rel_micro,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_SQL_COS_MICRO.format(a="q.e", b="c.e")} DESC,
+                          c.vec_id) AS rn
+        FROM q JOIN b c ON q.vec_id <> c.vec_id)
+      WHERE rn <= {CPK_POOL}),
+    tok AS (
+      SELECT pool.*, d.n_chars // 4 + 1 AS tok_est
+      FROM pool JOIN documents d ON d.doc_id = pool.vec_id),
+    cum AS (
+      SELECT *, SUM(tok_est) OVER (
+               PARTITION BY query_id ORDER BY pack_rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      FROM tok)
+    SELECT query_id, vec_id, CAST(pack_rank AS BIGINT) AS pack_rank,
+           rel_micro, CAST(tok_est AS BIGINT) AS tok_est,
+           CAST(cum_tok AS BIGINT) AS cum_tok,
+           cum_tok <= {CPK_BUDGET} AS kept
+    FROM cum
+    """,
+)
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: each probe query's top-{CPK_POOL}
+    retrieved passages are packed relevance-first into a
+    {CPK_BUDGET}-token context budget — the running token total is
+    cut at the budget, and every pool row carries its kept/evicted
+    verdict.  This is the serving-side step between "reranked list"
+    and "prompt": it decides which retrieved chunk actually makes it
+    into the model's context (sim_mmr_rerank diversifies the list;
+    this op fits it into the window).
+
+    Token cost is the chars/4 estimate off the joined document row
+    (integer, never zero), so both engines pack the identical
+    sequence.  Scale: pool construction is the broadcast-probe scan
+    with a WindowGroupLimit pre-cut; the pack itself is a running sum
+    over queries x {CPK_POOL} bounded rows; the cost join touches
+    only pool rows against the documents table's (doc_id, n_chars)
+    projection."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q = base.filter(F.col("vec_id") < CPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = base.select("vec_id", F.col("e").alias("ce"))
+
+    def dot(a: str, b_: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b_), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rel_micro").desc(), "vec_id"
+    )
+    pool = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id",
+            F.floor(
+                dot("qe", "ce")
+                / (F.sqrt(dot("qe", "qe")) * F.sqrt(dot("ce", "ce")))
+                * 1e6
+                + F.lit(0.5)
+            ).cast("long").alias("rel_micro"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= CPK_POOL)
+        .withColumn("pack_rank", F.row_number().over(wq))
+    )
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr("n_chars DIV 4 + 1").alias("tok_est"),
+    )
+    wc = Window.partitionBy("query_id").orderBy("pack_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        pool.join(d, "vec_id")
+        .withColumn("cum_tok", F.sum("tok_est").over(wc))
+        .select(
+            "query_id", "vec_id",
+            F.col("pack_rank").cast("long").alias("pack_rank"),
+            "rel_micro",
+            F.col("tok_est").cast("long").alias("tok_est"),
+            F.col("cum_tok").cast("long").alias("cum_tok"),
+            (F.col("cum_tok") <= CPK_BUDGET).alias("kept"),
+        )
+    )
+
+
+@query(
+    "privacy_dp_sum",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang,
+             CAST(SUM(LEAST(n_chars, {DPS_CLIP})) AS BIGINT) AS clipped_sum,
+             CAST(('0x' || substr(md5('sum|' || lang), 1, 13))
+                  AS BIGINT) AS h
+      FROM documents GROUP BY lang),
+    u AS (
+      SELECT lang, clipped_sum,
+             (h + 0.5) / 4503599627370496.0 AS uu
+      FROM g),
+    nz AS (
+      SELECT lang, clipped_sum,
+             CASE WHEN uu >= 0.5 THEN 1 ELSE -1 END AS sgn,
+             CAST(LN(1.0 - 2.0 * ABS(uu - 0.5)) AS DECIMAL(18,12)) AS lq
+      FROM u)
+    SELECT lang, clipped_sum,
+           CAST(ROUND(CAST(clipped_sum AS DECIMAL(28,12))
+                      - sgn * lq * {DPS_CLIP} / {DP_EPS}, 4)
+                AS DECIMAL(28,4)) AS noisy_sum
+    FROM nz
+    """,
+)
+def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private sum release: per-language total of
+    per-document contributions CLIPPED at {DPS_CLIP} chars (the clip
+    IS the sensitivity bound — without it one huge document reveals
+    itself), plus Laplace({DPS_CLIP}/epsilon) noise at
+    epsilon={DP_EPS}.  Together with privacy_dp_count this is the
+    (count, sum) pair every DP release of a mean builds on.
+
+    The noise uniform is md5-derived from 'sum|' || lang (decoupled
+    from dp_count's stream, as independent DP mechanisms must draw
+    independent noise), the single libm LN quantizes through
+    DECIMAL(18,12), and the clipped sum accumulates in DECIMAL(28,12)
+    — BIGINT-exact headroom far past any per-language corpus.  Scale:
+    one hash agg with map-side clipping; noise is arithmetic on the
+    group rows."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.sum(F.least(F.col("n_chars"), F.lit(DPS_CLIP))).cast("long")
+        .alias("clipped_sum")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sum|"), F.col("lang"))), 1, 13),
+        16, 10,
+    ).cast("long")
+    uu = (h + F.lit(0.5)) / F.lit(float(2**52))
+    sgn = F.when(uu >= 0.5, F.lit(1)).otherwise(F.lit(-1))
+    lq = F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uu - F.lit(0.5))).cast(
+        "decimal(18,12)"
+    )
+    return g.select(
+        "lang", "clipped_sum",
+        F.round(
+            F.col("clipped_sum").cast("decimal(28,12)")
+            - sgn * lq * DPS_CLIP / DP_EPS,
+            4,
+        ).cast("decimal(28,4)").alias("noisy_sum"),
+    )

@@ -1249,3 +1249,148 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_norm", 6).alias("max_norm"),
         F.round(F.col("mn") / F.col("avg_norm"), 6).alias("anisotropy"),
     )
+
+
+# --- whitening / index-balance audits ------------------------------------
+WHT_EPS = 1e-9  # variance floor for the whitening scale
+
+
+@query(
+    "emb_whitening_diag",
+    oracle=f"""
+    WITH dim AS (SELECT UNNEST(generate_series(1, 64)) AS i),
+    ex AS (
+      SELECT dim.i - 1 AS d, CAST(e[dim.i] AS DOUBLE) AS x
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      CROSS JOIN dim),
+    agg AS (
+      SELECT d, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(28,12))) AS s,
+             SUM(CAST(x * x AS DECIMAL(28,12))) AS s2
+      FROM ex GROUP BY d),
+    m AS (
+      SELECT d, n,
+             CAST(CAST(s AS VARCHAR) AS DOUBLE) / n AS mean,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n AS ex2
+      FROM agg)
+    SELECT d, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(mean * 1e6 + 0.5) AS BIGINT) AS mean_micro,
+           CAST(FLOOR((ex2 - mean * mean) * 1e6 + 0.5) AS BIGINT)
+             AS var_micro,
+           CAST(FLOOR(1.0 / SQRT(ex2 - mean * mean + {WHT_EPS})
+                      * 1e6 + 0.5) AS BIGINT) AS scale_micro
+    FROM m
+    """,
+)
+def emb_whitening_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-whitening parameters: per embedding DIMENSION the
+    corpus mean, variance, and 1/std scale — the (shift, scale) pair a
+    diagonal whitening transform applies before indexing.  Post-hoc
+    whitening is the standard fix for the anisotropy emb_norm_stats
+    detects (a few high-variance dimensions dominating every cosine);
+    this op computes the fix's parameters, one row per dimension.
+
+    Scale: one posexplode (64x, map-side) into a per-dimension hash
+    agg — the shuffle moves 64 partial (n, sum, sum-of-squares) rows
+    per task, never vectors.  Sums accumulate in DECIMAL(28,12)
+    (order-independent), the mean/variance divisions are single IEEE
+    ops off the VARCHAR-hopped decimal (DuckDB's decimal->double
+    double-rounds without the hop), and outputs quantize to integer
+    micro-units."""
+    e = table(spark, sf_dir, "embeddings").select(
+        _dvec("embedding", "e")
+    )
+    ex = e.select(F.posexplode("e").alias("d", "x"))
+    agg = ex.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    ex2 = F.col("s2").cast("double") / F.col("n")
+    m = agg.select("d", "n", mean.alias("mean"), ex2.alias("ex2"))
+    var = F.col("ex2") - F.col("mean") * F.col("mean")
+    return m.select(
+        "d",
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("mean") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("mean_micro"),
+        F.floor(var * 1e6 + F.lit(0.5)).cast("long").alias("var_micro"),
+        F.floor(1.0 / F.sqrt(var + F.lit(WHT_EPS)) * 1e6 + F.lit(0.5))
+        .cast("long").alias("scale_micro"),
+    )
+
+
+@query(
+    "sim_ivf_balance",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    cen AS (SELECT vec_id AS cid, e AS ce FROM v
+            WHERE vec_id < {IVF_NLIST}),
+    asg AS (
+      SELECT v.vec_id, cen.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_SQL_COS.format(a='v.e', b='cen.ce')}, 6)
+                          DESC,
+                        cen.cid) AS rn
+      FROM v CROSS JOIN cen),
+    cells AS (
+      SELECT cid AS cell, COUNT(*) AS n
+      FROM asg WHERE rn = 1 GROUP BY cid),
+    tot AS (SELECT SUM(n) AS total, MAX(n) AS max_n FROM cells)
+    SELECT cells.cell, CAST(cells.n AS BIGINT) AS n,
+           CAST(cells.n * 1000 // tot.total AS BIGINT) AS share_milli,
+           CAST(tot.max_n * {IVF_NLIST} * 1000 // tot.total AS BIGINT)
+             AS skew_milli
+    FROM cells CROSS JOIN tot
+    """,
+)
+def sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance audit: the size of every inverted-file cell
+    under sim_ivf's exact assignment rule, each cell's share of the
+    corpus, and the headline skew ratio max-cell/mean-cell (milli) —
+    at 1000 means perfectly balanced, at {IVF_NLIST}000 one cell holds
+    everything.  A hot cell is the ANN version of a hot partition:
+    probes that touch it scan far more than corpus x NPROBE/NLIST, so
+    this audit is what decides "re-train the centroids" before the
+    index ships.
+
+    Scale: identical assignment plan to sim_ivf (broadcast centroids,
+    map-side argmax per vector — the corpus never self-joins), then a
+    {IVF_NLIST}-row hash agg and a single-row broadcast of the
+    totals.  Shares and skew are exact integer milli-units."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding", "e")).withColumn(
+        "nv", _norm2("e")
+    )
+    cen = (
+        v.filter(F.col("vec_id") < IVF_NLIST)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                F.col("nv").alias("nc"))
+    )
+    cos_vc = F.round(
+        _dot("e", "ce") / (F.sqrt(F.col("nv")) * F.sqrt(F.col("nc"))), 6
+    )
+    asg_w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("cid")
+    )
+    cells = (
+        v.join(F.broadcast(cen))
+        .select("vec_id", "cid", cos_vc.alias("s"))
+        .withColumn("rn", F.row_number().over(asg_w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("total"), F.max("n").alias("max_n")
+    )
+    return cells.join(F.broadcast(tot)).select(
+        "cell",
+        F.col("n").cast("long").alias("n"),
+        F.expr("n * 1000 DIV total").cast("long").alias("share_milli"),
+        F.expr(f"max_n * {IVF_NLIST} * 1000 DIV total").cast("long")
+        .alias("skew_milli"),
+    )

@@ -3493,3 +3493,138 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(qterm).cast("double"), 6).alias("q_stat"),
         F.round(F.max(F.abs("r")), 6).alias("max_abs_acf"),
     )
+
+
+# --- LTTB downsampling ----------------------------------------------------
+LTTB_B = 20  # buckets per series
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) // 1000000 AS xs,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS ym
+      FROM events),
+    bnd AS (
+      SELECT event_type, MIN(xs) AS mn, MAX(xs) AS mx
+      FROM p GROUP BY event_type),
+    pb AS MATERIALIZED (
+      SELECT p.*,
+             CAST((p.xs - bnd.mn) * {LTTB_B} // (bnd.mx - bnd.mn + 1)
+                  AS BIGINT) AS bkt
+      FROM p JOIN bnd USING (event_type)),
+    cen AS MATERIALIZED (
+      SELECT event_type, bkt, COUNT(*) AS n,
+             SUM(xs) // COUNT(*) AS cx, SUM(ym) // COUNT(*) AS cy
+      FROM pb GROUP BY event_type, bkt),
+    nb AS (
+      SELECT event_type, bkt, n,
+             LAG(cx) OVER w AS px, LAG(cy) OVER w AS py,
+             LEAD(cx) OVER w AS nx, LEAD(cy) OVER w AS ny
+      FROM cen WINDOW w AS (PARTITION BY event_type ORDER BY bkt)),
+    sc AS (
+      SELECT pb.event_type, pb.bkt, pb.event_id, pb.xs, pb.ym, nb.n,
+             CASE WHEN nb.px IS NULL OR nb.nx IS NULL THEN 0
+                  ELSE ABS((nb.px - nb.nx) * (pb.ym - nb.py)
+                         - (nb.px - pb.xs) * (nb.ny - nb.py)) END AS area2,
+             CASE WHEN nb.px IS NULL AND nb.nx IS NOT NULL THEN 1
+                  WHEN nb.nx IS NULL AND nb.px IS NOT NULL THEN 2
+                  ELSE 0 END AS endp
+      FROM pb JOIN nb USING (event_type, bkt))
+    SELECT event_type, CAST(bkt AS BIGINT) AS bkt, event_id, xs, ym,
+           CAST(n AS BIGINT) AS bucket_n, CAST(area2 AS BIGINT) AS area2
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type, bkt
+               ORDER BY CASE WHEN endp = 0 THEN -area2 ELSE 0 END,
+                        CASE WHEN endp = 2 THEN -xs ELSE xs END,
+                        CASE WHEN endp = 2 THEN -event_id
+                             ELSE event_id END) AS rn
+      FROM sc)
+    WHERE rn = 1
+    """,
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-triangle downsampling, parallel fixed-anchor variant:
+    each event_type series splits into {LTTB_B} equal-width time
+    buckets, and every middle bucket keeps the point with the largest
+    triangle area against the NEIGHBOR BUCKETS' centroids; the first
+    bucket pins the series' first point and the last bucket its last
+    (the LTTB endpoint rule).  Classic LTTB anchors each triangle on
+    the previously SELECTED point — a sequential chain — so the
+    distributed form substitutes the previous bucket's centroid (the
+    LTOB/LTTB-parallel variant every streaming dashboard engine
+    ships): every bucket then scores independently and the whole
+    operator is one agg plus one bounded window.
+
+    Scale: bucketing is map-side arithmetic between the broadcast
+    per-series bounds; centroids are one (type, bucket) hash agg;
+    the neighbor join touches {LTTB_B} rows per series; the per-bucket
+    argmax is a hash-partitioned window.  Everything is exact BIGINT
+    — seconds x micro-value products stay under 2^63 at any corpus
+    where the time range fits 10^9 seconds and |value| <= 10^5 —
+    and integer floor-division operands are nonnegative on both
+    engines (DuckDB // floors, Spark DIV truncates; equal on
+    nonnegatives)."""
+    e = table(spark, sf_dir, "events")
+    p = e.select(
+        "event_type", "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+        .alias("xs"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("ym"),
+    )
+    bnd = p.groupBy("event_type").agg(
+        F.min("xs").alias("mn"), F.max("xs").alias("mx")
+    )
+    pb = p.join(F.broadcast(bnd), "event_type").select(
+        "event_type", "event_id", "xs", "ym",
+        F.expr(f"(xs - mn) * {LTTB_B} DIV (mx - mn + 1)").cast("long")
+        .alias("bkt"),
+    )
+    cen = pb.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(xs) DIV COUNT(*)").alias("cx"),
+        F.expr("SUM(ym) DIV COUNT(*)").alias("cy"),
+    )
+    wn = Window.partitionBy("event_type").orderBy("bkt")
+    nb = cen.select(
+        "event_type", "bkt", "n",
+        F.lag("cx").over(wn).alias("px"), F.lag("cy").over(wn).alias("py"),
+        F.lead("cx").over(wn).alias("nx"), F.lead("cy").over(wn).alias("ny"),
+    )
+    area2 = F.when(
+        F.col("px").isNull() | F.col("nx").isNull(), F.lit(0)
+    ).otherwise(
+        F.abs(
+            (F.col("px") - F.col("nx")) * (F.col("ym") - F.col("py"))
+            - (F.col("px") - F.col("xs")) * (F.col("ny") - F.col("py"))
+        )
+    )
+    endp = (
+        F.when(F.col("px").isNull() & F.col("nx").isNotNull(), F.lit(1))
+        .when(F.col("nx").isNull() & F.col("px").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    sc = pb.join(F.broadcast(nb), ["event_type", "bkt"]).select(
+        "event_type", "bkt", "event_id", "xs", "ym", "n",
+        area2.alias("area2"), endp.alias("endp"),
+    )
+    wp = Window.partitionBy("event_type", "bkt").orderBy(
+        F.when(F.col("endp") == 0, -F.col("area2")).otherwise(F.lit(0)),
+        F.when(F.col("endp") == 2, -F.col("xs")).otherwise(F.col("xs")),
+        F.when(F.col("endp") == 2, -F.col("event_id"))
+        .otherwise(F.col("event_id")),
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bkt").cast("long").alias("bkt"),
+            "event_id", "xs", "ym",
+            F.col("n").cast("long").alias("bucket_n"),
+            F.col("area2").cast("long").alias("area2"),
+        )
+    )

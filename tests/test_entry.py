@@ -33,10 +33,13 @@ def test_tier_sets_are_registry_subsets():
     assert len(set(entry._PRIORITY)) == len(entry._PRIORITY)
 
 
-def test_registry_frozen_at_375():
-    # Round-5 consolidation: the registry must not grow while the
-    # driver-record backlog drains (round-4 verdict item 1).
-    assert len(load_all()) == 375
+def test_registry_size_is_intentional():
+    # Round-5 froze the registry at 375 while the record backlog
+    # drained; the round-8 RAG/corpus-construction waves deliberately
+    # grew it to 392 (11 wave-1/2 keys + 6 wave-3 keys).  This stays a
+    # tripwire: bump it ONLY alongside a SURVEY.md row documenting the
+    # new operators.
+    assert len(load_all()) == 392
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -818,3 +818,63 @@ def test_mmr_pool_cut_rides_window_group_limit(spark):
     plan = _final(_executed(REG["sim_mmr_rerank"].fn(spark, SF_SMALL), spark))
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcast_probe_and_group_limit(spark):
+    # Probe set broadcasts against the streaming candidate scan
+    # (label-mismatch predicate fused), and the per-(query, block)
+    # pre-cut rides WindowGroupLimit so sorts stay k-bounded.
+    plan = _final(_executed(REG["rag_hard_negatives"].fn(spark, SF_SMALL),
+                            spark))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_context_pack_bounded_after_pool_cut(spark):
+    # Pool cut via WindowGroupLimit; the token-cost join and running
+    # sum operate on bounded pool rows — never a cartesian.
+    plan = _final(_executed(REG["rag_context_pack"].fn(spark, SF_SMALL),
+                            spark))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dp_sum_is_one_hash_agg(spark):
+    # Map-side clipping + partial aggregation; noise is arithmetic on
+    # the group rows — no extra exchange, no Python.
+    plan = _executed(REG["privacy_dp_sum"].fn(spark, SF_SMALL), spark)
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan
+    final = _final(plan)
+    assert final.count("- Exchange") == 1, final
+
+
+def test_whitening_shuffles_partials_not_vectors(spark):
+    # The per-dimension agg must partial-aggregate map-side so the
+    # exchange moves 64 partial rows per task, not exploded values.
+    plan = _executed(REG["emb_whitening_diag"].fn(spark, SF_SMALL), spark)
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivf_balance_broadcasts_centroids(spark):
+    # Assignment is the sim_ivf broadcast argmax — centroids broadcast,
+    # the corpus never self-joins through a shuffle.
+    plan = _final(_executed(REG["sim_ivf_balance"].fn(spark, SF_SMALL),
+                            spark))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lttb_neighbor_join_is_broadcast(spark):
+    # Per-series bounds and the 20-row-per-series neighbor-centroid
+    # table both broadcast; the bucket argmax is a hash-partitioned
+    # window — no cartesian, no sort-merge against the fact scan.
+    plan = _final(_executed(REG["ts_downsample_lttb"].fn(spark, SF_SMALL),
+                            spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

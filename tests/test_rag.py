@@ -5,6 +5,8 @@ express (coverage identities, estimator bounds, algorithm contracts).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from py_pubsub_pipeline_spark.queries import rag
 from py_pubsub_pipeline_spark.registry import load_all
 from py_pubsub_pipeline_spark.tables import table
@@ -303,3 +305,194 @@ def test_mmr_rerank_matches_greedy_reference(spark):
         )[: rag.MMR_K]
         for q in by_q
     )
+
+
+def _labeled_vecs(spark, sf=SF_MED):
+    return {
+        r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+        for r in table(spark, sf, "embeddings").collect()
+    }
+
+
+def test_hard_negatives_match_bruteforce(spark):
+    lv = _labeled_vecs(spark)
+    rows = _rows("rag_hard_negatives", spark)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(rag.HN_QUERIES))
+    for qid, got in by_q.items():
+        qe, qlabel = lv[qid]
+        scored = sorted(
+            (
+                (-_cos_micro(qe, e), cid)
+                for cid, (e, label) in lv.items()
+                if label != qlabel
+            ),
+        )[: rag.HN_K]
+        got.sort(key=lambda r: r["hn_rank"])
+        assert [r["vec_id"] for r in got] == [cid for _, cid in scored]
+        assert [r["rel_micro"] for r in got] == [-s for s, _ in scored]
+        # every mined negative really is a different label
+        for r in got:
+            assert lv[r["vec_id"]][1] != qlabel
+
+
+def test_context_pack_is_the_greedy_prefix(spark):
+    lv = _labeled_vecs(spark)
+    toks = {
+        r["doc_id"]: r["n_chars"] // 4 + 1
+        for r in table(spark, SF_MED, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    rows = _rows("rag_context_pack", spark)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(rag.CPK_QUERIES))
+    for qid, got in by_q.items():
+        qe, _ = lv[qid]
+        pool = sorted(
+            ((-_cos_micro(qe, e), cid) for cid, (e, _) in lv.items()
+             if cid != qid),
+        )[: rag.CPK_POOL]
+        got.sort(key=lambda r: r["pack_rank"])
+        assert [r["vec_id"] for r in got] == [cid for _, cid in pool]
+        cum = 0
+        for r in got:
+            assert r["tok_est"] == toks[r["vec_id"]]
+            cum += r["tok_est"]
+            assert r["cum_tok"] == cum
+            assert r["kept"] == (cum <= rag.CPK_BUDGET)
+        # the budget actually cuts somewhere (pool >> budget on this
+        # corpus) and keeps at least the top passage
+        assert got[0]["kept"]
+        assert not got[-1]["kept"]
+
+
+def test_dp_sum_noise_is_bounded_and_seeded(spark):
+    rows = _rows("privacy_dp_sum", spark)
+    true = {
+        r["lang"]: r["s"]
+        for r in table(spark, SF_MED, "documents")
+        .groupBy("lang")
+        .agg(F.expr(
+            f"CAST(SUM(LEAST(n_chars, {rag.DPS_CLIP})) AS LONG)"
+        ).alias("s"))
+        .collect()
+    }
+    assert {r["lang"] for r in rows} == set(true)
+    for r in rows:
+        assert r["clipped_sum"] == true[r["lang"]]
+        # Laplace(CLIP/eps): |noise| < 37 * CLIP
+        noise = float(r["noisy_sum"]) - r["clipped_sum"]
+        assert abs(noise) < 37.0 * rag.DPS_CLIP
+    again = {r["lang"]: r["noisy_sum"] for r in _rows("privacy_dp_sum", spark)}
+    assert again == {r["lang"]: r["noisy_sum"] for r in rows}
+
+
+def test_whitening_diag_matches_reference_stats(spark):
+    from py_pubsub_pipeline_spark.queries import similarity as sim
+
+    vecs = _vecs(spark)
+    rows = {r["d"]: r for r in _rows("emb_whitening_diag", spark)}
+    assert set(rows) == set(range(64))
+    n = len(vecs)
+    import math
+
+    for d, r in rows.items():
+        assert r["n"] == n
+        xs = [v[d] for v in vecs.values()]
+        mean = sum(xs) / n
+        var = sum(x * x for x in xs) / n - mean * mean
+        # Spark/DuckDB accumulate in DECIMAL(28,12); the python float
+        # sum differs by accumulation order — allow 1 micro of slack.
+        assert abs(r["mean_micro"] - math.floor(mean * 1e6 + 0.5)) <= 1
+        assert abs(r["var_micro"] - math.floor(var * 1e6 + 0.5)) <= 1
+        scale = 1.0 / math.sqrt(var + sim.WHT_EPS)
+        assert abs(r["scale_micro"] - math.floor(scale * 1e6 + 0.5)) <= 2
+        assert r["var_micro"] > 0
+
+
+def test_ivf_balance_identities(spark):
+    from py_pubsub_pipeline_spark.queries import similarity as sim
+
+    rows = _rows("sim_ivf_balance", spark)
+    total = sum(r["n"] for r in rows)
+    assert total == len(_vecs(spark))
+    assert len(rows) <= sim.IVF_NLIST
+    max_n = max(r["n"] for r in rows)
+    for r in rows:
+        assert r["share_milli"] == r["n"] * 1000 // total
+        assert r["skew_milli"] == max_n * sim.IVF_NLIST * 1000 // total
+        assert 0 <= r["cell"] < sim.IVF_NLIST
+    # skew of a balanced index is 1000; any index is >= that
+    assert rows[0]["skew_milli"] >= 1000
+
+
+def test_lttb_matches_python_reference(spark):
+    from py_pubsub_pipeline_spark.queries import timeseries as ts
+
+    pts = (
+        table(spark, SF_MED, "events")
+        .selectExpr(
+            "event_type", "event_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 AS xs",
+            "CAST(FLOOR(value * 1e6 + 0.5) AS LONG) AS ym",
+        )
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in pts:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["xs"], r["ym"], r["event_id"])
+        )
+    expected = {}
+    B = ts.LTTB_B
+    for et, series in by_type.items():
+        mn = min(x for x, _, _ in series)
+        mx = max(x for x, _, _ in series)
+        buckets: dict[int, list] = {}
+        for x, y, eid in series:
+            buckets.setdefault((x - mn) * B // (mx - mn + 1), []).append(
+                (x, y, eid)
+            )
+        order = sorted(buckets)
+        cen = {
+            b: (
+                sum(x for x, _, _ in v) // len(v),
+                sum(y for _, y, _ in v) // len(v),
+                len(v),
+            )
+            for b, v in buckets.items()
+        }
+        for i, b in enumerate(order):
+            pts_b = buckets[b]
+            if i == 0 and i == len(order) - 1:
+                pick = min(pts_b, key=lambda p: (p[0], p[2]))
+                area = 0
+            elif i == 0:
+                pick = min(pts_b, key=lambda p: (p[0], p[2]))
+                area = 0
+            elif i == len(order) - 1:
+                pick = max(pts_b, key=lambda p: (p[0], p[2]))
+                area = 0
+            else:
+                px, py, _ = cen[order[i - 1]]
+                nx, ny, _ = cen[order[i + 1]]
+
+                def a2(p):
+                    x, y, _ = p
+                    return abs((px - nx) * (y - py) - (px - x) * (ny - py))
+
+                pick = min(pts_b, key=lambda p: (-a2(p), p[0], p[2]))
+                area = a2(pick)
+            expected[(et, b)] = (pick[2], pick[0], pick[1], cen[b][2], area)
+    got = {
+        (r["event_type"], r["bkt"]): (
+            r["event_id"], r["xs"], r["ym"], r["bucket_n"], r["area2"]
+        )
+        for r in _rows("ts_downsample_lttb", spark)
+    }
+    assert got == expected
