@@ -1299,3 +1299,157 @@ def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).cast("decimal(28,4)").alias("noisy_sum"),
     )
+
+
+# --- grounding / citation audit ------------------------------------------
+GRD_QUERIES = 10  # probe queries (doc_id < 10)
+GRD_K = 5         # retrieved passages per query
+GRD_N = 3         # n-gram order for the support check
+
+
+@query(
+    "rag_grounding_overlap",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id < {GRD_QUERIES}),
+    pool AS MATERIALIZED (
+      SELECT query_id, vec_id, rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_SQL_COS_MICRO.format(a="q.e", b="c.e")} DESC,
+                          c.vec_id) AS rnk
+        FROM q JOIN b c ON q.vec_id <> c.vec_id)
+      WHERE rnk <= {GRD_K}),
+    ids AS (SELECT DISTINCT query_id AS doc_id FROM pool
+            UNION SELECT DISTINCT vec_id FROM pool),
+    grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(w[st : st + {GRD_N - 1}], ' ')) AS g
+      FROM (
+        SELECT d.doc_id, string_split(d.text, ' ') AS w,
+               UNNEST(generate_series(
+                 1, len(string_split(d.text, ' ')) - {GRD_N - 1})) AS st
+        FROM documents d JOIN ids ON ids.doc_id = d.doc_id)),
+    nq AS (SELECT doc_id, COUNT(*) AS n_q FROM grams GROUP BY doc_id),
+    common AS (
+      SELECT pool.query_id, pool.vec_id, COUNT(rg.g) AS n_common
+      FROM pool
+      LEFT JOIN grams qg ON qg.doc_id = pool.query_id
+      LEFT JOIN grams rg ON rg.doc_id = pool.vec_id AND rg.g = qg.g
+      GROUP BY pool.query_id, pool.vec_id)
+    SELECT pool.query_id, pool.vec_id, CAST(pool.rnk AS BIGINT) AS rnk,
+           CAST(common.n_common AS BIGINT) AS n_common,
+           CAST(common.n_common * 1000 // GREATEST(nq.n_q, 1) AS BIGINT)
+             AS grounding_milli
+    FROM pool
+    JOIN common USING (query_id, vec_id)
+    JOIN nq ON nq.doc_id = pool.query_id
+    """,
+)
+def rag_grounding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grounding/citation audit: for each probe query's top-{GRD_K}
+    retrieved passages, the fraction of the query document's distinct
+    {GRD_N}-grams that also appear in the retrieved passage — the
+    lexical-support score behind every "is this answer grounded in
+    its citations" check (RAGAS-style faithfulness, attribution
+    evals).  A retrieved passage at high cosine but near-zero n-gram
+    support is the classic semantic-drift retrieval failure.
+
+    Scale: retrieval is the broadcast-probe scan; gram extraction
+    runs ONLY on pool documents (a semi-join on the bounded id set
+    cuts the corpus before any explode), and the support join matches
+    md5 grams between the two bounded gram sets.  All-integer
+    outputs; n-gram tokenization is the shared whitespace rule so
+    both engines shingle identically."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q = base.filter(F.col("vec_id") < GRD_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = base.select("vec_id", F.col("e").alias("ce"))
+
+    def dot(a: str, b_: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b_), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), "vec_id"
+    )
+    pool = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id",
+            F.floor(
+                dot("qe", "ce")
+                / (F.sqrt(dot("qe", "qe")) * F.sqrt(dot("ce", "ce")))
+                * 1e6
+                + F.lit(0.5)
+            ).alias("rel"),
+        )
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= GRD_K)
+        .select("query_id", "vec_id", "rnk")
+    )
+    ids = (
+        pool.select(F.col("query_id").alias("doc_id"))
+        .union(pool.select(F.col("vec_id").alias("doc_id")))
+        .distinct()
+    )
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.join(F.broadcast(ids), "doc_id")
+        .select(
+            "doc_id", F.split(F.col("text"), " ").alias("w")
+        )
+        .select(
+            "doc_id", "w",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.size(F.col("w")) - (GRD_N - 1),
+                )
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("st"), GRD_N))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    nq = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_q"))
+    qg = grams.select(F.col("doc_id").alias("query_id"), "g")
+    rg = grams.select(F.col("doc_id").alias("rvid"),
+                      F.col("g").alias("g2"))
+    common = (
+        pool.join(qg, "query_id", "left")
+        .join(
+            rg,
+            (F.col("vec_id") == F.col("rvid")) & (F.col("g") == F.col("g2")),
+            "left",
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.count("g2").alias("n_common"))
+    )
+    return (
+        pool.join(common, ["query_id", "vec_id"])
+        .join(
+            F.broadcast(nq.select(F.col("doc_id").alias("query_id"), "n_q")),
+            "query_id",
+        )
+        .select(
+            "query_id", "vec_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr("n_common * 1000 DIV GREATEST(n_q, 1)").cast("long")
+            .alias("grounding_milli"),
+        )
+    )

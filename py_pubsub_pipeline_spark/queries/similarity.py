@@ -1394,3 +1394,86 @@ def sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"max_n * {IVF_NLIST} * 1000 DIV total").cast("long")
         .alias("skew_milli"),
     )
+
+
+@query(
+    "emb_cluster_purity",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+               FROM embeddings),
+    cen AS (SELECT vec_id AS cid, e AS ce FROM v
+            WHERE vec_id < {IVF_NLIST}),
+    asg AS (
+      SELECT v.vec_id, v.label, cen.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_SQL_COS.format(a='v.e', b='cen.ce')}, 6)
+                          DESC,
+                        cen.cid) AS rn
+      FROM v CROSS JOIN cen),
+    cl AS (
+      SELECT cid AS cell, label, COUNT(*) AS c
+      FROM asg WHERE rn = 1 GROUP BY cid, label),
+    n AS (SELECT cell, SUM(c) AS n FROM cl GROUP BY cell),
+    maj AS (
+      SELECT cell, label AS maj_label, c AS maj_n FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY cell ORDER BY c DESC, label) AS rn FROM cl)
+      WHERE rn = 1)
+    SELECT maj.cell, CAST(n.n AS BIGINT) AS n, maj.maj_label,
+           CAST(maj.maj_n AS BIGINT) AS maj_n,
+           CAST(maj.maj_n * 1000 // n.n AS BIGINT) AS purity_milli
+    FROM maj JOIN n USING (cell)
+    """,
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-label purity audit: under sim_ivf's exact cell
+    assignment, each cell's size, majority label, and majority share
+    (milli) — the external cluster-quality check that says whether
+    the embedding space's cells line up with the supervision signal.
+    Low purity across the board means the embeddings (or the
+    centroids) don't separate the labels — fix that before trusting
+    sim_* labels-as-relevance evals like rag_hard_negatives.
+
+    Scale: the broadcast-argmax assignment (sim_ivf's plan — corpus
+    never self-joins), one (cell, label) hash agg with map-side
+    partials, and bounded top-1/total windows over label-cardinality
+    rows per cell.  Shares are exact integer milli-units."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding", "e"), "label").withColumn(
+        "nv", _norm2("e")
+    )
+    cen = (
+        v.filter(F.col("vec_id") < IVF_NLIST)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                F.col("nv").alias("nc"))
+    )
+    cos_vc = F.round(
+        _dot("e", "ce") / (F.sqrt(F.col("nv")) * F.sqrt(F.col("nc"))), 6
+    )
+    asg_w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("cid")
+    )
+    cl = (
+        v.join(F.broadcast(cen))
+        .select("vec_id", "label", "cid", cos_vc.alias("s"))
+        .withColumn("rn", F.row_number().over(asg_w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").alias("cell"), "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = cl.groupBy("cell").agg(F.sum("c").alias("n"))
+    wm = Window.partitionBy("cell").orderBy(F.col("c").desc(), "label")
+    maj = (
+        cl.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("maj_label"),
+                F.col("c").alias("maj_n"))
+    )
+    return maj.join(F.broadcast(n), "cell").select(
+        "cell",
+        F.col("n").cast("long").alias("n"),
+        "maj_label",
+        F.col("maj_n").cast("long").alias("maj_n"),
+        F.expr("maj_n * 1000 DIV n").cast("long").alias("purity_milli"),
+    )

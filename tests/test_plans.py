@@ -878,3 +878,25 @@ def test_lttb_neighbor_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_grounding_gram_extraction_is_pool_gated(spark):
+    # Gram extraction must run only on pool documents: the documents
+    # scan joins the bounded id set (broadcast hash join) BEFORE any
+    # explode; retrieval stays the broadcast-probe + WindowGroupLimit
+    # shape; nothing goes cartesian.
+    plan = _final(_executed(REG["rag_grounding_overlap"].fn(spark, SF_SMALL),
+                            spark))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_purity_broadcasts_centroids(spark):
+    # Same assignment contract as sim_ivf/sim_ivf_balance: centroids
+    # broadcast, the corpus never self-joins through a shuffle.
+    plan = _final(_executed(REG["emb_cluster_purity"].fn(spark, SF_SMALL),
+                            spark))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -496,3 +496,105 @@ def test_lttb_matches_python_reference(spark):
         for r in _rows("ts_downsample_lttb", spark)
     }
     assert got == expected
+
+
+def test_ppr_seeds_matches_python_reference(spark):
+    # Replay the exact fixed-point arithmetic (floor-snap at 1e-12,
+    # integer sums, identical double ops) from the same edge list.
+    import math
+
+    from py_pubsub_pipeline_spark.queries import pagerank as pg
+
+    o = table(spark, SF_MED, "orders").selectExpr(
+        "o_orderkey AS ok", "o_custkey AS cust"
+    )
+    li = table(spark, SF_MED, "lineitem").selectExpr(
+        "l_orderkey AS ok", "l_suppkey AS supp"
+    )
+    eb = o.join(li, "ok").select("cust", "supp").distinct().collect()
+    edges: dict[int, list] = {}
+    verts = set()
+    for r in eb:
+        u, v = r["cust"], r["supp"] + pg.SUPP_OFFSET
+        edges.setdefault(u, []).append(v)
+        edges.setdefault(v, []).append(u)
+    verts = {
+        r["c_custkey"]
+        for r in table(spark, SF_MED, "customer").select("c_custkey")
+        .collect()
+    } | {
+        r["s_suppkey"] + pg.SUPP_OFFSET
+        for r in table(spark, SF_MED, "supplier").select("s_suppkey")
+        .collect()
+    }
+    s0 = {n: 1.0 if n % pg.PPR_SEED_MOD == 0 else 0.0 for n in verts}
+    pr = dict(s0)
+    for _ in range(pg.PPR_ITER):
+        sums: dict[int, int] = {}
+        for u, outs in edges.items():
+            c = math.floor((pr[u] / float(len(outs))) * 1e12 + 0.5)
+            for v in outs:
+                sums[v] = sums.get(v, 0) + c
+        pr = {
+            n: pg.TELEPORT * s0[n]
+            + pg.DAMPING * (float(sums.get(n, 0)) / 1e12)
+            for n in verts
+        }
+    got = {r["node"]: r for r in _rows("graph_ppr_seeds", spark)}
+    assert set(got) == verts
+    for n, r in got.items():
+        assert r["is_seed"] == int(s0[n])
+        assert r["pr"] == pr[n], (n, r["pr"], pr[n])
+    # seeds hold most of the mass (PPR locality), yet some non-seed
+    # neighbors received mass through the walk
+    assert sum(1 for n in verts if s0[n] and got[n]["pr"] > 0.15) > 0
+    assert sum(1 for n in verts if not s0[n] and got[n]["pr"] > 0) > 0
+
+
+def test_grounding_overlap_matches_python_reference(spark):
+    vecs = _vecs(spark)
+    texts = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in table(spark, SF_MED, "documents")
+        .select("doc_id", "text").collect()
+    }
+
+    def grams(doc_id):
+        w = texts[doc_id]
+        return {
+            " ".join(w[i:i + rag.GRD_N])
+            for i in range(len(w) - rag.GRD_N + 1)
+        }
+
+    rows = _rows("rag_grounding_overlap", spark)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(rag.GRD_QUERIES))
+    for qid, got in by_q.items():
+        pool = sorted(
+            ((-_cos_micro(vecs[qid], e), cid) for cid, e in vecs.items()
+             if cid != qid),
+        )[: rag.GRD_K]
+        got.sort(key=lambda r: r["rnk"])
+        assert [r["vec_id"] for r in got] == [cid for _, cid in pool]
+        qg = grams(qid)
+        for r in got:
+            common = len(qg & grams(r["vec_id"]))
+            assert r["n_common"] == common
+            assert r["grounding_milli"] == common * 1000 // max(len(qg), 1)
+
+
+def test_cluster_purity_identities(spark):
+    from py_pubsub_pipeline_spark.queries import similarity as sim
+
+    rows = _rows("emb_cluster_purity", spark)
+    assert sum(r["n"] for r in rows) == len(_vecs(spark))
+    assert len(rows) <= sim.IVF_NLIST
+    for r in rows:
+        assert 1 <= r["maj_n"] <= r["n"]
+        assert r["purity_milli"] == r["maj_n"] * 1000 // r["n"]
+        assert 0 <= r["maj_label"] <= 9
+    # 10 labels: purity must beat the 1/10 floor somewhere and cannot
+    # be total collapse everywhere
+    assert max(r["purity_milli"] for r in rows) >= 100
