@@ -1477,3 +1477,120 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("maj_n").cast("long").alias("maj_n"),
         F.expr("maj_n * 1000 DIV n").cast("long").alias("purity_milli"),
     )
+
+
+# --- retrieval eval curve -------------------------------------------------
+RK_QUERIES = 50  # probe queries (vec_id < 50, the sim_topk probe set)
+RK_K = 10        # curve depth
+
+
+@query(
+    "ml_recall_at_k",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+               FROM embeddings),
+    q AS (SELECT * FROM b WHERE vec_id < {RK_QUERIES}),
+    lab AS MATERIALIZED (SELECT label, COUNT(*) AS c FROM b GROUP BY label),
+    top AS MATERIALIZED (
+      SELECT qid, cid, rnk, hit FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS hit,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY FLOOR(({_SQL_COS.format(a="q.e", b="c.e")})
+                                * 1e6 + 0.5) DESC, c.vec_id) AS rnk
+        FROM q JOIN b c ON q.vec_id <> c.vec_id)
+      WHERE rnk <= {RK_K}),
+    nrel AS (
+      SELECT q.vec_id AS qid, lab.c - 1 AS nrel
+      FROM q JOIN lab USING (label)),
+    perq AS (
+      SELECT top.qid, ks.k,
+             SUM(top.hit) AS hits
+      FROM top
+      JOIN (SELECT UNNEST(generate_series(1, {RK_K})) AS k) ks
+        ON top.rnk <= ks.k
+      GROUP BY top.qid, ks.k),
+    micro AS (
+      SELECT perq.k,
+             perq.hits * 1000000 // GREATEST(nrel.nrel, 1) AS r_micro,
+             perq.hits * 1000000 // perq.k AS p_micro
+      FROM perq JOIN nrel USING (qid))
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(SUM(r_micro) // {RK_QUERIES} AS BIGINT)
+             AS mean_recall_micro,
+           CAST(SUM(p_micro) // {RK_QUERIES} AS BIGINT)
+             AS mean_precision_micro
+    FROM micro GROUP BY k
+    """,
+)
+def ml_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval curve: mean recall@k and precision@k for
+    k = 1..{RK_K} over the probe query set, with same-label vectors
+    as the relevance truth — the headline numbers every embedding /
+    index change is judged by (ml_ndcg grades one graded list; this
+    is the binary-relevance curve across cut depths).
+
+    Scale: ranking is the broadcast-probe scan with the block-local
+    WindowGroupLimit pre-cut (every sort k-bounded); the k-expansion
+    and means run on queries x {RK_K} bounded rows; label totals are
+    a label-cardinality broadcast.  All outputs are exact integer
+    micro-units (per-query integer division first, then an exact
+    integer mean — both engines replay the identical algebra)."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding", "e"), "label"
+    ).withColumn("nv", _norm2("e"))
+    q = base.filter(F.col("vec_id") < RK_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        F.col("label").alias("qlabel"), F.col("nv").alias("nq_"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+        F.col("label").alias("clabel"), F.col("nv").alias("nc_"),
+        (F.col("vec_id") % 32).cast("int").alias("blk"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid", "blk",
+            F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
+            .alias("hit"),
+            F.floor(
+                _dot("qe", "ce")
+                / (F.sqrt(F.col("nq_")) * F.sqrt(F.col("nc_")))
+                * 1e6
+                + F.lit(0.5)
+            ).alias("s"),
+        )
+    )
+    wb = Window.partitionBy("qid", "blk").orderBy(F.col("s").desc(), "cid")
+    wg = Window.partitionBy("qid").orderBy(F.col("s").desc(), "cid")
+    top = (
+        scored.withColumn("r1", F.row_number().over(wb))
+        .filter(F.col("r1") <= RK_K)
+        .withColumn("rnk", F.row_number().over(wg))
+        .filter(F.col("rnk") <= RK_K)
+        .select("qid", "rnk", "hit")
+    )
+    lab = base.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    nrel = q.join(
+        F.broadcast(lab), q.qlabel == lab.label
+    ).select("qid", (F.col("c") - 1).alias("nrel"))
+    ks = spark.range(1, RK_K + 1).select(F.col("id").alias("k"))
+    perq = (
+        top.join(F.broadcast(ks), F.col("rnk") <= F.col("k"))
+        .groupBy("qid", "k")
+        .agg(F.sum("hit").alias("hits"))
+    )
+    micro = perq.join(F.broadcast(nrel), "qid").select(
+        "k",
+        F.expr("hits * 1000000 DIV GREATEST(nrel, 1)").alias("r_micro"),
+        F.expr("hits * 1000000 DIV k").alias("p_micro"),
+    )
+    return micro.groupBy("k").agg(
+        F.expr(f"SUM(r_micro) DIV {RK_QUERIES}").cast("long")
+        .alias("mean_recall_micro"),
+        F.expr(f"SUM(p_micro) DIV {RK_QUERIES}").cast("long")
+        .alias("mean_precision_micro"),
+    ).select(F.col("k").cast("long").alias("k"), "mean_recall_micro",
+             "mean_precision_micro")

@@ -1821,3 +1821,84 @@ def text_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy("z_score", "w")))
     )
     return top_a.unionByName(top_b)
+
+
+# --- cross-source contamination matrix ------------------------------------
+SRCOV_N = 5  # shingle order (words) for the overlap census
+
+
+@query(
+    "text_source_overlap",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+      SELECT DISTINCT source,
+             md5(array_to_string(w[st : st + {SRCOV_N - 1}], ' ')) AS g
+      FROM (
+        SELECT source, string_split(text, ' ') AS w,
+               UNNEST(generate_series(
+                 1, len(string_split(text, ' ')) - {SRCOV_N - 1})) AS st
+        FROM documents)),
+    n AS MATERIALIZED (
+      SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM g a JOIN g b ON b.g = a.g AND b.source <> a.source
+      GROUP BY a.source, b.source)
+    SELECT pair.source_a, pair.source_b,
+           CAST(pair.n_common AS BIGINT) AS n_common,
+           CAST(pair.n_common * 1000 // n.n_grams AS BIGINT) AS share_milli
+    FROM pair JOIN n ON n.source = pair.source_a
+    """,
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered pair of
+    sources, how many distinct {SRCOV_N}-gram shingles of source A
+    also appear in source B, and that count as a share of A's shingle
+    vocabulary — the census that finds syndication/mirroring BETWEEN
+    domains (dedup_* finds the duplicate documents; this says which
+    domain pairs to look at, and feeds the mixing weights: two
+    near-identical sources should not both get full weight).
+
+    Scale: one shingle pass to distinct (source, gram) — the same
+    single-exchange discipline as the capped dedup family — then the
+    overlap join keys on the gram hash, so per-gram fan-out is
+    bounded by the number of sources sharing it (<= source
+    cardinality, ~dozens), never corpus-quadratic.  Counts and
+    shares are exact integers."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    g = (
+        d.select("source", w.alias("w"))
+        .select(
+            "source", "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size(F.col("w")) - (SRCOV_N - 1))
+            ).alias("st"),
+        )
+        .select(
+            "source",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("st"), SRCOV_N))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    n = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = g.select(F.col("source").alias("source_a"), "g")
+    b = g.select(F.col("source").alias("source_b"), "g")
+    pair = (
+        a.join(b, "g")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return pair.join(
+        F.broadcast(n.select(F.col("source").alias("source_a"), "n_grams")),
+        "source_a",
+    ).select(
+        "source_a", "source_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.expr("n_common * 1000 DIV n_grams").cast("long")
+        .alias("share_milli"),
+    )

@@ -900,3 +900,21 @@ def test_cluster_purity_broadcasts_centroids(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_single_shingle_pass(spark):
+    # One shingle pass to distinct (source, gram); the overlap join
+    # keys on the gram hash (per-gram fan-out bounded by source
+    # cardinality) — no cartesian, no corpus re-shingle per branch.
+    plan = _final(_executed(REG["text_source_overlap"].fn(spark, SF_SMALL),
+                            spark))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_recall_curve_rides_window_group_limit(spark):
+    plan = _final(_executed(REG["ml_recall_at_k"].fn(spark, SF_SMALL),
+                            spark))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -598,3 +598,65 @@ def test_cluster_purity_identities(spark):
     # 10 labels: purity must beat the 1/10 floor somewhere and cannot
     # be total collapse everywhere
     assert max(r["purity_milli"] for r in rows) >= 100
+
+
+def test_source_overlap_matches_python_reference(spark):
+    from py_pubsub_pipeline_spark.queries import text as tx
+
+    docs = table(spark, SF_MED, "documents").select("source", "text") \
+        .collect()
+    grams: dict[str, set] = {}
+    for r in docs:
+        w = r["text"].split(" ")
+        grams.setdefault(r["source"], set()).update(
+            " ".join(w[i:i + tx.SRCOV_N])
+            for i in range(len(w) - tx.SRCOV_N + 1)
+        )
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_common"], r["share_milli"])
+        for r in _rows("text_source_overlap", spark)
+    }
+    expected = {}
+    for a, ga in grams.items():
+        for b, gb in grams.items():
+            if a == b:
+                continue
+            common = len(ga & gb)
+            if common:
+                expected[(a, b)] = (common, common * 1000 // len(ga))
+    assert got == expected
+    # overlap counts are symmetric even though shares are not
+    for (a, b), (c, _) in got.items():
+        assert got[(b, a)][0] == c
+
+
+def test_recall_at_k_matches_python_reference(spark):
+    from py_pubsub_pipeline_spark.queries import similarity as sim
+
+    lv = _labeled_vecs(spark)
+    lab_n: dict[int, int] = {}
+    for _, (_, label) in lv.items():
+        lab_n[label] = lab_n.get(label, 0) + 1
+    r_sum = {k: 0 for k in range(1, sim.RK_K + 1)}
+    p_sum = {k: 0 for k in range(1, sim.RK_K + 1)}
+    for qid in range(sim.RK_QUERIES):
+        qe, qlabel = lv[qid]
+        top = sorted(
+            ((-_cos_micro(qe, e), cid) for cid, (e, _) in lv.items()
+             if cid != qid),
+        )[: sim.RK_K]
+        hits = [1 if lv[cid][1] == qlabel else 0 for _, cid in top]
+        nrel = lab_n[qlabel] - 1
+        run = 0
+        for k in range(1, sim.RK_K + 1):
+            run += hits[k - 1]
+            r_sum[k] += run * 1000000 // max(nrel, 1)
+            p_sum[k] += run * 1000000 // k
+    got = {r["k"]: r for r in _rows("ml_recall_at_k", spark)}
+    assert set(got) == set(range(1, sim.RK_K + 1))
+    for k in got:
+        assert got[k]["mean_recall_micro"] == r_sum[k] // sim.RK_QUERIES
+        assert got[k]["mean_precision_micro"] == p_sum[k] // sim.RK_QUERIES
+    # recall@k is non-decreasing in k (hits only accumulate)
+    recs = [got[k]["mean_recall_micro"] for k in range(1, sim.RK_K + 1)]
+    assert all(a <= b for a, b in zip(recs, recs[1:]))
