@@ -1594,3 +1594,101 @@ def ml_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_precision_micro"),
     ).select(F.col("k").cast("long").alias("k"), "mean_recall_micro",
              "mean_precision_micro")
+
+
+# --- blocked kNN graph ----------------------------------------------------
+KNN_BITS = 4  # sign-bucket blocking width (the dedup_semantic_prune family)
+KNN_K = 3     # neighbors kept per vector
+
+
+def _sql_knn_bucket(col: str) -> str:
+    return " || ".join(
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(KNN_BITS)
+    )
+
+
+@query(
+    "sim_knn_graph_blocked",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             {_sql_knn_bucket("CAST(embedding AS DOUBLE[])")} AS bkt
+      FROM embeddings),
+    edges AS MATERIALIZED (
+      SELECT src, nbr, rnk, cos_micro FROM (
+        SELECT a.vec_id AS src, c.vec_id AS nbr,
+               CAST(FLOOR(({_SQL_COS.format(a="a.e", b="c.e")})
+                          * 1e6 + 0.5) AS BIGINT) AS cos_micro,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY FLOOR(({_SQL_COS.format(a="a.e", b="c.e")})
+                                * 1e6 + 0.5) DESC, c.vec_id) AS rnk
+        FROM b a JOIN b c ON c.bkt = a.bkt AND c.vec_id <> a.vec_id)
+      WHERE rnk <= {KNN_K})
+    SELECT e.src, e.nbr, CAST(e.rnk AS BIGINT) AS rnk, e.cos_micro,
+           r.src IS NOT NULL AS mutual
+    FROM edges e
+    LEFT JOIN edges r ON r.src = e.nbr AND r.nbr = e.src
+    """,
+)
+def sim_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked kNN-graph construction: every vector's top-{KNN_K}
+    cosine neighbors WITHIN its sign-bucket block, plus the mutual
+    flag (edge also present in reverse) — the ANN-graph build step
+    that feeds graph clustering, mutual-kNN dedup, and HNSW-style
+    index seeding.  Mutual edges are the high-precision subset every
+    kNN-graph consumer filters to first.
+
+    Scale: candidate generation is the equi-join on the block key
+    (the dedup_semantic_prune family) — never an all-pairs corpus
+    cross; per-vector sorts pre-cut at k via the rank window on
+    block-local candidates; the reciprocity check is a self-join of
+    the k-bounded EDGE LIST (corpus x {KNN_K} rows).  At 100 TB widen
+    the sign prefix with the corpus exactly as the LSH band family
+    does — each added bit quarters expected in-block pairs; recall
+    loss at block boundaries is the standard blocked-ANN contract,
+    measured by sim_lsh_bucketed's recall audit.  Cosines are
+    floor-quantized micro with a vec_id tie-break on both engines."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding", "e")
+    ).withColumn("nv", _norm2("e"))
+    bkt = F.concat(
+        *[
+            F.when(F.element_at("e", i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(KNN_BITS)
+        ]
+    )
+    b = base.select("vec_id", "e", "nv", bkt.alias("bkt"))
+    a = b.select(
+        F.col("vec_id").alias("src"), F.col("e").alias("ae"),
+        F.col("nv").alias("na"), "bkt",
+    )
+    c = b.select(
+        F.col("vec_id").alias("nbr"), F.col("e").alias("ce"),
+        F.col("nv").alias("nc"), "bkt",
+    )
+    cos_micro = F.floor(
+        _dot("ae", "ce") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nc")))
+        * 1e6 + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("src").orderBy(F.col("cos_micro").desc(), "nbr")
+    edges = (
+        a.join(c, "bkt")
+        .filter(F.col("src") != F.col("nbr"))
+        .select("src", "nbr", cos_micro.alias("cos_micro"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+    )
+    rev = edges.select(
+        F.col("src").alias("nbr"), F.col("nbr").alias("src"),
+        F.lit(True).alias("m"),
+    )
+    return edges.join(rev, ["src", "nbr"], "left").select(
+        "src", "nbr",
+        F.col("rnk").cast("long").alias("rnk"),
+        "cos_micro",
+        F.coalesce(F.col("m"), F.lit(False)).alias("mutual"),
+    )

@@ -85,6 +85,13 @@ _ENVELOPE_BELOW = {
             "plain sort-merge full-outer join, certified through sf1 "
             "(7.6M rows collected and hash-matched)"
         ),
+        "sim_knn_graph_blocked": (
+            "same fixed 4-bit sign blocking as dedup_semantic_prune: "
+            "in-bucket candidate pairs are quadratic/2^bits (~8e9 at "
+            "sf10 on both engines).  Production posture per the "
+            "docstring: widen the sign prefix with the corpus.  "
+            "Certified through sf1 (8e7 pairs)"
+        ),
         "dedup_semantic_prune": (
             "fixed 4-bit sign blocking is deliberately "
             "under-provisioned past sf1: in-bucket pair count is "

@@ -918,3 +918,13 @@ def test_recall_curve_rides_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_graph_joins_on_block_key(spark):
+    # Candidate generation must be the bucket equi-join (semantic
+    # prune's contract) and the reciprocity check a join of the
+    # k-bounded edge list — never an all-pairs cross.
+    plan = _final(_executed(REG["sim_knn_graph_blocked"].fn(spark, SF_SMALL),
+                            spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

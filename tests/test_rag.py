@@ -660,3 +660,32 @@ def test_recall_at_k_matches_python_reference(spark):
     # recall@k is non-decreasing in k (hits only accumulate)
     recs = [got[k]["mean_recall_micro"] for k in range(1, sim.RK_K + 1)]
     assert all(a <= b for a, b in zip(recs, recs[1:]))
+
+
+def test_knn_graph_matches_bruteforce_blocked(spark):
+    from py_pubsub_pipeline_spark.queries import similarity as sim
+
+    vecs = _vecs(spark)
+    bkt = {
+        i: "".join("1" if v[d] >= 0 else "0" for d in range(sim.KNN_BITS))
+        for i, v in vecs.items()
+    }
+    expected = {}
+    for i, v in vecs.items():
+        cands = sorted(
+            (
+                (-_cos_micro(v, u), j)
+                for j, u in vecs.items()
+                if j != i and bkt[j] == bkt[i]
+            ),
+        )[: sim.KNN_K]
+        for r, (negc, j) in enumerate(cands, start=1):
+            expected[(i, j)] = (r, -negc)
+    rows = _rows("sim_knn_graph_blocked", spark)
+    got = {(r["src"], r["nbr"]): (r["rnk"], r["cos_micro"]) for r in rows}
+    assert got == expected
+    mut = {(r["src"], r["nbr"]): r["mutual"] for r in rows}
+    for (i, j), m in mut.items():
+        assert m == ((j, i) in got)
+    # mutual edges exist and are a strict subset
+    assert 0 < sum(mut.values()) < len(mut)
