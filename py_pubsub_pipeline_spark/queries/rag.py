@@ -514,6 +514,17 @@ def mix_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt = dom.agg(
         (F.lit(WF_BUDGET_MULT) * F.sum("tok")).cast("long").alias("budget")
     )
+    return water_fill(w, tt)
+
+
+def water_fill(w: DataFrame, tt: DataFrame) -> DataFrame:
+    """The reusable water-filling kernel: given a domain table
+    ``(source, tok, cap, wq)`` (cap = absolute token cap, wq =
+    integer-quantized demand weight) and a 1-row ``(budget)`` table,
+    allocate ``min(cap, lambda * w)`` at the exact sorted-sweep
+    threshold — all in integer milli-units, schema-bounded
+    (property-tested over random domains in tests/test_properties.py
+    beyond the corpus-bound oracle check)."""
     r_milli = F.expr("cap * 1000000000 DIV wq")
     wr = Window.orderBy(r_milli, "source")
     srt = w.select(

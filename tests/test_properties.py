@@ -321,3 +321,62 @@ def test_luhn_check_digit_construction_validates(body):
     for wrong in range(10):
         if wrong != check:
             assert _luhn_sum(pan15 + str(wrong)) % 10 != 0
+
+
+# --- water-filling allocation invariants (round 8) -----------------------
+
+domains_strat = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10**6),   # tok
+        st.integers(min_value=1, max_value=4),       # cap epochs
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(doms=domains_strat, budget_mult_milli=st.integers(500, 4000))
+@settings(max_examples=15, deadline=None)
+def test_water_fill_invariants_on_random_domains(sp, doms, budget_mult_milli):
+    """Implementation-independent KKT-style checks of the exact
+    integer sweep, for arbitrary domains (the oracle only checks the
+    corpus's): feasibility, cap compliance, a common level across
+    unsaturated domains, and near-exhaustion of the budget whenever
+    any domain is unsaturated."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from py_pubsub_pipeline_spark.queries.rag import water_fill
+
+    rows = [
+        (f"s{i}", tok, cap_e * tok,
+         math.floor(math.sqrt(float(tok)) * 1e6 + 0.5))
+        for i, (tok, cap_e) in enumerate(doms)
+    ]
+    w = sp.createDataFrame(rows, "source string, tok long, cap long, wq long")
+    budget = sum(t for _, t, _, _ in rows) * budget_mult_milli // 1000
+    tt = sp.createDataFrame([(budget,)], "budget long")
+    out = {r["source"]: r for r in water_fill(w, tt).collect()}
+    assert set(out) == {s for s, _, _, _ in rows}
+    total = sum(r["alloc"] for r in out.values())
+    assert total <= budget
+    wq = {s: q for s, _, _, q in rows}
+    unsat = [r for r in out.values() if r["alloc"] < r["cap"]]
+    for r in out.values():
+        assert 0 <= r["alloc"] <= r["cap"]
+        assert r["epochs_milli"] == r["alloc"] * 1000 // r["tok"]
+    if unsat:
+        # every unsaturated domain sits at ONE level lambda (integer
+        # milli): alloc = lambda * wq / 1e9 exactly for a shared lambda
+        lams = {r["alloc"] * 10**9 // wq[r["source"]] for r in unsat}
+        # integer floors can make the recovered lambda differ by the
+        # quantization grain only
+        assert max(lams) - min(lams) <= 10**9 // min(
+            wq[r["source"]] for r in unsat
+        ) + 1
+        # the budget is exhausted up to the milli-lambda grain: one
+        # more lambda step would overshoot
+        slack = budget - total
+        assert slack * 10**9 <= sum(wq[r["source"]] for r in unsat) * 10**6 \
+            + 10**9 * len(out)
