@@ -999,16 +999,29 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(by, "b")
         .select("qid", "a", "b", cos_micro("ae", "be").alias("sim"))
     )
+    return mmr_greedy(pool, pr)
+
+
+def mmr_greedy(pool: DataFrame, pr: DataFrame,
+               k: int = MMR_K, wrel: int = MMR_WREL,
+               wpen: int = MMR_WPEN) -> DataFrame:
+    """The reusable greedy-MMR kernel: given a bounded per-query pool
+    ``(qid, cid, rel)`` and its pairwise similarities
+    ``(qid, a, b, sim)`` (both integer-scored), unroll ``k`` greedy
+    rounds of argmax ``wrel*rel - wpen*max-sim-to-selected`` with a
+    cid tie-break.  Division-free integer scores throughout
+    (property-tested over random pools in tests/test_properties.py
+    beyond the corpus-bound oracle check)."""
     w1 = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")
     sel = (
         pool.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") == 1)
         .select(
             "qid", "cid", F.lit(1).alias("t"),
-            (F.lit(MMR_WREL) * F.col("rel")).alias("score"),
+            (F.lit(wrel) * F.col("rel")).alias("score"),
         )
     )
-    for t in range(2, MMR_K + 1):
+    for t in range(2, k + 1):
         pen = (
             pr.join(
                 sel.select("qid", F.col("cid").alias("a")), ["qid", "a"]
@@ -1022,8 +1035,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "qid", "cid",
                 (
-                    F.lit(MMR_WREL) * F.col("rel")
-                    - F.lit(MMR_WPEN) * F.coalesce(F.col("pen"), F.lit(0))
+                    F.lit(wrel) * F.col("rel")
+                    - F.lit(wpen) * F.coalesce(F.col("pen"), F.lit(0))
                 ).alias("score"),
             )
         )

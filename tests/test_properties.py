@@ -380,3 +380,67 @@ def test_water_fill_invariants_on_random_domains(sp, doms, budget_mult_milli):
         slack = budget - total
         assert slack * 10**9 <= sum(wq[r["source"]] for r in unsat) * 10**6 \
             + 10**9 * len(out)
+
+
+# --- greedy-MMR kernel invariants (round 8) -------------------------------
+
+pools_strat = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),        # qid (2 queries max)
+        st.integers(min_value=-10**6, max_value=10**6),  # rel
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(pool_rows=pools_strat, sims=st.data())
+@settings(max_examples=10, deadline=None)
+def test_mmr_greedy_matches_reference_on_random_pools(sp, pool_rows, sims):
+    """Replay the greedy argmax in python on arbitrary integer pools:
+    the kernel must pick, at every step, the exact
+    wrel*rel - wpen*max-sim argmax (cid tie-break) — for ALL inputs,
+    not just cosine-derived corpus scores."""
+    from py_pubsub_pipeline_spark.queries.rag import mmr_greedy
+
+    K, WREL, WPEN = 3, 7, 3
+    pool = {}
+    for i, (qid, rel) in enumerate(pool_rows):
+        pool[(qid, i)] = rel  # cid = index -> unique per qid
+    prs = {}
+    by_q: dict[int, list] = {}
+    for (qid, cid) in pool:
+        by_q.setdefault(qid, []).append(cid)
+    for qid, cids in by_q.items():
+        for a in cids:
+            for b in cids:
+                if a != b:
+                    prs[(qid, a, b)] = sims.draw(
+                        st.integers(min_value=-10**6, max_value=10**6)
+                    )
+    pool_df = sp.createDataFrame(
+        [(q, c, r) for (q, c), r in pool.items()],
+        "qid long, cid long, rel long",
+    )
+    pr_df = sp.createDataFrame(
+        [(q, a, b, s) for (q, a, b), s in prs.items()],
+        "qid long, a long, b long, sim long",
+    )
+    got: dict[tuple, tuple] = {}
+    for r in mmr_greedy(pool_df, pr_df, k=K, wrel=WREL, wpen=WPEN).collect():
+        got[(r["query_id"], r["mmr_rank"])] = (r["vec_id"], r["score"])
+    for qid, cids in by_q.items():
+        selected: list[int] = []
+        for t in range(1, min(K, len(cids)) + 1):
+            best = None
+            for c in sorted(cids):
+                if c in selected:
+                    continue
+                pen = max(
+                    (prs[(qid, s, c)] for s in selected), default=0
+                ) if selected else 0
+                score = WREL * pool[(qid, c)] - (WPEN * pen if selected else 0)
+                if best is None or score > best[1]:
+                    best = (c, score)
+            selected.append(best[0])
+            assert got[(qid, t)] == best, (qid, t, got.get((qid, t)), best)
