@@ -3511,13 +3511,13 @@ LTTB_B = 20  # buckets per series
       SELECT event_type, MIN(xs) AS mn, MAX(xs) AS mx
       FROM p GROUP BY event_type),
     pb AS MATERIALIZED (
-      SELECT p.*,
+      SELECT p.*, p.xs - bnd.mn AS xr,
              CAST((p.xs - bnd.mn) * {LTTB_B} // (bnd.mx - bnd.mn + 1)
                   AS BIGINT) AS bkt
       FROM p JOIN bnd USING (event_type)),
     cen AS MATERIALIZED (
       SELECT event_type, bkt, COUNT(*) AS n,
-             SUM(xs) // COUNT(*) AS cx, SUM(ym) // COUNT(*) AS cy
+             SUM(xr) // COUNT(*) AS cx, SUM(ym) // COUNT(*) AS cy
       FROM pb GROUP BY event_type, bkt),
     nb AS (
       SELECT event_type, bkt, n,
@@ -3528,7 +3528,7 @@ LTTB_B = 20  # buckets per series
       SELECT pb.event_type, pb.bkt, pb.event_id, pb.xs, pb.ym, nb.n,
              CASE WHEN nb.px IS NULL OR nb.nx IS NULL THEN 0
                   ELSE ABS((nb.px - nb.nx) * (pb.ym - nb.py)
-                         - (nb.px - pb.xs) * (nb.ny - nb.py)) END AS area2,
+                         - (nb.px - pb.xr) * (nb.ny - nb.py)) END AS area2,
              CASE WHEN nb.px IS NULL AND nb.nx IS NOT NULL THEN 1
                   WHEN nb.nx IS NULL AND nb.px IS NOT NULL THEN 2
                   ELSE 0 END AS endp
@@ -3563,8 +3563,11 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-series bounds; centroids are one (type, bucket) hash agg;
     the neighbor join touches {LTTB_B} rows per series; the per-bucket
     argmax is a hash-partitioned window.  Everything is exact BIGINT
-    — seconds x micro-value products stay under 2^63 at any corpus
-    where the time range fits 10^9 seconds and |value| <= 10^5 —
+    — centroid sums and area products run on RANGE-RELATIVE seconds
+    (an exactly value-preserving rebase: floor((S - n*mn)/n) =
+    floor(S/n) - mn, and every area term is a difference), so
+    headroom holds to ~10^15 rows per bucket at a 10^9-second range
+    and |value| <= 10^5 —
     and integer floor-division operands are nonnegative on both
     engines (DuckDB // floors, Spark DIV truncates; equal on
     nonnegatives)."""
@@ -3580,12 +3583,13 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pb = p.join(F.broadcast(bnd), "event_type").select(
         "event_type", "event_id", "xs", "ym",
+        (F.col("xs") - F.col("mn")).alias("xr"),
         F.expr(f"(xs - mn) * {LTTB_B} DIV (mx - mn + 1)").cast("long")
         .alias("bkt"),
     )
     cen = pb.groupBy("event_type", "bkt").agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr("SUM(xs) DIV COUNT(*)").alias("cx"),
+        F.expr("SUM(xr) DIV COUNT(*)").alias("cx"),
         F.expr("SUM(ym) DIV COUNT(*)").alias("cy"),
     )
     wn = Window.partitionBy("event_type").orderBy("bkt")
@@ -3599,7 +3603,7 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.abs(
             (F.col("px") - F.col("nx")) * (F.col("ym") - F.col("py"))
-            - (F.col("px") - F.col("xs")) * (F.col("ny") - F.col("py"))
+            - (F.col("px") - F.col("xr")) * (F.col("ny") - F.col("py"))
         )
     )
     endp = (
@@ -3608,7 +3612,7 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
     )
     sc = pb.join(F.broadcast(nb), ["event_type", "bkt"]).select(
-        "event_type", "bkt", "event_id", "xs", "ym", "n",
+        "event_type", "bkt", "event_id", "xs", "xr", "ym", "n",
         area2.alias("area2"), endp.alias("endp"),
     )
     wp = Window.partitionBy("event_type", "bkt").orderBy(
