@@ -585,7 +585,7 @@ def water_fill(w: DataFrame, tt: DataFrame) -> DataFrame:
              CAST(LN(1.0 - 2.0 * ABS(uu - 0.5)) AS DECIMAL(18,12)) AS lq
       FROM u)
     SELECT lang, source,
-           CAST(ROUND(CAST(n AS DECIMAL(18,12))
+           CAST(ROUND(CAST(n AS DECIMAL(28,12))
                       - sgn * lq / {DP_EPS}, 4) AS DECIMAL(18,4)) AS noisy_n
     FROM nz
     """,
@@ -620,7 +620,7 @@ def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "lang", "source",
         F.round(
-            F.col("n").cast("decimal(18,12)") - sgn * lq / DP_EPS, 4
+            F.col("n").cast("decimal(28,12)") - sgn * lq / DP_EPS, 4
         ).cast("decimal(18,4)").alias("noisy_n"),
     )
 
