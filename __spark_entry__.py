@@ -29,8 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # GREEN key sets in CORRECTNESS_r01..r06.json (298 keys; r06's 50 rows
 # were all green; the driver wrote no r07 artifact, so the union is
 # unchanged since round 6).  The registry stood frozen at 375 through
-# round 6; the round-8 RAG/corpus-construction waves grew it to 397,
-# so the enumeration's job is to drain the 99-key record backlog:
+# round 6; the round-8 RAG/corpus-construction waves grew it to 398,
+# so the enumeration's job is to drain the 100-key record backlog:
 # (1) _PRIORITY — the graph/ml keys a reference user hits before the
 #     statistics tail (round-6 verdict ordering), (2) the rest of the
 #     unrecorded keys in registry order, (3) the already-recorded
