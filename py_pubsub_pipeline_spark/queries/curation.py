@@ -2884,3 +2884,115 @@ def agg_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum12("last_touch"), dsum12("first_touch"),
         dsum12("linear"), dsum12("u_shaped"),
     )
+
+
+# --- dedup-aware mixing ---------------------------------------------------
+MODW_N = 5  # shingle order shared with text_source_overlap
+
+
+@query(
+    "mix_overlap_discounted",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+      SELECT DISTINCT source,
+             md5(array_to_string(w[st : st + {MODW_N - 1}], ' ')) AS g
+      FROM (
+        SELECT source, string_split(text, ' ') AS w,
+               UNNEST(generate_series(
+                 1, len(string_split(text, ' ')) - {MODW_N - 1})) AS st
+        FROM documents)),
+    n AS MATERIALIZED (
+      SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+    ov AS (
+      SELECT a.source AS source, MAX(cnt) AS max_common FROM (
+        SELECT a.source, b.source AS other, COUNT(*) AS cnt
+        FROM g a JOIN g b ON b.g = a.g AND b.source <> a.source
+        GROUP BY a.source, b.source) a
+      GROUP BY a.source),
+    dom AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+      FROM documents GROUP BY source),
+    eff AS (
+      SELECT dom.source, dom.tok,
+             CAST(COALESCE(ov.max_common, 0) * 1000 // n.n_grams AS BIGINT)
+               AS overlap_milli,
+             CAST(dom.tok * (1000 - COALESCE(ov.max_common, 0) * 1000
+                             // n.n_grams) // 1000 AS BIGINT) AS eff_tok
+      FROM dom JOIN n USING (source) LEFT JOIN ov USING (source)),
+    z AS (SELECT SUM(SQRT(CAST(eff_tok AS DOUBLE))) AS z FROM eff)
+    SELECT eff.source, eff.tok, eff.overlap_milli, eff.eff_tok,
+           ROUND(SQRT(CAST(eff.eff_tok AS DOUBLE)) / z.z, 6) AS mix_weight
+    FROM eff, z
+    """,
+)
+def mix_overlap_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware mixing weights: each source's token mass is
+    discounted by its worst cross-source shingle overlap (the
+    text_source_overlap share against its most-duplicated partner)
+    BEFORE the sqrt temperature rule — two near-mirror domains should
+    not both draw full weight, or the mixed corpus double-counts
+    their shared text.  This composes the contamination census into
+    the sampling plan: effective_tokens = tok * (1 - max_overlap),
+    weight = sqrt(eff) / sum(sqrt(eff)).
+
+    Scale: the overlap side is text_source_overlap's single
+    shingle-distinct pass + gram-keyed join (per-gram fan-out bounded
+    by source cardinality); everything after runs on the
+    source-cardinality domain table with a 1-row normalizer
+    broadcast.  Discounts are exact integer milli; the sqrt/ratio
+    rounds to 6 as mix_domain_weights does."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    g = (
+        d.select("source", w.alias("w"))
+        .select(
+            "source", "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size(F.col("w")) - (MODW_N - 1))
+            ).alias("st"),
+        )
+        .select(
+            "source",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("st"), MODW_N))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    n = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = g.select(F.col("source").alias("source"), "g")
+    b = g.select(F.col("source").alias("other"), "g")
+    ov = (
+        a.join(b, "g")
+        .filter(F.col("source") != F.col("other"))
+        .groupBy("source", "other")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(F.max("cnt").alias("max_common"))
+    )
+    dom = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("tok")
+    )
+    eff = (
+        dom.join(F.broadcast(n), "source")
+        .join(F.broadcast(ov), "source", "left")
+        .select(
+            "source", "tok",
+            F.expr("COALESCE(max_common, 0) * 1000 DIV n_grams")
+            .cast("long").alias("overlap_milli"),
+            F.expr(
+                "tok * (1000 - COALESCE(max_common, 0) * 1000 DIV n_grams) "
+                "DIV 1000"
+            ).cast("long").alias("eff_tok"),
+        )
+    )
+    z = eff.agg(
+        F.sum(F.sqrt(F.col("eff_tok").cast("double"))).alias("z")
+    )
+    return eff.join(F.broadcast(z)).select(
+        "source", "tok", "overlap_milli", "eff_tok",
+        F.round(
+            F.sqrt(F.col("eff_tok").cast("double")) / F.col("z"), 6
+        ).alias("mix_weight"),
+    )

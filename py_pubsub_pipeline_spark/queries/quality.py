@@ -1654,3 +1654,83 @@ def dq_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("binary")
         ).alias("content_md5"),
     )
+
+
+@query(
+    "dq_referential_orphans",
+    oracle="""
+    SELECT rel, n_child, n_orphan FROM (
+      SELECT 'lineitem->orders' AS rel, COUNT(*) AS n_child,
+             COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphan
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'lineitem->part', COUNT(*),
+             COUNT(*) FILTER (WHERE p.p_partkey IS NULL)
+      FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+      UNION ALL
+      SELECT 'lineitem->supplier', COUNT(*),
+             COUNT(*) FILTER (WHERE s.s_suppkey IS NULL)
+      FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      UNION ALL
+      SELECT 'orders->customer', COUNT(*),
+             COUNT(*) FILTER (WHERE c.c_custkey IS NULL)
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'customer->nation', COUNT(*),
+             COUNT(*) FILTER (WHERE n.n_nationkey IS NULL)
+      FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+      UNION ALL
+      SELECT 'supplier->nation', COUNT(*),
+             COUNT(*) FILTER (WHERE n.n_nationkey IS NULL)
+      FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey)
+    """,
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every foreign-key relationship
+    in the star schema, the child row count and how many children
+    point at a missing parent — the orphan census a lakehouse CI gate
+    runs after every restatement (dq_cross_field_consistency audits
+    value rules; this audits the JOIN GRAPH itself, the failure that
+    silently drops rows from every downstream inner join).
+
+    Scale: each relationship is one left join + conditional count —
+    the dimension sides broadcast, the two fact-fact checks
+    (lineitem->orders) shuffle on the join key with map-side partial
+    counts; the result is six rows regardless of corpus size.  A
+    production run would check against the parent's KEY PROJECTION
+    only (column pruning reaches the scan)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+
+    def audit(child, ckey, parent, pkey, rel):
+        pk = parent.select(F.col(pkey).alias("__pk")).distinct()
+        return (
+            child.select(F.col(ckey).alias("__ck"))
+            .join(pk, F.col("__ck") == F.col("__pk"), "left")
+            .agg(
+                F.lit(rel).alias("rel"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.count(F.when(F.col("__pk").isNull(), 1)).cast("long")
+                .alias("n_orphan"),
+            )
+            .select("rel", "n_child", "n_orphan")
+        )
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(audit(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionAll(
+            audit(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier")
+        )
+        .unionAll(audit(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionAll(
+            audit(c, "c_nationkey", n, "n_nationkey", "customer->nation")
+        )
+        .unionAll(
+            audit(s, "s_nationkey", n, "n_nationkey", "supplier->nation")
+        )
+    )

@@ -928,3 +928,25 @@ def test_knn_graph_joins_on_block_key(spark):
                             spark))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_referential_audit_broadcasts_dims(spark):
+    # Dimension parents broadcast; the fact-fact check shuffles on the
+    # join key with partial counts — and parent scans are key-only
+    # projections (column pruning reaches the scan).
+    plan = _executed(REG["dq_referential_orphans"].fn(spark, SF_SMALL),
+                     spark)
+    final = _final(plan)
+    assert "BroadcastHashJoin" in final, final
+    assert "CartesianProduct" not in final
+    assert "partial_count" in plan, plan
+
+
+def test_overlap_discount_single_shingle_pass(spark):
+    # The overlap side must reuse text_source_overlap's discipline:
+    # no cartesian, no Python, the census join keyed on the gram.
+    plan = _final(_executed(REG["mix_overlap_discounted"].fn(spark,
+                                                             SF_SMALL),
+                            spark))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -689,3 +689,67 @@ def test_knn_graph_matches_bruteforce_blocked(spark):
         assert m == ((j, i) in got)
     # mutual edges exist and are a strict subset
     assert 0 < sum(mut.values()) < len(mut)
+
+
+def test_referential_orphans_zero_on_consistent_corpus(spark):
+    rows = {r["rel"]: r for r in _rows("dq_referential_orphans", spark)}
+    assert set(rows) == {
+        "lineitem->orders", "lineitem->part", "lineitem->supplier",
+        "orders->customer", "customer->nation", "supplier->nation",
+    }
+    li_n = table(spark, SF_MED, "lineitem").count()
+    assert rows["lineitem->orders"]["n_child"] == li_n
+    # the synthetic corpus is referentially intact: every audit zero
+    for r in rows.values():
+        assert r["n_orphan"] == 0
+        assert r["n_child"] > 0
+
+
+def test_referential_orphans_detects_injected_orphans(spark, tmp_path):
+    # Copy the corpus, drop half the parts -> lineitem->part orphans.
+    import shutil
+
+    src = SF_MED
+    dst = str(tmp_path / "sf")
+    shutil.copytree(src, dst)
+    import os
+    os.remove(os.path.join(dst, "part.parquet"))
+    (
+        table(spark, src, "part").filter("p_partkey % 2 = 0")
+        .write.mode("overwrite").parquet(os.path.join(dst, "part.parquet"))
+    )
+    rows = {
+        r["rel"]: r
+        for r in REG["dq_referential_orphans"].fn(spark, dst).collect()
+    }
+    li = table(spark, src, "lineitem")
+    expected = li.filter("l_partkey % 2 = 1").count()
+    assert rows["lineitem->part"]["n_orphan"] == expected
+    assert rows["lineitem->orders"]["n_orphan"] == 0
+
+
+def test_overlap_discounted_composes_census_and_sqrt_rule(spark):
+    from py_pubsub_pipeline_spark.queries import curation as cu
+
+    assert cu.MODW_N == 5  # shares text_source_overlap's shingle order
+    ov = {}
+    for r in _rows("text_source_overlap", spark):
+        a = r["source_a"]
+        ov[a] = max(ov.get(a, 0), r["share_milli"])
+    toks = {
+        r["source"]: r["n_tokens"]
+        for r in _rows("mix_domain_weights", spark)
+    }
+    rows = _rows("mix_overlap_discounted", spark)
+    import math
+
+    z = sum(math.sqrt(r["eff_tok"]) for r in rows)
+    for r in rows:
+        assert r["tok"] == toks[r["source"]]
+        # overlap_milli is the MAX share against any partner; the
+        # census rounds per-pair (cnt*1000 DIV n_grams), so they
+        # agree exactly
+        assert r["overlap_milli"] == ov.get(r["source"], 0)
+        assert r["eff_tok"] == r["tok"] * (1000 - r["overlap_milli"]) // 1000
+        assert abs(r["mix_weight"] - math.sqrt(r["eff_tok"]) / z) < 1e-5
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-3
