@@ -26,15 +26,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for roughly the first 50 keys of
 # queries() per round.  _DRIVER_RECORDED is the literal union of the
-# GREEN key sets in CORRECTNESS_r01..r06.json (298 keys; r06's 50 rows
-# were all green; the driver wrote no r07 artifact, so the union is
-# unchanged since round 6).  The registry stood frozen at 375 through
-# round 6; the round-8 RAG/corpus-construction waves grew it to 398,
-# so the enumeration's job is to drain the 100-key record backlog:
-# (1) _PRIORITY — the graph/ml keys a reference user hits before the
-#     statistics tail (round-6 verdict ordering), (2) the rest of the
-#     unrecorded keys in registry order, (3) the already-recorded
-#     greens.
+# GREEN key sets in CORRECTNESS_r01..r08.json (348 keys; every recorded
+# row ever written is green — r08's 50 rows included).  The registry
+# reached 400 in round 8, leaving a 52-key record backlog (the 25
+# round-8 RAG/corpus keys + the ts_* statistics tail).  Enumeration
+# order: (1) _PRIORITY — the round-8 RAG/corpus-construction keys a
+# corpus-builder hits first, then the ts_* tail (round-8 verdict item 1
+# ordering), (2) any other unrecorded keys in registry order (new
+# round-9 keys land here), (3) the already-recorded greens.
 _DRIVER_RECORDED = frozenset({
     # --- CORRECTNESS_r01.json ---
     "agg_approx", "agg_collect", "agg_cube", "agg_distinct",
@@ -134,45 +133,60 @@ _DRIVER_RECORDED = frozenset({
     "scan_wholetext", "shuffle_deterministic", "text_html_strip",
     "text_pseudonymize", "text_winnow", "ts_ewma", "win_rolling_distinct",
     "win_rolling_median", "win_streaks",
+    # --- CORRECTNESS_r08.json greens (all 50 rows green) ---
+    "agg_ab_srm_check", "agg_attribution_models", "agg_benjamini_hochberg",
+    "agg_raking_ipf", "agg_rfm_segments", "dq_benford_digits",
+    "dq_cross_field_consistency", "dq_heartbeat_completeness",
+    "dq_label_consistency", "dq_sequence_gaps", "dq_simpsons_paradox",
+    "graph_adamic_adar", "graph_assortativity", "graph_clustering_coeff",
+    "graph_degree_stats", "graph_hits", "graph_katz", "graph_kcore_peel",
+    "graph_label_prop", "graph_modularity", "ml_auc_roc",
+    "ml_average_precision", "ml_brier_decomposition", "ml_class_weights",
+    "ml_conformal_interval", "ml_cost_curve", "ml_crossval_ols",
+    "ml_decision_stump", "ml_gains_lift", "ml_item_cf",
+    "ml_learning_curve", "ml_linreg_ols", "ml_logreg_irls",
+    "ml_naive_bayes", "ml_ndcg", "ml_shapley_r2", "ml_target_encode",
+    "ml_uplift_tlearner", "ml_woe_binning", "retention_growth_accounting",
+    "retention_ltv_curve", "sample_neyman_allocation", "subq_bom_rollup",
+    "ts_anomaly_zscore", "ts_change_detect", "ts_gapfill_linear",
+    "ts_lagged_corr", "ts_outlier_mad", "ts_seasonal_index",
+    "ts_survival_km",
 })
 
 
-# Unrecorded keys to enumerate FIRST, in this exact order — the
-# graph/ml/data-quality operators a reference user hits before the
-# statistics long tail (round-6 verdict item 1 ordering).  Everything
-# unrecorded and not listed here follows in registry order.
+# Unrecorded keys to enumerate FIRST, in this exact order — the 25
+# round-8 RAG/corpus-construction keys a corpus-builder hits before
+# the statistics long tail, then the ts_* tail (round-8 verdict item 1
+# ordering).  Everything unrecorded and not listed here follows in
+# registry order.
 _PRIORITY = (
-    # graph suite — dedup-adjacent, a curation user hits these first
-    "graph_degree_stats", "graph_kcore_peel", "graph_label_prop",
-    "graph_clustering_coeff", "graph_adamic_adar", "graph_modularity",
-    "graph_assortativity", "graph_hits", "graph_katz",
-    # ml evaluation / feature-prep suite
-    "ml_linreg_ols", "ml_logreg_irls", "ml_auc_roc",
-    "ml_average_precision", "ml_ndcg", "ml_gains_lift",
-    "ml_brier_decomposition", "ml_target_encode", "ml_woe_binning",
-    "ml_class_weights", "ml_naive_bayes", "ml_decision_stump",
-    "ml_crossval_ols", "ml_learning_curve", "ml_item_cf",
-    "ml_shapley_r2", "ml_cost_curve", "ml_conformal_interval",
-    "ml_uplift_tlearner",
-    # data-quality / retention / sampling stragglers
-    "dq_benford_digits", "dq_sequence_gaps", "dq_heartbeat_completeness",
-    "dq_label_consistency", "dq_cross_field_consistency",
-    "dq_simpsons_paradox", "retention_ltv_curve",
-    "retention_growth_accounting", "sample_neyman_allocation",
-    "subq_bom_rollup",
-    # experimentation aggregates
-    "agg_raking_ipf", "agg_rfm_segments", "agg_benjamini_hochberg",
-    "agg_ab_srm_check", "agg_attribution_models",
-    # time-series: the everyday ops ahead of the statistics tail
-    "ts_gapfill_linear", "ts_anomaly_zscore", "ts_outlier_mad",
-    "ts_change_detect", "ts_lagged_corr", "ts_survival_km",
-    "ts_seasonal_index", "ts_stickiness_dau_mau",
+    # round-8 RAG / corpus-construction wave — the dedup/serving/mixing
+    # keys a corpus-construction user hits first
+    "dedup_semantic_prune", "rag_context_pack", "rag_hard_negatives",
+    "rag_grounding_overlap", "sim_mmr_rerank", "text_chunk_overlap",
+    "mix_curriculum", "mix_water_filling", "mix_overlap_discounted",
+    "privacy_dp_count", "privacy_dp_sum", "sample_priority_ppswor",
+    "ml_calibration_ece", "ml_recall_at_k", "emb_matryoshka_eval",
+    "emb_whitening_diag", "emb_cluster_purity", "emb_drift_centroid",
+    "sim_knn_graph_blocked", "sim_ivf_balance", "graph_bfs_hops",
+    "graph_ppr_seeds", "text_source_overlap", "dq_referential_orphans",
+    "ts_downsample_lttb",
+    # time-series statistics tail — everyday ops first
+    "ts_stickiness_dau_mau", "ts_bounce_rate", "ts_concurrency_peak",
+    "ts_interarrival_stats", "ts_outage_windows", "ts_littles_law",
+    "ts_forecast_baseline_wape", "ts_peak_detection", "ts_cusum",
+    "ts_changepoint_binseg", "ts_theil_sen", "ts_mann_kendall",
+    "ts_seasonal_strength", "ts_dominant_period", "ts_disorder_ratio",
+    "ts_fano_factor", "ts_process_capability", "ts_runs_test",
+    "ts_markov_entropy_rate", "ts_downsample_m4", "ts_wavelet_haar",
+    "ts_sax_motifs", "ts_hurst_exponent", "ts_spectral_entropy",
+    "ts_granger_lite", "ts_newey_west_se", "ts_ljung_box",
 )
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this
 # round number; tests derive the expected set from those artifacts
 # (bump this when folding a new round's records in).
-_RECORDED_THROUGH = 6
+_RECORDED_THROUGH = 8
 
 
 def _ordered():
