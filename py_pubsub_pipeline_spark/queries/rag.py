@@ -25,6 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.blocking import (
+    sql_adaptive_bits,
+    sql_sign_prefix,
+    spark_sign_prefix,
+)
 from ..registry import query
 from ..tables import table
 
@@ -769,7 +774,11 @@ def sample_priority_ppswor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- semantic prune / MMR ----------------------------------------------
-SEM_BITS = 4          # sign-bit blocking width (as sim_lsh_bucketed)
+# Sign-prefix width is corpus-adaptive (functions/blocking.py): 4 bits
+# through sf0.1 (the certified fixed-width behavior), widening one bit
+# per corpus doubling past TARGET_BLOCK<<4 so in-block pair work stays
+# linear in N.  Both engines read the width from the same scalar
+# subquery over the embeddings count.
 SEM_TAU_MICRO = 300000  # cosine >= 0.3 => semantic near-dup
 MMR_QUERIES = 10
 MMR_POOL = 20
@@ -784,11 +793,89 @@ _SQL_COS_MICRO = (
 )
 
 
-def _sql_signbucket(col: str) -> str:
-    return " || ".join(
-        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END"
-        for i in range(SEM_BITS)
+def _dot(a: str, b_: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b_), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+
+
+def _cos_micro(a: str, b_: str) -> F.Column:
+    """Floor-quantized micro-cosine (the engine-portable score)."""
+    return F.floor(
+        _dot(a, b_) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b_, b_))) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+
+
+def _probe_pool(spark: SparkSession, sf_dir: str, n_queries: int, k: int,
+                *, block: int | None = None,
+                label_mismatch: bool = False) -> DataFrame:
+    """Shared broadcast-probe cosine-pool kernel for the RAG serving
+    ops (sim_mmr_rerank / rag_hard_negatives / rag_context_pack /
+    rag_grounding_overlap all start here): score every corpus vector
+    against the BROADCAST probe set (vec_id < n_queries) in one
+    streaming scan — candidates never self-join — and cut to the
+    top-k pool per query with a rank window Spark compiles to
+    WindowGroupLimit (k-bounded per-partition sorts).
+
+    `block=B` adds the (query, vec_id % B) pre-cut stage first, so
+    the global re-rank sees B*k rows per query and per-partition sort
+    parallelism is queries*B, not queries (rag_hard_negatives'
+    posture for wide corpora).  `label_mismatch=True` fuses the
+    negative-mining predicate (candidate label <> probe label) into
+    the broadcast join instead of filtering after scoring.
+
+    Returns (query_id, vec_id, rel_micro BIGINT, rnk) with rnk in
+    1..k by descending floor-quantized micro-cosine, vec_id
+    tie-break — the exact ordering every consumer's oracle uses."""
+    cols = [
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ]
+    if label_mismatch:
+        cols.append(F.col("label"))
+    base = table(spark, sf_dir, "embeddings").select(*cols)
+    qcols = [F.col("vec_id").alias("query_id"), F.col("e").alias("qe")]
+    ccols = [F.col("vec_id"), F.col("e").alias("ce")]
+    if label_mismatch:
+        qcols.append(F.col("label").alias("qlabel"))
+        ccols.append(F.col("label"))
+        pred = F.col("label") != F.col("qlabel")
+    else:
+        pred = F.col("query_id") != F.col("vec_id")
+    if block is not None:
+        ccols.append((F.col("vec_id") % block).cast("int").alias("blk"))
+    q = base.filter(F.col("vec_id") < n_queries).select(*qcols)
+    scored = (
+        base.select(*ccols)
+        .join(F.broadcast(q), pred)
+        .select(
+            "query_id", "vec_id",
+            *(["blk"] if block is not None else []),
+            _cos_micro("qe", "ce").alias("rel_micro"),
+        )
+    )
+    if block is not None:
+        wb = Window.partitionBy("query_id", "blk").orderBy(
+            F.col("rel_micro").desc(), "vec_id"
+        )
+        scored = (
+            scored.withColumn("r1", F.row_number().over(wb))
+            .filter(F.col("r1") <= k)
+        )
+    wg = Window.partitionBy("query_id").orderBy(
+        F.col("rel_micro").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wg))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "rel_micro", "rnk")
+    )
+
+
+_SEM_BITS_SQL = sql_adaptive_bits("embeddings")
 
 
 @query(
@@ -796,7 +883,8 @@ def _sql_signbucket(col: str) -> str:
     oracle=f"""
     WITH b AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             {_sql_signbucket("CAST(embedding AS DOUBLE[])")} AS bkt
+             {sql_sign_prefix("CAST(embedding AS DOUBLE[])",
+                              _SEM_BITS_SQL)} AS bkt
       FROM embeddings),
     close AS (
       SELECT hi.vec_id, COUNT(*) AS n_close
@@ -811,36 +899,34 @@ def _sql_signbucket(col: str) -> str:
 )
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic pruning: embeddings block by the sign
-    pattern of their leading {SEM_BITS} dimensions (the
-    sim_lsh_bucketed family), and within a block any vector with a
-    LOWER-id neighbor at cosine >= {SEM_TAU_MICRO / 1e6} is dropped —
-    the one-pass keep-the-representative rule that turns pairwise
-    "semantically same" into a pruned corpus.  Output is the full
-    verdict table (kept flag + how many in-block near-dups precede
-    each vector), which is what the downstream filter joins against.
+    pattern of their leading dimensions (the sim_lsh_bucketed family),
+    and within a block any vector with a LOWER-id neighbor at cosine
+    >= {SEM_TAU_MICRO / 1e6} is dropped — the one-pass
+    keep-the-representative rule that turns pairwise "semantically
+    same" into a pruned corpus.  Output is the full verdict table
+    (kept flag + how many in-block near-dups precede each vector),
+    which is what the downstream filter joins against.
 
     Scale: candidate generation is an equi-join on the block key —
-    keys shuffle, vectors never cross except within a block.  Block
-    population is corpus/2^{SEM_BITS}; at 100 TB widen the sign
-    prefix (every added bit quarters the expected in-block pair
-    count) exactly as the LSH band family does — the recall trade
+    keys shuffle, vectors never cross except within a block.  The
+    prefix width is CORPUS-ADAPTIVE (functions/blocking.py): one more
+    bit per corpus doubling keeps expected block population constant,
+    so in-block pair work is LINEAR in N (a fixed width would be
+    quadratic).  Both engines derive the width from the same integer
+    ladder over the embeddings count, injected as an uncorrelated
+    scalar subquery — Spark folds it to a literal in a one-row
+    pre-job, no join operator enters the plan.  The recall trade
     (near-dups straddling a sign boundary are missed) is the standard
-    blocked-dedup contract, measured for this family by
-    dedup_minhash_estimate's calibration audit.  Cosines are
-    floor-quantized at 1e-6 before the threshold so a last-ulp
-    difference cannot flip a membership."""
+    blocked-dedup contract, measured at both widths by
+    scripts/signprefix_recall.py.  Cosines are floor-quantized at
+    1e-6 before the threshold so a last-ulp difference cannot flip a
+    membership."""
+    emb_ref = f"parquet.`{sf_dir}/embeddings.parquet`"
     base = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    bkt = F.concat(
-        *[
-            F.when(F.element_at("e", i + 1) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            )
-            for i in range(SEM_BITS)
-        ]
-    )
+    bkt = spark_sign_prefix("e", sql_adaptive_bits(emb_ref))
     b = base.select("vec_id", "e", bkt.alias("bkt"))
 
     def dot(a: str, c: str) -> F.Column:
@@ -950,8 +1036,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     passage (dedup_semantic_prune cleans the corpus; MMR cleans the
     RESULT LIST).
 
-    Scale: relevance scoring is the broadcast-probe linear scan (as
-    emb_matryoshka_eval); everything after operates on the bounded
+    Scale: relevance scoring is the shared broadcast-probe pool
+    kernel (_probe_pool); everything after operates on the bounded
     pool (queries x {MMR_POOL} rows, pairwise sims queries x
     {MMR_POOL}^2) — the greedy recursion unrolls {MMR_K} rounds of
     joins over those bounded frames, never touching the corpus again.
@@ -962,31 +1048,10 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    q = base.filter(F.col("vec_id") < MMR_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
-    )
-    c = base.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
-
-    def dot(a: str, b_: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b_), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def cos_micro(a: str, b_: str) -> F.Column:
-        return F.floor(
-            dot(a, b_) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b_, b_))) * 1e6
-            + F.lit(0.5)
-        ).cast("long")
-
-    wq = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")
-    pool = (
-        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
-        .select("qid", "cid", cos_micro("qe", "ce").alias("rel"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= MMR_POOL)
-        .select("qid", "cid", "rel")
+    pool = _probe_pool(spark, sf_dir, MMR_QUERIES, MMR_POOL).select(
+        F.col("query_id").alias("qid"),
+        F.col("vec_id").alias("cid"),
+        F.col("rel_micro").alias("rel"),
     )
     p1 = pool.select("qid", F.col("cid").alias("a"))
     p2 = pool.select("qid", F.col("cid").alias("b"))
@@ -997,7 +1062,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .join(bx, "a")
         .join(by, "b")
-        .select("qid", "a", "b", cos_micro("ae", "be").alias("sim"))
+        .select("qid", "a", "b", _cos_micro("ae", "be").alias("sim"))
     )
     return mmr_greedy(pool, pr)
 
@@ -1094,62 +1159,18 @@ def rag_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     a retriever is fine-tuned against (random negatives are too easy;
     these are the ones that move the loss).
 
-    Scale: the broadcast-probe linear scan (emb_matryoshka_eval's
-    shape) with the label-mismatch predicate fused into the scan —
-    candidates stream once, never self-join.  The top-{HN_K} pre-cuts
-    per (query, candidate-block) via WindowGroupLimit, so every
-    per-partition sort is k-bounded and the global re-rank sees
-    blocks x {HN_K} rows per query.  Scores are floor-quantized
-    micro-cosines with a vec_id tie-break on both engines."""
-    base = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        "label",
-    )
-    q = base.filter(F.col("vec_id") < HN_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("label").alias("qlabel"),
-    )
-    c = base.select(
-        "vec_id",
-        F.col("e").alias("ce"),
-        "label",
-        (F.col("vec_id") % HN_BLK).cast("int").alias("blk"),
-    )
-
-    def dot(a: str, b_: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b_), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    scored = (
-        c.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
-        .select(
-            "query_id", "vec_id", "blk",
-            F.floor(
-                dot("qe", "ce")
-                / (F.sqrt(dot("qe", "qe")) * F.sqrt(dot("ce", "ce")))
-                * 1e6
-                + F.lit(0.5)
-            ).cast("long").alias("rel_micro"),
-        )
-    )
-    wb = Window.partitionBy("query_id", "blk").orderBy(
-        F.col("rel_micro").desc(), "vec_id"
-    )
-    wg = Window.partitionBy("query_id").orderBy(
-        F.col("rel_micro").desc(), "vec_id"
-    )
-    return (
-        scored.withColumn("r1", F.row_number().over(wb))
-        .filter(F.col("r1") <= HN_K)
-        .withColumn("hn_rank", F.row_number().over(wg))
-        .filter(F.col("hn_rank") <= HN_K)
-        .select("query_id", "vec_id",
-                F.col("hn_rank").cast("long").alias("hn_rank"), "rel_micro")
+    Scale: the shared broadcast-probe pool kernel (_probe_pool) with
+    the label-mismatch predicate fused into the broadcast join and
+    the {HN_BLK}-block pre-cut — candidates stream once, never
+    self-join; every per-partition sort is k-bounded via
+    WindowGroupLimit.  Scores are floor-quantized micro-cosines with
+    a vec_id tie-break on both engines."""
+    return _probe_pool(
+        spark, sf_dir, HN_QUERIES, HN_K,
+        block=HN_BLK, label_mismatch=True,
+    ).select(
+        "query_id", "vec_id",
+        F.col("rnk").cast("long").alias("hn_rank"), "rel_micro",
     )
 
 
@@ -1201,44 +1222,13 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Token cost is the chars/4 estimate off the joined document row
     (integer, never zero), so both engines pack the identical
-    sequence.  Scale: pool construction is the broadcast-probe scan
-    with a WindowGroupLimit pre-cut; the pack itself is a running sum
-    over queries x {CPK_POOL} bounded rows; the cost join touches
-    only pool rows against the documents table's (doc_id, n_chars)
-    projection."""
-    base = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-    q = base.filter(F.col("vec_id") < CPK_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    c = base.select("vec_id", F.col("e").alias("ce"))
-
-    def dot(a: str, b_: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b_), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("rel_micro").desc(), "vec_id"
-    )
-    pool = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id", "vec_id",
-            F.floor(
-                dot("qe", "ce")
-                / (F.sqrt(dot("qe", "qe")) * F.sqrt(dot("ce", "ce")))
-                * 1e6
-                + F.lit(0.5)
-            ).cast("long").alias("rel_micro"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= CPK_POOL)
-        .withColumn("pack_rank", F.row_number().over(wq))
+    sequence.  Scale: pool construction is the shared broadcast-probe
+    pool kernel (_probe_pool) with its WindowGroupLimit pre-cut; the
+    pack itself is a running sum over queries x {CPK_POOL} bounded
+    rows; the cost join touches only pool rows against the documents
+    table's (doc_id, n_chars) projection."""
+    pool = _probe_pool(spark, sf_dir, CPK_QUERIES, CPK_POOL).withColumn(
+        "pack_rank", F.col("rnk")
     )
     d = table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"),
@@ -1381,45 +1371,14 @@ def rag_grounding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals).  A retrieved passage at high cosine but near-zero n-gram
     support is the classic semantic-drift retrieval failure.
 
-    Scale: retrieval is the broadcast-probe scan; gram extraction
-    runs ONLY on pool documents (a semi-join on the bounded id set
-    cuts the corpus before any explode), and the support join matches
-    md5 grams between the two bounded gram sets.  All-integer
-    outputs; n-gram tokenization is the shared whitespace rule so
-    both engines shingle identically."""
-    base = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-    q = base.filter(F.col("vec_id") < GRD_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    c = base.select("vec_id", F.col("e").alias("ce"))
-
-    def dot(a: str, b_: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b_), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("rel").desc(), "vec_id"
-    )
-    pool = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id", "vec_id",
-            F.floor(
-                dot("qe", "ce")
-                / (F.sqrt(dot("qe", "qe")) * F.sqrt(dot("ce", "ce")))
-                * 1e6
-                + F.lit(0.5)
-            ).alias("rel"),
-        )
-        .withColumn("rnk", F.row_number().over(wq))
-        .filter(F.col("rnk") <= GRD_K)
-        .select("query_id", "vec_id", "rnk")
+    Scale: retrieval is the shared broadcast-probe pool kernel
+    (_probe_pool); gram extraction runs ONLY on pool documents (a
+    semi-join on the bounded id set cuts the corpus before any
+    explode), and the support join matches md5 grams between the two
+    bounded gram sets.  All-integer outputs; n-gram tokenization is
+    the shared whitespace rule so both engines shingle identically."""
+    pool = _probe_pool(spark, sf_dir, GRD_QUERIES, GRD_K).select(
+        "query_id", "vec_id", "rnk"
     )
     ids = (
         pool.select(F.col("query_id").alias("doc_id"))

@@ -23,6 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.blocking import (
+    spark_sign_prefix,
+    sql_adaptive_bits,
+    sql_sign_prefix,
+)
 from ..registry import query
 from ..tables import table
 
@@ -1597,15 +1602,12 @@ def ml_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- blocked kNN graph ----------------------------------------------------
-KNN_BITS = 4  # sign-bucket blocking width (the dedup_semantic_prune family)
+# Sign-bucket width is corpus-adaptive (functions/blocking.py) — the
+# dedup_semantic_prune family contract: constant expected block
+# population, linear in-block pair work.
 KNN_K = 3     # neighbors kept per vector
 
-
-def _sql_knn_bucket(col: str) -> str:
-    return " || ".join(
-        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END"
-        for i in range(KNN_BITS)
-    )
+_KNN_BITS_SQL = sql_adaptive_bits("embeddings")
 
 
 @query(
@@ -1613,18 +1615,25 @@ def _sql_knn_bucket(col: str) -> str:
     oracle=f"""
     WITH b AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             {_sql_knn_bucket("CAST(embedding AS DOUBLE[])")} AS bkt
+             {sql_sign_prefix("CAST(embedding AS DOUBLE[])",
+                              _KNN_BITS_SQL)} AS bkt
       FROM embeddings),
+    pairs AS (
+      -- project the arrays away BEFORE the rank window: the window
+      -- sorts corpus*block pairs, and at sf10 that stream must be
+      -- (src, nbr, cos_micro) rows, not 64-double vectors (the
+      -- vector-bearing formulation spilled >18 GiB of temp)
+      SELECT a.vec_id AS src, c.vec_id AS nbr,
+             CAST(FLOOR(({_SQL_COS.format(a="a.e", b="c.e")})
+                        * 1e6 + 0.5) AS BIGINT) AS cos_micro
+      FROM b a JOIN b c ON c.bkt = a.bkt AND c.vec_id <> a.vec_id),
     edges AS MATERIALIZED (
       SELECT src, nbr, rnk, cos_micro FROM (
-        SELECT a.vec_id AS src, c.vec_id AS nbr,
-               CAST(FLOOR(({_SQL_COS.format(a="a.e", b="c.e")})
-                          * 1e6 + 0.5) AS BIGINT) AS cos_micro,
+        SELECT src, nbr, cos_micro,
                ROW_NUMBER() OVER (
-                 PARTITION BY a.vec_id
-                 ORDER BY FLOOR(({_SQL_COS.format(a="a.e", b="c.e")})
-                                * 1e6 + 0.5) DESC, c.vec_id) AS rnk
-        FROM b a JOIN b c ON c.bkt = a.bkt AND c.vec_id <> a.vec_id)
+                 PARTITION BY src
+                 ORDER BY cos_micro DESC, nbr) AS rnk
+        FROM pairs)
       WHERE rnk <= {KNN_K})
     SELECT e.src, e.nbr, CAST(e.rnk AS BIGINT) AS rnk, e.cos_micro,
            r.src IS NOT NULL AS mutual
@@ -1644,23 +1653,21 @@ def sim_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the dedup_semantic_prune family) — never an all-pairs corpus
     cross; per-vector sorts pre-cut at k via the rank window on
     block-local candidates; the reciprocity check is a self-join of
-    the k-bounded EDGE LIST (corpus x {KNN_K} rows).  At 100 TB widen
-    the sign prefix with the corpus exactly as the LSH band family
-    does — each added bit quarters expected in-block pairs; recall
-    loss at block boundaries is the standard blocked-ANN contract,
-    measured by sim_lsh_bucketed's recall audit.  Cosines are
-    floor-quantized micro with a vec_id tie-break on both engines."""
+    the k-bounded EDGE LIST (corpus x {KNN_K} rows).  The sign-prefix
+    width is CORPUS-ADAPTIVE (functions/blocking.py): one more bit
+    per corpus doubling holds expected block population constant so
+    candidate work stays linear in N; both engines read the width
+    from the same integer-ladder scalar subquery over the embeddings
+    count (Spark folds it to a literal in a one-row pre-job — no join
+    operator enters the plan).  Recall loss at block boundaries is
+    the standard blocked-ANN contract, measured at both widths by
+    scripts/signprefix_recall.py.  Cosines are floor-quantized micro
+    with a vec_id tie-break on both engines."""
+    emb_ref = f"parquet.`{sf_dir}/embeddings.parquet`"
     base = table(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding", "e")
     ).withColumn("nv", _norm2("e"))
-    bkt = F.concat(
-        *[
-            F.when(F.element_at("e", i + 1) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            )
-            for i in range(KNN_BITS)
-        ]
-    )
+    bkt = spark_sign_prefix("e", sql_adaptive_bits(emb_ref))
     b = base.select("vec_id", "e", "nv", bkt.alias("bkt"))
     a = b.select(
         F.col("vec_id").alias("src"), F.col("e").alias("ae"),

@@ -85,24 +85,12 @@ _ENVELOPE_BELOW = {
             "plain sort-merge full-outer join, certified through sf1 "
             "(7.6M rows collected and hash-matched)"
         ),
-        "sim_knn_graph_blocked": (
-            "same fixed 4-bit sign blocking as dedup_semantic_prune: "
-            "in-bucket candidate pairs are quadratic/2^bits (~8e9 at "
-            "sf10 on both engines).  Production posture per the "
-            "docstring: widen the sign prefix with the corpus.  "
-            "Certified through sf1 (8e7 pairs)"
-        ),
-        "dedup_semantic_prune": (
-            "fixed 4-bit sign blocking is deliberately "
-            "under-provisioned past sf1: in-bucket pair count is "
-            "quadratic/2^bits (~8e9 pairs at sf10 on both engines).  "
-            "The docstring states the production posture — widen the "
-            "sign prefix with the corpus (each bit quarters expected "
-            "in-block pairs) exactly as the LSH band family does.  "
-            "Certified through sf1 (8e7 pairs)"
-        ),
     },
 }
+# Round 9: sim_knn_graph_blocked and dedup_semantic_prune left this
+# table — their sign-prefix width is now corpus-adaptive
+# (functions/blocking.py: 9 bits at sf10 -> ~4.9e7 in-block pairs,
+# measured), so both certify at sf10 like the rest of the registry.
 
 
 def _slice_of(key: str, slices: int) -> int:

@@ -820,6 +820,25 @@ def test_mmr_pool_cut_rides_window_group_limit(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_probe_pool_shared_kernel_plan(spark):
+    # The ONE plan gate for the shared broadcast-probe pool kernel
+    # (_probe_pool) that sim_mmr_rerank / rag_hard_negatives /
+    # rag_context_pack / rag_grounding_overlap all build on: probe
+    # set broadcasts into a single streaming candidate scan (never a
+    # shuffled or cartesian pair join), and the top-k cut rides
+    # WindowGroupLimit so per-partition sorts are k-bounded — in both
+    # the plain and the blocked/label-fused variants.
+    from py_pubsub_pipeline_spark.queries.rag import _probe_pool
+
+    for kwargs in ({}, {"block": 8, "label_mismatch": True}):
+        plan = _final(_executed(
+            _probe_pool(spark, SF_SMALL, 10, 5, **kwargs), spark))
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "WindowGroupLimit" in plan
+
+
 def test_hard_negatives_broadcast_probe_and_group_limit(spark):
     # Probe set broadcasts against the streaming candidate scan
     # (label-mismatch predicate fused), and the per-(query, block)

@@ -235,9 +235,14 @@ def test_bfs_hops_matches_python_bfs(spark):
 
 
 def test_semantic_prune_matches_bruteforce(spark):
+    from py_pubsub_pipeline_spark.functions.blocking import (
+        adaptive_bits_value,
+    )
+
     vecs = _vecs(spark)
+    bits = adaptive_bits_value(len(vecs))
     bkt = {
-        i: "".join("1" if v[d] >= 0 else "0" for d in range(rag.SEM_BITS))
+        i: "".join("1" if v[d] >= 0 else "0" for d in range(bits))
         for i, v in vecs.items()
     }
     n_close = {}
@@ -663,11 +668,15 @@ def test_recall_at_k_matches_python_reference(spark):
 
 
 def test_knn_graph_matches_bruteforce_blocked(spark):
+    from py_pubsub_pipeline_spark.functions.blocking import (
+        adaptive_bits_value,
+    )
     from py_pubsub_pipeline_spark.queries import similarity as sim
 
     vecs = _vecs(spark)
+    bits = adaptive_bits_value(len(vecs))
     bkt = {
-        i: "".join("1" if v[d] >= 0 else "0" for d in range(sim.KNN_BITS))
+        i: "".join("1" if v[d] >= 0 else "0" for d in range(bits))
         for i, v in vecs.items()
     }
     expected = {}
