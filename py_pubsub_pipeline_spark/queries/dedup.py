@@ -43,6 +43,20 @@ sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
 
+# Same CTEs with the shingle stream pinned MATERIALIZED: DuckDB
+# evaluates a plain CTE by INLINING it per reference, so an oracle
+# that reads `sh` three times re-derives the whole shingle explosion
+# three times — at sf10 that turned dedup_ngram_capped's oracle into
+# a >55 GiB temp spill that never finished (round-9 bench), the exact
+# degenerate-CTE class oracle.py's temp cap exists to catch.  The
+# hint is purely an evaluation directive (identical result set); with
+# it the same oracle completes sf10 in ~90 s under the caps.  Applied
+# to the two bench-basket near-dup oracles, which are the ones driven
+# at every scale.
+_SQL_SHINGLES_MAT = _SQL_SHINGLES.replace(
+    "sh AS (SELECT DISTINCT", "sh AS MATERIALIZED (SELECT DISTINCT"
+)
+
 
 def _sql_wide_minhash(n: int) -> str:
     """DuckDB CTE body: n minhash slots as n independent MIN aggregates
@@ -279,7 +293,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH {_SQL_SHINGLES},
+    WITH {_SQL_SHINGLES_MAT},
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -561,9 +575,9 @@ DF_CAP = 50  # drop shingles appearing in more than this many docs
 @query(
     "dedup_ngram_capped",
     oracle=f"""
-    WITH {_SQL_SHINGLES},
-    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-    kept AS (
+    WITH {_SQL_SHINGLES_MAT},
+    df AS MATERIALIZED (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    kept AS MATERIALIZED (
       SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
       WHERE df.df <= {DF_CAP}),
     ksz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),

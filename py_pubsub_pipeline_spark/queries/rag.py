@@ -811,7 +811,8 @@ def _cos_micro(a: str, b_: str) -> F.Column:
 
 def _probe_pool(spark: SparkSession, sf_dir: str, n_queries: int, k: int,
                 *, block: int | None = None,
-                label_mismatch: bool = False) -> DataFrame:
+                label_mismatch: bool = False,
+                dims: int | None = None) -> DataFrame:
     """Shared broadcast-probe cosine-pool kernel for the RAG serving
     ops (sim_mmr_rerank / rag_hard_negatives / rag_context_pack /
     rag_grounding_overlap all start here): score every corpus vector
@@ -827,12 +828,18 @@ def _probe_pool(spark: SparkSession, sf_dir: str, n_queries: int, k: int,
     negative-mining predicate (candidate label <> probe label) into
     the broadcast join instead of filtering after scoring.
 
+    `dims=D` scores on the leading-D prefix of each vector (the
+    matryoshka truncation) instead of the full width.
+
     Returns (query_id, vec_id, rel_micro BIGINT, rnk) with rnk in
     1..k by descending floor-quantized micro-cosine, vec_id
     tie-break — the exact ordering every consumer's oracle uses."""
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    if dims is not None:
+        vec = F.slice(vec, 1, dims)
     cols = [
         F.col("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        vec.alias("e"),
     ]
     if label_mismatch:
         cols.append(F.col("label"))

@@ -34,12 +34,12 @@ def test_tier_sets_are_registry_subsets():
 
 
 def test_registry_size_is_intentional():
-    # Round-5 froze the registry at 375 while the record backlog
-    # drained; the round-8 RAG/corpus-construction waves deliberately
-    # grew it to 400 (11 wave-1/2 + 6 wave-3 + 3 wave-4 + 3 wave-5/6 + 2 wave-7 keys).  This stays a
-    # tripwire: bump it ONLY alongside a SURVEY.md row documenting the
-    # new operators.
-    assert len(load_all()) == 400
+    # Round-5 froze the registry at 375; round 8 grew it to 400
+    # (RAG/corpus-construction waves), round 9 to 410 (the corpus
+    # governance + serving-breadth wave, SURVEY.md §2C round-9 row).
+    # This stays a tripwire: bump it ONLY alongside a SURVEY.md row
+    # documenting the new operators.
+    assert len(load_all()) == 410
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -969,3 +969,99 @@ def test_overlap_discount_single_shingle_pass(spark):
                             spark))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- round-9 governance wave gates ------------------------------------
+
+
+def test_binary_quantize_packs_then_broadcast_probes(spark):
+    # Packing is one hash agg over the dim explode (masks shuffle,
+    # never vectors); the Hamming scan is the broadcast-probe shape
+    # with a WindowGroupLimit pre-cut.  All-integer: no Python.
+    plan = _final(_executed(REG["emb_binary_quantize"].fn(spark, SF_SMALL),
+                            spark))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_fusion_pools_ride_group_limit(spark):
+    # Both retrieval views are the shared pool kernel (bounded lists);
+    # only the bounded full-outer fusion may sort-merge.
+    plan = _final(_executed(REG["rag_fusion_multiquery"].fn(spark,
+                                                            SF_SMALL),
+                            spark))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_context_bounded_pairs(spark):
+    # Pool kernel + pool x pool equi-join on query_id; vectors come
+    # back by id equi-joins — never a corpus cross.
+    plan = _final(_executed(REG["rag_dedup_context"].fn(spark, SF_SMALL),
+                            spark))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_router_centroid_broadcasts_schema_bounded_sides(spark):
+    # Centroids/norms/queries are all label- or dim-bounded tables:
+    # every join must broadcast; the only shuffle is the (label, dim)
+    # partial agg.
+    plan = _executed(REG["rag_router_centroid"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "partial_sum" in plan, plan
+
+
+def test_mixing_schedulers_single_agg_no_sort_join(spark):
+    # One hash agg to source cardinality; totals fold via a broadcast
+    # one-row side (BNLJ is that fold, not a pair join).
+    for key in ("mix_temperature_sampling", "mix_epoch_schedule"):
+        plan = _executed(REG[key].fn(spark, SF_SMALL), spark)
+        final = _final(plan)
+        assert "SortMergeJoin" not in final, key
+        assert "CartesianProduct" not in final, key
+        assert "partial_sum" in plan, key
+
+
+def test_compaction_plan_windows_partition_table_only(spark):
+    # The cumulative sum runs on the month-cardinality table after a
+    # partial-agg shuffle — the fact scan feeds ONE hash aggregate.
+    plan = _executed(REG["layout_compaction_plan"].fn(spark, SF_SMALL),
+                     spark)
+    final = _final(plan)
+    assert "CartesianProduct" not in final
+    assert "SortMergeJoin" not in final
+    assert "partial_count" in plan, plan
+
+
+def test_jaccard_linkpred_takeordered_and_broadcast_degrees(spark):
+    plan = _final(_executed(REG["graph_jaccard_linkpred"].fn(spark,
+                                                             SF_SMALL),
+                            spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mrr_broadcast_probe_and_group_limit(spark):
+    plan = _final(_executed(REG["ml_mrr_at_k"].fn(spark, SF_SMALL), spark))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_survivorship_no_joins_at_all(spark):
+    # md5 map-side, rank window co-sharded by the hash, one agg:
+    # there is NO join operator anywhere in this plan.
+    plan = _final(_executed(REG["dedup_survivorship_tokens"].fn(spark,
+                                                                SF_SMALL),
+                            spark))
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
