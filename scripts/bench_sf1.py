@@ -154,15 +154,27 @@ def main() -> int:
         results[name] = {"spark_sec": round(s_best, 3)}
         print(f"# spark  {name}: {s_best:.3f}s ({s_rows} rows)", file=sys.stderr)
 
+    # Fair-baseline rule: DuckDB runs each oracle in its BEST
+    # completing formulation for this scale.  The registered text pins
+    # the shingle CTE MATERIALIZED (the only form that finishes sf10
+    # under the temp caps — the inline form re-derives the explosion
+    # per reference and spilled >55 GiB there), but at sf1/sf3 the
+    # INLINE form is faster; SPARK_GRAFT_ORACLE_STRIP_MAT=1 times the
+    # hint-stripped text instead, and the artifact records which form
+    # ran so the series rows are comparable.
+    strip = os.environ.get("SPARK_GRAFT_ORACLE_STRIP_MAT") == "1"
     con = duckdb_connect(OUT)
     for name in HEADLINE:
         sql = registry[name].oracle
+        if strip:
+            sql = sql.replace("AS MATERIALIZED (", "AS (")
         con.execute(sql).fetchall()  # warm page cache, plan cache
         d_best, _ = _best_of(lambda: len(con.execute(sql).fetchall()))
         results[name]["duckdb_sec"] = round(d_best, 3)
         results[name]["ratio"] = round(results[name]["spark_sec"] / d_best, 2)
         print(f"# duckdb {name}: {d_best:.3f}s", file=sys.stderr)
     con.close()
+    oracle_form = "inline (hints stripped)" if strip else "as registered"
 
     total_s = round(sum(r["spark_sec"] for r in results.values()), 3)
     total_d = round(sum(r["duckdb_sec"] for r in results.values()), 3)
@@ -170,6 +182,7 @@ def main() -> int:
         "metric": f"headline_query_wall_seconds_{SF_LABEL}",
         "sf": MULT / 10,
         "corpus": f"{OUT} ({MULT}x replication of sf0.1, see scripts/bench_sf1.py)",
+        "oracle_form": oracle_form,
         "spark_total_sec": total_s,
         "duckdb_total_sec": total_d,
         "ratio_total": round(total_s / total_d, 2),
