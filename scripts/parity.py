@@ -60,21 +60,22 @@ _ENVELOPE_BELOW = {
             "LSH/minhash variants are the at-scale path"
         ),
         "dedup_minhash_lsh": (
-            "ORACLE-infeasible at sf10, not engine-infeasible: the "
-            "DuckDB twin must re-derive 16 md5 minhash slots over the "
-            "~500M-shingle corpus and exact-verify candidates; after "
-            "the wide-MIN single-pass rewrite AND candidate semi-join "
-            "prefilters it still exhausted a 56GB isolated temp cap "
-            "(tried 20/40/56GB, round 7).  The Spark side runs at "
-            "sf10; exact through sf1; the sf10-certified near-dup "
-            "paths are dedup_ngram_jaccard/_capped, dedup_simhash, "
-            "dedup_containment"
+            "FULL oracle infeasible at sf10 (16 md5 minhash slots "
+            "over the ~500M-shingle corpus + exact verify exhausted "
+            "a 56GB temp cap, round 7); exact through sf1.  Round 9 "
+            "adds the SAMPLED-SUBCORPUS sf10 verification instead: "
+            "the full Spark run's output restricted to a "
+            "deterministic 1/16 md5 doc sample hash-matches the "
+            "oracle on that subcorpus exactly (restriction property, "
+            "scripts/minhash_sf10_sampled.py; "
+            "PARITY_r09_minhash_sampled_sf10.json, 116 pairs, 2/2)"
         ),
         "dedup_minhash_estimate": (
-            "same md5-minhash oracle family as dedup_minhash_lsh "
-            "(32 slots + the exact-pair join) — exhausted a 56GB "
-            "isolated temp cap after the same rewrites; exact "
-            "through sf1"
+            "same md5-minhash oracle family as dedup_minhash_lsh — "
+            "full oracle exhausted a 56GB temp cap; exact through "
+            "sf1, and sf10-verified on the sampled subcorpus "
+            "(PARITY_r09_minhash_sampled_sf10.json, 2/2 hash-exact "
+            "with the full Spark run)"
         ),
         "join_full": (
             "COMPARISON-infeasible at sf10, not engine-infeasible: "
