@@ -26,14 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for roughly the first 50 keys of
 # queries() per round.  _DRIVER_RECORDED is the literal union of the
-# GREEN key sets in CORRECTNESS_r01..r08.json (348 keys; every recorded
-# row ever written is green — r08's 50 rows included).  The registry
-# reached 400 in round 8, leaving a 52-key record backlog (the 25
-# round-8 RAG/corpus keys + the ts_* statistics tail).  Enumeration
-# order: (1) _PRIORITY — the round-8 RAG/corpus-construction keys a
-# corpus-builder hits first, then the ts_* tail (round-8 verdict item 1
-# ordering), (2) any other unrecorded keys in registry order (new
-# round-9 keys land here), (3) the already-recorded greens.
+# GREEN key sets in CORRECTNESS_r01..r09.json (397 keys; the single red
+# row ever written — privacy_dp_count, r09 — is excluded and stays in
+# the backlog).  The registry reached 410 in round 9, leaving a 13-key
+# record backlog.  Enumeration order: (1) _PRIORITY — the 13 backlog
+# keys, (2) any other unrecorded keys in registry order (new keys land
+# here), (3) the already-recorded greens.
 _DRIVER_RECORDED = frozenset({
     # --- CORRECTNESS_r01.json ---
     "agg_approx", "agg_collect", "agg_cube", "agg_distinct",
@@ -151,27 +149,18 @@ _DRIVER_RECORDED = frozenset({
     "ts_anomaly_zscore", "ts_change_detect", "ts_gapfill_linear",
     "ts_lagged_corr", "ts_outlier_mad", "ts_seasonal_index",
     "ts_survival_km",
-})
-
-
-# Unrecorded keys to enumerate FIRST, in this exact order — the 25
-# round-8 RAG/corpus-construction keys a corpus-builder hits before
-# the statistics long tail, then the ts_* tail (round-8 verdict item 1
-# ordering).  Everything unrecorded and not listed here follows in
-# registry order.
-_PRIORITY = (
-    # round-8 RAG / corpus-construction wave — the dedup/serving/mixing
-    # keys a corpus-construction user hits first
+    # --- CORRECTNESS_r09.json greens (49 of 50 rows green; the one red,
+    # privacy_dp_count, stays in the backlog until re-recorded — its
+    # libm-LN noise path was replaced by the engine-exact DECIMAL
+    # ladder in round 10, functions/dp_noise.py) ---
     "dedup_semantic_prune", "rag_context_pack", "rag_hard_negatives",
     "rag_grounding_overlap", "sim_mmr_rerank", "text_chunk_overlap",
     "mix_curriculum", "mix_water_filling", "mix_overlap_discounted",
-    "privacy_dp_count", "privacy_dp_sum", "sample_priority_ppswor",
-    "ml_calibration_ece", "ml_recall_at_k", "emb_matryoshka_eval",
-    "emb_whitening_diag", "emb_cluster_purity", "emb_drift_centroid",
-    "sim_knn_graph_blocked", "sim_ivf_balance", "graph_bfs_hops",
-    "graph_ppr_seeds", "text_source_overlap", "dq_referential_orphans",
-    "ts_downsample_lttb",
-    # time-series statistics tail — everyday ops first
+    "privacy_dp_sum", "sample_priority_ppswor", "ml_calibration_ece",
+    "ml_recall_at_k", "emb_matryoshka_eval", "emb_whitening_diag",
+    "emb_cluster_purity", "emb_drift_centroid", "sim_knn_graph_blocked",
+    "sim_ivf_balance", "graph_bfs_hops", "graph_ppr_seeds",
+    "text_source_overlap", "dq_referential_orphans", "ts_downsample_lttb",
     "ts_stickiness_dau_mau", "ts_bounce_rate", "ts_concurrency_peak",
     "ts_interarrival_stats", "ts_outage_windows", "ts_littles_law",
     "ts_forecast_baseline_wape", "ts_peak_detection", "ts_cusum",
@@ -180,13 +169,33 @@ _PRIORITY = (
     "ts_fano_factor", "ts_process_capability", "ts_runs_test",
     "ts_markov_entropy_rate", "ts_downsample_m4", "ts_wavelet_haar",
     "ts_sax_motifs", "ts_hurst_exponent", "ts_spectral_entropy",
-    "ts_granger_lite", "ts_newey_west_se", "ts_ljung_box",
+    "ts_granger_lite",
+})
+
+
+# Unrecorded keys to enumerate FIRST, in this exact order — the FINAL
+# 13-key record backlog (round-9 verdict item 1): the re-enumerated
+# privacy_dp_count (its round-9 red row was an environment-sensitive
+# libm-LN boundary, replaced in round 10 by the engine-exact
+# discretized-Laplace DECIMAL ladder, functions/dp_noise.py), the 10
+# round-9 corpus-governance keys, and the two never-recorded ts_* tail
+# keys.  One driver round records all 13 -> 410/410 driver-green.
+# Everything unrecorded and not listed here follows in registry order.
+_PRIORITY = (
+    "privacy_dp_count",
+    # round-9 corpus-governance + serving wave
+    "emb_binary_quantize", "rag_fusion_multiquery", "rag_dedup_context",
+    "rag_router_centroid", "mix_temperature_sampling",
+    "mix_epoch_schedule", "layout_compaction_plan",
+    "dedup_survivorship_tokens", "ml_mrr_at_k", "graph_jaccard_linkpred",
+    # statistics tail stragglers
+    "ts_newey_west_se", "ts_ljung_box",
 )
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this
 # round number; tests derive the expected set from those artifacts
 # (bump this when folding a new round's records in).
-_RECORDED_THROUGH = 8
+_RECORDED_THROUGH = 9
 
 
 def _ordered():

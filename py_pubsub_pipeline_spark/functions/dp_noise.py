@@ -1,0 +1,87 @@
+"""Engine-exact discretized-Laplace noise for DP releases.
+
+Round 9 produced the project's first red driver row: privacy_dp_count
+computed its Laplace draw as ``LN(1 - 2|u - 0.5|)`` where ``u`` is a
+dense md5-derived uniform, then quantized the libm result through
+DECIMAL(18,12).  A last-ulp disagreement between the driver box's two
+libm implementations (Spark's JVM ``StrictMath``-adjacent path vs
+DuckDB's C library) can land a group's LN within 1e-12 of a
+quantization boundary and flip the released 4th decimal — with ~100
+groups that's a few-percent red chance per corpus (CORRECTNESS_r09:
+hash FAIL at 97/97 rows, locally green).
+
+The fix removes libm from the released value entirely: the inverse-CDF
+is precomputed HERE, once, as a ladder of exact 4-decimal literals —
+one per bucket of the 52-bit hash — and both engines merely SELECT a
+literal by integer comparison (``h >> 42``).  Query-time arithmetic is
+integer shift + decimal addition on both sides, so the two engines
+cannot disagree by construction.  This is the same posture as the
+adaptive-bits ladder in ``functions/blocking.py``: anything
+environment-sensitive is rendered into BOTH engine texts as one shared
+table of exact literals.
+
+Statistically the draw is a 1024-quantile midpoint discretization of
+Laplace(scale): symmetric, zero-mean, tail truncated at the 1/2048
+quantile (|noise| <= scale * ln(1024) ~= 6.93 * scale) — a bounded
+Laplace mechanism, which is the standard practical variant (unbounded
+tails are clipped in every shipping DP system anyway).
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+from functools import lru_cache
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+LADDER_K = 1024        # buckets over the 52-bit md5 uniform (2^10)
+_SHIFT = 42            # bucket = h >> 42  (52 - log2(LADDER_K))
+
+
+@lru_cache(maxsize=8)
+def laplace_ladder(scale: float) -> tuple[str, ...]:
+    """LADDER_K exact 4-decimal literals: the inverse-CDF Laplace(scale)
+    draw at each bucket midpoint u_k = (k + 0.5) / K.
+
+    The one libm ``log`` lives here, at table-build time, in a single
+    Python process — the SAME rendered literal reaches the Spark
+    expression and the DuckDB SQL, so engine libm variation cannot
+    split the release.  (The table for a given integer scale is also
+    stable across CPython builds at these magnitudes: the log argument
+    is an exact dyadic rational >= 1/1024, four decimals are ~1e12 ulps
+    wide at |x| <= 7, and a boundary collision would need a value
+    within one ulp of a 5e-5 grid point — none of the 1024 entries is,
+    checked by test_dp_noise_ladder_far_from_round_boundaries.)
+    """
+    out = []
+    for k in range(LADDER_K):
+        u = (k + 0.5) / LADDER_K
+        sgn = 1 if u >= 0.5 else -1
+        mag = -math.log(1.0 - 2.0 * abs(u - 0.5)) * scale
+        q = Decimal(repr(sgn * mag)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+        out.append(f"{q:.4f}")
+    return tuple(out)
+
+
+def sql_laplace(hash_expr: str, scale: float) -> str:
+    """DuckDB fragment: the ladder as a list literal indexed (1-based)
+    by the top 10 bits of the 52-bit hash expression."""
+    lits = ", ".join(laplace_ladder(scale))
+    return f"([{lits}])[(({hash_expr}) >> {_SHIFT}) + 1]"
+
+
+def spark_laplace(hash_col: Column, scale: float) -> Column:
+    """Spark twin of :func:`sql_laplace`: element_at over an array of
+    foldable DECIMAL literals — constant-folded by Catalyst, zero
+    runtime libm, no Python in the plan."""
+    prec = max(len(s.replace("-", "").replace(".", ""))
+               for s in laplace_ladder(scale))
+    arr = F.array(*[
+        F.lit(Decimal(s)).cast(f"decimal({prec},4)")
+        for s in laplace_ladder(scale)
+    ])
+    return F.element_at(arr, F.shiftright(hash_col, _SHIFT).cast("int") + 1)

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import table
-from .rag import _SQL_COS, _cos_micro, _dot, _probe_pool
+from .rag import _SQL_COS, _cos_micro, _probe_pool
 
 _SQL_COS_MICRO = "FLOOR((" + _SQL_COS + ") * 1e6 + 0.5)"
 

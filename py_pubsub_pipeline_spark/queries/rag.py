@@ -30,6 +30,7 @@ from ..functions.blocking import (
     sql_sign_prefix,
     spark_sign_prefix,
 )
+from ..functions.dp_noise import spark_laplace, sql_laplace
 from ..registry import query
 from ..tables import table
 
@@ -579,54 +580,42 @@ def water_fill(w: DataFrame, tt: DataFrame) -> DataFrame:
       SELECT lang, source, COUNT(*) AS n,
              CAST(('0x' || substr(md5(lang || '|' || source), 1, 13))
                   AS BIGINT) AS h
-      FROM documents GROUP BY lang, source),
-    u AS (
-      SELECT lang, source, n,
-             (h + 0.5) / 4503599627370496.0 AS uu
-      FROM g),
-    nz AS (
-      SELECT lang, source, n,
-             CASE WHEN uu >= 0.5 THEN 1 ELSE -1 END AS sgn,
-             CAST(LN(1.0 - 2.0 * ABS(uu - 0.5)) AS DECIMAL(18,12)) AS lq
-      FROM u)
+      FROM documents GROUP BY lang, source)
     SELECT lang, source,
-           CAST(ROUND(CAST(n AS DECIMAL(28,12))
-                      - sgn * lq / {DP_EPS}, 4) AS DECIMAL(18,4)) AS noisy_n
-    FROM nz
+           CAST(n + {sql_laplace('h', 1 / DP_EPS)} AS DECIMAL(18,4)) AS noisy_n
+    FROM g
     """,
 )
 def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private count release: per-(lang, source) doc
-    counts with Laplace(1/epsilon) noise, epsilon={DP_EPS} and
-    sensitivity 1 — the third privacy gate beside k-anonymity and
-    l-diversity (those audit, this one actually perturbs).  The noise
-    draw is the standard inverse-CDF transform of a uniform; the
-    uniform is md5-derived from the group key (53 bits, never 0 or 1
-    by the +0.5 offset), so the release is reproducible run-to-run —
-    the seeded-RNG posture every other sampling op here uses.
+    counts with (discretized, bounded) Laplace(1/epsilon) noise,
+    epsilon={DP_EPS} and sensitivity 1 — the third privacy gate beside
+    k-anonymity and l-diversity (those audit, this one actually
+    perturbs).  The draw is md5-derived from the group key, so the
+    release is reproducible run-to-run — the seeded-RNG posture every
+    other sampling op here uses.
 
-    Scale: one hash agg; the noise is map-side arithmetic on the
-    group rows.  Determinism: the uniform and the 1-2|u-0.5| argument
-    are exact dyadic doubles, the single libm LN quantizes through
-    DECIMAL(18,12) (registry.py contract), and everything after is
-    exact decimal arithmetic rounded half-up to 4 decimals on both
-    engines."""
+    Round-10 fix (the project's first red driver row): the inverse-CDF
+    was a libm LN of a DENSE uniform quantized through DECIMAL — a
+    cross-box last-ulp trap (see functions/dp_noise.py).  The noise is
+    now a 1024-entry discretized-Laplace quantile ladder of exact
+    4-decimal literals rendered identically into BOTH engine texts and
+    selected by an integer shift of the 52-bit hash (h >> 42) — zero
+    libm in the released value, engine-exact by construction.
+
+    Scale: one hash agg; the noise is a constant-folded array lookup
+    on the group rows.  Determinism: integer shift + exact decimal
+    addition on both engines."""
     d = table(spark, sf_dir, "documents")
     g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
     h = F.conv(
         F.substring(F.md5(F.concat_ws("|", "lang", "source")), 1, 13),
         16, 10,
     ).cast("long")
-    uu = (h + F.lit(0.5)) / F.lit(float(2**52))
-    sgn = F.when(uu >= 0.5, F.lit(1)).otherwise(F.lit(-1))
-    lq = F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uu - F.lit(0.5))).cast(
-        "decimal(18,12)"
-    )
     return g.select(
         "lang", "source",
-        F.round(
-            F.col("n").cast("decimal(28,12)") - sgn * lq / DP_EPS, 4
-        ).cast("decimal(18,4)").alias("noisy_n"),
+        (F.col("n") + spark_laplace(h, 1 / DP_EPS))
+        .cast("decimal(18,4)").alias("noisy_n"),
     )
 
 
@@ -1266,38 +1255,29 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(LEAST(n_chars, {DPS_CLIP})) AS BIGINT) AS clipped_sum,
              CAST(('0x' || substr(md5('sum|' || lang), 1, 13))
                   AS BIGINT) AS h
-      FROM documents GROUP BY lang),
-    u AS (
-      SELECT lang, clipped_sum,
-             (h + 0.5) / 4503599627370496.0 AS uu
-      FROM g),
-    nz AS (
-      SELECT lang, clipped_sum,
-             CASE WHEN uu >= 0.5 THEN 1 ELSE -1 END AS sgn,
-             CAST(LN(1.0 - 2.0 * ABS(uu - 0.5)) AS DECIMAL(18,12)) AS lq
-      FROM u)
+      FROM documents GROUP BY lang)
     SELECT lang, clipped_sum,
-           CAST(ROUND(CAST(clipped_sum AS DECIMAL(28,12))
-                      - sgn * lq * {DPS_CLIP} / {DP_EPS}, 4)
+           CAST(clipped_sum + {sql_laplace('h', DPS_CLIP / DP_EPS)}
                 AS DECIMAL(28,4)) AS noisy_sum
-    FROM nz
+    FROM g
     """,
 )
 def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private sum release: per-language total of
     per-document contributions CLIPPED at {DPS_CLIP} chars (the clip
     IS the sensitivity bound — without it one huge document reveals
-    itself), plus Laplace({DPS_CLIP}/epsilon) noise at
-    epsilon={DP_EPS}.  Together with privacy_dp_count this is the
-    (count, sum) pair every DP release of a mean builds on.
+    itself), plus discretized bounded Laplace({DPS_CLIP}/epsilon)
+    noise at epsilon={DP_EPS}.  Together with privacy_dp_count this is
+    the (count, sum) pair every DP release of a mean builds on.
 
-    The noise uniform is md5-derived from 'sum|' || lang (decoupled
-    from dp_count's stream, as independent DP mechanisms must draw
-    independent noise), the single libm LN quantizes through
-    DECIMAL(18,12), and the clipped sum accumulates in DECIMAL(28,12)
-    — BIGINT-exact headroom far past any per-language corpus.  Scale:
-    one hash agg with map-side clipping; noise is arithmetic on the
-    group rows."""
+    The noise draw is md5-derived from 'sum|' || lang (decoupled from
+    dp_count's stream, as independent DP mechanisms must draw
+    independent noise) and selected from the 1024-entry exact-DECIMAL
+    quantile ladder (functions/dp_noise.py) by an integer shift — the
+    round-10 hardening that removed libm from both DP releases after
+    dp_count's cross-box red.  Scale: one hash agg with map-side
+    clipping; noise is a constant-folded array lookup on the group
+    rows."""
     d = table(spark, sf_dir, "documents")
     g = d.groupBy("lang").agg(
         F.sum(F.least(F.col("n_chars"), F.lit(DPS_CLIP))).cast("long")
@@ -1307,18 +1287,10 @@ def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.concat(F.lit("sum|"), F.col("lang"))), 1, 13),
         16, 10,
     ).cast("long")
-    uu = (h + F.lit(0.5)) / F.lit(float(2**52))
-    sgn = F.when(uu >= 0.5, F.lit(1)).otherwise(F.lit(-1))
-    lq = F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uu - F.lit(0.5))).cast(
-        "decimal(18,12)"
-    )
     return g.select(
         "lang", "clipped_sum",
-        F.round(
-            F.col("clipped_sum").cast("decimal(28,12)")
-            - sgn * lq * DPS_CLIP / DP_EPS,
-            4,
-        ).cast("decimal(28,4)").alias("noisy_sum"),
+        (F.col("clipped_sum") + spark_laplace(h, DPS_CLIP / DP_EPS))
+        .cast("decimal(28,4)").alias("noisy_sum"),
     )
 
 

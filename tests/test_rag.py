@@ -119,6 +119,44 @@ def test_water_filling_respects_budget_and_caps(spark):
         assert s["cap"] / math.sqrt(s["tok"]) <= max(lams) * 1.01
 
 
+def test_dp_noise_ladder_far_from_round_boundaries():
+    # The one libm log lives at ladder-build time; the table is only
+    # CPython-build-stable if no entry's unrounded value sits near a
+    # 5e-5 rounding boundary.  Measured margins: >= 2e-7 absolute at
+    # scale 1 (~1e8 ulps) and >= 9e-9 at scale 2000 (~5e3 ulps at
+    # |x| <= 1.4e4) — a 1-ulp cross-build log wobble moves the value
+    # by <= ~3e-12 at either scale, thousands of times smaller.
+    import math
+
+    from py_pubsub_pipeline_spark.functions import dp_noise
+
+    for scale in (1.0, rag.DPS_CLIP / rag.DP_EPS):
+        for k in range(dp_noise.LADDER_K):
+            u = (k + 0.5) / dp_noise.LADDER_K
+            mag = -math.log(1.0 - 2.0 * abs(u - 0.5)) * scale
+            frac = (mag * 10000) % 1
+            # floor = 1000x the worst-case 1-ulp wobble in grid units
+            assert abs(frac - 0.5) > 3e-12 * 10000 * 1000, (scale, k, mag)
+
+
+def test_dp_noise_ladder_is_symmetric_and_bounded():
+    import math
+    from decimal import Decimal
+
+    from py_pubsub_pipeline_spark.functions.dp_noise import (
+        LADDER_K, laplace_ladder,
+    )
+
+    lad = [Decimal(s) for s in laplace_ladder(1.0)]
+    assert len(lad) == LADDER_K
+    # antisymmetric around the midpoint; monotone; tail bounded at the
+    # 1/2K quantile
+    for k in range(LADDER_K // 2):
+        assert lad[k] == -lad[LADDER_K - 1 - k]
+    assert lad == sorted(lad)
+    assert abs(lad[0]) <= Decimal(repr(math.log(LADDER_K))) + Decimal("0.001")
+
+
 def test_dp_count_noise_is_bounded_and_seeded(spark):
     rows = _rows("privacy_dp_count", spark)
     true = {

@@ -46,3 +46,38 @@ def test_registry_md_survives_later_driver_artifact():
         assert registry_map.generate() == before
     finally:
         fake.unlink()
+
+
+def test_registry_md_survives_later_parity_artifact():
+    """Round 9's recurrence: the harness's end-of-round snapshot commit
+    added a PARITY_r09_*.json the builder hadn't folded, and the glob
+    picked it up — reddening the committed map.  Discovery now reads
+    only PARITY_MANIFEST.json, so an un-folded artifact (any name, any
+    round) must leave generation byte-identical."""
+    fakes = [
+        registry_map.REPO / "PARITY_r99_sample_sf1.json",
+        registry_map.REPO / "PARITY_r99_wave1_sf10.json",
+    ]
+    assert not any(f.exists() for f in fakes)
+    before = registry_map.generate()
+    for f in fakes:
+        f.write_text(
+            '{"sf_dir": "/root/testdata/sf1", "selector": "named", '
+            '"passed": 1, "total": 1, "results": {"agg_group": '
+            '{"ok": true, "rows": 1, "mode": "oracle", "sec": 0.1}}}'
+        )
+    try:
+        assert registry_map.generate() == before
+    finally:
+        for f in fakes:
+            f.unlink()
+
+
+def test_parity_manifest_lists_only_existing_artifacts():
+    import json
+
+    mf = registry_map.REPO / "PARITY_MANIFEST.json"
+    names = json.loads(mf.read_text())
+    assert names == sorted(names)
+    missing = [n for n in names if not (registry_map.REPO / n).exists()]
+    assert not missing, missing
