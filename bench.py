@@ -19,8 +19,10 @@ oracle gets the identical warmup + best-of-2 treatment.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -70,6 +72,34 @@ SHUFFLE_WIDTH = {
 }
 
 
+def _plan_fingerprint(df, spark) -> str:
+    """Structural hash of the executed (final-AQE) plan tree.
+
+    Round-9 verdict item 7: BENCH rounds kept paying box-drift
+    adjudication (r08->r09 +23% wall on git-identical code).  The
+    fingerprint pins the plan STRUCTURE — operator sequence, codegen
+    spans, join strategies, exchange count — while normalizing away
+    run-varying noise (node ids, expression ids, statistics), so a
+    wall-time delta with an unchanged fingerprint is self-adjudicating
+    box drift, and a fingerprint change points at a real plan change.
+    """
+    df.collect()  # materialize THIS DataFrame so AQE finalizes
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("== Initial Plan ==")[0]
+    lines = []
+    for ln in tree.splitlines():
+        if not ln.strip() or ln.lstrip().startswith("=="):
+            continue
+        ln = re.sub(r"\(\d+\)", "", ln)            # node ids
+        ln = re.sub(r"Statistics\([^)]*\)", "", ln)  # AQE stage stats
+        ln = re.sub(r"#\d+[A-Za-z]*", "#", ln)     # expression ids
+        ln = re.sub(r"operator id: \d+", "operator id:", ln)  # ReusedExchange
+        lines.append(ln.rstrip())
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()[:12]
+
+
 def _best_of(fn, runs: int = 2):
     best, n = None, 0
     for _ in range(runs):
@@ -104,6 +134,7 @@ def main() -> int:
     # scheduler/GC hiccups so the number reflects the plan, not the
     # noise floor of a shared box.
     timings: dict[str, float] = {}
+    plan_fp: dict[str, str] = {}
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
@@ -113,11 +144,15 @@ def main() -> int:
             spark.conf.set("spark.sql.shuffle.partitions", str(width))
         try:
             best, n = _best_of(lambda: spec.fn(spark, sf_dir).count())
+            # untimed extra execution for the fingerprint (the timed
+            # runs go through count() whose DataFrame is discarded)
+            plan_fp[name] = _plan_fingerprint(spec.fn(spark, sf_dir), spark)
         finally:
             if width is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", default_width)
         timings[name] = round(best, 3)
-        print(f"# spark  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# spark  {name}: {timings[name]}s ({n} rows) "
+              f"plan={plan_fp[name]}", file=sys.stderr)
 
     # --- DuckDB side (same process, same box state, right now) ----------
     duck: dict[str, float] = {}
@@ -145,6 +180,7 @@ def main() -> int:
         "value": total_s,
         "unit": "sec",
         "queries": timings,
+        "plan_fp": plan_fp,
         "sf": float(sf) if sf else None,
         "duckdb": duck,
         "duckdb_total_sec": total_d,

@@ -1,0 +1,336 @@
+"""Streaming twin of the batch curation DAG: incremental corpus
+admission behind the Pub/Sub-shaped source.
+
+The batch DAG (curation_pipeline.py) re-curates the world; production
+ingest can't — a crawl batch arrives as messages and must be admitted
+against the STANDING corpus (the dedup_incremental shape,
+queries/dedup.py) without re-reading it.  This module wires that
+admission path behind the reference-parity streaming pipeline
+(pipeline.SparkPipeline: R1 source pull, R2 bulk_limit, R10
+ack-after-publish, R12 bounded drain), with per-batch idempotent
+output in the IdempotentParquetSink's batch-keyed-overwrite discipline
+so a crashed-and-restarted stream CONVERGES to the batch DAG's output
+instead of duplicating (the replay contract the R10 tests pin).
+
+Stage sharing: every gate is ONE function over a documents DataFrame,
+applied by the batch twin (``admission_batch_twin``) to the whole
+corpus and by the stream to each micro-batch — convergence is
+structural, not coincidental.  Gates:
+
+  1. normalize + exact-dedup admission: md5 of the canonicalized text
+     (text_normalize's expressions); a doc is admitted iff its hash is
+     unseen in the standing state AND it is the minimum doc_id holder
+     of the hash within its own batch.  On an arrival-ordered replay
+     (doc_id non-decreasing across batches — the deterministic replay
+     a commit-log source provides) first-seen == global-min, i.e. the
+     batch DAG's canonical choice.
+  2. repetition gate: Gopher dup-word / top-bigram fractions
+     (text_repetition's expressions and thresholds), map-side.
+  3. decontamination: anti-join against a FROZEN benchmark 8-gram
+     index (decontaminate_ngram's eval-gate definition).  Eval sets
+     are static at ingest time, so the index is built once and
+     broadcast to every batch — the frozen-quality-model posture.
+
+State discipline (the part a 1000-executor deployment cares about):
+the standing dedup state is parquet, PARTITIONED BY THE BATCH ID THAT
+ADMITTED IT (``state/batch=N/``).  Batch N reads only partitions
+``< N`` and overwrites its own partition — so a replayed batch (sink
+succeeded, offset commit lost: the at-least-once window) recomputes
+the SAME admission decision and overwrites the same files, and a
+crash between the state write and the commit cannot poison later
+batches (their reads exclude ``>= their own id`` never, but do
+exclude the failed batch's leftovers when IT replays).  At 100 TB the
+state table is the corpus's (norm_hash, doc_id) projection — bucket
+it by hash so the per-batch anti-join is a bucketed semi-join, not a
+broadcast (same plan note as dedup_incremental's persisted inverted
+index).
+
+The per-batch mix report (``mix/batch=N``) emits the running
+temperature-flattened source weights (mix_temperature_sampling's
+alpha=0.5 integer formula) over everything admitted through batch N —
+the mixing dashboard a curation stream feeds the trainer.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Gate expressions and constants are IMPORTED from the registered
+# operators, not re-derived — the streaming path and the oracle-checked
+# batch operators share one definition, so they cannot drift.
+from .queries.text import _tokens  # noqa: E402  (same tokenizer)
+from .queries.training import (  # noqa: E402
+    _BENCH_GATE as DECON_GATE,
+    _ngrams8,
+)
+
+# Same thresholds as queries/text.py::text_repetition.
+REP_DUP_MAX = 0.82
+REP_TOPBG_MAX = 0.08
+
+DOC_SCHEMA = "doc_id LONG, lang STRING, source STRING, text STRING"
+
+
+def _norm(col: str = "text"):
+    # text_normalize's canonicalization expressions (queries/text.py)
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+
+
+def build_eval_ngram_index(docs: DataFrame) -> DataFrame:
+    """The frozen benchmark index: distinct 8-grams of the eval-gated
+    docs.  Built once at pipeline construction; broadcast per batch."""
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        docs.filter(gate < DECON_GATE)
+        .select(F.explode(_ngrams8()).alias("bg"))
+        .distinct()
+    )
+
+
+def gate_batch(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """Stateless per-doc gate verdicts + the dedup key.  Shared by the
+    batch twin and every micro-batch: one scan, map-side expressions,
+    one broadcast anti-join for decontamination."""
+    w = _tokens()
+    base = docs.select(
+        "doc_id", "lang", "source", "text",
+        F.md5(_norm()).alias("norm_hash"),
+        w.alias("w"),
+    )
+    tok = base.select("doc_id", F.explode("w").alias("t"))
+    ws = tok.groupBy("doc_id", "t").count().groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+    )
+    n = F.size(F.col("w")) - 1
+    z = F.arrays_zip(
+        F.slice(F.col("w"), 1, n).alias("t1"),
+        F.slice(F.col("w"), 2, n).alias("t2"),
+    )
+    big = F.transform(z, lambda p: F.concat_ws(" ", p["t1"], p["t2"]))
+    bs = (
+        base.select("doc_id", F.explode(big).alias("b"))
+        .groupBy("doc_id", "b").count().groupBy("doc_id")
+        .agg(F.sum("count").alias("n_bigrams"),
+             F.max("count").alias("max_bigram"))
+    )
+    dup = F.lit(1).cast("double") - (
+        F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    )
+    top_bg = F.coalesce(
+        F.col("max_bigram").cast("double") / F.col("n_bigrams").cast("double"),
+        F.lit(0.0),
+    )
+    # eval docs themselves are not training candidates; non-eval docs
+    # sharing any 8-gram with the index are contaminated
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    grams = docs.select("doc_id", F.explode(_ngrams8()).alias("g"))
+    dirty = (
+        grams.join(F.broadcast(eval_grams), grams.g == eval_grams.bg,
+                   "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        base.drop("w")
+        .join(ws, "doc_id", "left")
+        .join(bs, "doc_id", "left")
+        .join(dirty, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "source", "text", "norm_hash",
+            ((dup <= REP_DUP_MAX) & (top_bg <= REP_TOPBG_MAX))
+            .alias("pass_repetition"),
+            (
+                (gate >= DECON_GATE)
+                & F.coalesce(~F.col("contaminated"), F.lit(True))
+            ).alias("pass_decontam"),
+        )
+    )
+
+
+def _admit_in_frame(verdicts: DataFrame) -> DataFrame:
+    """Within one frame (a micro-batch, or the whole corpus for the
+    batch twin): gates pass AND minimum doc_id holder of the hash."""
+    passed = verdicts.filter("pass_repetition AND pass_decontam")
+    canon = passed.groupBy("norm_hash").agg(F.min("doc_id").alias("doc_id"))
+    return passed.join(canon, ["norm_hash", "doc_id"], "left_semi")
+
+
+def admission_batch_twin(
+    docs: DataFrame, eval_grams: DataFrame | None = None
+) -> DataFrame:
+    """The batch DAG's answer on the same corpus: the convergence
+    target for the streaming path (same gate functions, empty standing
+    state, whole corpus as one frame).  Pass ``eval_grams`` when the
+    stream was frozen against a benchmark index built from a different
+    (e.g. larger) corpus than ``docs``."""
+    if eval_grams is None:
+        eval_grams = build_eval_ngram_index(docs)
+    return _admit_in_frame(gate_batch(docs, eval_grams))
+
+
+def mix_report(admitted: DataFrame) -> DataFrame:
+    """Temperature-flattened (alpha=0.5) source weights over an
+    admitted set — mix_temperature_sampling's exact integer formula,
+    factored to run on any admitted frame."""
+    s = admitted.groupBy("source").agg(
+        F.expr("SUM(length(text) DIV 4 + 1)").cast("long").alias("tok")
+    )
+    tot = s.agg(F.sum("tok").alias("tot"))
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source", "tok",
+        F.expr("tok * 1000 DIV tot").cast("long").alias("p_milli"),
+        F.floor(
+            F.sqrt(F.expr("CAST(tok * 1000000000 DIV tot AS DOUBLE)")
+                   * F.lit(1e9))
+        ).cast("long").alias("s9"),
+    )
+    stot = w.agg(F.sum("s9").alias("stot"))
+    return w.crossJoin(F.broadcast(stot)).select(
+        "source", "tok", "p_milli",
+        F.expr("s9 * 1000 DIV stot").cast("long").alias("w_milli"),
+    )
+
+
+@dataclass
+class CurationAdmissionSink:
+    """foreachBatch sink implementing the incremental admission path.
+
+    Layout under ``path``:
+      out/batch=N/    admitted documents of batch N   (overwrite)
+      state/batch=N/  (norm_hash, doc_id) admitted in batch N (overwrite)
+      mix/batch=N/    running mix weights through batch N (overwrite)
+
+    Every write is keyed by the engine-stable batch id and uses
+    overwrite mode, so a replayed batch is a no-op rewrite — the
+    IdempotentParquetSink discipline extended to state.
+    """
+
+    path: str
+    eval_grams: DataFrame
+
+    def _dir(self, kind: str) -> str:
+        return os.path.join(self.path, kind)
+
+    def _standing(self, spark: SparkSession, before_batch: int) -> DataFrame:
+        """Union of state partitions admitted by batches < before_batch
+        (a replayed batch must not see its own failed leftovers)."""
+        base = self._dir("state")
+        parts = []
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                if not d.startswith("batch="):
+                    continue
+                if int(d.split("=", 1)[1]) < before_batch and os.path.exists(
+                    os.path.join(base, d, "_SUCCESS")
+                ):
+                    parts.append(os.path.join(base, d))
+        if not parts:
+            return spark.createDataFrame([], "norm_hash STRING, doc_id LONG")
+        return spark.read.option("basePath", base).parquet(*parts).select(
+            "norm_hash", "doc_id"
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df
+        if "value" in docs.columns and "doc_id" not in docs.columns:
+            docs = docs.select(
+                F.from_json(F.col("value").cast("string"), DOC_SCHEMA)
+                .alias("m")
+            ).select("m.*")
+        # One source read per trigger: the gates fan the batch into
+        # several jobs (word agg, bigram agg, gram join, two writes) —
+        # without the persist each job re-pulls the micro-batch from
+        # the source (and inflates the source's rows-in metric).
+        docs.persist()
+        verdicts = gate_batch(docs, self.eval_grams)
+        standing = self._standing(spark, int(epoch_id))
+        admitted = _admit_in_frame(verdicts).join(
+            standing.select("norm_hash"), "norm_hash", "left_anti"
+        )
+        admitted.persist()
+        try:
+            admitted.select(
+                "doc_id", "lang", "source", "text", "norm_hash"
+            ).write.mode("overwrite").parquet(
+                os.path.join(self._dir("out"), f"batch={epoch_id}")
+            )
+            admitted.select("norm_hash", "doc_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self._dir("state"), f"batch={epoch_id}"))
+            # running mix over everything admitted through this batch
+            all_admitted = self.read_admitted(spark, through=int(epoch_id))
+            mix_report(all_admitted).write.mode("overwrite").parquet(
+                os.path.join(self._dir("mix"), f"batch={epoch_id}")
+            )
+        finally:
+            admitted.unpersist()
+            docs.unpersist()
+
+    def read_admitted(
+        self, spark: SparkSession, through: int | None = None
+    ) -> DataFrame:
+        base = self._dir("out")
+        parts = [
+            os.path.join(base, d)
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
+            if d.startswith("batch=")
+            and (through is None or int(d.split("=", 1)[1]) <= through)
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        ]
+        if not parts:
+            return spark.createDataFrame(
+                [], DOC_SCHEMA + ", norm_hash STRING"
+            )
+        return spark.read.option("basePath", base).parquet(*parts).drop(
+            "batch"
+        )
+
+    def read_mix(self, spark: SparkSession) -> DataFrame:
+        """The latest committed mix report."""
+        base = self._dir("mix")
+        latest = max(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("batch=")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        )
+        return spark.read.parquet(os.path.join(base, f"batch={latest}"))
+
+
+def streaming_curation_pipeline(
+    spark: SparkSession,
+    drop_dir: str,
+    out_dir: str,
+    eval_grams: DataFrame,
+    checkpoint_dir: str,
+    bulk_limit: int = 20,
+):
+    """Assemble the composite on the reference-parity pipeline core:
+    file-drop source (R1/R2 admission), JSON decode as the
+    column_processor fast path (R5, Catalyst-visible), the admission
+    sink above (R9/R10: state+output written before the offset
+    commit), checkpointed for crash/replay (R12 bounded drain)."""
+    from .pipeline import FileStreamSource, SparkPipeline
+
+    sink = CurationAdmissionSink(out_dir, eval_grams)
+    pipe = SparkPipeline(
+        spark=spark,
+        source=FileStreamSource(drop_dir, max_files_per_trigger=bulk_limit),
+        sink=sink,
+        column_processor=lambda df: df.select(
+            F.from_json(F.col("value").cast("string"), DOC_SCHEMA).alias("m")
+        ).select("m.*"),
+        checkpoint_dir=checkpoint_dir,
+    )
+    return pipe, sink

@@ -1,0 +1,166 @@
+"""Integration: the streaming curation composite (curation_stream.py)
+must converge to its batch twin on the same corpus ACROSS A CRASH —
+the R10 replay contract extended from a value-passthrough sink to a
+stateful admission pipeline (round-9 verdict item 6).
+
+The crash is injected in the worst window: AFTER batch K's output and
+state writes succeed but BEFORE the engine commits its offsets — so
+the restarted stream replays batch K against state that already
+contains batch K's own leftovers.  Convergence then proves both
+idempotence claims at once: the batch-keyed overwrite (output) and the
+read-only-partitions-below-me rule (state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_pubsub_pipeline_spark.curation_stream import (
+    CurationAdmissionSink,
+    admission_batch_twin,
+    build_eval_ngram_index,
+    gate_batch,
+    mix_report,
+    streaming_curation_pipeline,
+)
+from py_pubsub_pipeline_spark.tables import table
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        table(spark, SF_SMALL, "documents")
+        .select("doc_id", "lang", "source", "text")
+    )
+
+
+def _write_drop_files(docs_df, drop_dir: str, n_files: int = 10) -> None:
+    """Arrival-ordered replay: doc_id non-decreasing across files, file
+    mtimes increasing so the file source triggers them in order."""
+    rows = sorted(docs_df.collect(), key=lambda r: r["doc_id"])
+    os.makedirs(drop_dir, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    t0 = 1_700_000_000
+    for i in range(n_files):
+        chunk = rows[i * per:(i + 1) * per]
+        if not chunk:
+            break
+        p = os.path.join(drop_dir, f"{i:04d}.jsonl")
+        with open(p, "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps({
+                    "doc_id": r["doc_id"], "lang": r["lang"],
+                    "source": r["source"], "text": r["text"],
+                }) + "\n")
+        os.utime(p, (t0 + i, t0 + i))
+
+
+def test_gates_match_registry_semantics(spark, docs):
+    # The shared gate function must reproduce text_repetition's keep
+    # verdict and decontaminate_ngram's contaminated set exactly.
+    from py_pubsub_pipeline_spark.queries.text import text_repetition
+    from py_pubsub_pipeline_spark.queries.training import decontaminate_ngram
+
+    verdicts = gate_batch(docs, build_eval_ngram_index(docs))
+    rep = {r["doc_id"]: r["keep"]
+           for r in text_repetition(spark, SF_SMALL).collect()}
+    mine = {r["doc_id"]: (r["pass_repetition"], r["pass_decontam"])
+            for r in verdicts.collect()}
+    assert {d: k for d, (k, _) in mine.items()} == rep
+    dirty = {r["doc_id"] for r in decontaminate_ngram(spark, SF_SMALL).collect()}
+    eval_gate = {
+        d for d in mine
+        if __import__("hashlib").md5(str(d).encode()).hexdigest()[:2] < "08"
+    }
+    assert {d for d, (_, c) in mine.items() if not c} == dirty | eval_gate
+
+
+def test_streaming_admission_converges_after_crash(spark, docs, tmp_path):
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_drop_files(docs, drop, n_files=10)
+    eval_grams = build_eval_ngram_index(docs)
+
+    crash_at = {"epoch": 2, "armed": True}
+
+    class CrashingSink(CurationAdmissionSink):
+        """Fail AFTER the real writes of one batch succeed — the
+        publish-ok/commit-lost window (reference P:48-52)."""
+
+        def __call__(self, batch_df, epoch_id):
+            super().__call__(batch_df, epoch_id)
+            if crash_at["armed"] and int(epoch_id) >= crash_at["epoch"]:
+                crash_at["armed"] = False
+                raise RuntimeError("injected crash after durable writes")
+
+    sink = CrashingSink(out, eval_grams)
+    from py_pubsub_pipeline_spark.pipeline import (
+        FileStreamSource, SparkPipeline,
+    )
+
+    def build(s):
+        return SparkPipeline(
+            spark=spark,
+            source=FileStreamSource(drop, max_files_per_trigger=3),
+            sink=s,
+            column_processor=lambda df: df.select(
+                F.from_json(
+                    F.col("value").cast("string"),
+                    "doc_id LONG, lang STRING, source STRING, text STRING",
+                ).alias("m")
+            ).select("m.*"),
+            checkpoint_dir=ckpt,
+        )
+
+    with pytest.raises(Exception, match="injected crash"):
+        build(sink).process(available_now=True)
+    # restart from the same checkpoint: the crashed batch REPLAYS
+    # (its offsets were never committed) against state that already
+    # contains its own leftover partition
+    build(sink).process(available_now=True)
+
+    admitted = sink.read_admitted(spark)
+    target = admission_batch_twin(docs)
+    got = sorted(r["doc_id"] for r in admitted.select("doc_id").collect())
+    want = sorted(r["doc_id"] for r in target.select("doc_id").collect())
+    assert got == want
+    # no duplicates slipped through the replay
+    assert len(got) == len(set(got))
+    # the corpus genuinely exercises every admission branch
+    n_all = docs.count()
+    assert 0 < len(got) < n_all
+    # final mix report == the batch twin's mix over the same set
+    got_mix = {r["source"]: (r["tok"], r["p_milli"], r["w_milli"])
+               for r in sink.read_mix(spark).collect()}
+    want_mix = {r["source"]: (r["tok"], r["p_milli"], r["w_milli"])
+                for r in mix_report(target).collect()}
+    assert got_mix == want_mix
+
+
+def test_streaming_pipeline_helper_runs_clean(spark, docs, tmp_path):
+    # The assembled helper (no crash): same convergence, one call.
+    drop = str(tmp_path / "drop")
+    sub = docs.filter("doc_id < 120")
+    _write_drop_files(sub, drop, n_files=4)
+    eval_grams = build_eval_ngram_index(docs)
+    pipe, sink = streaming_curation_pipeline(
+        spark, drop, str(tmp_path / "out"), eval_grams,
+        str(tmp_path / "ckpt"), bulk_limit=2,
+    )
+    pipe.process(available_now=True)
+    got = sorted(r["doc_id"] for r in sink.read_admitted(spark)
+                 .select("doc_id").collect())
+    want = sorted(
+        r["doc_id"]
+        for r in admission_batch_twin(sub, eval_grams)
+        .select("doc_id").collect()
+    )
+    assert got == want
+    assert pipe.metrics.totals()["rows_in"] == 120
