@@ -1034,3 +1034,173 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return snap_df(m1).unionByName(snap_df(m2))
+
+
+# --- multi-snapshot manifest operations -----------------------------------
+# Shared fixture: orders split 3 ways (o_orderkey % 3) under
+# manifest_snap/, snapshot 1 = {file-0, file-1} (file-2 is the planted
+# torn write), snapshot 2 = {file-0, file-1, file-2}, and snapshot 3 =
+# {file-0, file-3} where file-3 is the COMPACTION of file-1 and file-2
+# (parts 1+2 rewritten as one file) — the add/remove/rewrite history a
+# real table format accumulates.
+
+
+def _manifest_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the full three-snapshot fixture exists (idempotent;
+    extends the scan_manifest_snapshot/_time_travel fixture with the
+    compaction snapshot v3 and its rewritten data file)."""
+    base = _cache_dir(sf_dir, "manifest_snap")
+    m1 = os.path.join(base, "_manifest.json")
+    if not os.path.exists(m1):
+        o = table(spark, sf_dir, "orders")
+        for part in range(3):
+            (
+                o.filter(F.col("o_orderkey") % 3 == part)
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, f"file-{part}"))
+            )
+        tmp = m1 + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"snapshot_id": 1, "files": ["file-0", "file-1"]}, f)
+        os.replace(tmp, m1)
+    m2 = os.path.join(base, "_manifest_v2.json")
+    if not os.path.exists(m2):
+        tmp = m2 + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"snapshot_id": 2,
+                        "files": ["file-0", "file-1", "file-2"]}, f)
+        os.replace(tmp, m2)
+    f3 = os.path.join(base, "file-3")
+    if not os.path.exists(os.path.join(f3, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 3 != 0)
+            .write.mode("overwrite").parquet(f3)
+        )
+    m3 = os.path.join(base, "_manifest_v3.json")
+    if not os.path.exists(m3):
+        tmp = m3 + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"snapshot_id": 3, "files": ["file-0", "file-3"]}, f)
+        os.replace(tmp, m3)
+    return base
+
+
+def _manifest_files(base: str, version: str) -> list[str]:
+    name = "_manifest.json" if version == "v1" else f"_manifest_{version}.json"
+    with open(os.path.join(base, name)) as f:
+        return _json.load(f)["files"]
+
+
+def _file_stats(spark: SparkSession, base: str, rel: str,
+                file_col: str, status: str) -> DataFrame:
+    return (
+        spark.read.parquet(os.path.join(base, rel))
+        .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum"))
+        .select(
+            F.lit(rel).alias(file_col), F.lit(status).alias("status"),
+            F.col("n").cast("long").alias("n"),
+            F.col("key_sum").cast("long").alias("key_sum"),
+        )
+    )
+
+
+@query(
+    "scan_manifest_diff",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(o_orderkey % 3 AS INTEGER) AS part,
+             COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+      FROM orders GROUP BY 1)
+    SELECT 'file-0' AS file, 'unchanged' AS status,
+           CAST(n AS BIGINT) AS n, CAST(key_sum AS BIGINT) AS key_sum
+    FROM s WHERE part = 0
+    UNION ALL
+    SELECT 'file-1', 'removed', CAST(n AS BIGINT), CAST(key_sum AS BIGINT)
+    FROM s WHERE part = 1
+    UNION ALL
+    SELECT 'file-2', 'removed', CAST(n AS BIGINT), CAST(key_sum AS BIGINT)
+    FROM s WHERE part = 2
+    UNION ALL
+    SELECT 'file-3', 'added', CAST(SUM(n) AS BIGINT),
+           CAST(SUM(key_sum) AS BIGINT)
+    FROM s WHERE part IN (1, 2)
+    """,
+)
+def scan_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SNAPSHOT MANIFEST DIFF — what changed between two
+    committed snapshots of a manifest-tracked table, at the file
+    level: added / removed / unchanged files with their row counts and
+    key sums.  Diffing snapshot 2 (pre-compaction: three small files)
+    against snapshot 3 (file-1 and file-2 rewritten as file-3) shows
+    the canonical compaction signature — removals and additions whose
+    aggregate stats BALANCE (sum of removed n/key_sum == added), which
+    is how an audit distinguishes a data-preserving rewrite from an
+    actual delete.  The oracle derives every file's stats
+    arithmetically from the base table (o_orderkey % 3 partitioning),
+    proving the manifest-resolved reads see exactly the committed
+    partitions.
+
+    Scale: manifests resolve DRIVER-SIDE at plan time, O(manifest
+    entries) — the per-file loop here is bounded by the file list,
+    never by data (real formats additionally carry per-file stats IN
+    the manifest, so this op reads no data at all there; scanning
+    stands in for those metadata columns).  Each file scan is a
+    2-column pruned parquet read (ReadSchema: o_orderkey only)."""
+    base = _manifest_fixture(spark, sf_dir)
+    old = set(_manifest_files(base, "v2"))
+    new = set(_manifest_files(base, "v3"))
+    out = None
+    for rel in sorted(old | new):
+        status = ("unchanged" if rel in old and rel in new
+                  else "removed" if rel in old else "added")
+        part = _file_stats(spark, base, rel, "file", status)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@query(
+    "scan_manifest_orphans",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(o_orderkey % 3 AS INTEGER) AS part,
+             COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+      FROM orders GROUP BY 1)
+    SELECT 'file-1' AS file, CAST(n AS BIGINT) AS n,
+           CAST(key_sum AS BIGINT) AS key_sum
+    FROM s WHERE part = 1
+    UNION ALL
+    SELECT 'file-2', CAST(n AS BIGINT), CAST(key_sum AS BIGINT)
+    FROM s WHERE part = 2
+    """,
+)
+def scan_manifest_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORPHAN-FILE AUDIT (vacuum planning): data files physically
+    present in the table directory but NOT referenced by the latest
+    committed snapshot — compaction leftovers (file-1, file-2 after
+    snapshot 3 rewrote them into file-3) and torn writes that never
+    committed.  Emits each orphan with its reclaimable row count and
+    key sum; a vacuum that honors time travel additionally keeps files
+    referenced by RETAINED older snapshots (here: a retention window
+    covering snapshots 1-2 would protect both — that policy join is
+    the caller's, this op supplies the candidate set).
+
+    Scale: the directory listing and the manifest read are driver-side
+    O(files) plan-time work (real formats list from the manifest tree
+    of the previous snapshots rather than the filesystem, same
+    complexity); per-orphan stats are pruned single-column scans,
+    bounded by the orphan list."""
+    base = _manifest_fixture(spark, sf_dir)
+    latest = set(_manifest_files(base, "v3"))
+    on_disk = sorted(
+        d for d in os.listdir(base)
+        if d.startswith("file-")
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    )
+    out = None
+    for rel in on_disk:
+        if rel in latest:
+            continue
+        part = _file_stats(spark, base, rel, "file", "orphan").drop("status")
+        out = part if out is None else out.unionByName(part)
+    return out

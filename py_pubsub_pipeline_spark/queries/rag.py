@@ -1415,3 +1415,129 @@ def rag_grounding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("grounding_milli"),
         )
     )
+
+
+# --- DP release completion (round 10, on the dp_noise ladder) -------------
+DPSEL_TAU = 10  # partition-selection release threshold (noisy count)
+
+
+@query(
+    "privacy_dp_partition_select",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n,
+             CAST(('0x' || substr(md5('sel|' || lang || '|' || source),
+                                  1, 13)) AS BIGINT) AS h
+      FROM documents GROUP BY lang, source),
+    r AS (
+      SELECT lang, source,
+             CAST(n + {sql_laplace('h', 1 / DP_EPS)} AS DECIMAL(18,4))
+               AS noisy_n
+      FROM g)
+    SELECT lang, source, noisy_n
+    FROM r WHERE noisy_n >= {DPSEL_TAU}
+    """,
+)
+def privacy_dp_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP partition selection (thresholded release): when the GROUP
+    KEYS themselves are data-derived (an unknown domain — here the
+    observed (lang, source) pairs), releasing even the key list leaks;
+    the standard mechanism noises each count and releases ONLY groups
+    whose noisy count clears a threshold tau={DPSEL_TAU}.  Small
+    (privacy-critical) partitions vanish with high probability; the
+    released value is the noisy count itself, never the raw one.
+    Completes the release family: dp_count (known domain), dp_sum
+    (clipped), this (unknown domain).
+
+    The noise stream is md5-derived from 'sel|' || key — independent of
+    dp_count's draw, as parallel mechanisms must be — and selected from
+    the round-10 discretized-Laplace DECIMAL ladder
+    (functions/dp_noise.py): integer shift + exact decimal compare, so
+    the threshold test cannot split across engines.  Scale: one hash
+    agg; noise and threshold are constant-folded arithmetic on the
+    group rows."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sel|"),
+                           F.concat_ws("|", "lang", "source"))), 1, 13),
+        16, 10,
+    ).cast("long")
+    noisy = (F.col("n") + spark_laplace(h, 1 / DP_EPS)).cast("decimal(18,4)")
+    return (
+        g.select("lang", "source", noisy.alias("noisy_n"))
+        .filter(F.col("noisy_n") >= DPSEL_TAU)
+    )
+
+
+@query(
+    "privacy_dp_mean",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(LEAST(n_chars, {DPS_CLIP})) AS BIGINT) AS clipped_sum,
+             CAST(('0x' || substr(md5('meanN|' || lang), 1, 13))
+                  AS BIGINT) AS hn,
+             CAST(('0x' || substr(md5('meanS|' || lang), 1, 13))
+                  AS BIGINT) AS hs
+      FROM documents GROUP BY lang),
+    r AS (
+      SELECT lang,
+             CAST(clipped_sum + {sql_laplace('hs', DPS_CLIP / DP_EPS)}
+                  AS DECIMAL(28,4)) AS noisy_sum,
+             CAST(n + {sql_laplace('hn', 1 / DP_EPS)}
+                  AS DECIMAL(18,4)) AS noisy_n
+      FROM g)
+    SELECT lang, noisy_sum, noisy_n,
+           CAST(CAST(noisy_sum * 10000 AS BIGINT) * 1000
+                // CAST(noisy_n * 10000 AS BIGINT) AS BIGINT) AS mean_milli
+    FROM r
+    """,
+)
+def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP mean release, composed the only correct way: noisy clipped
+    sum DIVIDED BY noisy count, each with its own independent ladder
+    draw ('meanN|'/'meanS|' streams) and its own epsilon share — never
+    noise-the-ratio (whose sensitivity is unbounded).  Emits the two
+    released components plus the derived mean in milli-chars — the
+    (count, sum, mean) triple every DP dashboard builds from.
+
+    Determinism: both components are exact DECIMAL(.,4) by the ladder
+    contract (functions/dp_noise.py), so scaling by 10^4 lands them in
+    exact BIGINTs and the mean is a pure integer division — identical
+    truncation on both engines (values provably positive: per-lang
+    counts dwarf the +-ln(1024) noise bound).  Scale: one hash agg
+    with map-side clipping; everything after is constant-folded
+    arithmetic on the lang-cardinality group rows.  Envelope:
+    noisy_sum*10^4*10^3 needs clipped_sum < 9.2e11 per lang (~4.6e8
+    docs/lang at the 2000-char clip) — far past sf10; documented, not
+    load-bearing."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.least(F.col("n_chars"), F.lit(DPS_CLIP))).cast("long")
+        .alias("clipped_sum"),
+    )
+    hn = F.conv(
+        F.substring(F.md5(F.concat(F.lit("meanN|"), F.col("lang"))), 1, 13),
+        16, 10,
+    ).cast("long")
+    hs = F.conv(
+        F.substring(F.md5(F.concat(F.lit("meanS|"), F.col("lang"))), 1, 13),
+        16, 10,
+    ).cast("long")
+    sel = g.select(
+        "lang",
+        (F.col("clipped_sum") + spark_laplace(hs, DPS_CLIP / DP_EPS))
+        .cast("decimal(28,4)").alias("noisy_sum"),
+        (F.col("n") + spark_laplace(hn, 1 / DP_EPS))
+        .cast("decimal(18,4)").alias("noisy_n"),
+    )
+    return sel.select(
+        "lang", "noisy_sum", "noisy_n",
+        F.expr(
+            "CAST(CAST(noisy_sum * 10000 AS BIGINT) * 1000"
+            " DIV CAST(noisy_n * 10000 AS BIGINT) AS BIGINT)"
+        ).alias("mean_milli"),
+    )

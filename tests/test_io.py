@@ -127,3 +127,26 @@ def test_compact_files_reduces_file_count_preserving_rows(spark, tmp_path):
     n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
     assert n_after == n_files == 1  # tiny dataset -> one right-sized file
     assert spark.read.parquet(p).count() == n_expected
+
+
+def test_manifest_diff_shows_balanced_compaction(spark, sf_dir):
+    from py_pubsub_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    rows = {r["file"]: r for r in
+            reg["scan_manifest_diff"].fn(spark, sf_dir).collect()}
+    assert {f: r["status"] for f, r in rows.items()} == {
+        "file-0": "unchanged", "file-1": "removed",
+        "file-2": "removed", "file-3": "added",
+    }
+    # the compaction signature: removed stats balance the added stats
+    assert (rows["file-1"]["n"] + rows["file-2"]["n"]
+            == rows["file-3"]["n"])
+    assert (rows["file-1"]["key_sum"] + rows["file-2"]["key_sum"]
+            == rows["file-3"]["key_sum"])
+    orphans = {r["file"]: r for r in
+               reg["scan_manifest_orphans"].fn(spark, sf_dir).collect()}
+    assert set(orphans) == {"file-1", "file-2"}
+    for f in orphans:
+        assert orphans[f]["n"] == rows[f]["n"]
+        assert orphans[f]["key_sum"] == rows[f]["key_sum"]

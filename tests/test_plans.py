@@ -1065,3 +1065,34 @@ def test_survivorship_no_joins_at_all(spark):
     for op in ("SortMergeJoin", "BroadcastHashJoin",
                "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan, op
+
+
+# --- round-10 wave gates ---------------------------------------------------
+
+
+def test_dp_release_family_single_agg_no_python(spark):
+    # Each DP release: ONE hash agg; the ladder lookup is
+    # constant-folded arithmetic on the group rows (no extra exchange,
+    # no Python anywhere in the plan).
+    for key in ("privacy_dp_count", "privacy_dp_partition_select",
+                "privacy_dp_mean"):
+        plan = _executed(REG[key].fn(spark, SF_SMALL), spark)
+        assert "BatchEvalPython" not in plan, key
+        final = _final(plan)
+        assert final.count("- Exchange") == 1, (key, final)
+
+
+def test_manifest_diff_scans_pruned_and_bounded(spark):
+    # Per-file stat scans read ONLY the key column (the stand-in for
+    # manifest stat columns), and the whole op is a bounded union of
+    # manifest-cardinality scans — no Python, no join, no cartesian.
+    for key in ("scan_manifest_diff", "scan_manifest_orphans"):
+        plan = _executed(REG[key].fn(spark, SF_SMALL), spark)
+        assert "BatchEvalPython" not in plan, key
+        assert "CartesianProduct" not in plan, key
+        schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert schemas, key
+        assert all(
+            "o_orderkey" in ln and "o_totalprice" not in ln
+            for ln in schemas
+        ), (key, schemas)

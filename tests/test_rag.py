@@ -800,3 +800,50 @@ def test_overlap_discounted_composes_census_and_sqrt_rule(spark):
         assert r["eff_tok"] == r["tok"] * (1000 - r["overlap_milli"]) // 1000
         assert abs(r["mix_weight"] - math.sqrt(r["eff_tok"]) / z) < 1e-5
     assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-3
+
+
+def test_dp_partition_select_thresholds_and_hides(spark):
+    rows = _rows("privacy_dp_partition_select", spark)
+    true = {
+        (r["lang"], r["source"]): r["n"]
+        for r in table(spark, SF_MED, "documents")
+        .groupBy("lang", "source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert rows, "nothing released at sf0.01 — threshold too high"
+    for r in rows:
+        # released noisy counts clear the threshold and sit within the
+        # ladder's noise bound of the true count
+        assert float(r["noisy_n"]) >= rag.DPSEL_TAU
+        noise = float(r["noisy_n"]) - true[(r["lang"], r["source"])]
+        assert abs(noise) < 7.0
+    # partition selection actually HIDES small groups (the point)
+    assert len(rows) < len(true)
+    # ...and every sufficiently large group survives (noise bound 6.94
+    # means n >= TAU + 7 cannot be suppressed)
+    big = {k for k, n in true.items() if n >= rag.DPSEL_TAU + 7}
+    assert big <= {(r["lang"], r["source"]) for r in rows}
+
+
+def test_dp_mean_composes_from_released_components(spark):
+    rows = _rows("privacy_dp_mean", spark)
+    true = {
+        r["lang"]: (r["n"], r["s"])
+        for r in table(spark, SF_MED, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"CAST(SUM(LEAST(n_chars, {rag.DPS_CLIP})) AS LONG)")
+            .alias("s"),
+        ).collect()
+    }
+    assert {r["lang"] for r in rows} == set(true)
+    for r in rows:
+        n, s = true[r["lang"]]
+        assert abs(float(r["noisy_n"]) - n) < 7.0
+        assert abs(float(r["noisy_sum"]) - s) < 7.0 * rag.DPS_CLIP
+        # the released mean is exactly the integer composition of the
+        # two released components — nothing else leaks in
+        ns4 = int(float(r["noisy_sum"]) * 10000 + 0.5)
+        nn4 = int(float(r["noisy_n"]) * 10000 + 0.5)
+        assert r["mean_milli"] == ns4 * 1000 // nn4
