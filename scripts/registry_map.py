@@ -192,7 +192,7 @@ def main() -> int:
         # manifest (the builder runs this right before committing the
         # artifacts + the regenerated map together).
         mf = REPO / "PARITY_MANIFEST.json"
-        names = sorted(p.name for p in REPO.glob("PARITY_*.json"))
+        names = sorted(p.name for p in REPO.glob("PARITY_r*.json"))
         mf.write_text(json.dumps(names, indent=1) + "\n")
         print(f"folded {len(names)} PARITY artifacts into {mf.name}")
     content = generate()
