@@ -21,7 +21,14 @@ row-count + schema + order-insensitive value-hash):
     divided) instead of ROUND (found by retention_ltv_curve);
   * libm functions (LN/LOG2/EXP) differ by ulps across engines:
     quantize each per-row term through DECIMAL before any cross-row
-    sum, then round the final result.
+    sum, then round the final result;
+  * libm over DENSE arguments (e.g. LN of a uniform) is banned from
+    released values outright — DECIMAL quantization cannot save a
+    value whose argument is equidistributed near quantization
+    boundaries (privacy_dp_count's round-9 red).  Precompute a ladder
+    of exact DECIMAL literals rendered into both engine texts and
+    select by integer comparison (functions/dp_noise.py,
+    functions/blocking.py).
 """
 
 from __future__ import annotations

@@ -40,7 +40,7 @@ def test_registry_size_is_intentional():
     # snapshot ops + DP-release completion, SURVEY.md §2C round-10
     # row).  This stays a tripwire: bump it ONLY alongside a SURVEY.md
     # row documenting the new operators.
-    assert len(load_all()) == 414
+    assert len(load_all()) == 417
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -1096,3 +1096,31 @@ def test_manifest_diff_scans_pruned_and_bounded(spark):
             "o_orderkey" in ln and "o_totalprice" not in ln
             for ln in schemas
         ), (key, schemas)
+
+
+def test_pq_adc_is_broadcast_scan_no_python(spark):
+    # Codebook and per-query LUTs broadcast; the candidate scan is one
+    # pass of map-side lookups + a per-query top-k window — no
+    # SortMergeJoin, no Python, and the only exchanges are the encode
+    # agg and the top-k window partitioning.
+    plan = _executed(REG["sim_pq_adc"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    final = _final(plan)
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+
+
+def test_pq_rescore_reads_vectors_proportional_to_candidates(spark):
+    # Stage 2 joins the bounded candidate set to the vector table via
+    # broadcast — no SortMergeJoin, no Python; stage 1's properties
+    # are covered by the sim_pq_adc gate.
+    plan = _executed(REG["sim_pq_rescore"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_distortion_is_one_agg(spark):
+    plan = _executed(REG["emb_pq_distortion"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    final = _final(plan)
+    assert final.count("- Exchange") == 1, final
