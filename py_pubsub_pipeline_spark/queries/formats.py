@@ -1204,3 +1204,72 @@ def scan_manifest_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = _file_stats(spark, base, rel, "file", "orphan").drop("status")
         out = part if out is None else out.unionByName(part)
     return out
+
+
+RETAIN_FROM = 2  # vacuum retention: snapshots >= this id are protected
+
+
+@query(
+    "scan_manifest_retention_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(o_orderkey % 3 AS INTEGER) AS part,
+             COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+      FROM orders GROUP BY 1),
+    f AS (
+      SELECT 'file-0' AS file, n, key_sum, TRUE AS in_latest,
+             TRUE AS in_retained FROM s WHERE part = 0
+      UNION ALL
+      SELECT 'file-1', n, key_sum, FALSE, TRUE FROM s WHERE part = 1
+      UNION ALL
+      SELECT 'file-2', n, key_sum, FALSE, TRUE FROM s WHERE part = 2
+      UNION ALL
+      SELECT 'file-3', SUM(n), SUM(key_sum), TRUE, TRUE
+      FROM s WHERE part IN (1, 2))
+    SELECT file, CAST(n AS BIGINT) AS n, CAST(key_sum AS BIGINT) AS key_sum,
+           in_latest, in_retained,
+           (NOT in_latest AND NOT in_retained) AS deletable
+    FROM f
+    """,
+)
+def scan_manifest_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM RETENTION PLAN — the policy join scan_manifest_orphans
+    leaves to the caller, made explicit: every data file on disk,
+    whether the LATEST snapshot references it, whether ANY RETAINED
+    snapshot (id >= {RETAIN_FROM}, the time-travel window) references
+    it, and the resulting deletable verdict (unreferenced by latest
+    AND by every retained snapshot).  With retention covering
+    snapshots 2-3 here, the compaction leftovers file-1/file-2 are
+    orphans of the latest snapshot but PROTECTED by snapshot 2 — so
+    nothing is deletable yet; shrink the window below 2 and they fall.
+    This is exactly Iceberg's expire-snapshots + remove-orphan-files
+    contract: a vacuum that ignores retained snapshots breaks time
+    travel.
+
+    Scale: manifests resolve driver-side (O(files x snapshots) set
+    algebra at plan time); per-file stats are bounded pruned scans
+    standing in for manifest stat columns.  The oracle derives every
+    verdict arithmetically from the snapshot definitions."""
+    base = _manifest_fixture(spark, sf_dir)
+    latest = set(_manifest_files(base, "v3"))
+    retained: set[str] = set()
+    for ver, sid in (("v1", 1), ("v2", 2), ("v3", 3)):
+        if sid >= RETAIN_FROM:
+            retained |= set(_manifest_files(base, ver))
+    on_disk = sorted(
+        d for d in os.listdir(base)
+        if d.startswith("file-")
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    )
+    out = None
+    for rel in on_disk:
+        part = _file_stats(spark, base, rel, "file", "x").drop("status")
+        part = part.select(
+            "file", "n", "key_sum",
+            F.lit(rel in latest).alias("in_latest"),
+            F.lit(rel in retained).alias("in_retained"),
+            F.lit(rel not in latest and rel not in retained)
+            .alias("deletable"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -150,3 +150,21 @@ def test_manifest_diff_shows_balanced_compaction(spark, sf_dir):
     for f in orphans:
         assert orphans[f]["n"] == rows[f]["n"]
         assert orphans[f]["key_sum"] == rows[f]["key_sum"]
+
+
+def test_retention_plan_protects_time_travel(spark, sf_dir):
+    from py_pubsub_pipeline_spark.registry import load_all
+
+    rows = {r["file"]: r for r in
+            load_all()["scan_manifest_retention_plan"]
+            .fn(spark, sf_dir).collect()}
+    assert set(rows) == {"file-0", "file-1", "file-2", "file-3"}
+    # the latest snapshot's orphans are protected by retained snapshot 2
+    for f in ("file-1", "file-2"):
+        assert not rows[f]["in_latest"] and rows[f]["in_retained"]
+        assert not rows[f]["deletable"]
+    # nothing is deletable under the current window — and every file
+    # referenced by latest is trivially retained
+    assert not any(r["deletable"] for r in rows.values())
+    for f in ("file-0", "file-3"):
+        assert rows[f]["in_latest"] and rows[f]["in_retained"]

@@ -1124,3 +1124,14 @@ def test_pq_distortion_is_one_agg(spark):
     assert "BatchEvalPython" not in plan
     final = _final(plan)
     assert final.count("- Exchange") == 1, final
+
+
+def test_retention_plan_scans_pruned(spark):
+    plan = _executed(
+        REG["scan_manifest_retention_plan"].fn(spark, SF_SMALL), spark
+    )
+    assert "BatchEvalPython" not in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all(
+        "o_orderkey" in ln and "o_totalprice" not in ln for ln in schemas
+    )
