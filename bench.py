@@ -83,7 +83,11 @@ def _plan_fingerprint(df, spark) -> str:
     wall-time delta with an unchanged fingerprint is self-adjudicating
     box drift, and a fingerprint change points at a real plan change.
     """
-    df.collect()  # materialize THIS DataFrame so AQE finalizes
+    # Materialize THIS DataFrame's queryExecution so AQE finalizes —
+    # JVM-side (RDD count on the executed plan), never a collect():
+    # basket outputs reach millions of rows at sf10 and a driver
+    # collect for a *fingerprint* would be absurd.
+    df._jdf.queryExecution().executedPlan().execute().count()
     plan = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )

@@ -146,13 +146,19 @@ def main() -> int:
     spark = get_spark("bench_sf1")
     _build_corpus(spark)
 
-    results: dict[str, dict[str, float]] = {}
+    from bench import _plan_fingerprint  # repo-root bench.py (round 10)
+
+    results: dict[str, dict] = {}
     for name in HEADLINE:
         spec = registry[name]
         spec.fn(spark, OUT).count()  # warm (JIT, page cache, AQE stats)
         s_best, s_rows = _best_of(lambda: spec.fn(spark, OUT).count())
         results[name] = {"spark_sec": round(s_best, 3)}
-        print(f"# spark  {name}: {s_best:.3f}s ({s_rows} rows)", file=sys.stderr)
+        results[name]["plan_fp"] = _plan_fingerprint(
+            spec.fn(spark, OUT), spark
+        )
+        print(f"# spark  {name}: {s_best:.3f}s ({s_rows} rows) "
+              f"plan={results[name]['plan_fp']}", file=sys.stderr)
 
     # Fair-baseline rule: DuckDB runs each oracle in its BEST
     # completing formulation for this scale.  The registered text pins
