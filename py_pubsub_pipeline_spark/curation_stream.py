@@ -30,6 +30,16 @@ structural, not coincidental.  Gates:
      index (decontaminate_ngram's eval-gate definition).  Eval sets
      are static at ingest time, so the index is built once and
      broadcast to every batch — the frozen-quality-model posture.
+  4. (near_dup=True) incremental NEAR-dup admission — the actual
+     dedup_incremental shape: the batch's word-3-gram shingles join
+     one-sidedly against the STANDING postings state
+     (``shingles/batch=N``, same batch-keyed discipline); a candidate
+     with milli-Jaccard >= ND_TAU_MILLI against any previously
+     admitted doc is rejected, and the verdict (worst collision +
+     score) lands in the ``nd_rejects`` ledger.  New x new pairs are
+     deliberately NOT checked — the next full compaction's job
+     (queries/dedup.py:1185's contract) — so per-batch cost scales
+     with the batch, never corpus².
 
 State discipline (the part a 1000-executor deployment cares about):
 the standing dedup state is parquet, PARTITIONED BY THE BATCH ID THAT
@@ -56,7 +66,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Gate expressions and constants are IMPORTED from the registered
@@ -68,11 +78,22 @@ from .queries.training import (  # noqa: E402
     _ngrams8,
 )
 
+from .queries.dedup import _grams as _shingle_grams  # noqa: E402
+
 # Same thresholds as queries/text.py::text_repetition.
 REP_DUP_MAX = 0.82
 REP_TOPBG_MAX = 0.08
 
 DOC_SCHEMA = "doc_id LONG, lang STRING, source STRING, text STRING"
+# Near-dup admission threshold: milli-Jaccard over distinct word-3-gram
+# shingles (the dedup_incremental kernel, queries/dedup.py).
+ND_TAU_MILLI = 500
+
+
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): one row per distinct word-3-gram shingle — the
+    same kernel the batch dedup family uses (queries/dedup.py)."""
+    return docs.select("doc_id", F.explode(_shingle_grams()).alias("s"))
 
 
 def _norm(col: str = "text"):
@@ -217,6 +238,11 @@ class CurationAdmissionSink:
 
     path: str
     eval_grams: DataFrame
+    # Enable the dedup_incremental near-dup stage: candidates are
+    # checked one-sidedly against the STANDING shingle state and
+    # rejected at milli-Jaccard >= ND_TAU_MILLI; admitted docs add
+    # their postings to the state.  Off by default (exact-only).
+    near_dup: bool = False
 
     def _dir(self, kind: str) -> str:
         return os.path.join(self.path, kind)
@@ -240,6 +266,65 @@ class CurationAdmissionSink:
             "norm_hash", "doc_id"
         )
 
+    def _standing_parts(self, kind: str, before_batch: int) -> list[str]:
+        base = self._dir(kind)
+        out = []
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                if not d.startswith("batch="):
+                    continue
+                if int(d.split("=", 1)[1]) < before_batch and os.path.exists(
+                    os.path.join(base, d, "_SUCCESS")
+                ):
+                    out.append(os.path.join(base, d))
+        return out
+
+    def _near_dup_rejects(
+        self, spark: SparkSession, cand: DataFrame, before_batch: int
+    ) -> DataFrame:
+        """dedup_incremental's one-sided near-dup admission check:
+        candidate x STANDING shingle pairs only (cost scales with the
+        batch, never corpus²; new x new pairs are the next compaction's
+        job — queries/dedup.py:1185's contract).  Emits, per rejected
+        candidate, the worst standing collision and its milli-Jaccard
+        — the same verdict row dedup_incremental produces."""
+        parts = self._standing_parts("shingles", before_batch)
+        empty = spark.createDataFrame(
+            [], "doc_id LONG, corp_id LONG, jacc_milli LONG")
+        if not parts:
+            return empty
+        new_sh = _shingle_rows(cand)
+        corp_sh = (
+            spark.read.option("basePath", self._dir("shingles"))
+            .parquet(*parts)
+            .select(F.col("doc_id").alias("corp_id"), "s")
+        )
+        n_new = new_sh.groupBy("doc_id").agg(F.count("*").alias("n_new"))
+        n_corp = corp_sh.groupBy("corp_id").agg(F.count("*").alias("n_corp"))
+        inter = (
+            new_sh.join(corp_sh, "s")
+            .groupBy("doc_id", "corp_id")
+            .agg(F.count("*").alias("n_common"))
+        )
+        jacc = (
+            inter.join(n_new, "doc_id").join(n_corp, "corp_id")
+            .select(
+                "doc_id", "corp_id",
+                F.expr(
+                    "n_common * 1000 DIV (n_new + n_corp - n_common)"
+                ).cast("long").alias("jacc_milli"),
+            )
+            .filter(F.col("jacc_milli") >= ND_TAU_MILLI)
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("jacc_milli").desc(), "corp_id"
+        )
+        return (
+            jacc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "corp_id", "jacc_milli")
+        )
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         docs = batch_df
@@ -258,6 +343,16 @@ class CurationAdmissionSink:
         admitted = _admit_in_frame(verdicts).join(
             standing.select("norm_hash"), "norm_hash", "left_anti"
         )
+        rejects = None
+        cand = None
+        if self.near_dup:
+            cand = admitted
+            cand.persist()
+            rejects = self._near_dup_rejects(spark, cand, int(epoch_id))
+            rejects.persist()
+            admitted = cand.join(
+                rejects.select("doc_id"), "doc_id", "left_anti"
+            )
         admitted.persist()
         try:
             admitted.select(
@@ -268,6 +363,14 @@ class CurationAdmissionSink:
             admitted.select("norm_hash", "doc_id").write.mode(
                 "overwrite"
             ).parquet(os.path.join(self._dir("state"), f"batch={epoch_id}"))
+            if self.near_dup:
+                _shingle_rows(admitted).write.mode("overwrite").parquet(
+                    os.path.join(self._dir("shingles"), f"batch={epoch_id}")
+                )
+                rejects.write.mode("overwrite").parquet(
+                    os.path.join(self._dir("nd_rejects"),
+                                 f"batch={epoch_id}")
+                )
             # running mix over everything admitted through this batch
             all_admitted = self.read_admitted(spark, through=int(epoch_id))
             mix_report(all_admitted).write.mode("overwrite").parquet(
@@ -275,7 +378,26 @@ class CurationAdmissionSink:
             )
         finally:
             admitted.unpersist()
+            if rejects is not None:
+                rejects.unpersist()
+            if cand is not None:
+                cand.unpersist()
             docs.unpersist()
+
+    def read_nd_rejects(self, spark: SparkSession) -> DataFrame:
+        base = self._dir("nd_rejects")
+        parts = [
+            os.path.join(base, d)
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
+            if d.startswith("batch=")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        ]
+        if not parts:
+            return spark.createDataFrame(
+                [], "doc_id LONG, corp_id LONG, jacc_milli LONG")
+        return spark.read.option("basePath", base).parquet(*parts).drop(
+            "batch"
+        )
 
     def read_admitted(
         self, spark: SparkSession, through: int | None = None

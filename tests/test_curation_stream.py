@@ -164,3 +164,104 @@ def test_streaming_pipeline_helper_runs_clean(spark, docs, tmp_path):
     )
     assert got == want
     assert pipe.metrics.totals()["rows_in"] == 120
+
+
+def _run_neardup(spark, docs, drop, base_dir, crash_epoch=None):
+    from py_pubsub_pipeline_spark.pipeline import (
+        FileStreamSource, SparkPipeline,
+    )
+
+    eval_grams = build_eval_ngram_index(docs)
+    state = {"armed": crash_epoch is not None}
+
+    class MaybeCrashing(CurationAdmissionSink):
+        def __call__(self, batch_df, epoch_id):
+            super().__call__(batch_df, epoch_id)
+            if state["armed"] and int(epoch_id) >= crash_epoch:
+                state["armed"] = False
+                raise RuntimeError("injected crash after durable writes")
+
+    sink = MaybeCrashing(str(base_dir / "out"), eval_grams, near_dup=True)
+
+    def build():
+        return SparkPipeline(
+            spark=spark,
+            source=FileStreamSource(drop, max_files_per_trigger=3),
+            sink=sink,
+            column_processor=lambda df: df.select(
+                F.from_json(
+                    F.col("value").cast("string"),
+                    "doc_id LONG, lang STRING, source STRING, text STRING",
+                ).alias("m")
+            ).select("m.*"),
+            checkpoint_dir=str(base_dir / "ckpt"),
+        )
+
+    if crash_epoch is not None:
+        with pytest.raises(Exception, match="injected crash"):
+            build().process(available_now=True)
+    build().process(available_now=True)
+    return sink
+
+
+def test_neardup_admission_invariants_and_crash_convergence(
+    spark, docs, tmp_path
+):
+    from py_pubsub_pipeline_spark.curation_stream import (
+        ND_TAU_MILLI, _shingle_rows,
+    )
+
+    drop = str(tmp_path / "drop")
+    _write_drop_files(docs, drop, n_files=10)
+
+    clean = _run_neardup(spark, docs, drop, tmp_path / "clean")
+    crashed = _run_neardup(spark, docs, drop, tmp_path / "crashed",
+                           crash_epoch=2)
+
+    def snapshot(sink):
+        adm = {(r["doc_id"], r["batch"]) for r in
+               spark.read.option("basePath", sink._dir("out"))
+               .parquet(sink._dir("out") + "/batch=*")
+               .select("doc_id", "batch").collect()}
+        rej = {(r["doc_id"], r["corp_id"], r["jacc_milli"])
+               for r in sink.read_nd_rejects(spark).collect()}
+        return adm, rej
+
+    adm_clean, rej_clean = snapshot(clean)
+    adm_crash, rej_crash = snapshot(crashed)
+    # crash-replay convergence: identical admitted set (with batch
+    # provenance) AND identical reject ledger
+    assert adm_clean == adm_crash
+    assert rej_clean == rej_crash
+    assert rej_clean, "corpus has near-dups; the stage must fire"
+    admitted_ids = {d for d, _ in adm_clean}
+    rejected_ids = {d for d, _, _ in rej_clean}
+    assert not admitted_ids & rejected_ids
+
+    # Python reference: distinct 3-gram shingle sets per doc
+    sh = {}
+    for r in _shingle_rows(docs).collect():
+        sh.setdefault(r["doc_id"], set()).add(r["s"])
+
+    def jacc_milli(a, b):
+        inter = len(sh.get(a, set()) & sh.get(b, set()))
+        union = len(sh.get(a, set())) + len(sh.get(b, set())) - inter
+        return inter * 1000 // union if union else 0
+
+    batch_of = dict(adm_clean)
+    # (1) no admitted doc is a near-dup of an admitted doc from an
+    #     EARLIER batch (the standing state actually gates)
+    for d in admitted_ids:
+        for e in admitted_ids:
+            if batch_of[e] < batch_of[d]:
+                assert jacc_milli(d, e) < ND_TAU_MILLI, (d, e)
+    # (2) every reject row is a genuine earlier-batch near-dup with
+    #     the exact worst-collision verdict the Python reference gets
+    for d, corp, jm in rej_clean:
+        assert corp in admitted_ids
+        assert jacc_milli(d, corp) == jm >= ND_TAU_MILLI
+        best = max(
+            (jacc_milli(d, e), -e) for e in admitted_ids
+            if e in batch_of and jacc_milli(d, e) >= ND_TAU_MILLI
+        )
+        assert (jm, -corp) >= best or jm == best[0]
