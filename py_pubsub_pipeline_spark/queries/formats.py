@@ -1273,3 +1273,74 @@ def scan_manifest_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@query(
+    "scan_commitlog_replay",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(o_orderkey % 3 AS INTEGER) AS part,
+             COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+      FROM orders GROUP BY 1)
+    SELECT 'file-0' AS file, 0 AS added_in_commit,
+           CAST(n AS BIGINT) AS n, CAST(key_sum AS BIGINT) AS key_sum
+    FROM s WHERE part = 0
+    UNION ALL
+    SELECT 'file-3', 2, CAST(SUM(n) AS BIGINT), CAST(SUM(key_sum) AS BIGINT)
+    FROM s WHERE part IN (1, 2)
+    """,
+)
+def scan_commitlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-STRUCTURED TABLE METADATA (the Delta-style model, completing
+    the lakehouse pair beside the Iceberg-style manifest snapshots):
+    table state is not a file list but a REPLAY of an append-only
+    commit log of add/remove actions.  Commit 0 adds file-0/file-1,
+    commit 1 adds the late file-2, commit 2 compacts (removes
+    file-1/file-2, adds file-3) — replaying all three yields the
+    current set {file-0, file-3}, each tagged with the commit that
+    added it (the provenance a VACUUM/time-travel implementation keys
+    on).  Readers that replay the log see exactly the committed state;
+    a torn data-file write with no log entry is invisible — the same
+    invariant the manifest model proves, reached through the other
+    metadata structure.
+
+    Scale: the log is line-JSON metadata, O(actions); real
+    implementations checkpoint the replay every N commits so readers
+    replay checkpoint + tail, and read the LOG ITSELF with the engine
+    when it outgrows the driver — this fixture's log is driver-side by
+    the same bounded-metadata argument as the manifests.  Data reads
+    are pruned single-column scans of the current files only."""
+    base = _manifest_fixture(spark, sf_dir)
+    log_path = os.path.join(base, "_commitlog.jsonl")
+    if not os.path.exists(log_path):
+        actions = [
+            {"commit": 0, "op": "add", "file": "file-0"},
+            {"commit": 0, "op": "add", "file": "file-1"},
+            {"commit": 1, "op": "add", "file": "file-2"},
+            {"commit": 2, "op": "remove", "file": "file-1"},
+            {"commit": 2, "op": "remove", "file": "file-2"},
+            {"commit": 2, "op": "add", "file": "file-3"},
+        ]
+        tmp = log_path + ".tmp"
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+        os.replace(tmp, log_path)  # atomic publish, like a commit
+    current: dict[str, int] = {}
+    with open(log_path) as f:
+        for line in f:
+            a = _json.loads(line)
+            if a["op"] == "add":
+                current[a["file"]] = a["commit"]
+            else:
+                current.pop(a["file"], None)
+    out = None
+    for rel in sorted(current):
+        part = _file_stats(spark, base, rel, "file", "x").drop("status")
+        part = part.select(
+            "file",
+            F.lit(current[rel]).cast("int").alias("added_in_commit"),
+            "n", "key_sum",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1541,3 +1541,79 @@ def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV CAST(noisy_n * 10000 AS BIGINT) AS BIGINT)"
         ).alias("mean_milli"),
     )
+
+
+RR_F_HALF = 2251799813685248  # 2^51: top bit of the 52-bit md5 uniform
+
+
+@query(
+    "privacy_rr_frequency",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             (lang = 'en') AS truth,
+             CAST(('0x' || substr(md5('rr1|' || CAST(doc_id AS VARCHAR)),
+                                  1, 13)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5('rr2|' || CAST(doc_id AS VARCHAR)),
+                                  1, 13)) AS BIGINT) AS h2
+      FROM documents),
+    r AS (
+      SELECT source,
+             CASE WHEN h1 >= {RR_F_HALF} THEN truth
+                  ELSE h2 >= {RR_F_HALF} END AS report
+      FROM d)
+    SELECT source, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN report THEN 1 ELSE 0 END) AS BIGINT)
+             AS observed,
+           CAST(2000 * SUM(CASE WHEN report THEN 1 ELSE 0 END)
+                - 500 * COUNT(*) AS BIGINT) AS est_true_milli
+    FROM r GROUP BY source
+    """,
+)
+def privacy_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL differential privacy: randomized response over a per-doc
+    boolean (is the doc English), the mechanism each CLIENT applies
+    before its bit ever reaches the collector — completing the privacy
+    family's other half beside the central-DP releases (count / sum /
+    mean / partition-select perturb aggregates; this perturbs at the
+    source).  With probability f=1/2 a doc reports a fair coin instead
+    of the truth (epsilon = ln(3) per bit); the collector sees only
+    reports and publishes the unbiased frequency estimate
+    (observed - f·n/2) / (1 - f) = 2·observed - n/2, in exact
+    milli-units.  The true per-source count never appears in the
+    output — only n, the observed noisy count, and the estimate.
+
+    Determinism/exactness: both decisions (flip? coin?) are single-bit
+    integer compares on independent md5 streams ('rr1|'/'rr2|'), the
+    estimator is pure integer arithmetic — nothing to drift, no libm
+    anywhere (the round-10 DP posture).  Scale: map-side per-row bits
+    + ONE hash agg to source cardinality; at 100 TB this is the
+    mechanism that runs on a billion clients, and the collector-side
+    plan is a conditional count."""
+    d = table(spark, sf_dir, "documents")
+
+    def h(prefix: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))),
+                1, 13),
+            16, 10,
+        ).cast("long")
+
+    report = F.when(
+        h("rr1|") >= RR_F_HALF, F.col("lang") == "en"
+    ).otherwise(h("rr2|") >= RR_F_HALF)
+    return (
+        d.select("source", report.alias("report"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("report"), 1).otherwise(0)).cast("long")
+            .alias("observed"),
+        )
+        .select(
+            "source", "n", "observed",
+            (2000 * F.col("observed") - 500 * F.col("n")).cast("long")
+            .alias("est_true_milli"),
+        )
+    )

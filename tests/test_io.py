@@ -168,3 +168,20 @@ def test_retention_plan_protects_time_travel(spark, sf_dir):
     assert not any(r["deletable"] for r in rows.values())
     for f in ("file-0", "file-3"):
         assert rows[f]["in_latest"] and rows[f]["in_retained"]
+
+
+def test_commitlog_replay_matches_manifest_model(spark, sf_dir):
+    from py_pubsub_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    rows = {r["file"]: r for r in
+            reg["scan_commitlog_replay"].fn(spark, sf_dir).collect()}
+    # the two metadata models agree on the current state
+    assert set(rows) == {"file-0", "file-3"}
+    assert rows["file-0"]["added_in_commit"] == 0
+    assert rows["file-3"]["added_in_commit"] == 2
+    diff = {r["file"]: r for r in
+            reg["scan_manifest_diff"].fn(spark, sf_dir).collect()}
+    for f in rows:
+        assert rows[f]["n"] == diff[f]["n"]
+        assert rows[f]["key_sum"] == diff[f]["key_sum"]

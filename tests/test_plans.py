@@ -1135,3 +1135,18 @@ def test_retention_plan_scans_pruned(spark):
     assert schemas and all(
         "o_orderkey" in ln and "o_totalprice" not in ln for ln in schemas
     )
+
+
+def test_rr_frequency_single_agg_no_python(spark):
+    plan = _executed(REG["privacy_rr_frequency"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert _final(plan).count("- Exchange") == 1
+
+
+def test_commitlog_replay_scans_pruned(spark):
+    plan = _executed(REG["scan_commitlog_replay"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all(
+        "o_orderkey" in ln and "o_totalprice" not in ln for ln in schemas
+    )

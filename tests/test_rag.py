@@ -847,3 +847,35 @@ def test_dp_mean_composes_from_released_components(spark):
         ns4 = int(float(r["noisy_sum"]) * 10000 + 0.5)
         nn4 = int(float(r["noisy_n"]) * 10000 + 0.5)
         assert r["mean_milli"] == ns4 * 1000 // nn4
+
+
+def test_rr_frequency_estimator_is_unbiased_and_blind(spark):
+    import math
+
+    rows = _rows("privacy_rr_frequency", spark)
+    true = {
+        r["source"]: (r["n"], r["t"])
+        for r in table(spark, SF_MED, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t"),
+        ).collect()
+    }
+    assert {r["source"] for r in rows} == set(true)
+    flips = tot = 0
+    for r in rows:
+        n, t = true[r["source"]]
+        assert r["n"] == n
+        # estimator identity and CLT accuracy: sd(est) <= sqrt(n) at
+        # f=1/2; allow 5 sigma
+        assert r["est_true_milli"] == 2000 * r["observed"] - 500 * n
+        assert abs(r["est_true_milli"] / 1000 - t) <= 5 * math.sqrt(n) + 1
+        # the raw observed count must NOT equal the truth everywhere
+        # (the mechanism genuinely randomizes)
+        flips += int(r["observed"] != t)
+        tot += 1
+    assert flips > tot // 2
+    again = {r["source"]: r["est_true_milli"]
+             for r in _rows("privacy_rr_frequency", spark)}
+    assert again == {r["source"]: r["est_true_milli"] for r in rows}
