@@ -437,15 +437,18 @@ def streaming_curation_pipeline(
     eval_grams: DataFrame,
     checkpoint_dir: str,
     bulk_limit: int = 20,
+    near_dup: bool = False,
 ):
     """Assemble the composite on the reference-parity pipeline core:
     file-drop source (R1/R2 admission), JSON decode as the
     column_processor fast path (R5, Catalyst-visible), the admission
     sink above (R9/R10: state+output written before the offset
-    commit), checkpointed for crash/replay (R12 bounded drain)."""
+    commit), checkpointed for crash/replay (R12 bounded drain).
+    ``near_dup=True`` adds the dedup_incremental stage (one-sided
+    shingle join vs the standing postings state)."""
     from .pipeline import FileStreamSource, SparkPipeline
 
-    sink = CurationAdmissionSink(out_dir, eval_grams)
+    sink = CurationAdmissionSink(out_dir, eval_grams, near_dup=near_dup)
     pipe = SparkPipeline(
         spark=spark,
         source=FileStreamSource(drop_dir, max_files_per_trigger=bulk_limit),
