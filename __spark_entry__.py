@@ -173,14 +173,16 @@ _DRIVER_RECORDED = frozenset({
 })
 
 
-# Unrecorded keys to enumerate FIRST, in this exact order — the FINAL
-# 13-key record backlog (round-9 verdict item 1): the re-enumerated
+# Unrecorded keys to enumerate FIRST, in this exact order — the
+# round-9 record backlog (verdict item 1): the re-enumerated
 # privacy_dp_count (its round-9 red row was an environment-sensitive
 # libm-LN boundary, replaced in round 10 by the engine-exact
 # discretized-Laplace DECIMAL ladder, functions/dp_noise.py), the 10
 # round-9 corpus-governance keys, and the two never-recorded ts_* tail
-# keys.  One driver round records all 13 -> 410/410 driver-green.
-# Everything unrecorded and not listed here follows in registry order.
+# keys.  The 10 round-10 wave keys follow in registry order — 23
+# unrecorded total, all locally hash-exact at the driver's own sf0.01
+# gate this round (PARITY_r10_unrecorded_sf0_01.json, 23/23), so one
+# driver round records everything -> 420/420 driver-green.
 _PRIORITY = (
     "privacy_dp_count",
     # round-9 corpus-governance + serving wave
