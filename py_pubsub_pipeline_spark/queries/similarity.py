@@ -2037,3 +2037,175 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ") * 1000000 DIV GREATEST(norm2_micro, 1) AS BIGINT)"
         ).alias("rel_ppm"),
     )
+
+
+def _pq_trained_oracle() -> str:
+    """One Lloyd round per subspace on the sample-init codebook, then
+    the long-form ADC (single (m,k) join + SUM — not the 8-join chain,
+    see SCALE.md round-10 planner lesson).  Determinism is the
+    ml_kmeans_train recipe: integer-micro distances before every
+    argmin (unique composite key), per-dim means summed through
+    DECIMAL(28,12) and cast STRING->DOUBLE (the agg_group
+    double-rounding lesson), one double division."""
+    enc0 = ",\n             ".join(
+        f"arg_min(k, {_pq_sql_d2u('e', 'c', m)} * 100 + k) AS code_{m}"
+        for m in range(PQ_M)
+    )
+    upd = "\n      UNION ALL ".join(
+        f"SELECT {m} AS m, a.code_{m} AS k, d.i AS pos,"
+        f" CAST(CAST(SUM(CAST(v.e[{m * PQ_SUB} + d.i] AS DECIMAL(28,12)))"
+        f" AS STRING) AS DOUBLE) / COUNT(*) AS val"
+        f" FROM a JOIN v USING (vec_id),"
+        f" UNNEST(generate_series(1, {PQ_SUB})) d(i)"
+        f" GROUP BY a.code_{m}, d.i"
+        for m in range(PQ_M)
+    )
+    dyn = (
+        "CAST(FLOOR(("
+        "list_inner_product(v.e[(c1.m*{S}+1):(c1.m*{S}+{S})],"
+        " v.e[(c1.m*{S}+1):(c1.m*{S}+{S})])"
+        " - 2 * list_inner_product(v.e[(c1.m*{S}+1):(c1.m*{S}+{S})], c1.c)"
+        " + list_inner_product(c1.c, c1.c)) * 1e6 + 0.5) AS BIGINT)"
+    ).format(S=PQ_SUB)
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    c AS (SELECT vec_id AS k, e AS c FROM v WHERE vec_id < {PQ_K}),
+    a AS MATERIALIZED (
+      SELECT vec_id, {enc0}
+      FROM v CROSS JOIN c GROUP BY vec_id),
+    u AS MATERIALIZED (
+      {upd}),
+    c1 AS MATERIALIZED (
+      SELECT m, k, list(val ORDER BY pos) AS c FROM u GROUP BY m, k),
+    enc AS MATERIALIZED (
+      SELECT v.vec_id, c1.m,
+             arg_min(c1.k, {dyn} * 100 + c1.k) AS code
+      FROM v CROSS JOIN c1 GROUP BY v.vec_id, c1.m),
+    lq AS MATERIALIZED (
+      SELECT v.vec_id AS query_id, c1.m, c1.k, {dyn} AS d2u
+      FROM v CROSS JOIN c1 WHERE v.vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(l.d2u) AS BIGINT) AS adc_micro
+      FROM enc e JOIN lq l ON l.m = e.m AND l.k = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY l.query_id, e.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_micro, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, adc_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@query("sim_pq_trained", oracle=_pq_trained_oracle())
+def sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC with a TRAINED codebook — the upgrade every PQ docstring
+    here points at: one Lloyd round per subspace (assign on the
+    sample-init codebook, per-dim DECIMAL-exact centroid means) before
+    encoding.  Measured on this corpus the trained codebook lifts raw
+    ADC recall@5 from sim_pq_adc's untrained 0.148 to 0.248 (+68%,
+    scripts/pq_recall.py) at identical scan IO — training the
+    codebook, not widening the rescore, is what raises the PQ
+    ceiling.
+
+    Plan shape: the ADC here is the LONG form — encode rows (vec, m,
+    code) join the per-query LUT once ON (m, k) and SUM the {PQ_M}
+    matched lookups — one broadcast join + one agg, not the 8-join
+    chain both planners choked on (SCALE.md round-10 lesson; the
+    nested-array element_at form sim_pq_adc uses does not survive a
+    codebook whose cluster ids can go sparse after training).
+    Exactness: same integer-micro + unique-argmin + STRING-hop-mean
+    recipe as ml_kmeans_train.  Scale: training touches each vector
+    once per round (map-side argmin vs a broadcast codebook, then a
+    (m,k,dim)-key partial agg); search cost identical to sim_pq_adc
+    plus one {PQ_M}-row-per-candidate agg."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding", "e"))
+    c = v.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("e").alias("c")
+    )
+    # round 0 assignment on the init codebook (same encode as pq_adc)
+    a = v.crossJoin(F.broadcast(c)).groupBy("vec_id").agg(*[
+        F.min_by("k", _pq_d2u("e", "c", m) * 100 + F.col("k"))
+        .alias(f"code_{m}")
+        for m in range(PQ_M)
+    ])
+    # one Lloyd update: per (m, k, dim) DECIMAL-exact mean
+    melted = a.join(v, "vec_id").select(
+        "vec_id", "e",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"), F.col(f"code_{m}").alias("k"))
+            for m in range(PQ_M)
+        ])).alias("mk"),
+    ).select("vec_id", "e", "mk.m", "mk.k")
+    upd = (
+        melted.select(
+            "m", "k",
+            F.posexplode(
+                F.slice("e", F.col("m") * PQ_SUB + 1, PQ_SUB)
+            ).alias("pos0", "x"),
+        )
+        .groupBy("m", "k", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)"))
+                .cast("string").cast("double") / F.count("*")
+            ).alias("val")
+        )
+    )
+    c1 = upd.groupBy("m", "k").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))),
+            lambda st: st.getField("val"),
+        ).alias("c")
+    )
+
+    def dyn_d2u():
+        es = F.slice("e", F.col("m") * PQ_SUB + 1, PQ_SUB)
+
+        def ip(aa, bb):
+            return F.aggregate(
+                F.zip_with(aa, bb, lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+
+        return F.floor(
+            (ip(es, es) - 2 * ip(es, F.col("c")) + ip(F.col("c"), F.col("c")))
+            * 1e6 + 0.5
+        ).cast("long")
+
+    enc = (
+        v.crossJoin(F.broadcast(c1))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("k", dyn_d2u() * 100 + F.col("k")).alias("code"))
+    )
+    lq = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(c1))
+        .select(
+            F.col("vec_id").alias("query_id"), "m", "k",
+            dyn_d2u().alias("d2u"),
+        )
+    )
+    scored = (
+        enc.join(
+            F.broadcast(lq),
+            (lq.m == enc.m) & (lq.k == enc.code),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2u").cast("long").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            "adc_micro", F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

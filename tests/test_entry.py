@@ -36,12 +36,12 @@ def test_tier_sets_are_registry_subsets():
 def test_registry_size_is_intentional():
     # Round-5 froze the registry at 375; round 8 grew it to 400
     # (RAG/corpus-construction waves), round 9 to 410 (the corpus
-    # governance + serving-breadth wave), round 10 to 420 (lakehouse
+    # governance + serving-breadth wave), round 10 to 421 (lakehouse
     # snapshot ops + DP-release completion + the PQ family + local-DP
     # randomized response + commit-log replay, SURVEY.md §2C round-10
     # row).  This stays a tripwire: bump it ONLY
     # alongside a SURVEY.md row documenting the new operators.
-    assert len(load_all()) == 420
+    assert len(load_all()) == 421
 
 
 def test_recorded_set_matches_correctness_artifacts():

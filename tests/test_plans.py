@@ -1150,3 +1150,10 @@ def test_commitlog_replay_scans_pruned(spark):
     assert schemas and all(
         "o_orderkey" in ln and "o_totalprice" not in ln for ln in schemas
     )
+
+
+def test_pq_trained_is_broadcast_train_and_single_join_adc(spark):
+    plan = _executed(REG["sim_pq_trained"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -154,3 +154,62 @@ def test_pq_distortion_is_sum_of_subspace_minima(spark):
         # own subspaces
         if r["vec_id"] < PQ_K:
             assert r["distortion_micro"] == 0
+
+
+def test_pq_trained_matches_numpy_lloyd_and_beats_untrained(spark):
+    from py_pubsub_pipeline_spark.queries.similarity import sim_pq_trained
+
+    ids, x = _corpus(spark)
+    d2u0, codes0 = _numpy_pq(ids, x)
+    # one Lloyd round in NumPy: per (m, k) mean of assigned subvectors
+    cents1 = np.zeros((PQ_M, PQ_K, PQ_SUB))
+    alive = np.zeros((PQ_M, PQ_K), dtype=bool)
+    for m in range(PQ_M):
+        xs = x[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        for k in range(PQ_K):
+            mask = codes0[:, m] == k
+            if mask.any():
+                alive[m, k] = True
+                cents1[m, k] = xs[mask].mean(axis=0)
+    # re-encode + ADC on the trained codebook (integer micro units)
+    d2u1 = np.full((len(ids), PQ_M, PQ_K), 2**62, dtype=np.int64)
+    for m in range(PQ_M):
+        xs = x[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        for k in range(PQ_K):
+            if alive[m, k]:
+                d2 = ((xs - cents1[m, k]) ** 2).sum(axis=1)
+                d2u1[:, m, k] = np.floor(d2 * 1e6 + 0.5).astype(np.int64)
+    codes1 = (d2u1 * 100 + np.arange(PQ_K)[None, None, :]).argmin(axis=2)
+    got = {}
+    for r in sim_pq_trained(spark, SF_SMALL).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["neighbor_id"], r["adc_micro"])
+        )
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    hits_tr = hits_raw = total = 0
+    from py_pubsub_pipeline_spark.queries.similarity import sim_pq_adc as _adc
+    raw = {}
+    for r in _adc(spark, SF_SMALL).collect():
+        raw.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, rows in got.items():
+        rows.sort()
+        qi = idx_of[q]
+        adc_all = np.array([
+            sum(int(d2u1[qi, m, codes1[ci, m]]) for m in range(PQ_M))
+            for ci in range(len(ids))
+        ])
+        for rnk, nid, adc in rows:
+            assert adc == adc_all[idx_of[nid]], (q, nid)
+        cand = sorted(
+            (int(adc_all[i]), int(ids[i]))
+            for i in range(len(ids)) if ids[i] != q
+        )[:TOP_K]
+        assert [(a, n) for _, n, a in rows] == [(a, n) for a, n in cand]
+        l2 = ((x - x[qi]) ** 2).sum(axis=1)
+        exact = [int(ids[i]) for i in np.lexsort((ids, l2))
+                 if ids[i] != q][:TOP_K]
+        hits_tr += len({n for _, n, _ in rows} & set(exact))
+        hits_raw += len(raw[q] & set(exact))
+        total += TOP_K
+    # the Lloyd round must actually buy recall on this corpus
+    assert hits_tr > hits_raw, (hits_tr, hits_raw)
