@@ -179,10 +179,11 @@ _DRIVER_RECORDED = frozenset({
 # libm-LN boundary, replaced in round 10 by the engine-exact
 # discretized-Laplace DECIMAL ladder, functions/dp_noise.py), the 10
 # round-9 corpus-governance keys, and the two never-recorded ts_* tail
-# keys.  The 10 round-10 wave keys follow in registry order — 23
+# keys.  The 11 round-10 wave keys follow in registry order — 24
 # unrecorded total, all locally hash-exact at the driver's own sf0.01
-# gate this round (PARITY_r10_unrecorded_sf0_01.json, 23/23), so one
-# driver round records everything -> 420/420 driver-green.
+# gate this round (PARITY_r10_unrecorded_sf0_01.json 23/23 +
+# PARITY_r10_pqt_sf0_01.json for the late sim_pq_trained), so one
+# driver round records everything -> 421/421 driver-green.
 _PRIORITY = (
     "privacy_dp_count",
     # round-9 corpus-governance + serving wave
