@@ -26,12 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for roughly the first 50 keys of
 # queries() per round.  _DRIVER_RECORDED is the literal union of the
-# GREEN key sets in CORRECTNESS_r01..r09.json (397 keys; the single red
-# row ever written — privacy_dp_count, r09 — is excluded and stays in
-# the backlog).  The registry reached 410 in round 9, leaving a 13-key
-# record backlog.  Enumeration order: (1) _PRIORITY — the 13 backlog
-# keys, (2) any other unrecorded keys in registry order (new keys land
-# here), (3) the already-recorded greens.
+# GREEN key sets in CORRECTNESS_r01..r10.json (419 keys; the only red
+# rows ever written — privacy_dp_count r09+r10 and privacy_dp_mean
+# r10 — are excluded and stay in the backlog until a green row
+# exists).  Enumeration order: (1) _PRIORITY — the hardened DP reds +
+# their decomposition diagnostics, (2) any other unrecorded keys in
+# registry order (new keys land here), (3) the already-recorded
+# greens.
 _DRIVER_RECORDED = frozenset({
     # --- CORRECTNESS_r01.json ---
     "agg_approx", "agg_collect", "agg_cube", "agg_distinct",
@@ -170,35 +171,44 @@ _DRIVER_RECORDED = frozenset({
     "ts_markov_entropy_rate", "ts_downsample_m4", "ts_wavelet_haar",
     "ts_sax_motifs", "ts_hurst_exponent", "ts_spectral_entropy",
     "ts_granger_lite",
-})
-
-
-# Unrecorded keys to enumerate FIRST, in this exact order — the
-# round-9 record backlog (verdict item 1): the re-enumerated
-# privacy_dp_count (its round-9 red row was an environment-sensitive
-# libm-LN boundary, replaced in round 10 by the engine-exact
-# discretized-Laplace DECIMAL ladder, functions/dp_noise.py), the 10
-# round-9 corpus-governance keys, and the two never-recorded ts_* tail
-# keys.  The 11 round-10 wave keys follow in registry order — 24
-# unrecorded total, all locally hash-exact at the driver's own sf0.01
-# gate this round (PARITY_r10_unrecorded_sf0_01.json 23/23 +
-# PARITY_r10_pqt_sf0_01.json for the late sim_pq_trained), so one
-# driver round records everything -> 421/421 driver-green.
-_PRIORITY = (
-    "privacy_dp_count",
-    # round-9 corpus-governance + serving wave
+    # --- CORRECTNESS_r10.json greens (48 of 50 rows green; the two
+    # reds — privacy_dp_count and privacy_dp_mean, hash-only at
+    # matching rows/schema despite local value-exactness — were
+    # hardened to pure-integer BIGINT e4 releases in round 11
+    # (functions/dp_noise.py laplace_ladder_e4) and stay in the
+    # priority backlog with their _parts decomposition diagnostics
+    # until a green driver row exists) ---
     "emb_binary_quantize", "rag_fusion_multiquery", "rag_dedup_context",
     "rag_router_centroid", "mix_temperature_sampling",
     "mix_epoch_schedule", "layout_compaction_plan",
     "dedup_survivorship_tokens", "ml_mrr_at_k", "graph_jaccard_linkpred",
-    # statistics tail stragglers
-    "ts_newey_west_se", "ts_ljung_box",
+    "ts_newey_west_se", "ts_ljung_box", "sim_pq_adc", "sim_pq_rescore",
+    "emb_pq_distortion", "sim_pq_trained", "scan_manifest_diff",
+    "scan_manifest_orphans", "scan_manifest_retention_plan",
+    "scan_commitlog_replay", "privacy_dp_partition_select",
+    "privacy_rr_frequency",
+})
+
+
+# Unrecorded keys to enumerate FIRST, in this exact order.  Round 11:
+# the two r10 driver-red DP keys lead, re-enumerated after their
+# pure-integer hardening, each followed by its decomposition
+# diagnostic; any new round-11 keys follow in registry order via the
+# generic backlog rule below.
+_PRIORITY = (
+    # The two r10 reds, re-enumerated first after the round-11
+    # pure-integer hardening (BIGINT e4 releases, zero DECIMAL), each
+    # immediately followed by its decomposition diagnostic so a red on
+    # any single column localizes the driver-side divergence to
+    # hash / shift / ladder / addition (VERDICT r10 item 1).
+    "privacy_dp_count", "privacy_dp_count_parts",
+    "privacy_dp_mean", "privacy_dp_mean_parts",
 )
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this
 # round number; tests derive the expected set from those artifacts
 # (bump this when folding a new round's records in).
-_RECORDED_THROUGH = 9
+_RECORDED_THROUGH = 10
 
 
 def _ordered():

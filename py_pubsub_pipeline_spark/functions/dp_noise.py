@@ -74,6 +74,35 @@ def sql_laplace(hash_expr: str, scale: float) -> str:
     return f"([{lits}])[(({hash_expr}) >> {_SHIFT}) + 1]"
 
 
+@lru_cache(maxsize=8)
+def laplace_ladder_e4(scale: float) -> tuple[int, ...]:
+    """Integer twin of :func:`laplace_ladder`: each exact 4-decimal
+    literal scaled by 10^4 into a plain int (e4 units).  Releases built
+    from this ladder are pure-integer end to end — no DECIMAL typing,
+    rendering, or canonicalization anywhere in either engine's output
+    path (round-11 hardening: the DECIMAL(.,4) releases were the only
+    keys ever red at the driver gate while being value-exact against
+    every local replica; an all-BIGINT release removes the last
+    degrees of freedom the driver's hash could disagree on)."""
+    return tuple(int(Decimal(s) * 10000) for s in laplace_ladder(scale))
+
+
+def sql_laplace_e4(hash_expr: str, scale: float) -> str:
+    """DuckDB fragment: the e4 integer ladder indexed (1-based) by the
+    top 10 bits of the 52-bit hash expression — BIGINT in, BIGINT out."""
+    lits = ", ".join(str(v) for v in laplace_ladder_e4(scale))
+    return f"CAST(([{lits}])[(({hash_expr}) >> {_SHIFT}) + 1] AS BIGINT)"
+
+
+def spark_laplace_e4(hash_col: Column, scale: float) -> Column:
+    """Spark twin of :func:`sql_laplace_e4`: element_at over an array
+    of foldable LONG literals — constant-folded, zero runtime libm."""
+    arr = F.array(*[
+        F.lit(v).cast("long") for v in laplace_ladder_e4(scale)
+    ])
+    return F.element_at(arr, F.shiftright(hash_col, _SHIFT).cast("int") + 1)
+
+
 def spark_laplace(hash_col: Column, scale: float) -> Column:
     """Spark twin of :func:`sql_laplace`: element_at over an array of
     foldable DECIMAL literals — constant-folded by Catalyst, zero

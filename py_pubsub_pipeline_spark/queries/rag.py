@@ -30,7 +30,12 @@ from ..functions.blocking import (
     sql_sign_prefix,
     spark_sign_prefix,
 )
-from ..functions.dp_noise import spark_laplace, sql_laplace
+from ..functions.dp_noise import (
+    spark_laplace,
+    spark_laplace_e4,
+    sql_laplace,
+    sql_laplace_e4,
+)
 from ..registry import query
 from ..tables import table
 
@@ -573,16 +578,30 @@ def water_fill(w: DataFrame, tt: DataFrame) -> DataFrame:
     )
 
 
+def _dp_count_hash():
+    """52-bit md5 hash of the (lang, source) group key — the shared
+    noise stream of privacy_dp_count and its _parts decomposition."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", "lang", "source")), 1, 13),
+        16, 10,
+    ).cast("long")
+
+
+_DP_COUNT_H_SQL = (
+    "CAST(('0x' || substr(md5(lang || '|' || source), 1, 13)) AS BIGINT)"
+)
+
+
 @query(
     "privacy_dp_count",
     oracle=f"""
     WITH g AS (
       SELECT lang, source, COUNT(*) AS n,
-             CAST(('0x' || substr(md5(lang || '|' || source), 1, 13))
-                  AS BIGINT) AS h
+             {_DP_COUNT_H_SQL} AS h
       FROM documents GROUP BY lang, source)
     SELECT lang, source,
-           CAST(n + {sql_laplace('h', 1 / DP_EPS)} AS DECIMAL(18,4)) AS noisy_n
+           CAST(n * 10000 + {sql_laplace_e4('h', 1 / DP_EPS)} AS BIGINT)
+             AS noisy_n_e4
     FROM g
     """,
 )
@@ -592,30 +611,73 @@ def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     epsilon={DP_EPS} and sensitivity 1 — the third privacy gate beside
     k-anonymity and l-diversity (those audit, this one actually
     perturbs).  The draw is md5-derived from the group key, so the
-    release is reproducible run-to-run — the seeded-RNG posture every
-    other sampling op here uses.
+    release is reproducible run-to-run.  NOTE: the seeded md5 draw is a
+    reproducibility / engine-parity simulation — anyone who knows the
+    group key can recompute the noise, so a production deployment must
+    substitute fresh randomness for the md5 stream to obtain the stated
+    epsilon guarantee.
 
-    Round-10 fix (the project's first red driver row): the inverse-CDF
-    was a libm LN of a DENSE uniform quantized through DECIMAL — a
-    cross-box last-ulp trap (see functions/dp_noise.py).  The noise is
-    now a 1024-entry discretized-Laplace quantile ladder of exact
-    4-decimal literals rendered identically into BOTH engine texts and
-    selected by an integer shift of the 52-bit hash (h >> 42) — zero
-    libm in the released value, engine-exact by construction.
+    Round-11 hardening (second consecutive driver-red despite being
+    value-exact against every local replica): the release is now PURE
+    INTEGER — ``noisy_n_e4 BIGINT = n*10000 + ladder_e4(h >> 42)``
+    with the discretized-Laplace ladder pre-scaled to e4 units
+    (functions/dp_noise.py laplace_ladder_e4).  No DECIMAL typing,
+    rendering, or negative-scale canonicalization anywhere in either
+    engine's output; all-integer DP keys (privacy_rr_frequency) have
+    never gone red.  The companion ``privacy_dp_count_parts`` key
+    decomposes the release so a driver mismatch localizes itself.
 
     Scale: one hash agg; the noise is a constant-folded array lookup
-    on the group rows.  Determinism: integer shift + exact decimal
-    addition on both engines."""
+    on the group rows.  Determinism: integer shift + integer addition
+    on both engines — nothing to drift."""
     d = table(spark, sf_dir, "documents")
     g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", "lang", "source")), 1, 13),
-        16, 10,
-    ).cast("long")
     return g.select(
         "lang", "source",
-        (F.col("n") + spark_laplace(h, 1 / DP_EPS))
-        .cast("decimal(18,4)").alias("noisy_n"),
+        (F.col("n") * 10000 + spark_laplace_e4(_dp_count_hash(), 1 / DP_EPS))
+        .cast("long").alias("noisy_n_e4"),
+    )
+
+
+@query(
+    "privacy_dp_count_parts",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n,
+             {_DP_COUNT_H_SQL} AS h
+      FROM documents GROUP BY lang, source)
+    SELECT lang, source, CAST(n AS BIGINT) AS n, h,
+           CAST((h >> 42) AS BIGINT) AS bucket,
+           {sql_laplace_e4('h', 1 / DP_EPS)} AS noise_e4,
+           CAST(n * 10000 + {sql_laplace_e4('h', 1 / DP_EPS)} AS BIGINT)
+             AS noisy_n_e4
+    FROM g
+    """,
+)
+def privacy_dp_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition diagnostic for privacy_dp_count (round-11, per the
+    judge's brief): every intermediate of the release as its own BIGINT
+    column — the raw count ``n``, the 52-bit md5 hash ``h``, the ladder
+    ``bucket`` (h >> 42), the selected integer-e4 ladder literal
+    ``noise_e4``, and the composed release ``noisy_n_e4``.  If the
+    driver gate ever reds the release again, whichever column its diff
+    disagrees on localizes the divergence to hash / shift / ladder
+    indexing / addition — no more blind re-fixing.  Temporary: drop
+    once privacy_dp_count has a green driver row.
+
+    Scale: identical plan to privacy_dp_count (one hash agg +
+    constant-folded lookups)."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    h = _dp_count_hash()
+    noise = spark_laplace_e4(h, 1 / DP_EPS)
+    return g.select(
+        "lang", "source",
+        F.col("n").cast("long").alias("n"),
+        h.alias("h"),
+        F.shiftright(h, 42).cast("long").alias("bucket"),
+        noise.alias("noise_e4"),
+        (F.col("n") * 10000 + noise).cast("long").alias("noisy_n_e4"),
     )
 
 
@@ -1277,7 +1339,9 @@ def privacy_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-10 hardening that removed libm from both DP releases after
     dp_count's cross-box red.  Scale: one hash agg with map-side
     clipping; noise is a constant-folded array lookup on the group
-    rows."""
+    rows.  NOTE: the seeded md5 draw is a reproducibility /
+    engine-parity simulation — production must substitute fresh
+    randomness for the md5 stream to obtain a real epsilon guarantee."""
     d = table(spark, sf_dir, "documents")
     g = d.groupBy("lang").agg(
         F.sum(F.least(F.col("n_chars"), F.lit(DPS_CLIP))).cast("long")
@@ -1455,7 +1519,9 @@ def privacy_dp_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/dp_noise.py): integer shift + exact decimal compare, so
     the threshold test cannot split across engines.  Scale: one hash
     agg; noise and threshold are constant-folded arithmetic on the
-    group rows."""
+    group rows.  NOTE: the seeded md5 draw is a reproducibility /
+    engine-parity simulation — production must substitute fresh
+    randomness for the md5 stream to obtain a real epsilon guarantee."""
     d = table(spark, sf_dir, "documents")
     g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
     h = F.conv(
@@ -1471,27 +1537,41 @@ def privacy_dp_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dp_mean_hash(prefix: str):
+    """52-bit md5 hash of prefix||lang — privacy_dp_mean's independent
+    per-component noise streams ('meanN|' count, 'meanS|' sum)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), F.col("lang"))), 1, 13),
+        16, 10,
+    ).cast("long")
+
+
+def _dp_mean_h_sql(prefix: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{prefix}' || lang), 1, 13)) AS BIGINT)"
+    )
+
+
 @query(
     "privacy_dp_mean",
     oracle=f"""
     WITH g AS (
       SELECT lang, COUNT(*) AS n,
              CAST(SUM(LEAST(n_chars, {DPS_CLIP})) AS BIGINT) AS clipped_sum,
-             CAST(('0x' || substr(md5('meanN|' || lang), 1, 13))
-                  AS BIGINT) AS hn,
-             CAST(('0x' || substr(md5('meanS|' || lang), 1, 13))
-                  AS BIGINT) AS hs
+             {_dp_mean_h_sql('meanN|')} AS hn,
+             {_dp_mean_h_sql('meanS|')} AS hs
       FROM documents GROUP BY lang),
     r AS (
       SELECT lang,
-             CAST(clipped_sum + {sql_laplace('hs', DPS_CLIP / DP_EPS)}
-                  AS DECIMAL(28,4)) AS noisy_sum,
-             CAST(n + {sql_laplace('hn', 1 / DP_EPS)}
-                  AS DECIMAL(18,4)) AS noisy_n
+             CAST(clipped_sum * 10000
+                  + {sql_laplace_e4('hs', DPS_CLIP / DP_EPS)} AS BIGINT)
+               AS noisy_sum_e4,
+             CAST(n * 10000 + {sql_laplace_e4('hn', 1 / DP_EPS)} AS BIGINT)
+               AS noisy_n_e4
       FROM g)
-    SELECT lang, noisy_sum, noisy_n,
-           CAST(CAST(noisy_sum * 10000 AS BIGINT) * 1000
-                // CAST(noisy_n * 10000 AS BIGINT) AS BIGINT) AS mean_milli
+    SELECT lang, noisy_sum_e4, noisy_n_e4,
+           CAST(noisy_sum_e4 * 1000 // GREATEST(noisy_n_e4, 1) AS BIGINT)
+             AS mean_milli
     FROM r
     """,
 )
@@ -1501,45 +1581,94 @@ def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw ('meanN|'/'meanS|' streams) and its own epsilon share — never
     noise-the-ratio (whose sensitivity is unbounded).  Emits the two
     released components plus the derived mean in milli-chars — the
-    (count, sum, mean) triple every DP dashboard builds from.
+    (count, sum, mean) triple every DP dashboard builds from.  NOTE:
+    the seeded md5 draw is a reproducibility / engine-parity
+    simulation — production must substitute fresh randomness for the
+    md5 stream to obtain a real epsilon guarantee.
 
-    Determinism: both components are exact DECIMAL(.,4) by the ladder
-    contract (functions/dp_noise.py), so scaling by 10^4 lands them in
-    exact BIGINTs and the mean is a pure integer division — identical
-    truncation on both engines (values provably positive: per-lang
-    counts dwarf the +-ln(1024) noise bound).  Scale: one hash agg
-    with map-side clipping; everything after is constant-folded
-    arithmetic on the lang-cardinality group rows.  Envelope:
-    noisy_sum*10^4*10^3 needs clipped_sum < 9.2e11 per lang (~4.6e8
-    docs/lang at the 2000-char clip) — far past sf10; documented, not
-    load-bearing."""
+    Round-11 hardening (driver-red in r10 while value-exact against
+    every local replica): both components are now PURE INTEGER e4
+    units — ``clipped_sum*10^4 + ladder_e4`` / ``n*10^4 + ladder_e4``
+    (functions/dp_noise.py laplace_ladder_e4) — so no DECIMAL typing
+    or rendering exists anywhere in the release, and the mean is a
+    guarded integer division ``noisy_sum_e4 * 1000 DIV
+    GREATEST(noisy_n_e4, 1)`` (the guard keeps a pathologically tiny
+    partition from dividing by <= 0 instead of releasing NULL/garbage;
+    both operands are provably positive at every certified scale —
+    per-lang counts dwarf the +-6.94*scale noise bound).  The
+    companion ``privacy_dp_mean_parts`` key decomposes the release.
+
+    Scale: one hash agg with map-side clipping; everything after is
+    constant-folded integer arithmetic on the lang-cardinality group
+    rows.  Envelope: noisy_sum_e4*10^3 needs clipped_sum < 9.2e11 per
+    lang (~4.6e8 docs/lang at the 2000-char clip) — far past sf10."""
     d = table(spark, sf_dir, "documents")
     g = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.least(F.col("n_chars"), F.lit(DPS_CLIP))).cast("long")
         .alias("clipped_sum"),
     )
-    hn = F.conv(
-        F.substring(F.md5(F.concat(F.lit("meanN|"), F.col("lang"))), 1, 13),
-        16, 10,
-    ).cast("long")
-    hs = F.conv(
-        F.substring(F.md5(F.concat(F.lit("meanS|"), F.col("lang"))), 1, 13),
-        16, 10,
-    ).cast("long")
     sel = g.select(
         "lang",
-        (F.col("clipped_sum") + spark_laplace(hs, DPS_CLIP / DP_EPS))
-        .cast("decimal(28,4)").alias("noisy_sum"),
-        (F.col("n") + spark_laplace(hn, 1 / DP_EPS))
-        .cast("decimal(18,4)").alias("noisy_n"),
+        (F.col("clipped_sum") * 10000
+         + spark_laplace_e4(_dp_mean_hash("meanS|"), DPS_CLIP / DP_EPS))
+        .cast("long").alias("noisy_sum_e4"),
+        (F.col("n") * 10000
+         + spark_laplace_e4(_dp_mean_hash("meanN|"), 1 / DP_EPS))
+        .cast("long").alias("noisy_n_e4"),
     )
     return sel.select(
-        "lang", "noisy_sum", "noisy_n",
+        "lang", "noisy_sum_e4", "noisy_n_e4",
         F.expr(
-            "CAST(CAST(noisy_sum * 10000 AS BIGINT) * 1000"
-            " DIV CAST(noisy_n * 10000 AS BIGINT) AS BIGINT)"
+            "CAST(noisy_sum_e4 * 1000 DIV GREATEST(noisy_n_e4, 1)"
+            " AS BIGINT)"
         ).alias("mean_milli"),
+    )
+
+
+@query(
+    "privacy_dp_mean_parts",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(LEAST(n_chars, {DPS_CLIP})) AS BIGINT) AS clipped_sum,
+             {_dp_mean_h_sql('meanN|')} AS hn,
+             {_dp_mean_h_sql('meanS|')} AS hs
+      FROM documents GROUP BY lang)
+    SELECT lang, CAST(n AS BIGINT) AS n, clipped_sum, hn, hs,
+           CAST((hn >> 42) AS BIGINT) AS bucket_n,
+           CAST((hs >> 42) AS BIGINT) AS bucket_s,
+           {sql_laplace_e4('hn', 1 / DP_EPS)} AS noise_n_e4,
+           {sql_laplace_e4('hs', DPS_CLIP / DP_EPS)} AS noise_s_e4
+    FROM g
+    """,
+)
+def privacy_dp_mean_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition diagnostic for privacy_dp_mean (round-11, per the
+    judge's brief): the raw count, clipped sum, both 52-bit hashes,
+    both ladder buckets, and both selected integer-e4 ladder literals
+    as separate BIGINT columns — a driver red on any single column
+    localizes the divergence to hash / shift / ladder / clip.
+    Temporary: drop once privacy_dp_mean has a green driver row.
+
+    Scale: identical plan to privacy_dp_mean (one clipped hash agg +
+    constant-folded lookups)."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.least(F.col("n_chars"), F.lit(DPS_CLIP))).cast("long")
+        .alias("clipped_sum"),
+    )
+    hn, hs = _dp_mean_hash("meanN|"), _dp_mean_hash("meanS|")
+    return g.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        "clipped_sum",
+        hn.alias("hn"), hs.alias("hs"),
+        F.shiftright(hn, 42).cast("long").alias("bucket_n"),
+        F.shiftright(hs, 42).cast("long").alias("bucket_s"),
+        spark_laplace_e4(hn, 1 / DP_EPS).alias("noise_n_e4"),
+        spark_laplace_e4(hs, DPS_CLIP / DP_EPS).alias("noise_s_e4"),
     )
 
 
@@ -1589,7 +1718,10 @@ def privacy_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere (the round-10 DP posture).  Scale: map-side per-row bits
     + ONE hash agg to source cardinality; at 100 TB this is the
     mechanism that runs on a billion clients, and the collector-side
-    plan is a conditional count."""
+    plan is a conditional count.  NOTE: the seeded md5 decisions are a
+    reproducibility / engine-parity simulation — a real deployment
+    draws each client's coins fresh, or the stated epsilon=ln(3) does
+    not hold."""
     d = table(spark, sf_dir, "documents")
 
     def h(prefix: str):

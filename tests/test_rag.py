@@ -168,16 +168,38 @@ def test_dp_count_noise_is_bounded_and_seeded(spark):
         .collect()
     }
     assert {(r["lang"], r["source"]) for r in rows} == set(true)
-    # Laplace(1) noise: |noise| = |ln(1-2|u-.5|)|; u has 52 bits so
-    # |noise| < 37; and the draw is a pure function of the key.
+    # Discretized bounded Laplace(1): |noise| <= ln(1024) ~ 6.94, in
+    # exact e4 integer units; the draw is a pure function of the key.
     for r in rows:
-        noise = float(r["noisy_n"]) - true[(r["lang"], r["source"])]
-        assert abs(noise) < 37.0
+        noise_e4 = r["noisy_n_e4"] - true[(r["lang"], r["source"])] * 10000
+        assert abs(noise_e4) <= 69315
     again = {
-        (r["lang"], r["source"]): r["noisy_n"]
+        (r["lang"], r["source"]): r["noisy_n_e4"]
         for r in _rows("privacy_dp_count", spark)
     }
-    assert again == {(r["lang"], r["source"]): r["noisy_n"] for r in rows}
+    assert again == {(r["lang"], r["source"]): r["noisy_n_e4"] for r in rows}
+
+
+def test_dp_count_parts_decompose_the_release(spark):
+    # The diagnostic key's columns recompose EXACTLY into the release,
+    # and each part is internally consistent (bucket = h >> 42, noise
+    # is the ladder literal at that bucket, in e4 integer units).
+    from py_pubsub_pipeline_spark.functions.dp_noise import (
+        laplace_ladder_e4,
+    )
+
+    lad = laplace_ladder_e4(1 / rag.DP_EPS)
+    parts = {(r["lang"], r["source"]): r
+             for r in _rows("privacy_dp_count_parts", spark)}
+    release = {(r["lang"], r["source"]): r["noisy_n_e4"]
+               for r in _rows("privacy_dp_count", spark)}
+    assert set(parts) == set(release)
+    for key, r in parts.items():
+        assert 0 <= r["h"] < 2 ** 52
+        assert r["bucket"] == r["h"] >> 42
+        assert r["noise_e4"] == lad[r["bucket"]]
+        assert r["noisy_n_e4"] == r["n"] * 10000 + r["noise_e4"]
+        assert r["noisy_n_e4"] == release[key]
 
 
 def test_calibration_ece_identity(spark):
@@ -840,13 +862,35 @@ def test_dp_mean_composes_from_released_components(spark):
     assert {r["lang"] for r in rows} == set(true)
     for r in rows:
         n, s = true[r["lang"]]
-        assert abs(float(r["noisy_n"]) - n) < 7.0
-        assert abs(float(r["noisy_sum"]) - s) < 7.0 * rag.DPS_CLIP
+        assert abs(r["noisy_n_e4"] - n * 10000) <= 69315
+        assert abs(r["noisy_sum_e4"] - s * 10000) <= 69315 * rag.DPS_CLIP
         # the released mean is exactly the integer composition of the
         # two released components — nothing else leaks in
-        ns4 = int(float(r["noisy_sum"]) * 10000 + 0.5)
-        nn4 = int(float(r["noisy_n"]) * 10000 + 0.5)
-        assert r["mean_milli"] == ns4 * 1000 // nn4
+        assert r["mean_milli"] == (
+            r["noisy_sum_e4"] * 1000 // max(r["noisy_n_e4"], 1)
+        )
+
+
+def test_dp_mean_parts_decompose_the_release(spark):
+    from py_pubsub_pipeline_spark.functions.dp_noise import (
+        laplace_ladder_e4,
+    )
+
+    lad_n = laplace_ladder_e4(1 / rag.DP_EPS)
+    lad_s = laplace_ladder_e4(rag.DPS_CLIP / rag.DP_EPS)
+    parts = {r["lang"]: r for r in _rows("privacy_dp_mean_parts", spark)}
+    release = {r["lang"]: r for r in _rows("privacy_dp_mean", spark)}
+    assert set(parts) == set(release)
+    for lang, r in parts.items():
+        assert r["bucket_n"] == r["hn"] >> 42
+        assert r["bucket_s"] == r["hs"] >> 42
+        assert r["noise_n_e4"] == lad_n[r["bucket_n"]]
+        assert r["noise_s_e4"] == lad_s[r["bucket_s"]]
+        rel = release[lang]
+        assert rel["noisy_n_e4"] == r["n"] * 10000 + r["noise_n_e4"]
+        assert rel["noisy_sum_e4"] == (
+            r["clipped_sum"] * 10000 + r["noise_s_e4"]
+        )
 
 
 def test_rr_frequency_estimator_is_unbiased_and_blind(spark):
