@@ -40,6 +40,17 @@ structural, not coincidental.  Gates:
      deliberately NOT checked — the next full compaction's job
      (queries/dedup.py:1185's contract) — so per-batch cost scales
      with the batch, never corpus².
+  5. (semantic=True) embedding admission gate — dedup_semantic_prune's
+     sign-bucket blocking (queries/rag.py) over a deterministic
+     hashed-bag-of-words embedding, at a FROZEN prefix width (state is
+     bucketed by it): a candidate with ANY earlier-arrival in-bucket
+     neighbor at cosine >= SEM_ND_TAU_MICRO is rejected (standing
+     state for earlier batches, the lower-doc_id one-pass rule within
+     the batch), so on an arrival-ordered replay the stream converges
+     EXACTLY to ``semantic_prune_twin``'s batch verdicts.  The ``sem``
+     state records every semantic-stage candidate (kept or rejected) —
+     the one-pass rule blocks on any lower-id close doc.  Verdicts
+     land in the ``sem_rejects`` ledger.
 
 State discipline (the part a 1000-executor deployment cares about):
 the standing dedup state is parquet, PARTITIONED BY THE BATCH ID THAT
@@ -72,17 +83,18 @@ from pyspark.sql import functions as F
 # Gate expressions and constants are IMPORTED from the registered
 # operators, not re-derived — the streaming path and the oracle-checked
 # batch operators share one definition, so they cannot drift.
-from .queries.text import _tokens  # noqa: E402  (same tokenizer)
+from .queries.text import (  # noqa: E402  (same tokenizer/gates)
+    REP_DUP_MAX,
+    REP_TOPBG_MAX,
+    _tokens,
+    norm_expr,
+)
 from .queries.training import (  # noqa: E402
     _BENCH_GATE as DECON_GATE,
     _ngrams8,
 )
 
 from .queries.dedup import _grams as _shingle_grams  # noqa: E402
-
-# Same thresholds as queries/text.py::text_repetition.
-REP_DUP_MAX = 0.82
-REP_TOPBG_MAX = 0.08
 
 DOC_SCHEMA = "doc_id LONG, lang STRING, source STRING, text STRING"
 # Near-dup admission threshold: milli-Jaccard over distinct word-3-gram
@@ -96,14 +108,115 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(_shingle_grams()).alias("s"))
 
 
-def _norm(col: str = "text"):
-    # text_normalize's canonicalization expressions (queries/text.py)
-    return F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9 ]", " "),
-            " +", " ",
+# --- semantic (embedding) admission gate -----------------------------------
+# dedup_semantic_prune's sign-bucket blocking over a deterministic
+# hashed-bag-of-words embedding of the text (the text stream carries no
+# embedding column; feature hashing is the standard deterministic
+# stand-in).  The prefix width is FROZEN at SEM_ND_BITS — streaming
+# state is bucketed by it, so it cannot adapt per batch the way the
+# batch operator's corpus-adaptive width does (functions/blocking.py);
+# a production deployment re-buckets state at compaction time when the
+# corpus outgrows the width.
+SEM_ND_DIM = 64          # hashed-BoW embedding dimensions
+SEM_ND_BITS = 4          # frozen sign-prefix width (state bucketing)
+SEM_ND_TAU_MICRO = 900000  # cosine >= 0.9 => semantic near-dup
+
+
+def doc_embedding(docs: DataFrame) -> DataFrame:
+    """(doc_id, emb): deterministic {SEM_ND_DIM}-dim feature-hashed
+    bag-of-words embedding — token dim/sign from md5, values exact
+    integer counts in doubles.  Zero-norm docs (no tokens) emit no
+    row and bypass the semantic gate on BOTH the stream and the twin
+    (same rule, so convergence holds)."""
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("t"))
+    h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    cell = tok.groupBy(
+        "doc_id", (h % SEM_ND_DIM).cast("int").alias("d")
+    ).agg(
+        F.sum((F.shiftright(h, 8) % 2 * 2 - 1).cast("double")).alias("v")
+    )
+    return (
+        cell.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("d", "v"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SEM_ND_DIM - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i), F.lit(0.0)
+                ),
+            ).alias("emb"),
         )
     )
+
+
+def _sem_dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _sem_cos_micro(a: str, b: str):
+    return F.floor(
+        _sem_dot(a, b)
+        / (F.sqrt(_sem_dot(a, a)) * F.sqrt(_sem_dot(b, b)))
+        * 1e6 + F.lit(0.5)
+    ).cast("long")
+
+
+def _sem_bucket(emb: str = "emb"):
+    """Frozen leading-sign prefix — dedup_semantic_prune's blocking
+    with a fixed width (state must stay bucket-stable)."""
+    return F.concat(*[
+        F.when(F.element_at(emb, i + 1) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for i in range(SEM_ND_BITS)
+    ])
+
+
+def _sem_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, bkt, emb) of the docs that enter the semantic gate —
+    non-zero-norm only, the shared candidate projection."""
+    return (
+        doc_embedding(docs)
+        .filter(_sem_dot("emb", "emb") > 0)
+        .select("doc_id", _sem_bucket().alias("bkt"), "emb")
+    )
+
+
+def semantic_prune_twin(admitted: DataFrame) -> DataFrame:
+    """Batch reference for the streaming semantic gate: the one-pass
+    lower-id rule of dedup_semantic_prune (queries/rag.py) applied to
+    an admitted frame's hashed-BoW embeddings at the frozen width —
+    (doc_id, kept) for every admitted doc (zero-norm docs are kept)."""
+    frame = _sem_frame(admitted)
+    lo = frame.select(
+        F.col("doc_id").alias("lo_id"), F.col("emb").alias("le"), "bkt"
+    )
+    close = (
+        lo.join(frame, "bkt")
+        .filter(F.col("lo_id") < F.col("doc_id"))
+        .filter(_sem_cos_micro("le", "emb") >= SEM_ND_TAU_MICRO)
+        .select("doc_id").distinct()
+        .withColumn("pruned", F.lit(True))
+    )
+    return (
+        admitted.select("doc_id")
+        .join(close, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(~F.col("pruned"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+_norm = norm_expr  # text_normalize's canonicalization (queries/text.py)
 
 
 def build_eval_ngram_index(docs: DataFrame) -> DataFrame:
@@ -243,6 +356,17 @@ class CurationAdmissionSink:
     # rejected at milli-Jaccard >= ND_TAU_MILLI; admitted docs add
     # their postings to the state.  Off by default (exact-only).
     near_dup: bool = False
+    # Enable the semantic/embedding admission gate
+    # (dedup_semantic_prune's sign-bucket blocking over hashed-BoW
+    # embeddings): a candidate with ANY earlier-arrival in-bucket
+    # neighbor at cosine >= SEM_ND_TAU_MICRO is rejected — earlier
+    # batches via the standing ``sem`` state, same-batch via the
+    # lower-doc_id one-pass rule, so the stream converges to
+    # semantic_prune_twin's verdicts on an arrival-ordered replay.
+    # The state records EVERY semantic-stage candidate (kept or
+    # rejected): the one-pass rule blocks on any lower-id close doc,
+    # not just on kept ones.
+    semantic: bool = False
 
     def _dir(self, kind: str) -> str:
         return os.path.join(self.path, kind)
@@ -325,6 +449,53 @@ class CurationAdmissionSink:
             .select("doc_id", "corp_id", "jacc_milli")
         )
 
+    def _sem_rejects(
+        self, spark: SparkSession, frame: DataFrame, before_batch: int
+    ) -> DataFrame:
+        """Semantic-gate verdicts for one batch's candidate frame
+        ((doc_id, bkt, emb)): rejected iff any STANDING candidate
+        (batches < before_batch) or same-batch lower-doc_id candidate
+        shares the bucket at cosine >= SEM_ND_TAU_MICRO.  Emits the
+        worst collision per rejected doc — the sem_rejects ledger."""
+        parts = self._standing_parts("sem", before_batch)
+        lo_frames = [
+            frame.select(
+                F.col("doc_id").alias("corp_id"),
+                F.col("emb").alias("ce"), "bkt",
+            )
+        ]
+        if parts:
+            lo_frames.append(
+                spark.read.option("basePath", self._dir("sem"))
+                .parquet(*parts)
+                .select(
+                    F.col("doc_id").alias("corp_id"),
+                    F.col("emb").alias("ce"), "bkt",
+                )
+            )
+        lo = lo_frames[0]
+        for extra in lo_frames[1:]:
+            lo = lo.unionByName(extra)
+        hits = (
+            frame.join(lo, "bkt")
+            # standing docs arrived earlier (any corp_id); same-batch
+            # blockers must hold the lower doc_id (the one-pass rule)
+            .filter(F.col("corp_id") < F.col("doc_id"))
+            .select(
+                "doc_id", "corp_id",
+                _sem_cos_micro("ce", "emb").alias("cos_micro"),
+            )
+            .filter(F.col("cos_micro") >= SEM_ND_TAU_MICRO)
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("cos_micro").desc(), "corp_id"
+        )
+        return (
+            hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "corp_id", "cos_micro")
+        )
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         docs = batch_df
@@ -353,6 +524,17 @@ class CurationAdmissionSink:
             admitted = cand.join(
                 rejects.select("doc_id"), "doc_id", "left_anti"
             )
+        sem_frame = None
+        sem_rejects = None
+        if self.semantic:
+            sem_frame = _sem_frame(admitted)
+            sem_frame.persist()
+            sem_rejects = self._sem_rejects(spark, sem_frame,
+                                            int(epoch_id))
+            sem_rejects.persist()
+            admitted = admitted.join(
+                sem_rejects.select("doc_id"), "doc_id", "left_anti"
+            )
         admitted.persist()
         try:
             admitted.select(
@@ -371,6 +553,17 @@ class CurationAdmissionSink:
                     os.path.join(self._dir("nd_rejects"),
                                  f"batch={epoch_id}")
                 )
+            if self.semantic:
+                # EVERY semantic-stage candidate enters the state
+                # (kept or rejected): the one-pass rule blocks on any
+                # lower-id close doc, not just on kept ones.
+                sem_frame.write.mode("overwrite").parquet(
+                    os.path.join(self._dir("sem"), f"batch={epoch_id}")
+                )
+                sem_rejects.write.mode("overwrite").parquet(
+                    os.path.join(self._dir("sem_rejects"),
+                                 f"batch={epoch_id}")
+                )
             # running mix over everything admitted through this batch
             all_admitted = self.read_admitted(spark, through=int(epoch_id))
             mix_report(all_admitted).write.mode("overwrite").parquet(
@@ -382,6 +575,10 @@ class CurationAdmissionSink:
                 rejects.unpersist()
             if cand is not None:
                 cand.unpersist()
+            if sem_frame is not None:
+                sem_frame.unpersist()
+            if sem_rejects is not None:
+                sem_rejects.unpersist()
             docs.unpersist()
 
     def read_nd_rejects(self, spark: SparkSession) -> DataFrame:
@@ -395,6 +592,21 @@ class CurationAdmissionSink:
         if not parts:
             return spark.createDataFrame(
                 [], "doc_id LONG, corp_id LONG, jacc_milli LONG")
+        return spark.read.option("basePath", base).parquet(*parts).drop(
+            "batch"
+        )
+
+    def read_sem_rejects(self, spark: SparkSession) -> DataFrame:
+        base = self._dir("sem_rejects")
+        parts = [
+            os.path.join(base, d)
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
+            if d.startswith("batch=")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        ]
+        if not parts:
+            return spark.createDataFrame(
+                [], "doc_id LONG, corp_id LONG, cos_micro LONG")
         return spark.read.option("basePath", base).parquet(*parts).drop(
             "batch"
         )
@@ -419,15 +631,23 @@ class CurationAdmissionSink:
         )
 
     def read_mix(self, spark: SparkSession) -> DataFrame:
-        """The latest committed mix report."""
+        """The latest committed mix report — empty (mix schema) when no
+        batch has committed yet (stream never ran, or the first batch
+        crashed pre-commit), matching read_admitted/read_nd_rejects."""
         base = self._dir("mix")
-        latest = max(
+        committed = [
             int(d.split("=", 1)[1])
-            for d in os.listdir(base)
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
             if d.startswith("batch=")
             and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        ]
+        if not committed:
+            return spark.createDataFrame(
+                [], "source STRING, tok LONG, p_milli LONG, w_milli LONG"
+            )
+        return spark.read.parquet(
+            os.path.join(base, f"batch={max(committed)}")
         )
-        return spark.read.parquet(os.path.join(base, f"batch={latest}"))
 
 
 def streaming_curation_pipeline(
@@ -438,6 +658,7 @@ def streaming_curation_pipeline(
     checkpoint_dir: str,
     bulk_limit: int = 20,
     near_dup: bool = False,
+    semantic: bool = False,
 ):
     """Assemble the composite on the reference-parity pipeline core:
     file-drop source (R1/R2 admission), JSON decode as the
@@ -445,10 +666,13 @@ def streaming_curation_pipeline(
     sink above (R9/R10: state+output written before the offset
     commit), checkpointed for crash/replay (R12 bounded drain).
     ``near_dup=True`` adds the dedup_incremental stage (one-sided
-    shingle join vs the standing postings state)."""
+    shingle join vs the standing postings state); ``semantic=True``
+    adds the embedding admission gate (dedup_semantic_prune's
+    sign-bucket blocking vs the standing ``sem`` state)."""
     from .pipeline import FileStreamSource, SparkPipeline
 
-    sink = CurationAdmissionSink(out_dir, eval_grams, near_dup=near_dup)
+    sink = CurationAdmissionSink(out_dir, eval_grams, near_dup=near_dup,
+                                 semantic=semantic)
     pipe = SparkPipeline(
         spark=spark,
         source=FileStreamSource(drop_dir, max_files_per_trigger=bulk_limit),

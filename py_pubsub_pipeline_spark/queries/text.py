@@ -33,6 +33,25 @@ def _tokens(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+# Gopher/MassiveText repetition thresholds — the single source of
+# truth for text_repetition AND the streaming curation composite
+# (curation_stream.py imports these, per its stage-sharing contract).
+REP_DUP_MAX = 0.82
+REP_TOPBG_MAX = 0.08
+
+
+def norm_expr(col: str = "text"):
+    """text_normalize's canonicalization expression (lowercase, map
+    non-alphanumerics to spaces, collapse runs, trim) — shared with
+    the streaming curation composite so the two cannot drift."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+
+
 @query(
     "text_tokens",
     oracle="""
@@ -288,12 +307,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines use the same POSIX-class-free regexes so Java and
     RE2-style semantics agree."""
     d = table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +", " ",
-        )
-    )
+    norm = norm_expr()
     return d.select(
         "doc_id",
         F.md5(norm).alias("norm_hash"),
@@ -414,7 +428,7 @@ def text_er_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_repetition",
-    oracle="""
+    oracle=f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     wc AS (
       SELECT doc_id, t, COUNT(*) AS c
@@ -440,9 +454,10 @@ def text_er_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / CAST(b.n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac,
            (CAST(1 AS DOUBLE)
               - CAST(w.n_distinct AS DOUBLE) / CAST(w.n_tokens AS DOUBLE)
-              <= 0.82
+              <= {REP_DUP_MAX}
             AND COALESCE(CAST(b.max_bigram AS DOUBLE)
-                           / CAST(b.n_bigrams AS DOUBLE), 0.0) <= 0.08)
+                           / CAST(b.n_bigrams AS DOUBLE), 0.0)
+                <= {REP_TOPBG_MAX})
              AS keep
     FROM ws w LEFT JOIN bs b ON b.doc_id = w.doc_id
     """,
@@ -506,7 +521,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             dup.alias("dup_word_frac"),
             top_bg.alias("top_bigram_frac"),
-            ((dup <= 0.82) & (top_bg <= 0.08)).alias("keep"),
+            ((dup <= REP_DUP_MAX) & (top_bg <= REP_TOPBG_MAX)).alias("keep"),
         )
     )
 

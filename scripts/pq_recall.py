@@ -66,6 +66,7 @@ def main() -> int:
         ("sim_pq_adc", "l2", 4),              # 8 x 4-bit codes
         ("sim_adc_int8", "dot", 68),          # 64 int8 + 1 float scale
         ("sim_pq_trained", "l2", 4),          # 1 Lloyd round codebook
+        ("sim_ivfpq", "l2", 4),               # IVF route + PQ residuals
         ("sim_pq_rescore", "l2", 4),          # PQ scan + 20 exact reads
         ("sim_topk", "dot", 256),             # exact float32 baseline
     ]

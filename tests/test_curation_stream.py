@@ -265,3 +265,103 @@ def test_neardup_admission_invariants_and_crash_convergence(
             if e in batch_of and jacc_milli(d, e) >= ND_TAU_MILLI
         )
         assert (jm, -corp) >= best or jm == best[0]
+
+
+def _run_semantic(spark, docs, drop, base_dir, crash_epoch=None):
+    from py_pubsub_pipeline_spark.pipeline import (
+        FileStreamSource, SparkPipeline,
+    )
+
+    eval_grams = build_eval_ngram_index(docs)
+    state = {"armed": crash_epoch is not None}
+
+    class MaybeCrashing(CurationAdmissionSink):
+        def __call__(self, batch_df, epoch_id):
+            super().__call__(batch_df, epoch_id)
+            if state["armed"] and int(epoch_id) >= crash_epoch:
+                state["armed"] = False
+                raise RuntimeError("injected crash after durable writes")
+
+    sink = MaybeCrashing(str(base_dir / "out"), eval_grams, semantic=True)
+
+    def build():
+        return SparkPipeline(
+            spark=spark,
+            source=FileStreamSource(drop, max_files_per_trigger=3),
+            sink=sink,
+            column_processor=lambda df: df.select(
+                F.from_json(
+                    F.col("value").cast("string"),
+                    "doc_id LONG, lang STRING, source STRING, text STRING",
+                ).alias("m")
+            ).select("m.*"),
+            checkpoint_dir=str(base_dir / "ckpt"),
+        )
+
+    if crash_epoch is not None:
+        with pytest.raises(Exception, match="injected crash"):
+            build().process(available_now=True)
+    build().process(available_now=True)
+    return sink
+
+
+def test_semantic_admission_converges_to_batch_prune(spark, docs, tmp_path):
+    """The semantic gate's crash-replay output must equal (a) its own
+    clean run (idempotence) and (b) the batch semantic_prune_twin
+    verdicts on the exact-admitted corpus (convergence) — round-10
+    verdict item 6."""
+    from py_pubsub_pipeline_spark.curation_stream import (
+        SEM_ND_TAU_MICRO, _sem_frame, semantic_prune_twin,
+    )
+
+    drop = str(tmp_path / "drop")
+    _write_drop_files(docs, drop, n_files=10)
+
+    clean = _run_semantic(spark, docs, drop, tmp_path / "clean")
+    crashed = _run_semantic(spark, docs, drop, tmp_path / "crashed",
+                            crash_epoch=2)
+
+    def snapshot(sink):
+        adm = sorted(
+            r["doc_id"]
+            for r in sink.read_admitted(spark).select("doc_id").collect()
+        )
+        rej = {(r["doc_id"], r["corp_id"], r["cos_micro"])
+               for r in sink.read_sem_rejects(spark).collect()}
+        return adm, rej
+
+    adm_clean, rej_clean = snapshot(clean)
+    adm_crash, rej_crash = snapshot(crashed)
+    assert adm_clean == adm_crash
+    assert rej_clean == rej_crash
+    assert rej_clean, "corpus has semantic near-dups; the stage must fire"
+    assert len(adm_clean) == len(set(adm_clean))
+
+    # batch reference: the one-pass lower-id prune over the
+    # exact-admitted corpus
+    twin_admitted = admission_batch_twin(docs)
+    verdicts = {r["doc_id"]: r["kept"]
+                for r in semantic_prune_twin(twin_admitted).collect()}
+    want_kept = sorted(d for d, k in verdicts.items() if k)
+    assert adm_clean == want_kept
+    rejected_ids = {d for d, _, _ in rej_clean}
+    assert rejected_ids == {d for d, k in verdicts.items() if not k}
+    assert not rejected_ids & set(adm_clean)
+
+    # every reject row names a genuine earlier (lower-id) collision at
+    # or above the threshold, verified against the shared frame
+    emb = {r["doc_id"]: (r["bkt"], r["emb"])
+           for r in _sem_frame(twin_admitted).collect()}
+
+    def cos_micro(a, b):
+        import math
+        ea, eb = emb[a][1], emb[b][1]
+        dot = sum(x * y for x, y in zip(ea, eb))
+        na = math.sqrt(sum(x * x for x in ea))
+        nb = math.sqrt(sum(x * x for x in eb))
+        return math.floor(dot / (na * nb) * 1e6 + 0.5)
+
+    for d, corp, cm in rej_clean:
+        assert corp < d
+        assert emb[d][0] == emb[corp][0], "collision must share the bucket"
+        assert cos_micro(d, corp) == cm >= SEM_ND_TAU_MICRO

@@ -39,11 +39,11 @@ def test_registry_size_is_intentional():
     # governance + serving-breadth wave), round 10 to 421 (lakehouse
     # snapshot ops + DP-release completion + the PQ family + local-DP
     # randomized response + commit-log replay, SURVEY.md §2C round-10
-    # row), round 11 to 423 (the two DP decomposition diagnostics for
-    # the driver-red adjudication, SURVEY.md §2C round-11 row).  This
-    # stays a tripwire: bump it ONLY alongside a SURVEY.md row
-    # documenting the new operators.
-    assert len(load_all()) == 423
+    # row), round 11 to 424 (the two DP decomposition diagnostics for
+    # the driver-red adjudication + sim_ivfpq, SURVEY.md §2C round-11
+    # row).  This stays a tripwire: bump it ONLY alongside a SURVEY.md
+    # row documenting the new operators.
+    assert len(load_all()) == 424
 
 
 def test_recorded_set_matches_correctness_artifacts():

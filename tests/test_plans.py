@@ -1158,3 +1158,19 @@ def test_pq_trained_is_broadcast_train_and_single_join_adc(spark):
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round-11 gates ---------------------------------------------------------
+
+
+def test_ivfpq_is_broadcast_route_and_scan_no_python(spark):
+    # Coarse centroids, residual codebook, and per-(query, cell) LUTs
+    # all broadcast; assignment and encoding are map-side argmins; the
+    # candidate scan joins codes to the broadcast LUT — never a
+    # SortMergeJoin of the corpus against itself, no Python anywhere.
+    plan = _executed(REG["sim_ivfpq"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    final = _final(plan)
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final

@@ -213,3 +213,68 @@ def test_pq_trained_matches_numpy_lloyd_and_beats_untrained(spark):
         total += TOP_K
     # the Lloyd round must actually buy recall on this corpus
     assert hits_tr > hits_raw, (hits_tr, hits_raw)
+
+
+def test_ivfpq_matches_numpy_and_respects_routing(spark):
+    """Recompute the full IVF-PQ pipeline (coarse assignment,
+    residuals, residual codebook from vectors [NLIST, NLIST+PQ_K),
+    per-(query, probed-cell) LUT, long-form ADC) in NumPy and check
+    the Spark output row-for-row; also assert every returned neighbor
+    lives in one of the query's NPROBE probed cells (the IVF
+    contract)."""
+    from py_pubsub_pipeline_spark.queries.similarity import (
+        IVF_NLIST, IVF_NPROBE, IVF_N_QUERIES, sim_ivfpq,
+    )
+
+    ids, x = _corpus(spark)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    cen = x[ids < IVF_NLIST]
+    d2c = np.floor(
+        ((x[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2) * 1e6 + 0.5
+    ).astype(np.int64)
+    cellorder = (d2c * 100 + np.arange(IVF_NLIST)[None, :]).argsort(
+        axis=1, kind="stable"
+    )
+    cell = cellorder[:, 0]
+    res = x - cen[cell]
+    cb_mask = (ids >= IVF_NLIST) & (ids < IVF_NLIST + PQ_K)
+    codes = np.empty((len(ids), PQ_M), dtype=np.int64)
+    cbs = []
+    for m in range(PQ_M):
+        rs = res[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        cs = res[cb_mask][:, m * PQ_SUB:(m + 1) * PQ_SUB]
+        cbs.append(cs)
+        d2u = np.floor(
+            ((rs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2) * 1e6 + 0.5
+        ).astype(np.int64)
+        codes[:, m] = (d2u * 100 + np.arange(PQ_K)[None, :]).argmin(axis=1)
+    got = {}
+    for r in sim_ivfpq(spark, SF_SMALL).collect():
+        got.setdefault(int(r["query_id"]), []).append(
+            (int(r["rnk"]), int(r["neighbor_id"]), int(r["adc_micro"]))
+        )
+    assert set(got) <= set(range(IVF_N_QUERIES))
+    for q, rows in got.items():
+        qi = idx_of[q]
+        probed = set(int(c) for c in cellorder[qi, :IVF_NPROBE])
+        # every neighbor is from a probed cell, never the query itself
+        for _, nid, _ in rows:
+            assert int(cell[idx_of[nid]]) in probed
+            assert nid != q
+        # ADC scores match the numpy recomputation exactly, and the
+        # returned rows are the true integer top-k of the candidates
+        cand = []
+        for i in range(len(ids)):
+            if int(cell[i]) not in probed or int(ids[i]) == q:
+                continue
+            qr = x[qi] - cen[cell[i]]
+            adc = 0
+            for m in range(PQ_M):
+                qs = qr[m * PQ_SUB:(m + 1) * PQ_SUB]
+                diff = qs - cbs[m][codes[i, m]]
+                adc += int(np.floor((diff @ diff) * 1e6 + 0.5))
+            cand.append((adc, int(ids[i])))
+        cand.sort()
+        assert [(a, n) for _, n, a in sorted(rows)] == [
+            (a, n) for a, n in cand[:TOP_K]
+        ]
