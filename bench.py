@@ -55,6 +55,12 @@ HEADLINE = [
                             # form, now sim_topk_driver_baseline)
     "text_tokens",          # tokenize+explode+count
     "stream_tumbling",      # time-window agg (batch twin)
+    "sim_pq_adc",           # quantized-ANN headline (round 11): PQ
+                            # encode + broadcast-LUT ADC scan — the
+                            # LLM-pipeline side of the engine gets a
+                            # perf-tracked representative.  Round-over-
+                            # round totals: r11+ include this row;
+                            # compare the r10 basket via the other ten.
 ]
 
 # Sub-second shapes: their output (and often input) is tiny, so the
@@ -69,6 +75,9 @@ SHUFFLE_WIDTH = {
     "limit_topk": 8,
     "text_tokens": 8,
     "stream_tumbling": 8,
+    # code rows are 4 B/vector and the output is queries x k — every
+    # exchange in the PQ plan carries KBs at any corpus size
+    "sim_pq_adc": 8,
 }
 
 

@@ -1830,26 +1830,58 @@ def _pq_candidates(spark: SparkSession, sf_dir: str, r: int) -> DataFrame:
     """PQ encode + broadcast-LUT ADC scan + per-query top-r — the
     shared first stage of sim_pq_adc (r = TOP_K, final answer) and
     sim_pq_rescore (r = PQ_RESCORE_R, candidates for exact rescoring).
-    Mirrors _pq_sql_ctes() exactly."""
+    Mirrors _pq_sql_ctes() exactly.
+
+    Round-11 form: the per-subspace SELF-dots of each vector are
+    computed once into an array column and reused by every d2u (the
+    same fold in the same order, so every IEEE double — and hence
+    every FLOOR-micro integer — is bit-identical to the inlined
+    form; verified results-identical before adoption).  Cuts the
+    d2u fold count per pair from 24 to 10 and the plan's codegen
+    size with it — the constant the sub-second bench row pays."""
     e = table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _dvec("embedding", "e"))
-    c = v.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("k"), F.col("e").alias("c")
+
+    def _ip(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    v2 = v.select(
+        "vec_id", "e",
+        F.array(*[
+            _ip(F.slice("e", m * PQ_SUB + 1, PQ_SUB),
+                F.slice("e", m * PQ_SUB + 1, PQ_SUB))
+            for m in range(PQ_M)
+        ]).alias("ss"),
     )
-    pairs = v.crossJoin(F.broadcast(c))
+    c2 = v2.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), F.col("e").alias("c"),
+        F.col("ss").alias("cs"),
+    )
+
+    def d2u(m: int):
+        es = F.slice("e", m * PQ_SUB + 1, PQ_SUB)
+        cs_ = F.slice("c", m * PQ_SUB + 1, PQ_SUB)
+        return F.floor(
+            (F.element_at("ss", m + 1) - 2 * _ip(es, cs_)
+             + F.element_at("cs", m + 1)) * 1e6 + 0.5
+        ).cast("long")
+
+    pairs = v2.crossJoin(F.broadcast(c2))
     codes = pairs.groupBy("vec_id").agg(*[
-        F.min_by("k", _pq_d2u("e", "c", m) * 100 + F.col("k"))
-        .alias(f"code_{m}")
+        F.min_by("k", d2u(m) * 100 + F.col("k")).alias(f"code_{m}")
         for m in range(PQ_M)
     ])
     # per-query ADC lookup table: lut[m][k] = d2u(query subspace m,
     # centroid k) as a nested array — ONE row per query, broadcast.
     lql = (
-        v.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(c))
+        v2.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(c2))
         .select(
             F.col("vec_id").alias("query_id"), "k",
-            F.array(*[_pq_d2u("e", "c", m) for m in range(PQ_M)]).alias("ds"),
+            F.array(*[d2u(m) for m in range(PQ_M)]).alias("ds"),
         )
     )
     lutq = lql.groupBy("query_id").agg(

@@ -185,3 +185,122 @@ def test_commitlog_replay_matches_manifest_model(spark, sf_dir):
     for f in rows:
         assert rows[f]["n"] == diff[f]["n"]
         assert rows[f]["key_sum"] == diff[f]["key_sum"]
+
+
+def _build_manifest_table(spark, base: str):
+    """A fresh three-file manifest table (snapshot 1 = {f0, f1},
+    snapshot 2 = {f0, f1, f2}) with a matching commit log — the same
+    conventions as the queries/formats.py fixture, but private to the
+    test so the registered keys' shared fixture is never mutated."""
+    import json
+
+    src = table(spark, SF_SMALL, "nation").withColumn(
+        "part", F.col("n_nationkey") % 3
+    )
+    os.makedirs(base, exist_ok=True)
+    for p in range(3):
+        src.filter(F.col("part") == p).drop("part").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, f"file-{p}"))
+    with open(os.path.join(base, "_manifest.json"), "w") as f:
+        json.dump({"snapshot_id": 1, "files": ["file-0", "file-1"]}, f)
+    with open(os.path.join(base, "_manifest_v2.json"), "w") as f:
+        json.dump(
+            {"snapshot_id": 2, "files": ["file-0", "file-1", "file-2"]}, f
+        )
+    with open(os.path.join(base, "_commitlog.jsonl"), "w") as f:
+        for a in (
+            {"commit": 0, "op": "add", "file": "file-0"},
+            {"commit": 0, "op": "add", "file": "file-1"},
+            {"commit": 1, "op": "add", "file": "file-2"},
+        ):
+            f.write(json.dumps(a) + "\n")
+
+
+def _snap_rows(spark, base: str, files: list[str]):
+    return sorted(
+        tuple(r) for r in spark.read.parquet(
+            *[os.path.join(base, f) for f in files]
+        ).collect()
+    )
+
+
+def _data_file_md5s(base: str, rel: str) -> dict[str, str]:
+    import hashlib
+
+    out = {}
+    d = os.path.join(base, rel)
+    for name in sorted(os.listdir(d)):
+        if name.startswith(("_", ".")):
+            continue
+        with open(os.path.join(d, name), "rb") as f:
+            out[name] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+def test_compact_manifest_commits_snapshot_and_preserves_time_travel(
+    spark, tmp_path
+):
+    """The write path closes the planner/snapshot/vacuum loop: the
+    compaction commits a NEW snapshot + commit-log entry, the old
+    files become retained-snapshot-protected orphans, and time travel
+    to every pre-compaction snapshot stays byte-identical."""
+    import json
+
+    from py_pubsub_pipeline_spark.sources.io import (
+        compact_manifest,
+        read_manifests,
+        vacuum_manifest,
+    )
+
+    base = str(tmp_path / "mtab")
+    _build_manifest_table(spark, base)
+    snaps0 = read_manifests(base)
+    pre_rows = {sid: _snap_rows(spark, base, files)
+                for sid, files in snaps0.items()}
+    pre_md5 = {f: _data_file_md5s(base, f)
+               for f in ("file-0", "file-1", "file-2")}
+
+    res = compact_manifest(
+        spark, base, ["file-1", "file-2"], "file-3"
+    )
+    assert res["snapshot_id"] == 3
+    assert sorted(res["files"]) == ["file-0", "file-3"]
+
+    snaps = read_manifests(base)
+    assert set(snaps) == {1, 2, 3}
+    # the new snapshot reads the SAME rows as the snapshot it compacted
+    assert _snap_rows(spark, base, snaps[3]) == pre_rows[2]
+    # time travel: every pre-compaction snapshot resolves identically,
+    # and the old data files are BYTE-identical (never rewritten)
+    for sid in (1, 2):
+        assert _snap_rows(spark, base, snaps[sid]) == pre_rows[sid]
+    for f, want in pre_md5.items():
+        assert _data_file_md5s(base, f) == want, f
+    # commit log replays to the new current set with provenance
+    current = {}
+    with open(os.path.join(base, "_commitlog.jsonl")) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if a["op"] == "add":
+                current[a["file"]] = a["commit"]
+            else:
+                current.pop(a["file"])
+    assert current == {"file-0": 0, "file-3": 2}
+
+    # degenerate calls refuse loudly
+    with pytest.raises(ValueError, match="not in latest"):
+        compact_manifest(spark, base, ["file-1"], "file-9")
+    with pytest.raises(ValueError, match="already exists"):
+        compact_manifest(spark, base, ["file-0"], "file-3")
+
+    # vacuum honors the retention window: retaining snapshot 2 keeps
+    # the compacted files on disk (protected orphans)...
+    assert vacuum_manifest(base, retain_from=2) == []
+    assert os.path.isdir(os.path.join(base, "file-1"))
+    assert _snap_rows(spark, base, snaps[2]) == pre_rows[2]
+    # ...and shrinking the window to the latest snapshot expires them
+    deleted = vacuum_manifest(base, retain_from=3)
+    assert sorted(deleted) == ["file-1", "file-2"]
+    assert set(read_manifests(base)) == {3}
+    assert _snap_rows(spark, base, snaps[3]) == pre_rows[2]
