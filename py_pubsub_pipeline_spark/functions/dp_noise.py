@@ -114,3 +114,41 @@ def spark_laplace(hash_col: Column, scale: float) -> Column:
         for s in laplace_ladder(scale)
     ])
     return F.element_at(arr, F.shiftright(hash_col, _SHIFT).cast("int") + 1)
+
+
+@lru_cache(maxsize=4)
+def gumbel_ladder_e4() -> tuple[int, ...]:
+    """LADDER_K exact integer-e4 Gumbel(0,1) draws at the bucket
+    midpoints u_k = (k + 0.5) / K: ``G = -ln(-ln(u))``, quantized to
+    4 decimals half-up, scaled by 10^4 into plain ints.
+
+    Same posture as :func:`laplace_ladder_e4` — the libm double-log
+    runs HERE once at table-build time; query-time selection is an
+    integer shift on the 52-bit md5 hash, so the exponential-mechanism
+    argmax (score + Gumbel, the Gumbel-max trick) is pure-integer on
+    both engines and cannot split the release.  Tails truncate at the
+    1/2048 quantiles (G in ~[-1.93, +7.62]) — the bounded-noise
+    variant every shipping DP system uses."""
+    out = []
+    for k in range(LADDER_K):
+        u = (k + 0.5) / LADDER_K
+        g = -math.log(-math.log(u))
+        q = Decimal(repr(g)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+        out.append(int(q * 10000))
+    return tuple(out)
+
+
+def sql_gumbel_e4(hash_expr: str) -> str:
+    """DuckDB fragment: the integer-e4 Gumbel ladder indexed (1-based)
+    by the top 10 bits of the 52-bit hash expression."""
+    lits = ", ".join(str(v) for v in gumbel_ladder_e4())
+    return f"CAST(([{lits}])[(({hash_expr}) >> {_SHIFT}) + 1] AS BIGINT)"
+
+
+def spark_gumbel_e4(hash_col: Column) -> Column:
+    """Spark twin of :func:`sql_gumbel_e4`: element_at over an array
+    of foldable LONG literals — constant-folded, zero runtime libm."""
+    arr = F.array(*[F.lit(v).cast("long") for v in gumbel_ladder_e4()])
+    return F.element_at(arr, F.shiftright(hash_col, _SHIFT).cast("int") + 1)

@@ -1344,3 +1344,184 @@ def scan_commitlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# --- zone maps: stats-based file skipping and layout overlap ------------
+# Shared fixture: orders written RANGE-CLUSTERED into 4 files by key
+# quartile (range-0..3, bucket = o_orderkey*4 DIV (max_key+1)) — the
+# layout a clustered/Z-ordered table has — beside the existing
+# hash-partitioned manifest files (file-0..2, o_orderkey % 3) — the
+# layout an unclustered ingest has.  Zone-map pruning works on the
+# first and not the second; these two keys measure exactly that.
+
+RANGE_N_FILES = 4
+
+
+def _range_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the 4 range-clustered orders files once per sf_dir
+    (value-range bucketing, NOT a global sort — no single-task window
+    at fixture time; each bucket is one filtered write)."""
+    base = _cache_dir(sf_dir, "range_files")
+    stamp = os.path.join(base, "_RANGE_META.json")
+    if not os.path.exists(stamp):
+        import json as _j
+
+        o = table(spark, sf_dir, "orders")
+        mx = o.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+        for b in range(RANGE_N_FILES):
+            (
+                o.filter(
+                    F.expr(f"o_orderkey * {RANGE_N_FILES} DIV {mx + 1}")
+                    == b
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, f"range-{b}"))
+            )
+        tmp = stamp + ".tmp"
+        with open(tmp, "w") as f:
+            _j.dump({"max_key": int(mx), "n_files": RANGE_N_FILES}, f)
+        os.replace(tmp, stamp)
+    return base
+
+
+def _zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file zone maps (min/max o_orderkey, row count) for BOTH
+    layouts: the 4 range files and the 3 hash files.  Driver-side loop
+    is bounded by the file list (the manifest posture of
+    scan_manifest_diff); each scan is a 1-column pruned parquet read."""
+    rbase = _range_fixture(spark, sf_dir)
+    hbase = _manifest_fixture(spark, sf_dir)
+    out = None
+    files = [("range", rbase, f"range-{b}") for b in range(RANGE_N_FILES)]
+    files += [("hash", hbase, f"file-{p}") for p in range(3)]
+    for layout, base, rel in files:
+        part = (
+            spark.read.parquet(os.path.join(base, rel))
+            .agg(
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                F.lit(layout).alias("layout"), F.lit(rel).alias("file"),
+                "min_key", "max_key", F.col("n").cast("long").alias("n"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_ZONE_STATS_SQL = """
+    r AS (
+      SELECT 'range' AS layout,
+             'range-' || CAST((o_orderkey * 4) // ((SELECT mx FROM b) + 1)
+                              AS VARCHAR) AS file,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             COUNT(*) AS n
+      FROM orders GROUP BY 2),
+    h AS (
+      SELECT 'hash' AS layout,
+             'file-' || CAST(o_orderkey % 3 AS VARCHAR) AS file,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             COUNT(*) AS n
+      FROM orders GROUP BY 2),
+    u AS (SELECT * FROM r UNION ALL SELECT * FROM h)
+"""
+
+
+@query(
+    "scan_minmax_skipping",
+    oracle=f"""
+    WITH b AS (SELECT MAX(o_orderkey) AS mx,
+                      (MAX(o_orderkey) * 3) // 8 AS lo,
+                      (MAX(o_orderkey) * 5) // 8 AS hi
+               FROM orders),
+    {_ZONE_STATS_SQL}
+    SELECT layout, file, min_key, max_key, CAST(n AS BIGINT) AS n,
+           (max_key < (SELECT lo FROM b) OR min_key > (SELECT hi FROM b))
+             AS skippable
+    FROM u
+    """,
+)
+def scan_minmax_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-BASED FILE SKIPPING (zone maps / Delta data skipping /
+    Iceberg ``lower_bound``/``upper_bound`` pruning): for every file
+    in both layouts, the per-file min/max of the key column and the
+    verdict of the canonical range predicate ``o_orderkey BETWEEN
+    3/8*max AND 5/8*max`` — ``skippable`` = the file's zone map
+    proves it holds no qualifying row (max < lo OR min > hi), i.e.
+    the scan planner never opens it.
+
+    The point is the CONTRAST the oracle certifies arithmetically:
+    the RANGE-clustered layout skips the files outside the middle
+    quartiles, while the HASH layout's every file spans the full key
+    domain (min ~ 0, max ~ max_key) and nothing is skippable — the
+    zone-map lesson that clustering, not file count, buys pruning.
+    This is the read-side contract of layout_zorder /
+    layout_compaction_plan: THEY produce clustered layouts, THIS
+    measures what the cluster bought.
+
+    Scale: per-file stats live in the real formats' manifests —
+    O(files) metadata, zero data read at plan time; here each file is
+    a 1-column pruned scan standing in for those manifest columns,
+    and the bounds side is ONE 1-row broadcast agg."""
+    stats = _zone_stats(spark, sf_dir)
+    bounds = table(spark, sf_dir, "orders").agg(
+        F.expr("(MAX(o_orderkey) * 3) DIV 8").alias("lo"),
+        F.expr("(MAX(o_orderkey) * 5) DIV 8").alias("hi"),
+    )
+    return stats.crossJoin(F.broadcast(bounds)).select(
+        "layout", "file", "min_key", "max_key", "n",
+        ((F.col("max_key") < F.col("lo"))
+         | (F.col("min_key") > F.col("hi"))).alias("skippable"),
+    )
+
+
+@query(
+    "layout_overlap_depth",
+    oracle=f"""
+    WITH b AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+    {_ZONE_STATS_SQL}
+    SELECT a.layout, a.file AS file,
+           CAST(COUNT(*) AS BIGINT) AS n_overlapping
+    FROM u a JOIN u o
+      ON a.layout = o.layout
+     AND a.min_key <= o.max_key AND o.min_key <= a.max_key
+    GROUP BY 1, 2
+    """,
+)
+def layout_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAYOUT OVERLAP DEPTH — the read-amplification metric compaction
+    planners optimize (LSM levels, Delta OPTIMIZE, Iceberg's
+    bin-packing): for each file, how many files in the same layout
+    have an INTERSECTING key range (itself included).  A point lookup
+    must open every file whose zone map covers the key, so this count
+    is the worst-case files-per-lookup; a clustered layout scores 1
+    per file (disjoint ranges), a hash layout scores n_files (every
+    file spans the domain).  Together with scan_minmax_skipping this
+    closes the layout loop: zorder/compaction produce layouts, THIS
+    grades them, skipping cashes the grade in.
+
+    Scale: the interval self-join runs on the FILE-STATS rows
+    (O(files^2) on manifest-sized input, never data); per-file stats
+    come from 1-column pruned scans standing in for manifest
+    columns."""
+    stats = _zone_stats(spark, sf_dir)
+    a = stats.select(
+        F.col("layout").alias("a_layout"), F.col("file").alias("file"),
+        F.col("min_key").alias("a_min"), F.col("max_key").alias("a_max"),
+    )
+    o = stats.select(
+        F.col("layout").alias("o_layout"),
+        F.col("min_key").alias("o_min"), F.col("max_key").alias("o_max"),
+    )
+    return (
+        a.join(
+            o,
+            (F.col("a_layout") == F.col("o_layout"))
+            & (F.col("a_min") <= F.col("o_max"))
+            & (F.col("o_min") <= F.col("a_max")),
+        )
+        .groupBy(F.col("a_layout").alias("layout"), "file")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlapping"))
+    )

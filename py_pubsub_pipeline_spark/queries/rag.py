@@ -31,8 +31,10 @@ from ..functions.blocking import (
     spark_sign_prefix,
 )
 from ..functions.dp_noise import (
+    spark_gumbel_e4,
     spark_laplace,
     spark_laplace_e4,
+    sql_gumbel_e4,
     sql_laplace,
     sql_laplace_e4,
 )
@@ -1748,4 +1750,321 @@ def privacy_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2000 * F.col("observed") - 500 * F.col("n")).cast("long")
             .alias("est_true_milli"),
         )
+    )
+
+
+# --- DP quantile (exponential mechanism) --------------------------------
+DPQ_STEP = 20    # candidate grid: c_j = 20*j chars
+DPQ_NCAND = 64   # j in 1..64 -> candidates cover 20..1280 chars
+
+_DPQ_H_SQL = ("CAST(('0x' || substr(md5('q|' || lang || '|' ||"
+              " CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)")
+
+
+@query(
+    "privacy_dp_quantile",
+    oracle=f"""
+    WITH lg AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    bk AS (
+      SELECT lang, CAST(n_chars // {DPQ_STEP} AS BIGINT) AS b, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2),
+    grid AS (
+      SELECT lg.lang, lg.n, j
+      FROM lg CROSS JOIN UNNEST(range(1, {DPQ_NCAND + 1})) AS t(j)),
+    cnt AS (
+      SELECT g.lang, g.n, g.j, COALESCE(SUM(bk.c), 0) AS cnt_lt
+      FROM grid g LEFT JOIN bk ON bk.lang = g.lang AND bk.b < g.j
+      GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT lang, j,
+             CAST(2500 * (-ABS(2 * cnt_lt - n))
+                  + {sql_gumbel_e4(_DPQ_H_SQL)} AS BIGINT) AS score_e4
+      FROM cnt),
+    r AS (
+      SELECT lang, j,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score_e4 DESC, j) AS rnk
+      FROM sc)
+    SELECT lang, CAST(j * {DPQ_STEP} AS BIGINT) AS q_chars
+    FROM r WHERE rnk = 1
+    """,
+)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP MEDIAN via the EXPONENTIAL MECHANISM — the selection-typed
+    release the family still lacked (dp_count/sum/mean perturb a
+    numeric aggregate; partition_select thresholds; rr perturbs at the
+    client; THIS selects a value from a candidate domain by utility).
+    Per lang, candidates are the fixed grid c_j = {DPQ_STEP}*j
+    (j=1..{DPQ_NCAND}; a data-INdependent domain, as the mechanism
+    requires); utility u(c_j) = -|2*below(c_j) - n| (twice the usual
+    rank distance, kept integer); the winner is drawn with probability
+    proportional to exp(eps*u_true/2) via the GUMBEL-MAX TRICK:
+    argmax of eps/4*u*1e4 + Gumbel_e4, the Gumbel drawn from the
+    1024-entry integer-e4 ladder (functions/dp_noise.py) indexed by
+    the 52-bit md5 of 'q|'||lang||'|'||j.  Released value: the chosen
+    candidate only — never a raw count.
+
+    Determinism/exactness: utilities are integers, the Gumbel is a
+    ladder literal, the argmax tiebreak (score DESC, j ASC) is total —
+    pure-integer end to end on both engines (the round-10/11 DP
+    posture; zero libm in any released value).  Scale: one hash agg to
+    (lang, bucket) cardinality, then a lang x {DPQ_NCAND} grid
+    (group-rows-bounded, never data-bounded) with a bounded theta join
+    against the histogram.  NOTE: the seeded md5 Gumbel is a
+    reproducibility / engine-parity simulation — production must draw
+    fresh randomness for the stated epsilon to hold."""
+    d = table(spark, sf_dir, "documents")
+    lg = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    bk = (
+        d.groupBy("lang", F.expr(f"n_chars DIV {DPQ_STEP}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("lang").alias("b_lang"), "b", "c")
+    )
+    cj = spark.range(1, DPQ_NCAND + 1).select(F.col("id").alias("j"))
+    grid = lg.crossJoin(F.broadcast(cj))
+    cnt = (
+        grid.join(
+            bk,
+            (grid["lang"] == bk["b_lang"]) & (bk["b"] < grid["j"]),
+            "left",
+        )
+        .groupBy("lang", "n", "j")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("cnt_lt"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("q|"), F.col("lang"), F.lit("|"),
+                           F.col("j").cast("string"))), 1, 13),
+        16, 10,
+    ).cast("long")
+    sc = cnt.select(
+        "lang", "j",
+        (2500 * (-F.abs(2 * F.col("cnt_lt") - F.col("n")))
+         + spark_gumbel_e4(h)).cast("long").alias("score_e4"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score_e4").desc(), "j")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("lang", (F.col("j") * DPQ_STEP).cast("long").alias("q_chars"))
+    )
+
+
+# --- late-interaction retrieval (ColBERT MaxSim) ------------------------
+MXS_NQ = 20       # vec_id < 20 are the probe queries
+MXS_TOKENS = 8    # pseudo token vectors per doc (64-dim -> 8 x 8)
+MXS_SUBDIM = 8    # dims per token vector
+MXS_K = 5         # neighbors released per query
+MXS_SALT = 32     # map-side top-k fan: local cut per (query, salt)
+
+# The one dot product, written ONCE and rendered into both engine
+# texts with each engine's 1-based element accessor — identical
+# left-associated IEEE tree, so the doubles agree bit-for-bit before
+# the single micro-unit rounding.
+_MXS_DOT_SPARK = " + ".join(
+    f"element_at(qt, {i}) * element_at(dt, {i})"
+    for i in range(1, MXS_SUBDIM + 1)
+)
+_MXS_DOT_SQL = " + ".join(
+    f"qt[{i}] * dt[{i}]" for i in range(1, MXS_SUBDIM + 1)
+)
+
+
+@query(
+    "rag_maxsim",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    t AS (
+      SELECT vec_id,
+             [e[i * {MXS_SUBDIM} + 1 : i * {MXS_SUBDIM} + {MXS_SUBDIM}]
+              for i in range({MXS_TOKENS})] AS toks
+      FROM v),
+    scored AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+             CAST(list_sum([
+               list_max([
+                 CAST(FLOOR(({_MXS_DOT_SQL}) * 1000000 + 0.5) AS BIGINT)
+                 for dt in d.toks])
+               for qt in q.toks]) AS BIGINT) AS maxsim_micro
+      FROM t q JOIN t d ON q.vec_id <> d.vec_id
+      WHERE q.vec_id < {MXS_NQ}),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim_micro DESC, doc_id) AS rnk
+      FROM scored)
+    SELECT query_id, doc_id, maxsim_micro, rnk
+    FROM ranked WHERE rnk <= {MXS_K}
+    """,
+)
+def rag_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (ColBERT MaxSim): each embedding is
+    treated as {MXS_TOKENS} token vectors of {MXS_SUBDIM} dims (the
+    64-dim column sliced — the corpus has no token-level embeddings,
+    so the slicing is the deterministic stand-in; the OPERATOR is the
+    scoring contract), and score(q, d) = sum over query tokens of the
+    MAX dot product against any doc token — the asymmetric sum-of-max
+    that makes late interaction strictly richer than single-vector
+    cosine and is the reranking workhorse of modern RAG stacks.
+    Top-{MXS_K} docs per query, released with the score in exact
+    micro units.
+
+    Exactness: each token-pair dot is the SAME unrolled
+    left-associated 8-term expression on both engines (bit-identical
+    IEEE doubles), rounded ONCE to integer micro units
+    (FLOOR(x*1e6 + 0.5)); max and sum then run on integers, and the
+    (score DESC, doc_id) order is total — nothing to drift.
+
+    Scale: the bounded query side ({MXS_NQ} rows) BROADCASTS to a
+    single linear corpus scan; per-pair cost is a constant
+    {MXS_TOKENS}x{MXS_TOKENS} = 64-dot codegen expression, no Python,
+    no explode — pair rows are O(corpus), never materialized wider.
+    The top-k cut is TWO-PHASE: a map-side window over (query,
+    doc_id % {MXS_SALT}) keeps {MXS_K} per salt, so the final
+    per-query window sees {MXS_SALT}*{MXS_K} rows per query instead
+    of the corpus (exact under the shared total order — top-k of
+    salted top-ks is the global top-k).  At 100 TB: broadcast stays
+    {MXS_NQ} vectors, scan parallelizes, the pre-cut bounds the final
+    shuffle to KB."""
+    path = __import__("os").path.join(sf_dir, "embeddings.parquet")
+    sch = "vec_id long, embedding array<float>, label int"
+    toks = F.expr(
+        f"transform(sequence(0, {MXS_TOKENS - 1}),"
+        f" i -> slice(e, i * {MXS_SUBDIM} + 1, {MXS_SUBDIM}))"
+    )
+
+    def side(id_col: str, tok_col: str) -> DataFrame:
+        return (
+            spark.read.schema(sch).parquet(path)
+            .select(
+                F.col("vec_id").alias(id_col),
+                F.col("embedding").cast("array<double>").alias("e"),
+            )
+            .select(id_col, toks.alias(tok_col))
+        )
+
+    q = side("query_id", "qtoks").filter(F.col("query_id") < MXS_NQ)
+    d = side("doc_id", "dtoks")
+    score = F.expr(
+        "CAST(aggregate(qtoks, CAST(0 AS BIGINT), (acc, qt) -> acc +"
+        " array_max(transform(dtoks, dt ->"
+        f" CAST(FLOOR(({_MXS_DOT_SPARK}) * 1000000 + 0.5) AS BIGINT)))"
+        ") AS BIGINT)"
+    )
+    pairs = (
+        d.join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", score.alias("maxsim_micro"))
+    )
+    order = [F.col("maxsim_micro").desc(), F.col("doc_id")]
+    local = Window.partitionBy(
+        "query_id", F.expr(f"doc_id % {MXS_SALT}")
+    ).orderBy(*order)
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pairs.withColumn("lrnk", F.row_number().over(local))
+        .filter(F.col("lrnk") <= MXS_K)
+        .drop("lrnk")
+        .withColumn("rnk", F.row_number().over(final))
+        .filter(F.col("rnk") <= MXS_K)
+    )
+
+
+# --- DoReMi-style domain reweighting ------------------------------------
+DRM_REF_CLIP = 400  # chars: reference-model surrogate loss clip
+DRM_PRX_CLIP = 250  # chars: proxy-model surrogate loss clip
+
+
+@query(
+    "mix_doremi_step",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n,
+             (SUM(LEAST(n_chars, {DRM_REF_CLIP})) * 1000) // COUNT(*)
+               AS ref_milli,
+             (SUM(LEAST(n_chars, {DRM_PRX_CLIP})) * 1000) // COUNT(*)
+               AS prx_milli
+      FROM documents GROUP BY source),
+    e AS (
+      SELECT source, n,
+             GREATEST(0, ref_milli - prx_milli) AS excess_milli,
+             1000 + GREATEST(0, ref_milli - prx_milli) // 2 AS mult_milli
+      FROM s),
+    t AS (
+      SELECT *, SUM(mult_milli) OVER () AS tot,
+             (mult_milli * 1000) // SUM(mult_milli) OVER () AS w_floor,
+             (mult_milli * 1000) % SUM(mult_milli) OVER () AS rem
+      FROM e),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+             1000 - SUM(w_floor) OVER () AS short
+      FROM t)
+    SELECT source, n, CAST(excess_milli AS BIGINT) AS excess_milli,
+           CAST(mult_milli AS BIGINT) AS mult_milli,
+           CAST(w_floor + CASE WHEN rr <= short THEN 1 ELSE 0 END AS BIGINT)
+             AS w_milli
+    FROM r
+    """,
+)
+def mix_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE DoReMi-style domain-reweighting step (Xie et al. 2023,
+    public): per domain (source), the EXCESS LOSS of a proxy model
+    over a reference model drives a multiplicative-weights update of
+    the sampling distribution — domains where the proxy still lags
+    gain weight.  The corpus carries no model losses, so two clipped
+    char-mean surrogates stand in (ref clip {DRM_REF_CLIP} /
+    proxy clip {DRM_PRX_CLIP}; deterministic, monotone in document
+    length spread) — the OPERATOR is the update contract: excess_i =
+    max(0, ref_i - proxy_i); alpha'_i proportional to alpha_i *
+    (1 + eta*excess_i) with uniform alpha and eta = 1/2, the
+    LINEARIZED multiplicative-weights update (the Hedge/MW variant
+    with exp replaced by its tangent — chosen here because it keeps
+    the release pure-integer: exp over a dense data-derived argument
+    is banned from released values per the registry contract).
+
+    The released mixture renormalizes by LARGEST REMAINDER to exact
+    integer milli-weights summing to 1000 — the same exact-allocation
+    discipline as the mix_* schedulers, so downstream token budgets
+    never drift by rounding.  Scale: ONE hash agg to source
+    cardinality; every window after runs on the ~20 domain rows.
+    At 100 TB the agg is the only data-bounded stage (map-side
+    partial over the clip expressions)."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"(SUM(LEAST(n_chars, {DRM_REF_CLIP})) * 1000)"
+               " DIV COUNT(*)").alias("ref_milli"),
+        F.expr(f"(SUM(LEAST(n_chars, {DRM_PRX_CLIP})) * 1000)"
+               " DIV COUNT(*)").alias("prx_milli"),
+    )
+    e = s.select(
+        "source", "n",
+        F.greatest(F.lit(0), F.col("ref_milli") - F.col("prx_milli"))
+        .alias("excess_milli"),
+    ).withColumn(
+        "mult_milli", F.lit(1000) + F.expr("excess_milli DIV 2")
+    )
+    all_w = Window.partitionBy()
+    t = e.select(
+        "*",
+        F.sum("mult_milli").over(all_w).alias("tot"),
+    ).select(
+        "*",
+        F.expr("(mult_milli * 1000) DIV tot").alias("w_floor"),
+        F.expr("(mult_milli * 1000) % tot").alias("rem"),
+    )
+    r = t.select(
+        "*",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.col("rem").desc(), "source")
+        ).alias("rr"),
+        (F.lit(1000) - F.sum("w_floor").over(all_w)).alias("short"),
+    )
+    return r.select(
+        "source", "n",
+        F.col("excess_milli").cast("long").alias("excess_milli"),
+        F.col("mult_milli").cast("long").alias("mult_milli"),
+        (F.col("w_floor")
+         + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0))
+        .cast("long").alias("w_milli"),
     )

@@ -2435,3 +2435,87 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adc_micro", F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# --- range search (radius neighbors) ------------------------------------
+RANGE_TAU = 0.35  # release every neighbor with ROUND(cos, 6) >= tau
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({_SQL_COS.format(a='q.e', b='c.e')}, 6) AS cos_sim
+    FROM q JOIN c ON q.vec_id <> c.vec_id
+    WHERE ROUND({_SQL_COS.format(a='q.e', b='c.e')}, 6) >= {RANGE_TAU}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE SEARCH (FAISS ``range_search`` parity): every corpus
+    vector within a cosine RADIUS of each probe — the
+    recall-complete dual of top-k (top-k bounds the result count,
+    range search bounds the similarity; dedup and contamination
+    sweeps want the latter, because the number of true neighbors per
+    probe is unknown a priori).  Probes are vec_id < {N_QUERIES},
+    radius ROUND(cos, 6) >= {RANGE_TAU}.
+
+    Plan shape: the same driver-free cogroup TILE kernel as sim_topk
+    (probes replicate to candidate blocks, each tile scored by one
+    BLAS matmul) — but with NO final window at all: the radius test
+    is tile-local (a pure map-side filter), so the only shuffle is
+    the cogroup itself and the output stream is exactly the hit set.
+    That is the property that matters at 100 TB — emitted rows are
+    O(hits), and hits grow linearly in corpus size for a fixed probe
+    set, never O(probes x corpus).
+
+    Determinism: both engines round to 6 decimals BEFORE the radius
+    test (floor(x*1e6 + 0.5), matching ROUND half-up for the
+    positive scores that can pass) — a membership flip needs two raw
+    doubles straddling a rounding boundary within ~1 ulp."""
+    import os as _os
+
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    _sch = "vec_id long, embedding array<float>, label int"
+    blocks = spark.range(N_BLOCKS).select(
+        F.col("id").cast("int").alias("blk"))
+    probes = (
+        spark.read.schema(_sch).parquet(path)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .crossJoin(F.broadcast(blocks))
+    )
+    cands = spark.read.schema(_sch).parquet(path).select(
+        "vec_id", "embedding",
+        (F.col("vec_id") % N_BLOCKS).cast("int").alias("blk"),
+    )
+
+    def score_tile(q_pdf, c_pdf):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        if q_pdf.empty or c_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []})
+        Q = np.array(list(q_pdf["embedding"]), dtype=np.float64)
+        C = np.array(list(c_pdf["embedding"]), dtype=np.float64)
+        q_ids = q_pdf["vec_id"].to_numpy()
+        ids = c_pdf["vec_id"].to_numpy()
+        S = _score_cosine(Q, C)
+        mask = (S >= RANGE_TAU) & (q_ids[:, None] != ids[None, :])
+        qi, ci = np.nonzero(mask)
+        return pd.DataFrame({
+            "query_id": q_ids[qi], "neighbor_id": ids[ci],
+            "cos_sim": S[qi, ci],
+        })
+
+    return (
+        probes.groupby("blk")
+        .cogroup(cands.groupby("blk"))
+        .applyInPandas(
+            score_tile, "query_id long, neighbor_id long, cos_sim double"
+        )
+    )

@@ -42,8 +42,11 @@ def test_registry_size_is_intentional():
     # row), round 11 to 424 (the two DP decomposition diagnostics for
     # the driver-red adjudication + sim_ivfpq, SURVEY.md §2C round-11
     # row).  This stays a tripwire: bump it ONLY alongside a SURVEY.md
-    # row documenting the new operators.
-    assert len(load_all()) == 424
+    # row documenting the new operators.  Round 11 wave 2 grew it to
+    # 431 (privacy_dp_quantile, rag_maxsim, sim_range_search,
+    # mix_doremi_step, scan_minmax_skipping, layout_overlap_depth,
+    # scan_column_stats — SURVEY.md §2C round-11-wave-2 row).
+    assert len(load_all()) == 431
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -1174,3 +1174,87 @@ def test_ivfpq_is_broadcast_route_and_scan_no_python(spark):
     assert "CartesianProduct" not in plan
     final = _final(plan)
     assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+
+
+def test_dp_quantile_grid_is_group_bounded_no_python(spark):
+    # The exponential-mechanism grid (lang x 64 candidates) must stay
+    # group-rows-bounded: one hash agg over documents, broadcast of the
+    # 64-candidate side, constant-folded Gumbel ladder — no Python, no
+    # SortMergeJoin of data against data.
+    plan = _executed(REG["privacy_dp_quantile"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("text" not in ln for ln in schemas), schemas
+    assert any("n_chars" in ln for ln in schemas), schemas
+
+
+def test_maxsim_broadcasts_probes_and_salts_topk(spark):
+    # The bounded query side broadcasts (never shuffles the corpus),
+    # scoring is pure codegen (no Python), and the top-k runs the
+    # two-phase salted cut: the (query_id, doc_id % 32) local window
+    # must appear before the final per-query window.
+    plan = _executed(REG["rag_maxsim"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") >= 2, plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("label" not in ln for ln in schemas), schemas
+
+
+def test_doremi_is_one_agg_then_domain_rows(spark):
+    # One hash agg to source cardinality; everything after (windows,
+    # largest-remainder allocation) runs on the ~20 domain rows with
+    # no further joins and no Python.
+    plan = _executed(REG["mix_doremi_step"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in _final(plan), _final(plan)
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all(
+        "n_chars" in ln and "text" not in ln for ln in schemas
+    ), schemas
+
+
+def test_range_search_is_tile_local_no_final_window(spark):
+    # Radius search must be a pure map-side filter after the cogroup:
+    # no Window / TakeOrdered / global sort anywhere — emitted rows
+    # are exactly the hit set.
+    plan = _executed(REG["sim_range_search"].fn(spark, SF_SMALL), spark)
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_minmax_skipping_scans_pruned_and_broadcasts_bounds(spark):
+    # Every per-file stat scan reads only o_orderkey; the predicate
+    # bounds side is a 1-row broadcast, never a shuffle join.
+    plan = _executed(REG["scan_minmax_skipping"].fn(spark, SF_SMALL), spark)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all(
+        "o_orderkey" in ln and "o_totalprice" not in ln for ln in schemas
+    ), schemas
+
+
+def test_overlap_depth_joins_file_stats_only(spark):
+    # The interval self-join runs on the 7 file-stat rows (broadcast
+    # over aggregated 1-row sides — hash on the layout key with the
+    # interval test as join condition, or NLJ), never on data rows.
+    plan = _executed(REG["layout_overlap_depth"].fn(spark, SF_SMALL), spark)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all(
+        "o_orderkey" in ln and "o_totalprice" not in ln for ln in schemas
+    ), schemas
+
+
+def test_column_stats_single_scan_with_expand(spark):
+    # ANALYZE runs as ONE scan: the multi-distinct NDVs expand, but
+    # there must be exactly one parquet read of lineitem and no joins.
+    plan = _executed(REG["scan_column_stats"].fn(spark, SF_SMALL), spark)
+    assert "Join" not in _final(plan), _final(plan)
+    assert _final(plan).count("Scan parquet") == 1, _final(plan)
+    assert "Expand" in plan
