@@ -1525,3 +1525,274 @@ def layout_overlap_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_layout").alias("layout"), "file")
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlapping"))
     )
+
+
+# --- dynamic partition pruning ------------------------------------------
+
+
+@query(
+    "join_dpp_partition_pruned",
+    oracle="""
+    WITH dim AS (
+      SELECT o_orderstatus AS status,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o_orderstatus)
+               AS rnk
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderstatus, o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o JOIN dim d ON d.status = o.o_orderstatus
+    WHERE d.rnk = 1
+    GROUP BY 1, 2
+    """,
+)
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the runtime half of the pruning
+    story (scan_partition_pruned is the static half): the fact table
+    is the hive-partitioned orders layout, the dim is a materialized
+    status dimension whose FILTER (rank = 1, the most common status)
+    is not foldable to a literal, so the fact's partition filter can
+    only be derived AT RUNTIME from the dim's surviving join keys.
+    Spark plans a DPP subquery (``dynamicpruningexpression`` on the
+    scan, gated in tests/test_plans.py): the dim side executes first,
+    its status values broadcast, and only the matching fact
+    PARTITION DIRECTORIES are listed and read — at 100 TB with a
+    date-partitioned fact and a filtered date dim this is the
+    difference between scanning one day and scanning ten years.
+
+    The dim is deliberately written to parquet (not an in-plan agg):
+    DPP requires a scannable build side, and the rank filter keeps
+    Catalyst from constant-folding the join into a static IN — the
+    trap this key exists to demonstrate avoiding.  Oracle derives the
+    same dim inline from orders (rank by count DESC, status ASC —
+    deterministic under ties), proving the pruned read returns
+    exactly the full-scan semantics."""
+    fact_path = _materialize(
+        spark, sf_dir, "orders_by_status", "orders",
+        lambda df, p: df.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(p),
+    )
+
+    def write_dim(df: DataFrame, p: str) -> None:
+        from pyspark.sql import Window as W
+
+        (
+            df.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.partitionBy().orderBy(F.col("n").desc(), "status")
+                ),
+            )
+            .coalesce(1)
+            .write.mode("overwrite").parquet(p)
+        )
+
+    dim_path = _materialize(
+        spark, sf_dir, "status_dim", "orders", write_dim)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("rnk") == 1)
+    return (
+        fact.join(F.broadcast(dim),
+                  fact["o_orderstatus"] == dim["status"])
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- partition-spec evolution (Iceberg semantics) ------------------------
+# Era 1 of the table was partitioned by status alone (the existing
+# orders_by_status fixture); era 2 is partitioned by (status,
+# priority).  Iceberg records each data file's spec id and partition
+# tuple in the manifest, and a planner prunes EVERY file by ITS OWN
+# spec: a predicate on (status, priority) prunes era-2 files on both
+# columns but era-1 files only on status — old files never rewrite
+# when the spec evolves, they just prune coarser.
+
+_EVO_STATUS = "F"
+_EVO_PRIO = "1-URGENT"
+
+
+@query(
+    "scan_partition_evolution",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT 1 AS spec_id,
+             'o_orderstatus=' || o_orderstatus AS file,
+             (o_orderstatus <> '{_EVO_STATUS}') AS pruned,
+             SUM(CASE WHEN o_orderstatus = '{_EVO_STATUS}'
+                       AND o_orderpriority = '{_EVO_PRIO}'
+                      THEN 1 ELSE 0 END) AS n_matched
+      FROM orders GROUP BY o_orderstatus),
+    s2 AS (
+      SELECT 2 AS spec_id,
+             'o_orderstatus=' || o_orderstatus
+               || '/o_orderpriority=' || o_orderpriority AS file,
+             (o_orderstatus <> '{_EVO_STATUS}'
+              OR o_orderpriority <> '{_EVO_PRIO}') AS pruned,
+             SUM(CASE WHEN o_orderstatus = '{_EVO_STATUS}'
+                       AND o_orderpriority = '{_EVO_PRIO}'
+                      THEN 1 ELSE 0 END) AS n_matched
+      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+    SELECT spec_id, file, pruned,
+           CAST(CASE WHEN pruned THEN 0 ELSE n_matched END AS BIGINT)
+             AS n_scanned_matches
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    """,
+)
+def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION (Iceberg's signature metadata
+    feature): one logical table whose early files were partitioned by
+    status (spec 1) and later files by (status, priority) (spec 2).
+    The planner prunes each file BY ITS OWN SPEC against the
+    predicate status='{_EVO_STATUS}' AND priority='{_EVO_PRIO}':
+    spec-2 files prune on both columns (14 of 15 skipped), spec-1
+    files prune only on status (2 of 3 skipped) and the survivor is
+    scanned with the priority predicate as a RESIDUAL — exactly
+    Iceberg's residual-expression contract.  Emitted per file:
+    spec_id, partition path, the prune verdict, and the match count
+    actually scanned out of unpruned files (0 for pruned files —
+    pruning is proven safe because the oracle recomputes every
+    file's true matches arithmetically and agrees).
+
+    Scale: the prune decisions are manifest-sized driver work (one
+    boolean per file against its own partition tuple — no data I/O);
+    only surviving files are opened, each a pruned columnar read.
+    Old files never rewrite on spec change — the property that makes
+    evolution free at 100 TB."""
+    base1 = _materialize(
+        spark, sf_dir, "orders_by_status", "orders",
+        lambda df, p: df.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(p),
+    )
+    base2 = _materialize(
+        spark, sf_dir, "orders_by_status_priority", "orders",
+        lambda df, p: df.write.mode("overwrite")
+        .partitionBy("o_orderstatus", "o_orderpriority").parquet(p),
+    )
+    files: list[tuple[int, str, str, bool]] = []
+    for d in sorted(os.listdir(base1)):
+        if not d.startswith("o_orderstatus="):
+            continue
+        status = d.split("=", 1)[1]
+        files.append((1, d, os.path.join(base1, d),
+                      status != _EVO_STATUS))
+    for d in sorted(os.listdir(base2)):
+        if not d.startswith("o_orderstatus="):
+            continue
+        status = d.split("=", 1)[1]
+        for sub in sorted(os.listdir(os.path.join(base2, d))):
+            if not sub.startswith("o_orderpriority="):
+                continue
+            prio = sub.split("=", 1)[1].replace("%20", " ")
+            files.append((
+                2, f"{d}/{sub.replace('%20', ' ')}",
+                os.path.join(base2, d, sub),
+                status != _EVO_STATUS or prio != _EVO_PRIO,
+            ))
+    out = None
+    for spec_id, rel, full, pruned in files:
+        if pruned:
+            part = spark.range(1).select(
+                F.lit(spec_id).alias("spec_id"), F.lit(rel).alias("file"),
+                F.lit(True).alias("pruned"),
+                F.lit(0).cast("long").alias("n_scanned_matches"),
+            )
+        else:
+            # Residual predicate: only the columns the file's own spec
+            # did NOT already pin (spec 1 pins status -> residual is
+            # priority; spec 2 pins both -> residual is TRUE).
+            df = spark.read.parquet(full)
+            residual = (
+                F.col("o_orderpriority") == _EVO_PRIO
+                if spec_id == 1 else F.lit(True)
+            )
+            part = df.filter(residual).agg(
+                F.count(F.lit(1)).cast("long").alias("n_scanned_matches")
+            ).select(
+                F.lit(spec_id).alias("spec_id"), F.lit(rel).alias("file"),
+                F.lit(False).alias("pruned"), "n_scanned_matches",
+            )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# --- merge-on-read equality deletes (Iceberg v2) --------------------------
+# Delete predicate baked into the fixture's delete file: orderkeys
+# congruent 7 mod 10 are deleted.  Chosen as arithmetic so the oracle
+# can recompute every file's live set without reading the fixture.
+_DEL_MOD = 10
+_DEL_RES = 7
+
+
+def _delete_file_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the equality-delete file once per sf_dir: one parquet of
+    deleted keys (the v2 delete-file shape: a table of key values,
+    NOT rewritten data files)."""
+    base = _cache_dir(sf_dir, "eq_deletes")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % _DEL_MOD == _DEL_RES)
+            .select("o_orderkey")
+            .write.mode("overwrite").parquet(base)
+        )
+    return base
+
+
+@query(
+    "scan_equality_deletes",
+    oracle=f"""
+    SELECT CAST(o_orderkey % 3 AS INTEGER) AS part,
+           CAST(SUM(CASE WHEN o_orderkey % {_DEL_MOD} <> {_DEL_RES}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN o_orderkey % {_DEL_MOD} = {_DEL_RES}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(SUM(CASE WHEN o_orderkey % {_DEL_MOD} <> {_DEL_RES}
+                         THEN o_orderkey ELSE 0 END) AS BIGINT)
+             AS key_sum_live
+    FROM orders GROUP BY 1
+    """,
+)
+def scan_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ with EQUALITY DELETES (Iceberg format v2, the
+    mechanism streaming CDC upserts actually use): deletes land as a
+    small DELETE FILE of key values — no data file rewrites — and
+    every read applies them as an ANTI-JOIN between the data files
+    and the delete file.  Per data file (the hash-layout manifest
+    files), the read reports live rows, deleted rows, and the live
+    key sum; the oracle recomputes all three arithmetically from the
+    base table, proving the MOR read equals the logical table.
+
+    This closes the lakehouse WRITE-side triangle: copy-on-write
+    (compact_manifest rewrites files), merge-on-read (THIS — reads
+    absorb the delta), and the vacuum/retention contract that later
+    compacts delete files away.  Scale: the delete file is
+    keys-sized and BROADCASTS to every data-file scan (plan-gated);
+    a delete file that outgrows broadcast becomes a shuffled anti
+    join — same plan, one more exchange; data files are never
+    rewritten either way, which is the point at 100 TB ingest
+    rates."""
+    hbase = _manifest_fixture(spark, sf_dir)
+    dels = spark.read.parquet(
+        _delete_file_fixture(spark, sf_dir)
+    ).select(F.col("o_orderkey").alias("del_key"))
+    out = None
+    for p in range(3):
+        df = spark.read.parquet(os.path.join(hbase, f"file-{p}"))
+        live = df.join(
+            F.broadcast(dels),
+            df["o_orderkey"] == dels["del_key"], "left_anti",
+        )
+        stats = live.agg(
+            F.count(F.lit(1)).cast("long").alias("n_live"),
+            F.sum("o_orderkey").cast("long").alias("key_sum_live"),
+        ).crossJoin(
+            df.agg(F.count(F.lit(1)).alias("n_total"))
+        ).select(
+            F.lit(p).alias("part"), "n_live",
+            (F.col("n_total") - F.col("n_live")).cast("long")
+            .alias("n_deleted"),
+            "key_sum_live",
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

@@ -2068,3 +2068,78 @@ def mix_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0))
         .cast("long").alias("w_milli"),
     )
+
+
+# --- user-level DP (contribution bounding) -------------------------------
+DPU_CAP_DOCS = 50   # L-infinity bound: docs one user contributes per lang
+DPU_CAP_LANGS = 3   # L0 bound: langs one user may contribute to
+# sensitivity of the per-lang count under user-level adjacency =
+# CAP_DOCS * CAP_LANGS (one user removed changes <= 50 docs in each of
+# <= 3 langs); scale = sensitivity / eps with eps = DP_EPS = 1.
+
+_DPU_H_SQL = "CAST(('0x' || substr(md5('u|' || lang), 1, 13)) AS BIGINT)"
+
+
+@query(
+    "privacy_dp_user_count",
+    oracle=f"""
+    WITH sl AS (
+      SELECT source, lang, COUNT(*) AS cnt
+      FROM documents GROUP BY source, lang),
+    keep AS (
+      SELECT source, lang, LEAST(cnt, {DPU_CAP_DOCS}) AS capped,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, lang) AS lrnk
+      FROM sl),
+    b AS (
+      SELECT lang, SUM(capped) AS bounded_n
+      FROM keep WHERE lrnk <= {DPU_CAP_LANGS} GROUP BY lang)
+    SELECT lang,
+           CAST(bounded_n * 10000
+                + {sql_laplace_e4('h', DPU_CAP_DOCS * DPU_CAP_LANGS / 1)}
+             AS BIGINT) AS noisy_bounded_n_e4
+    FROM (SELECT lang, bounded_n, {_DPU_H_SQL} AS h FROM b)
+    """,
+)
+def privacy_dp_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-LEVEL DP count — the adjacency every production DP system
+    actually needs (a 'user' here = a source; removing one user must
+    move the release by a bounded amount no matter HOW MANY rows they
+    contributed).  Row-level dp_count bounds nothing per user; this
+    key adds the standard CONTRIBUTION BOUNDING pipeline: (1)
+    L-infinity bound — each source contributes at most
+    {DPU_CAP_DOCS} docs to any lang (LEAST cap); (2) L0 bound — each
+    source contributes to at most {DPU_CAP_LANGS} langs (its top
+    langs by count, ties by lang — a deterministic total order); (3)
+    the bounded per-lang count releases with Laplace scale
+    sensitivity/eps = {DPU_CAP_DOCS}*{DPU_CAP_LANGS}/{DP_EPS} from
+    the integer-e4 ladder.  Released: the noisy bounded count only —
+    never the raw or even the bounded-but-exact count.
+
+    Scale: one (source, lang) hash agg (map-side partial), a
+    per-source window over its <= lang-cardinality rows, one final
+    lang agg — all group-rows-bounded after the first agg.
+    Determinism: caps, ranks, sums, ladder — pure integer on both
+    engines.  NOTE: the seeded md5 draw is a reproducibility /
+    engine-parity simulation — production must substitute fresh
+    randomness for the stated user-level epsilon to hold."""
+    d = table(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "lang")
+    keep = (
+        sl.withColumn("lrnk", F.row_number().over(w))
+        .filter(F.col("lrnk") <= DPU_CAP_LANGS)
+        .select("lang",
+                F.least(F.col("cnt"), F.lit(DPU_CAP_DOCS)).alias("capped"))
+    )
+    b = keep.groupBy("lang").agg(F.sum("capped").alias("bounded_n"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("u|"), F.col("lang"))), 1, 13),
+        16, 10,
+    ).cast("long")
+    return b.select(
+        "lang",
+        (F.col("bounded_n") * 10000
+         + spark_laplace_e4(h, DPU_CAP_DOCS * DPU_CAP_LANGS / DP_EPS))
+        .cast("long").alias("noisy_bounded_n_e4"),
+    )

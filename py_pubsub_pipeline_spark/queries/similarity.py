@@ -2519,3 +2519,148 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             score_tile, "query_id long, neighbor_id long, cos_sim double"
         )
     )
+
+
+# --- all-but-the-top embedding postprocess -------------------------------
+_ABTT_ITERS = 2  # power iterations for the top direction (on centered X)
+
+
+def _abtt_oracle() -> str:
+    dq = "CAST(CAST(SUM(CAST({t} AS DECIMAL(18,9))) AS STRING) AS DOUBLE)"
+    blocks = [f"""
+    v0 AS (
+      SELECT j, 1.0 / SQRT({_PCA_DIM}) AS vj
+      FROM UNNEST(generate_series(0, {_PCA_DIM - 1})) t(j)
+    )"""]
+    prev = "v0"
+    for i in range(1, _ABTT_ITERS + 1):
+        blocks.append(f"""
+    s{i} AS (
+      SELECT cx.vec_id, {dq.format(t='cx.cj * v.vj')} AS s
+      FROM cx JOIN {prev} v ON v.j = cx.j GROUP BY cx.vec_id
+    ), w{i} AS (
+      SELECT cx.j, {dq.format(t='s.s * cx.cj')} AS wj
+      FROM cx JOIN s{i} s ON s.vec_id = cx.vec_id GROUP BY cx.j
+    ), n{i} AS (
+      SELECT SQRT(CAST(CAST(SUM(CAST(wj * wj AS DECIMAL(28,12)))
+                       AS STRING) AS DOUBLE)) AS nrm
+      FROM w{i}
+    ), v{i} AS (
+      SELECT w.j, w.wj / n.nrm AS vj FROM w{i} w, n{i} n
+    )""")
+        prev = f"v{i}"
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, CAST(t.j - 1 AS BIGINT) AS j,
+             CAST(embedding[t.j] AS DOUBLE) AS xj
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) t(j)
+    ),
+    mu AS (
+      SELECT j, {dq.format(t='xj')} / COUNT(*) AS muj
+      FROM ex GROUP BY j
+    ),
+    cx AS (
+      SELECT ex.vec_id, ex.j, ex.xj - mu.muj AS cj
+      FROM ex JOIN mu ON mu.j = ex.j
+    ),{",".join(blocks)},
+    u2 AS (
+      SELECT CAST(CAST(SUM(CAST(vj * vj AS DECIMAL(28,12))) AS STRING)
+                  AS DOUBLE) AS u2
+      FROM v{_ABTT_ITERS}
+    ),
+    p AS (
+      SELECT cx.vec_id, {dq.format(t='cx.cj * v.vj')} AS proj
+      FROM cx JOIN v{_ABTT_ITERS} v ON v.j = cx.j GROUP BY cx.vec_id
+    ),
+    c2 AS (
+      SELECT vec_id, {dq.format(t='cj * cj')} AS c2
+      FROM cx GROUP BY vec_id
+    )
+    SELECT p.vec_id,
+           CAST(FLOOR(p.proj * 1000000 + 0.5) AS BIGINT) AS proj_micro,
+           CAST(FLOOR(c2.c2 * 1000000 + 0.5) AS BIGINT) AS c2_micro,
+           CAST(FLOOR((c2.c2 - 2 * p.proj * p.proj
+                       + p.proj * p.proj * (SELECT u2 FROM u2))
+                      * 1000000 + 0.5) AS BIGINT) AS res2_micro
+    FROM p JOIN c2 ON c2.vec_id = p.vec_id
+    """
+
+
+@query("emb_abtt", oracle=_abtt_oracle())
+def emb_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-BUT-THE-TOP embedding debiasing (Mu & Viswanath 2018,
+    public): embedding clouds are anisotropic — a large common mean
+    plus one dominant direction carry corpus-frequency signal, not
+    semantics — and the standard postprocess subtracts the mean and
+    removes the projection on the top principal direction before any
+    retrieval.  This key runs the whole audit relationally: component
+    means (one agg), {_ABTT_ITERS} power iterations on the CENTERED
+    cloud for the top direction (emb_pca_power's kernel), then per
+    vector the released triple (projection on the removed direction,
+    centered squared norm, residual squared norm after removal) in
+    exact micro units — the before/after evidence that the top
+    component dominated (res2 << c2 where the bias was).
+
+    Exactness: every cross-row sum quantizes per-term through
+    DECIMAL(18,9/28,12) (registry.py libm/accumulation rule) so both
+    engines produce identical doubles; the residual is the analytic
+    identity c2 - 2*proj^2 + proj^2*|u|^2 on those identical doubles
+    — no second residual pass, no per-component rewrite.  Scale: the
+    explode fans out x{_PCA_DIM} (dimension-bounded); all sums are
+    map-side partial hash aggs; u and |u|^2 travel as broadcast
+    1-row/64-row dims; output is one row per vector."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("j", "xj"),
+    ).select("vec_id", F.col("j").cast("long").alias("j"),
+             F.col("xj").cast("double").alias("xj"))
+
+    def dq(col: Column) -> Column:
+        return F.sum(col.cast("decimal(18,9)")).cast("double")
+
+    mu = ex.groupBy("j").agg(
+        (dq(F.col("xj")) / F.count(F.lit(1))).alias("muj"))
+    cx = ex.join(F.broadcast(mu), "j").select(
+        "vec_id", "j", (F.col("xj") - F.col("muj")).alias("cj"))
+    v = spark.range(_PCA_DIM).select(
+        F.col("id").alias("j"),
+        F.lit(1.0 / _PCA_DIM ** 0.5).alias("vj"))
+    for _ in range(_ABTT_ITERS):
+        s = (
+            cx.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(dq(F.col("cj") * F.col("vj")).alias("s"))
+        )
+        w = (
+            cx.join(s, "vec_id")
+            .groupBy("j")
+            .agg(dq(F.col("s") * F.col("cj")).alias("wj"))
+        )
+        nrm = w.agg(
+            F.sqrt(F.sum((F.col("wj") * F.col("wj")).cast("decimal(28,12)"))
+                   .cast("double")).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "j", (F.col("wj") / F.col("nrm")).alias("vj"))
+    u2 = v.agg(
+        F.sum((F.col("vj") * F.col("vj")).cast("decimal(28,12)"))
+        .cast("double").alias("u2"))
+    p = (
+        cx.join(F.broadcast(v), "j")
+        .groupBy("vec_id")
+        .agg(dq(F.col("cj") * F.col("vj")).alias("proj"))
+    )
+    c2 = cx.groupBy("vec_id").agg(dq(F.col("cj") * F.col("cj")).alias("c2"))
+    return (
+        p.join(c2, "vec_id")
+        .crossJoin(F.broadcast(u2))
+        .select(
+            "vec_id",
+            F.expr("CAST(FLOOR(proj * 1000000 + 0.5) AS BIGINT)")
+            .alias("proj_micro"),
+            F.expr("CAST(FLOOR(c2 * 1000000 + 0.5) AS BIGINT)")
+            .alias("c2_micro"),
+            F.expr("CAST(FLOOR((c2 - 2 * proj * proj + proj * proj * u2)"
+                   " * 1000000 + 0.5) AS BIGINT)").alias("res2_micro"),
+        )
+    )

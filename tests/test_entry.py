@@ -45,8 +45,11 @@ def test_registry_size_is_intentional():
     # row documenting the new operators.  Round 11 wave 2 grew it to
     # 431 (privacy_dp_quantile, rag_maxsim, sim_range_search,
     # mix_doremi_step, scan_minmax_skipping, layout_overlap_depth,
-    # scan_column_stats — SURVEY.md §2C round-11-wave-2 row).
-    assert len(load_all()) == 431
+    # scan_column_stats — SURVEY.md §2C round-11-wave-2 row) and wave
+    # 3 to 435 (join_dpp_partition_pruned, scan_partition_evolution,
+    # privacy_dp_user_count, emb_abtt — round-11-wave-3 row) and wave
+    # 4 to 436 (scan_equality_deletes — round-11-wave-4 row).
+    assert len(load_all()) == 436
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -1258,3 +1258,54 @@ def test_column_stats_single_scan_with_expand(spark):
     assert "Join" not in _final(plan), _final(plan)
     assert _final(plan).count("Scan parquet") == 1, _final(plan)
     assert "Expand" in plan
+
+
+def test_dpp_plans_dynamic_pruning_subquery(spark):
+    # The fact scan must carry a runtime partition filter derived from
+    # the dim side (dynamicpruningexpression), the dim must broadcast,
+    # and no SortMergeJoin may appear.
+    plan = _executed(
+        REG["join_dpp_partition_pruned"].fn(spark, SF_SMALL), spark)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partition_evolution_reads_only_survivors(spark):
+    # Pruned files contribute literal rows (no scan at all); the two
+    # surviving reads are column-pruned to the residual columns.
+    plan = _executed(
+        REG["scan_partition_evolution"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    # one scan for the spec-1 survivor (+ residual), one for spec-2
+    assert final.count("Scan parquet") == 2, final
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("o_totalprice" not in ln for ln in schemas)
+
+
+def test_dp_user_count_is_two_aggs_and_window(spark):
+    # (source, lang) agg -> per-source window -> lang agg; ladder is
+    # constant-folded; no Python, no joins.
+    plan = _executed(REG["privacy_dp_user_count"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in _final(plan), _final(plan)
+    assert "Window" in plan
+
+
+def test_abtt_is_dimension_bounded_aggs_no_python(spark):
+    # Explode fans out x64 (dimension-bounded); every iteration is
+    # hash aggs with broadcast v; no Python, no SortMergeJoin against
+    # the corpus except the final vec_id equi-join of two aggregates.
+    plan = _executed(REG["emb_abtt"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("label" not in ln for ln in schemas), schemas
+
+
+def test_equality_deletes_broadcast_anti_join(spark):
+    # The delete file must broadcast into every data-file scan as an
+    # anti join — never shuffle the data files, never rewrite them.
+    plan = _executed(REG["scan_equality_deletes"].fn(spark, SF_SMALL), spark)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan
