@@ -445,3 +445,109 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), dsum("revenue", "revenue"))
     )
+
+
+# --- grid-blocked spatial radius join -------------------------------------
+SPA_SPAN = 10000   # synthetic coords in [0, 10000) milli-degrees
+SPA_R = 500        # radius (milli-degrees); R^2 = 250000
+SPA_CELL = 500     # grid cell edge = R -> 3x3 neighborhood suffices
+SPA_NPROBE = 20    # c_custkey <= 20 are the probe points
+
+_SPA_H = ("CAST(('0x' || substr(md5('{p}|' || CAST(c_custkey AS VARCHAR)),"
+          " 1, 13)) AS BIGINT) % " + str(SPA_SPAN))
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, {_SPA_H.format(p='lat')} AS lat,
+             {_SPA_H.format(p='lon')} AS lon
+      FROM customer),
+    g AS (SELECT *, lat // {SPA_CELL} AS cy, lon // {SPA_CELL} AS cx FROM c),
+    p AS (
+      SELECT g.c_custkey, g.lat, g.lon,
+             g.cy + dy.d AS ncy, g.cx + dx.d AS ncx
+      FROM g, UNNEST([-1, 0, 1]) dy(d), UNNEST([-1, 0, 1]) dx(d)
+      WHERE g.c_custkey <= {SPA_NPROBE})
+    SELECT p.c_custkey AS probe_id, q.c_custkey AS cand_id,
+           CAST((p.lat - q.lat) * (p.lat - q.lat)
+                + (p.lon - q.lon) * (p.lon - q.lon) AS BIGINT) AS d2
+    FROM p JOIN g q ON q.cy = p.ncy AND q.cx = p.ncx
+                   AND q.c_custkey <> p.c_custkey
+    WHERE (p.lat - q.lat) * (p.lat - q.lat)
+          + (p.lon - q.lon) * (p.lon - q.lon) <= {SPA_R * SPA_R}
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BLOCKED SPATIAL RADIUS JOIN (the ST_DWithin / geohash-
+    bucket pattern): all points within distance R of each probe,
+    found by hashing every point into an R-sized grid cell and
+    joining each probe against its 3x3 CELL NEIGHBORHOOD — the
+    candidate set is density-bounded per probe, never the cross
+    product, which is the only shape a spatial join survives at
+    100 TB (the same blocking discipline as the similarity stack,
+    transplanted to coordinates).  Coordinates are md5-derived
+    integer milli-degrees in a [0, {SPA_SPAN})^2 planar patch (the
+    corpus carries no geo columns; the OPERATOR is the blocking +
+    radius contract), distance is exact integer squared Euclidean —
+    production swaps in haversine as a per-row monotone refinement
+    AFTER the same grid cut (trig belongs in the residual filter,
+    never in the blocking key).
+
+    Exactness: coords, cells, offsets, and d2 are pure integer on
+    both engines; the probe replicates to 9 cells and every
+    candidate lives in exactly one, so no pair emits twice.  Plan:
+    probe side is {SPA_NPROBE} x 9 rows (broadcast); the grid join
+    is an equi-join on (cy, cx), so the corpus never shuffles wider
+    than its cell keys."""
+    c = table(spark, sf_dir, "customer")
+
+    def h(prefix: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix + "|"),
+                                   F.col("c_custkey").cast("string"))),
+                    1, 13),
+                16, 10,
+            ).cast("long") % SPA_SPAN
+        )
+
+    g = c.select(
+        "c_custkey", h("lat").alias("lat"), h("lon").alias("lon"),
+    ).select(
+        "*",
+        F.expr(f"lat DIV {SPA_CELL}").alias("cy"),
+        F.expr(f"lon DIV {SPA_CELL}").alias("cx"),
+    )
+    offs = spark.createDataFrame(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        "dy int, dx int",
+    )
+    p = (
+        g.filter(F.col("c_custkey") <= SPA_NPROBE)
+        .crossJoin(F.broadcast(offs))
+        .select(
+            F.col("c_custkey").alias("probe_id"),
+            F.col("lat").alias("p_lat"), F.col("lon").alias("p_lon"),
+            (F.col("cy") + F.col("dy")).alias("ncy"),
+            (F.col("cx") + F.col("dx")).alias("ncx"),
+        )
+    )
+    d2 = (
+        (F.col("p_lat") - F.col("lat")) * (F.col("p_lat") - F.col("lat"))
+        + (F.col("p_lon") - F.col("lon")) * (F.col("p_lon") - F.col("lon"))
+    )
+    return (
+        g.join(
+            F.broadcast(p),
+            (F.col("cy") == F.col("ncy")) & (F.col("cx") == F.col("ncx"))
+            & (F.col("c_custkey") != F.col("probe_id")),
+        )
+        .filter(d2 <= SPA_R * SPA_R)
+        .select(
+            "probe_id", F.col("c_custkey").alias("cand_id"),
+            d2.cast("long").alias("d2"),
+        )
+    )

@@ -48,8 +48,9 @@ def test_registry_size_is_intentional():
     # scan_column_stats — SURVEY.md §2C round-11-wave-2 row) and wave
     # 3 to 435 (join_dpp_partition_pruned, scan_partition_evolution,
     # privacy_dp_user_count, emb_abtt — round-11-wave-3 row) and wave
-    # 4 to 436 (scan_equality_deletes — round-11-wave-4 row).
-    assert len(load_all()) == 436
+    # 4 to 438 (scan_equality_deletes, join_spatial_grid,
+    # agg_count_min_sketch — round-11-wave-4 row).
+    assert len(load_all()) == 438
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -1309,3 +1309,29 @@ def test_equality_deletes_broadcast_anti_join(spark):
     plan = _executed(REG["scan_equality_deletes"].fn(spark, SF_SMALL), spark)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_spatial_grid_is_cell_equijoin_with_broadcast_probes(spark):
+    # The corpus must join on (cy, cx) cell keys with the 20x9-row
+    # probe side broadcast — no cross product, no SortMergeJoin of
+    # data against data, pure integer expressions (no Python).
+    plan = _executed(REG["join_spatial_grid"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all(
+        "c_custkey" in ln and "c_address" not in ln for ln in schemas
+    ), schemas
+
+
+def test_cms_builds_from_group_rows_and_broadcasts_cells(spark):
+    # The sketch must build from the per-key agg (ONE data pass), the
+    # 256-cell table broadcasts, and the fanout applies to group rows
+    # only — two aggs, broadcast joins, no Python.
+    plan = _executed(REG["agg_count_min_sketch"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    final = _final(plan)
+    assert final.count("Scan parquet") == 1, final
