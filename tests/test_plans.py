@@ -1335,3 +1335,27 @@ def test_cms_builds_from_group_rows_and_broadcasts_cells(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     final = _final(plan)
     assert final.count("Scan parquet") == 1, final
+
+
+def test_multiprobe_expands_query_side_only(spark):
+    # The corpus side must replicate only 4x (band keys); the 5x probe
+    # expansion applies to the bounded query side (broadcast); exact
+    # cosine joins ids-only pairs back to vectors. No Python anywhere.
+    plan = _executed(REG["sim_lsh_multiprobe"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("label" not in ln for ln in schemas), schemas
+
+
+def test_bpe_apply_is_vocab_bounded_with_broadcast_merges(spark):
+    # Work set = the vocabulary: word agg, pair agg, 1-row broadcast
+    # merge table; segmentation expressions run on the released rows.
+    plan = _executed(REG["ml_bpe_apply"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all(
+        "text" in ln and "lang" not in ln for ln in schemas
+    ), schemas
