@@ -2814,3 +2814,108 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --- hyperloglog registers ---------------------------------------------------
+HLL_M = 64   # registers (b = 6 index bits); alpha_64 = 0.709
+HLL_WBITS = 46  # rank source: the 52-bit md5 hash minus 6 index bits
+
+_HLL_H = ("CAST(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),"
+          " 1, 13)) AS BIGINT)")
+
+
+@query(
+    "agg_hll_registers",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT user_id, {_HLL_H} AS hv FROM events),
+    rr AS (
+      SELECT hv % {HLL_M} AS idx,
+             CASE WHEN hv // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+                  ELSE {HLL_WBITS + 1} - length(bin(hv // {HLL_M}))
+             END AS rank
+      FROM h),
+    regs AS (
+      SELECT idx, MAX(rank) AS reg FROM rr GROUP BY idx),
+    mx AS (SELECT MAX(reg) AS mxr FROM regs),
+    s AS (
+      SELECT SUM(CAST(1 AS BIGINT) << ((SELECT mxr FROM mx) - reg)) AS ssum
+      FROM regs),
+    est AS (
+      SELECT CAST(FLOOR(709.0 * {HLL_M} * {HLL_M}
+                        * (CAST(1 AS BIGINT) << (SELECT mxr FROM mx))
+                        / (SELECT ssum FROM s)) AS BIGINT) AS est_milli),
+    truth AS (SELECT COUNT(DISTINCT user_id) AS true_n FROM events)
+    SELECT r.idx, CAST(r.reg AS BIGINT) AS reg,
+           (SELECT CAST(mxr AS BIGINT) FROM mx) AS max_rank,
+           (SELECT CAST(ssum AS BIGINT) FROM s) AS harmonic_scaled,
+           (SELECT est_milli FROM est) AS est_milli,
+           (SELECT CAST(true_n AS BIGINT) FROM truth) AS true_n
+    FROM regs r
+    """,
+)
+def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERLOGLOG, built and queried relationally — the sketch behind
+    every approx_count_distinct: each key's 52-bit md5 splits into a
+    {HLL_M}-way register index (low 6 bits) and a {HLL_WBITS}-bit
+    suffix whose LEADING-ZERO RANK (computed as {HLL_WBITS + 1} -
+    bitlength, pure integer via bin()) feeds a per-register MAX.  The
+    raw estimate alpha*m^2 / sum(2^-reg) releases through the
+    INTEGER-SCALED harmonic sum — sum(2^(max_reg - reg)) as exact
+    BIGINTs (never a float 2^-k accumulation, whose rounding order
+    engines disagree on) — with one identical double division at the
+    end.  Released: all {HLL_M} registers plus (max_rank, scaled
+    harmonic sum, estimate in milli, exact truth), so the sketch
+    state AND its error are both oracle-certified.
+
+    Documented divergences from shipping HLL: no small-range linear
+    counting and no bias table (both are CASE branches over the same
+    registers — the ln they need is banned from released values;
+    Spark's own approx_count_distinct is the production twin).
+    Scale: one distinct-key pass (map-side partial), a {HLL_M}-row
+    agg, and constant-folded arithmetic — the {HLL_M} ints of state
+    absorb any corpus, which is what a cardinality sketch buys at
+    100 TB; registers merge by MAX, so shards union for free."""
+    e = table(spark, sf_dir, "events")
+    h = e.select("user_id").distinct().select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll|"),
+                               F.col("user_id").cast("string"))), 1, 13),
+            16, 10,
+        ).cast("long").alias("hv")
+    )
+    rr = h.select(
+        (F.col("hv") % HLL_M).alias("idx"),
+        F.when(F.expr(f"hv DIV {HLL_M}") == 0, F.lit(HLL_WBITS + 1))
+        .otherwise(
+            F.lit(HLL_WBITS + 1)
+            - F.length(F.expr(f"bin(hv DIV {HLL_M})"))
+        ).alias("rank"),
+    )
+    regs = rr.groupBy("idx").agg(F.max("rank").alias("reg"))
+    mx = regs.agg(F.max("reg").alias("mxr"))
+    s = (
+        regs.crossJoin(F.broadcast(mx))
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), mxr - reg)"))
+             .alias("ssum"),
+             F.max("mxr").alias("mxr"))
+    )
+    est = s.select(
+        "mxr", "ssum",
+        F.expr(f"CAST(FLOOR(709.0 * {HLL_M} * {HLL_M}"
+               " * shiftleft(CAST(1 AS BIGINT), mxr) / ssum) AS BIGINT)")
+        .alias("est_milli"),
+    )
+    truth = e.agg(F.countDistinct("user_id").alias("true_n"))
+    return (
+        regs.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "idx", F.col("reg").cast("long").alias("reg"),
+            F.col("mxr").cast("long").alias("max_rank"),
+            F.col("ssum").cast("long").alias("harmonic_scaled"),
+            "est_milli",
+            F.col("true_n").cast("long").alias("true_n"),
+        )
+    )

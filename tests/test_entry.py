@@ -50,8 +50,10 @@ def test_registry_size_is_intentional():
     # privacy_dp_user_count, emb_abtt — round-11-wave-3 row) and wave
     # 4 to 438 (scan_equality_deletes, join_spatial_grid,
     # agg_count_min_sketch — round-11-wave-4 row) and wave 5 to 440
-    # (sim_lsh_multiprobe, ml_bpe_apply — round-11-wave-5 row).
-    assert len(load_all()) == 440
+    # (sim_lsh_multiprobe, ml_bpe_apply — round-11-wave-5 row) and
+    # wave 6 to 442 (ts_max_drawdown, agg_hll_registers —
+    # round-11-wave-6 row).
+    assert len(load_all()) == 442
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -1359,3 +1359,25 @@ def test_bpe_apply_is_vocab_bounded_with_broadcast_merges(spark):
     assert schemas and all(
         "text" in ln and "lang" not in ln for ln in schemas
     ), schemas
+
+
+def test_max_drawdown_single_exchange_feeds_windows_and_agg(spark):
+    # One exchange per series key; both running structures and the
+    # final agg ride it (the sessionize_gaps discipline).
+    plan = _executed(REG["ts_max_drawdown"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert final.count("Exchange") == 1, final
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hll_is_distinct_pass_then_register_rows(spark):
+    # One distinct pass over the key column, a 64-row register agg,
+    # broadcast composition — integer bit ops only, no Python.
+    plan = _executed(REG["agg_hll_registers"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all(
+        "user_id" in ln and "props" not in ln for ln in schemas
+    ), schemas
