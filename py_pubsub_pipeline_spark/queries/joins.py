@@ -551,3 +551,59 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2.cast("long").alias("d2"),
         )
     )
+
+
+# --- bucket pruning ---------------------------------------------------------
+
+
+@query(
+    "scan_bucket_pruning",
+    oracle="""
+    SELECT o_orderkey, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey = 1 GROUP BY o_orderkey
+    """,
+)
+def scan_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET PRUNING — the read-side dividend of the bucketed layout
+    join_bucketed pays for: a literal equality predicate on the
+    bucketing key hashes to exactly ONE bucket, so the scan opens 1
+    of 8 bucket files ('SelectedBucketsCount: 1 out of 8' in the scan
+    node, plan-gated) — the partition-pruning idea applied to HASH
+    layout, where a point lookup on a 100 TB fact touches 1/N of the
+    files with zero metadata beyond the table's bucket spec.  Shares
+    the bucketed orders table with join_bucketed (one ETL, THREE
+    read-path dividends: shuffle-free joins, shuffle-free aggs on the
+    key, AND point-lookup pruning — the agg here both exercises the
+    second and keeps the planner on the bucketed scan, which Spark
+    auto-disables for plans that gain nothing from bucketing).
+
+    Determinism: the released row is a key-group lookup; the price
+    lands as exact integer cents via the FLOOR(+0.5) rule."""
+    import re
+    import tempfile
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.strip("/"))
+    base = os.path.join(tempfile.gettempdir(), "spark_bucketed", tag)
+    name = f"orders_bkt_{tag}"
+    if not spark.catalog.tableExists(name):
+        (
+            table(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(base, "orders"))
+            .saveAsTable(name)
+        )
+    return (
+        spark.table(name)
+        .filter(F.col("o_orderkey") == 1)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long").alias("price_cents"),
+        )
+    )

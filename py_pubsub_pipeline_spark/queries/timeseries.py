@@ -3695,3 +3695,71 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("peak").cast("long").alias("peak_cents"),
         F.max("cum").cast("long").alias("high_cents"),
     )
+
+
+# --- token-bucket rate meter -------------------------------------------------
+TBM_RATE_US = 1        # drain: 1 micro-token per microsecond (1 token/s)
+TBM_BURST = 5_000_000  # burst: 5 tokens in micro-units
+TBM_COST = 1_000_000   # each event costs 1 token
+
+
+@query(
+    "ts_token_bucket_meter",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, ts, event_id,
+             CAST({TBM_COST} AS BIGINT)
+               * ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id)
+             - CAST(epoch_us(ts) AS BIGINT) * {TBM_RATE_US} AS sn
+      FROM events),
+    q AS (
+      SELECT event_type, ts, event_id,
+             sn - MIN(sn) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS backlog
+      FROM s)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN backlog > {TBM_BURST} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_exceed,
+           CAST(MAX(backlog) AS BIGINT) AS max_backlog_micro
+    FROM q GROUP BY event_type
+    """,
+)
+def ts_token_bucket_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUCKET RATE METER in closed form — the rate-limiter state
+    everyone writes as a sequential recursion (q_n = max(0, q_prev +
+    cost - rate*dt)) computed instead via the LINDLEY IDENTITY:
+    q_n = S_n - min_k<=n S_k where S_n = n*cost - rate*t_n, which
+    turns the per-event feedback loop into a PREFIX MIN — an
+    embarrassingly-window-parallel pass instead of a driver loop.
+    Per event_type (rate {TBM_RATE_US} micro-token/us, burst
+    {TBM_BURST} micro): the event count, how many events EXCEED the
+    burst (the mark/throttle verdict), and the peak backlog — all in
+    exact integer micro-token units (event time in epoch
+    microseconds on both engines).
+
+    Semantics note (documented): this is the METER variant — the
+    bucket drains continuously and every event is counted whether or
+    not it was marked (RFC-style color marking); an ADMISSION bucket
+    whose rejected events don't consume tokens reintroduces feedback
+    and lives in applyInPandasWithState (streaming/stateful.py), not
+    in a window.  Scale: ONE exchange per series key (the
+    sessionize/drawdown discipline); both the running S and its
+    prefix min are O(1)-state window passes."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", "ts", "event_id",
+        (F.lit(TBM_COST).cast("long") * F.row_number().over(w)
+         # ts is TIMESTAMP_NTZ; the session is pinned UTC, so the cast
+         # to instant is identity and unix_micros matches epoch_us.
+         - F.expr("unix_micros(CAST(ts AS TIMESTAMP))") * TBM_RATE_US)
+        .alias("sn"),
+    )
+    q = s.withColumn("backlog", F.col("sn") - F.min("sn").over(w))
+    return q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("backlog") > TBM_BURST, 1).otherwise(0))
+        .cast("long").alias("n_exceed"),
+        F.max("backlog").cast("long").alias("max_backlog_micro"),
+    )

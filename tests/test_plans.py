@@ -1381,3 +1381,19 @@ def test_hll_is_distinct_pass_then_register_rows(spark):
     assert schemas and all(
         "user_id" in ln and "props" not in ln for ln in schemas
     ), schemas
+
+
+def test_bucket_pruning_selects_one_bucket(spark):
+    # The literal key predicate must prune the bucketed scan to 1 of 8
+    # bucket files — visible as SelectedBucketsCount in the scan node.
+    plan = _executed(REG["scan_bucket_pruning"].fn(spark, SF_SMALL), spark)
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+
+
+def test_token_bucket_meter_single_exchange(spark):
+    # The Lindley prefix-min formulation must ride ONE exchange per
+    # series key (windows + final agg), with no Python anywhere.
+    plan = _executed(REG["ts_token_bucket_meter"].fn(spark, SF_SMALL), spark)
+    final = _final(plan)
+    assert final.count("Exchange") == 1, final
+    assert "BatchEvalPython" not in plan
