@@ -1734,3 +1734,63 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             audit(s, "s_nationkey", n, "n_nationkey", "supplier->nation")
         )
     )
+
+
+# --- functional-dependency discovery ----------------------------------------
+# Candidate FDs profiled (determinant -> dependent), chosen to span
+# true, nearly-true, and false dependencies on the synthetic corpus.
+_FD_PAIRS = [
+    ("l_orderkey", "l_returnflag"),    # false: lines of one order differ
+    ("l_partkey", "l_linestatus"),     # false-ish: parts recur across lines
+    ("l_orderkey", "l_orderkey % 3"),  # true by construction
+]
+
+
+@query(
+    "dq_functional_dependency",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{det} -> {dep}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           (SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0) AS holds
+    FROM (SELECT {det} AS k, COUNT(DISTINCT {dep}) AS ndep
+          FROM lineitem GROUP BY 1)"""
+        for det, dep in _FD_PAIRS
+    ),
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY PROFILING (the Metanome/data-profiling
+    primitive behind key discovery, normalization advice, and silent
+    denormalization-drift alarms): for each candidate FD det -> dep,
+    count determinant keys whose dependent takes MORE THAN ONE
+    distinct value — zero violators means the dependency HOLDS and
+    the dependent is redundant under the determinant (a join you can
+    drop, a column you can factor out); violators on a dependency the
+    schema claims to hold are corruption.  Three candidates span
+    true-by-construction, recurring, and false dependencies so both
+    verdicts are exercised at every scale.
+
+    Scale: each candidate is one (key, COUNT DISTINCT dep) hash agg
+    (map-side partial) over a 2-column pruned scan, then a
+    group-rows-bounded verdict agg — the same shape ANALYZE uses, so
+    FD profiling rides the stats pass at 100 TB rather than costing
+    its own."""
+    li = table(spark, sf_dir, "lineitem")
+    out = None
+    for det, dep in _FD_PAIRS:
+        keys = (
+            li.groupBy(F.expr(det).alias("k"))
+            .agg(F.countDistinct(F.expr(dep)).alias("ndep"))
+        )
+        part = keys.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("ndep") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_violating"),
+        ).select(
+            F.lit(f"{det} -> {dep}").alias("fd"), "n_keys", "n_violating",
+            (F.col("n_violating") == 0).alias("holds"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -2143,3 +2143,75 @@ def privacy_dp_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
          + spark_laplace_e4(h, DPU_CAP_DOCS * DPU_CAP_LANGS / DP_EPS))
         .cast("long").alias("noisy_bounded_n_e4"),
     )
+
+
+# --- DP top-k (one-shot Gumbel) -------------------------------------------
+DPT_K = 3  # released ranks
+
+_DPT_H_SQL = ("CAST(('0x' || substr(md5('topk|' || lang || '|' || source),"
+              " 1, 13)) AS BIGINT)")
+
+
+@query(
+    "privacy_dp_topk",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n, {_DPT_H_SQL} AS h
+      FROM documents GROUP BY lang, source),
+    sc AS (
+      SELECT lang, source,
+             CAST(n * 5000 + {sql_gumbel_e4('h')} AS BIGINT) AS score_e4
+      FROM g),
+    r AS (
+      SELECT lang, source,
+             ROW_NUMBER() OVER (ORDER BY score_e4 DESC, lang, source)
+               AS rnk
+      FROM sc)
+    SELECT rnk, lang, source FROM r WHERE rnk <= {DPT_K}
+    """,
+)
+def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP TOP-K by the ONE-SHOT GUMBEL mechanism (Durfee & Rogers
+    2019, public): add independent Gumbel noise to every candidate's
+    utility and release the IDENTITIES of the top {DPT_K} in noisy
+    order — provably equivalent to peeling the exponential mechanism
+    {DPT_K} times, at one pass instead of k.  Candidates are the
+    (lang, source) groups, utility their count scaled by eps/2 into
+    e4 units (n*5000 for eps={DP_EPS}), the Gumbel drawn from the
+    integer-e4 ladder (functions/dp_noise.py) keyed by
+    'topk|'||lang||'|'||source.  Released: rank and identity ONLY —
+    never a count, noisy or raw; this is the "what are the k most
+    common X" query every DP deployment answers without leaking
+    magnitudes.
+
+    Completes the selection side of the DP family: dp_quantile
+    selects ONE value from a fixed grid; this selects k candidates
+    from the data-derived group set (safe here because identities
+    compete only through their noisy scores — the Gumbel-max
+    argument; partition_select is the thresholded cousin that
+    additionally hides the candidate SET).  Pure integer end-to-end
+    on both engines; tiebreak (score DESC, lang, source) total.
+    Scale: ONE hash agg; the top-k window runs on group rows.  NOTE:
+    the seeded md5 Gumbel is a reproducibility / engine-parity
+    simulation — production draws fresh randomness or the epsilon
+    does not hold."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("topk|"), F.col("lang"), F.lit("|"),
+                           F.col("source"))), 1, 13),
+        16, 10,
+    ).cast("long")
+    sc = g.select(
+        "lang", "source",
+        (F.col("n") * 5000 + spark_gumbel_e4(h)).cast("long")
+        .alias("score_e4"),
+    )
+    w = Window.partitionBy().orderBy(
+        F.col("score_e4").desc(), "lang", "source")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= DPT_K)
+        .select("rnk", "lang", "source")
+    )

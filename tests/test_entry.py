@@ -52,9 +52,11 @@ def test_registry_size_is_intentional():
     # agg_count_min_sketch — round-11-wave-4 row) and wave 5 to 440
     # (sim_lsh_multiprobe, ml_bpe_apply — round-11-wave-5 row) and
     # wave 6 to 442 (ts_max_drawdown, agg_hll_registers —
-    # round-11-wave-6 row) and wave 7 to 444 (scan_bucket_pruning,
-    # ts_token_bucket_meter — round-11-wave-7 row).
-    assert len(load_all()) == 444
+    # round-11-wave-6 row), wave 7 to 444 (scan_bucket_pruning,
+    # ts_token_bucket_meter — round-11-wave-7 row), and wave 8 to 446
+    # (privacy_dp_topk, dq_functional_dependency — round-11-wave-8
+    # row).
+    assert len(load_all()) == 446
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -1397,3 +1397,26 @@ def test_token_bucket_meter_single_exchange(spark):
     final = _final(plan)
     assert final.count("Exchange") == 1, final
     assert "BatchEvalPython" not in plan
+
+
+def test_dp_topk_is_one_agg_constant_ladder(spark):
+    # One hash agg; the Gumbel ladder is constant-folded; the top-k
+    # window runs on group rows. No Python, no joins.
+    plan = _executed(REG["privacy_dp_topk"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in _final(plan), _final(plan)
+    assert "Window" in plan
+
+
+def test_fd_profiling_scans_two_columns_per_candidate(spark):
+    # Each candidate FD is a 2-column pruned scan into a hash agg —
+    # no joins, no Python, no full-width reads.
+    plan = _executed(
+        REG["dq_functional_dependency"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in _final(plan), _final(plan)
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all(
+        "l_extendedprice" not in ln and "l_shipdate" not in ln
+        for ln in schemas
+    ), schemas
