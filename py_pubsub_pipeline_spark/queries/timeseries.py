@@ -3698,68 +3698,90 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- token-bucket rate meter -------------------------------------------------
-TBM_RATE_US = 1        # drain: 1 micro-token per microsecond (1 token/s)
-TBM_BURST = 5_000_000  # burst: 5 tokens in micro-units
-TBM_COST = 1_000_000   # each event costs 1 token
+TBM_BURST_TOKENS = 5  # burst: exceed once backlog passes 5 tokens
 
 
 @query(
     "ts_token_bucket_meter",
     oracle=f"""
-    WITH s AS (
-      SELECT event_type, ts, event_id,
-             CAST({TBM_COST} AS BIGINT)
-               * ROW_NUMBER() OVER (PARTITION BY event_type
-                                    ORDER BY ts, event_id)
-             - CAST(epoch_us(ts) AS BIGINT) * {TBM_RATE_US} AS sn
-      FROM events),
+    WITH b AS (
+      SELECT event_type, COUNT(*) AS n_tot,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS t0,
+             GREATEST(CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT),
+                      1) AS span
+      FROM events GROUP BY 1),
+    s AS (
+      SELECT e.event_type, e.ts, e.event_id, b.span,
+             CAST(ROW_NUMBER() OVER (PARTITION BY e.event_type
+                                     ORDER BY e.ts, e.event_id) AS BIGINT)
+               * b.span
+             - (CAST(epoch_us(e.ts) AS BIGINT) - b.t0) * b.n_tot AS sn
+      FROM events e JOIN b ON b.event_type = e.event_type),
     q AS (
-      SELECT event_type, ts, event_id,
+      SELECT event_type, span,
              sn - MIN(sn) OVER (PARTITION BY event_type
                                 ORDER BY ts, event_id) AS backlog
       FROM s)
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CASE WHEN backlog > {TBM_BURST} THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_exceed,
-           CAST(MAX(backlog) AS BIGINT) AS max_backlog_micro
-    FROM q GROUP BY event_type
+           CAST(SUM(CASE WHEN backlog > {TBM_BURST_TOKENS} * span
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+           CAST(MAX(backlog // GREATEST(span // 1000, 1)) AS BIGINT)
+             AS max_backlog_milli
+    FROM q GROUP BY event_type, span
     """,
 )
 def ts_token_bucket_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOKEN-BUCKET RATE METER in closed form — the rate-limiter state
     everyone writes as a sequential recursion (q_n = max(0, q_prev +
     cost - rate*dt)) computed instead via the LINDLEY IDENTITY:
-    q_n = S_n - min_k<=n S_k where S_n = n*cost - rate*t_n, which
-    turns the per-event feedback loop into a PREFIX MIN — an
-    embarrassingly-window-parallel pass instead of a driver loop.
-    Per event_type (rate {TBM_RATE_US} micro-token/us, burst
-    {TBM_BURST} micro): the event count, how many events EXCEED the
-    burst (the mark/throttle verdict), and the peak backlog — all in
-    exact integer micro-token units (event time in epoch
-    microseconds on both engines).
+    q_n = S_n - min_k<=n S_k, which turns the per-event feedback loop
+    into a PREFIX MIN — an embarrassingly-window-parallel pass instead
+    of a driver loop.  The drain rate CALIBRATES to each series' own
+    long-run average (n_tot events over its span), making the meter a
+    BURSTINESS detector that stays meaningful at every scale factor;
+    multiplying the recursion through by span keeps everything exact
+    BIGINT: S_n = n*span - (t_n - t0)*n_tot, backlog in span-units,
+    burst threshold {TBM_BURST_TOKENS}*span, and the released peak
+    normalized to milli-tokens by integer division.  Released per
+    event_type: event count, events EXCEEDING the burst (the
+    mark/throttle verdict), and the peak backlog.
 
     Semantics note (documented): this is the METER variant — the
     bucket drains continuously and every event is counted whether or
-    not it was marked (RFC-style color marking); an ADMISSION bucket
-    whose rejected events don't consume tokens reintroduces feedback
-    and lives in applyInPandasWithState (streaming/stateful.py), not
-    in a window.  Scale: ONE exchange per series key (the
-    sessionize/drawdown discipline); both the running S and its
-    prefix min are O(1)-state window passes."""
+    not it was marked; an ADMISSION bucket whose rejected events
+    consume nothing reintroduces feedback and lives in
+    applyInPandasWithState (streaming/stateful.py
+    stateful_token_bucket, twin-tested).  Scale: ONE exchange per
+    series key (the sessionize/drawdown discipline); both the running
+    S and its prefix min are O(1)-state window passes.  Envelope:
+    n*span needs n_series * span_us < 2^63 — ~3.5e6 events/series at
+    the 30-day synthetic span, past /tmp/sf10; the calibrated drift
+    keeps realized backlog near sqrt(n)*span, far inside it."""
     e = table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.expr("CAST(unix_micros(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT)")
+        .alias("t0"),
+        F.expr("GREATEST(CAST(unix_micros(CAST(MAX(ts) AS TIMESTAMP))"
+               " - unix_micros(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT), 1)")
+        .alias("span"),
+    )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    s = e.select(
-        "event_type", "ts", "event_id",
-        (F.lit(TBM_COST).cast("long") * F.row_number().over(w)
-         # ts is TIMESTAMP_NTZ; the session is pinned UTC, so the cast
-         # to instant is identity and unix_micros matches epoch_us.
-         - F.expr("unix_micros(CAST(ts AS TIMESTAMP))") * TBM_RATE_US)
-        .alias("sn"),
+    s = (
+        e.join(F.broadcast(b), "event_type")
+        .select(
+            "event_type", "ts", "event_id", "span",
+            (F.row_number().over(w).cast("long") * F.col("span")
+             - (F.expr("unix_micros(CAST(ts AS TIMESTAMP))") - F.col("t0"))
+             * F.col("n_tot")).alias("sn"),
+        )
     )
     q = s.withColumn("backlog", F.col("sn") - F.min("sn").over(w))
-    return q.groupBy("event_type").agg(
+    return q.groupBy("event_type", "span").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.when(F.col("backlog") > TBM_BURST, 1).otherwise(0))
-        .cast("long").alias("n_exceed"),
-        F.max("backlog").cast("long").alias("max_backlog_micro"),
-    )
+        F.sum(F.when(F.col("backlog") > TBM_BURST_TOKENS * F.col("span"),
+                     1).otherwise(0)).cast("long").alias("n_exceed"),
+        F.max(F.expr("backlog DIV GREATEST(span DIV 1000, 1)")).cast("long")
+        .alias("max_backlog_milli"),
+    ).drop("span").select("event_type", "n_events", "n_exceed",
+                          "max_backlog_milli")

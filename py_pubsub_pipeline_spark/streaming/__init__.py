@@ -4,7 +4,7 @@ from .joins import (  # noqa: F401
     stream_stream_interval_join,
     stream_stream_interval_outer_join,
 )
-from .stateful import stateful_sessionize  # noqa: F401
+from .stateful import stateful_sessionize, stateful_token_bucket  # noqa: F401
 from .windows import (  # noqa: F401
     sessionized_stream,
     stream_dedup_within_watermark,

@@ -125,3 +125,86 @@ def stateful_sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- token-bucket ADMISSION (the feedback variant) -------------------------
+# ts_token_bucket_meter (queries/timeseries.py) computes the METER in
+# closed form because its drain ignores verdicts; ADMISSION — where a
+# rejected event consumes no tokens — feeds each verdict back into the
+# state and is therefore inherently sequential per key.  That is
+# exactly what applyInPandasWithState is for: O(1) state per key
+# (last event time + token level), verdicts emitted per event.
+
+ADMIT_OUT_SCHEMA = "user_id bigint, ts timestamp, admitted boolean"
+ADMIT_STATE_SCHEMA = "last_us bigint, tokens_micro bigint"
+
+
+def make_admitter(rate_us: int, burst_micro: int, cost_micro: int):
+    """Build the applyInPandasWithState fn: refill rate_us micro-tokens
+    per microsecond up to burst_micro; an event is admitted iff the
+    bucket holds cost_micro, and ONLY admitted events drain it."""
+
+    def admit(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        ts_us = rows["ts"].astype("int64").to_numpy() // 1_000
+        order = ts_us.argsort(kind="stable")
+        ts_us = ts_us[order]
+
+        if state.exists:
+            last_us, tokens = state.get
+        else:
+            last_us, tokens = -1, burst_micro  # bucket starts full
+
+        out_ts, out_adm = [], []
+        for t in ts_us:
+            t = int(t)
+            if last_us >= 0:
+                tokens = min(burst_micro, tokens + (t - last_us) * rate_us)
+            last_us = t
+            ok = tokens >= cost_micro
+            if ok:
+                tokens -= cost_micro
+            out_ts.append(pd.Timestamp(t, unit="us"))
+            out_adm.append(ok)
+
+        state.update((last_us, int(tokens)))
+        yield pd.DataFrame(
+            {"user_id": [user_id] * len(out_ts), "ts": out_ts,
+             "admitted": out_adm}
+        )
+
+    return admit
+
+
+def stateful_token_bucket(
+    events: DataFrame,
+    rate_us: int = 1,
+    burst_micro: int = 5_000_000,
+    cost_micro: int = 1_000_000,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key token-bucket ADMISSION over a stream: every event gets
+    an admitted/rejected verdict, rejected events consume nothing.
+    State is two bigints per key — bounded by #keys regardless of
+    stream length; the watermark keeps cross-batch event-time order
+    honest (late rows drop before the operator runs, the same
+    append-mode contract as the sessionizer above)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            make_admitter(rate_us, burst_micro, cost_micro),
+            ADMIT_OUT_SCHEMA,
+            ADMIT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -51,6 +51,15 @@ def main() -> int:
         print(f"bands={n_bands}: recall@3 = {recall:.3f} "
               f"({len(exact & approx)}/{len(exact)})")
 
+    # Multi-probe (round 11): 4 bands + Hamming-1 probes — the
+    # recall-per-index-byte trade vs the 16-table OR-construction.
+    mp = _pairs(reg["sim_lsh_multiprobe"].fn(spark, args.sf))
+    r_mp = len(exact & mp) / len(exact)
+    print(f"multiprobe (4 bands x 5 probes): recall@3 = {r_mp:.3f} "
+          f"({len(exact & mp)}/{len(exact)}) — "
+          f"vs bands=4 exact-only {results[4]:.3f} and bands=16 "
+          f"{results[16]:.3f} at 4x the index")
+
     # ADC int8 recall@3 — ground truth is the exact full-precision DOT
     # ranking (ADC approximates dot product, not cosine), computed
     # driver-side over the collected corpus (bounded: recall harness

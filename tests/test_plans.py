@@ -1390,12 +1390,16 @@ def test_bucket_pruning_selects_one_bucket(spark):
     assert "SelectedBucketsCount: 1 out of 8" in plan, plan
 
 
-def test_token_bucket_meter_single_exchange(spark):
-    # The Lindley prefix-min formulation must ride ONE exchange per
-    # series key (windows + final agg), with no Python anywhere.
+def test_token_bucket_meter_two_exchanges_and_broadcast_calibration(spark):
+    # The calibration agg (n_tot, t0, span per series) is one exchange
+    # and BROADCASTS back to the scan; the Lindley windows + final agg
+    # ride ONE more series-key exchange. No Python anywhere.
     plan = _executed(REG["ts_token_bucket_meter"].fn(spark, SF_SMALL), spark)
     final = _final(plan)
-    assert final.count("Exchange") == 1, final
+    shuffles = [ln for ln in final.splitlines() if "+- Exchange (" in ln]
+    assert len(shuffles) <= 2, final
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
 
 
