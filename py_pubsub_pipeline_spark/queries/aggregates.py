@@ -2724,98 +2724,6 @@ def agg_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- count-min sketch ------------------------------------------------------
-CMS_D = 4    # hash rows
-CMS_W = 64   # cells per row: 150+ users into 64 cells -> real collisions
-CMS_TOPN = 20
-
-_CMS_H = ("CAST(('0x' || substr(md5('cms{r}|' || CAST(user_id AS VARCHAR)),"
-          " 1, 13)) AS BIGINT) % " + str(CMS_W))
-
-
-@query(
-    "agg_count_min_sketch",
-    oracle=f"""
-    WITH k AS (
-      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
-    cells AS (
-      SELECT r.r AS r, {_CMS_H.format(r="' || CAST(r.r AS VARCHAR) || '")}
-               AS cell,
-             SUM(n) AS total
-      FROM k, UNNEST(range({CMS_D})) r(r)
-      GROUP BY 1, 2),
-    est AS (
-      SELECT k.user_id, k.n, MIN(c.total) AS est_n
-      FROM k, UNNEST(range({CMS_D})) r(r)
-      JOIN cells c
-        ON c.r = r.r
-       AND c.cell = {_CMS_H.format(r="' || CAST(r.r AS VARCHAR) || '")}
-      GROUP BY 1, 2),
-    top AS (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rnk
-      FROM est)
-    SELECT user_id, CAST(n AS BIGINT) AS n, CAST(est_n AS BIGINT) AS est_n,
-           CAST(est_n - n AS BIGINT) AS overcount, rnk
-    FROM top WHERE rnk <= {CMS_TOPN}
-    """,
-)
-def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT-MIN SKETCH, built and queried relationally: the {CMS_D}x
-    {CMS_W} cell grid every streaming heavy-hitter pipeline maintains
-    — each key adds its count to one cell per hash row, a point query
-    reads the MIN of its {CMS_D} cells (always an OVERestimate, never
-    under — the one-sided error CM guarantees).  Released: the top
-    {CMS_TOPN} users by true count with (true, estimate, overcount)
-    so the sketch's collision error is itself the measured artifact
-    ({CMS_W} cells vs 150+ keys forces real collisions at every sf).
-
-    Determinism: cells are md5-derived, sums and mins integer — the
-    sketch is identical on both engines by construction.  Scale shape
-    is the point: the sketch builds from the per-key agg in ONE pass
-    (map-side partial, {CMS_D}-way fanout of GROUP ROWS, never data
-    rows), the 256-cell table BROADCASTS, and the estimate join is
-    group-rows x {CMS_D}.  At 100 TB the same {CMS_D}x{CMS_W} ints
-    absorb any stream — that fixed memory bound is what a sketch
-    buys; Spark's own approx machinery (CountMinSketch in
-    DataFrameStatFunctions) is the JVM twin, used here as relational
-    algebra so the oracle can certify it."""
-    k = table(spark, sf_dir, "events").groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"))
-    rows = spark.range(CMS_D).select(F.col("id").cast("int").alias("r"))
-
-    def cell():
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(
-                        F.lit("cms"), F.col("r").cast("string"), F.lit("|"),
-                        F.col("user_id").cast("string"))),
-                    1, 13),
-                16, 10,
-            ).cast("long") % CMS_W
-        )
-
-    kr = k.crossJoin(F.broadcast(rows)).select(
-        "user_id", "n", "r", cell().alias("cell"))
-    cells = kr.groupBy("r", "cell").agg(F.sum("n").alias("total"))
-    est = (
-        kr.join(F.broadcast(cells), ["r", "cell"])
-        .groupBy("user_id", "n")
-        .agg(F.min("total").alias("est_n"))
-    )
-    w = Window.partitionBy().orderBy(F.col("n").desc(), "user_id")
-    return (
-        est.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= CMS_TOPN)
-        .select(
-            "user_id", F.col("n").cast("long").alias("n"),
-            F.col("est_n").cast("long").alias("est_n"),
-            (F.col("est_n") - F.col("n")).cast("long").alias("overcount"),
-            "rnk",
-        )
-    )
-
-
 # --- hyperloglog registers ---------------------------------------------------
 HLL_M = 64   # registers (b = 6 index bits); alpha_64 = 0.709
 HLL_WBITS = 46  # rank source: the 52-bit md5 hash minus 6 index bits

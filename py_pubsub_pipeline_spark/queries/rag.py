@@ -2215,3 +2215,172 @@ def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= DPT_K)
         .select("rnk", "lang", "source")
     )
+
+
+# --- pseudo-relevance feedback (RM3/Rocchio-lite) ---------------------------
+PRF_NQ = 5      # doc_id < 5 are the probe queries
+PRF_FB = 3      # feedback depth: top docs mined for expansion terms
+PRF_TERMS = 5   # expansion terms added per query
+PRF_K = 3       # released ranks after expansion
+
+# Shared unit: 3-WORD SHINGLES, the dedup stack's discipline — the
+# corpus's flat word vocabulary is ~30 tokens (everything a stopword),
+# while shingles give a 16k+ vocabulary where document frequency means
+# something.  DF-capped at <= 20% of docs before any join.
+_PRF_BASE_SQL = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    toks AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+      FROM w, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    rare AS (
+      SELECT tok FROM toks GROUP BY tok
+      HAVING COUNT(*) * 5 <= (SELECT n FROM n_docs)),
+    rt AS (SELECT toks.doc_id, toks.tok FROM toks
+           JOIN rare ON rare.tok = toks.tok)
+"""
+
+
+@query(
+    "rag_prf_expansion",
+    oracle=f"""
+    WITH {_PRF_BASE_SQL},
+    q AS (SELECT doc_id AS query_id, tok FROM rt
+          WHERE doc_id < {PRF_NQ}),
+    s1 AS (
+      SELECT q.query_id, rt.doc_id, COUNT(*) AS overlap
+      FROM q JOIN rt ON rt.tok = q.tok AND rt.doc_id <> q.query_id
+      GROUP BY 1, 2),
+    fb AS (
+      SELECT query_id, doc_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY overlap DESC, doc_id) AS r FROM s1)
+      WHERE r <= {PRF_FB}),
+    exp_terms AS (
+      SELECT query_id, tok
+      FROM (
+        SELECT fb.query_id, rt.tok, COUNT(*) AS fb_df,
+               ROW_NUMBER() OVER (PARTITION BY fb.query_id
+                                  ORDER BY COUNT(*) DESC, rt.tok) AS r
+        FROM fb JOIN rt ON rt.doc_id = fb.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM q
+                          WHERE q.query_id = fb.query_id
+                            AND q.tok = rt.tok)
+        GROUP BY fb.query_id, rt.tok)
+      WHERE r <= {PRF_TERMS}),
+    q2 AS (
+      SELECT query_id, tok FROM q
+      UNION
+      SELECT query_id, tok FROM exp_terms),
+    s2 AS (
+      SELECT q2.query_id, rt.doc_id, COUNT(*) AS score2
+      FROM q2 JOIN rt ON rt.tok = q2.tok AND rt.doc_id <> q2.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, doc_id, CAST(score2 AS BIGINT) AS score2, rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score2 DESC, doc_id) AS rnk FROM s2)
+    WHERE rnk <= {PRF_K}
+    """,
+)
+def rag_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE FEEDBACK (Rocchio/RM3, public IR canon) — the
+    classic two-pass retrieval loop RAG stacks rediscovered as "query
+    expansion": retrieve top-{PRF_FB} docs by distinct-term overlap,
+    mine the {PRF_TERMS} terms most frequent in that feedback set but
+    ABSENT from the query, add them to the query, retrieve again, and
+    release the post-expansion top-{PRF_K}.  Probes are doc_id <
+    {PRF_NQ} (their own term sets as queries).  The term unit is the
+    3-WORD SHINGLE (the dedup stack's): the corpus's flat word
+    vocabulary is ~30 tokens — every word a stopword — while shingles
+    give a 16k+ vocabulary where document frequency discriminates.
+
+    Scale discipline: shingles are DF-STOPWORDED (df <= 20% of the
+    corpus) before any join, so the inverted-index candidate streams
+    stay bounded exactly as the dedup stack's df-capped shingle joins
+    do; both retrieval passes are term-key equi-joins (query side
+    bounded: {PRF_NQ} queries, +{PRF_TERMS} terms each after
+    expansion), and every ranking is a group-limit window under a
+    total order (score DESC, doc_id).  Pure integer scores on both
+    engines — the released artifact is the expansion CONTRACT, not a
+    similarity heuristic."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(split(text, ' ')) - 2),"
+                       " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                       " element_at(split(text, ' '), i + 1),"
+                       " element_at(split(text, ' '), i + 2)))")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 5 <= F.col("n"))
+        .select("tok")
+    )
+    rt = toks.join(rare, "tok").select("doc_id", "tok")
+    q = (
+        rt.filter(F.col("doc_id") < PRF_NQ)
+        .select(F.col("doc_id").alias("query_id"), "tok")
+    )
+
+    def retrieve(qset: DataFrame, score_col: str) -> DataFrame:
+        return (
+            qset.join(rt, "tok")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias(score_col))
+        )
+
+    s1 = retrieve(q, "overlap")
+    fb = (
+        s1.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.col("overlap").desc(), "doc_id")),
+        )
+        .filter(F.col("r") <= PRF_FB)
+        .select("query_id", "doc_id")
+    )
+    fb_terms = (
+        fb.join(rt, "doc_id")
+        .join(
+            q.select(F.col("query_id").alias("q_qid"),
+                     F.col("tok").alias("q_tok")),
+            (F.col("query_id") == F.col("q_qid"))
+            & (F.col("tok") == F.col("q_tok")),
+            "left_anti",
+        )
+        .groupBy("query_id", "tok")
+        .agg(F.count(F.lit(1)).alias("fb_df"))
+    )
+    exp_terms = (
+        fb_terms.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.col("fb_df").desc(), "tok")),
+        )
+        .filter(F.col("r") <= PRF_TERMS)
+        .select("query_id", "tok")
+    )
+    q2 = q.unionByName(exp_terms).distinct()
+    s2 = retrieve(q2, "score2")
+    return (
+        s2.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.col("score2").desc(), "doc_id")),
+        )
+        .filter(F.col("rnk") <= PRF_K)
+        .select("query_id", "doc_id",
+                F.col("score2").cast("long").alias("score2"), "rnk")
+    )

@@ -3634,69 +3634,6 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- maximum drawdown -------------------------------------------------------
-
-
-@query(
-    "ts_max_drawdown",
-    oracle="""
-    WITH s AS (
-      SELECT event_type, ts, event_id,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events),
-    c AS (
-      SELECT event_type, ts, event_id,
-             SUM(cents) OVER (PARTITION BY event_type
-                              ORDER BY ts, event_id) AS cum
-      FROM s),
-    d AS (
-      SELECT event_type, cum,
-             MAX(cum) OVER (PARTITION BY event_type
-                            ORDER BY ts, event_id) AS peak
-      FROM c)
-    SELECT event_type,
-           CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
-           CAST(MAX(peak) AS BIGINT) AS peak_cents,
-           CAST(MAX(cum) AS BIGINT) AS high_cents
-    FROM d GROUP BY event_type
-    """,
-)
-def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MAXIMUM DRAWDOWN — the peak-to-trough metric every
-    risk/monitoring dashboard computes over a cumulative series: per
-    event_type the value stream (exact integer cents) accumulates
-    into a running P&L curve, the RUNNING PEAK follows it
-    (MAX ... OVER ORDER BY — the prefix-max twin of ts_cusum's
-    prefix-min), and the drawdown at each point is peak - current;
-    released per series: the maximum drawdown, the all-time peak, and
-    the high-water mark, all in integer cents (absolute drawdown —
-    no ratio, no division, nothing to round).
-
-    Scale: ONE exchange per series key feeds both windows and the
-    final agg (the sessionize_gaps single-exchange discipline); the
-    running structures are O(1)-state window passes, so the plan is a
-    sort within series partitions — at 100 TB, range-partition by
-    (event_type, time) and the prefix structures compose per range
-    with a tiny per-range carry (documented, same as ts_cusum).
-    Total order (ts, event_id) pins ties on both engines."""
-    e = table(spark, sf_dir, "events")
-    s = e.select(
-        "event_type", "ts", "event_id",
-        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
-    )
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    d = (
-        s.withColumn("cum", F.sum("cents").over(w))
-        .withColumn("peak", F.max("cum").over(w))
-    )
-    return d.groupBy("event_type").agg(
-        F.max(F.col("peak") - F.col("cum")).cast("long")
-        .alias("max_drawdown_cents"),
-        F.max("peak").cast("long").alias("peak_cents"),
-        F.max("cum").cast("long").alias("high_cents"),
-    )
-
-
 # --- token-bucket rate meter -------------------------------------------------
 TBM_BURST_TOKENS = 5  # burst: exceed once backlog passes 5 tokens
 

@@ -42,21 +42,22 @@ def test_registry_size_is_intentional():
     # row), round 11 to 424 (the two DP decomposition diagnostics for
     # the driver-red adjudication + sim_ivfpq, SURVEY.md §2C round-11
     # row).  This stays a tripwire: bump it ONLY alongside a SURVEY.md
-    # row documenting the new operators.  Round 11 wave 2 grew it to
-    # 431 (privacy_dp_quantile, rag_maxsim, sim_range_search,
-    # mix_doremi_step, scan_minmax_skipping, layout_overlap_depth,
-    # scan_column_stats — SURVEY.md §2C round-11-wave-2 row) and wave
-    # 3 to 435 (join_dpp_partition_pruned, scan_partition_evolution,
-    # privacy_dp_user_count, emb_abtt — round-11-wave-3 row) and wave
-    # 4 to 438 (scan_equality_deletes, join_spatial_grid,
-    # agg_count_min_sketch — round-11-wave-4 row) and wave 5 to 440
-    # (sim_lsh_multiprobe, ml_bpe_apply — round-11-wave-5 row) and
-    # wave 6 to 442 (ts_max_drawdown, agg_hll_registers —
-    # round-11-wave-6 row), wave 7 to 444 (scan_bucket_pruning,
-    # ts_token_bucket_meter — round-11-wave-7 row), and wave 8 to 446
-    # (privacy_dp_topk, dq_functional_dependency — round-11-wave-8
-    # row).
-    assert len(load_all()) == 446
+    # row documenting the new operators.  Round 11 grew it 424 -> 444
+    # across nine waves (SURVEY.md §2C round-11 rows): wave 2 +6
+    # (privacy_dp_quantile, rag_maxsim, sim_range_search,
+    # mix_doremi_step, scan_minmax_skipping, layout_overlap_depth),
+    # wave 3 +4 (join_dpp_partition_pruned, scan_partition_evolution,
+    # privacy_dp_user_count, emb_abtt), wave 4 +2
+    # (scan_equality_deletes, join_spatial_grid), wave 5 +2
+    # (sim_lsh_multiprobe, ml_bpe_apply), wave 6 +1
+    # (agg_hll_registers), wave 7 +2 (scan_bucket_pruning,
+    # ts_token_bucket_meter), wave 8 +2 (privacy_dp_topk,
+    # dq_functional_dependency), wave 9 +1 (rag_prf_expansion).
+    # Three keys drafted this round were REMOVED before recording as
+    # near-duplicates found by docstring sweep (agg_count_min_sketch
+    # ~ agg_countmin_topk, scan_column_stats ~ profile_stats,
+    # ts_max_drawdown ~ win_max_drawdown) — the tripwire's job.
+    assert len(load_all()) == 444
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -1251,15 +1251,6 @@ def test_overlap_depth_joins_file_stats_only(spark):
     ), schemas
 
 
-def test_column_stats_single_scan_with_expand(spark):
-    # ANALYZE runs as ONE scan: the multi-distinct NDVs expand, but
-    # there must be exactly one parquet read of lineitem and no joins.
-    plan = _executed(REG["scan_column_stats"].fn(spark, SF_SMALL), spark)
-    assert "Join" not in _final(plan), _final(plan)
-    assert _final(plan).count("Scan parquet") == 1, _final(plan)
-    assert "Expand" in plan
-
-
 def test_dpp_plans_dynamic_pruning_subquery(spark):
     # The fact scan must carry a runtime partition filter derived from
     # the dim side (dynamicpruningexpression), the dim must broadcast,
@@ -1325,18 +1316,6 @@ def test_spatial_grid_is_cell_equijoin_with_broadcast_probes(spark):
     ), schemas
 
 
-def test_cms_builds_from_group_rows_and_broadcasts_cells(spark):
-    # The sketch must build from the per-key agg (ONE data pass), the
-    # 256-cell table broadcasts, and the fanout applies to group rows
-    # only — two aggs, broadcast joins, no Python.
-    plan = _executed(REG["agg_count_min_sketch"].fn(spark, SF_SMALL), spark)
-    assert "BatchEvalPython" not in plan
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    final = _final(plan)
-    assert final.count("Scan parquet") == 1, final
-
-
 def test_multiprobe_expands_query_side_only(spark):
     # The corpus side must replicate only 4x (band keys); the 5x probe
     # expansion applies to the bounded query side (broadcast); exact
@@ -1359,16 +1338,6 @@ def test_bpe_apply_is_vocab_bounded_with_broadcast_merges(spark):
     assert schemas and all(
         "text" in ln and "lang" not in ln for ln in schemas
     ), schemas
-
-
-def test_max_drawdown_single_exchange_feeds_windows_and_agg(spark):
-    # One exchange per series key; both running structures and the
-    # final agg ride it (the sessionize_gaps discipline).
-    plan = _executed(REG["ts_max_drawdown"].fn(spark, SF_SMALL), spark)
-    final = _final(plan)
-    assert final.count("Exchange") == 1, final
-    assert "Window" in plan
-    assert "BatchEvalPython" not in plan
 
 
 def test_hll_is_distinct_pass_then_register_rows(spark):
@@ -1424,3 +1393,14 @@ def test_fd_profiling_scans_two_columns_per_candidate(spark):
         "l_extendedprice" not in ln and "l_shipdate" not in ln
         for ln in schemas
     ), schemas
+
+
+def test_prf_expansion_df_capped_token_joins_no_python(spark):
+    # Both retrieval passes must be term-key equi-joins against the
+    # df-stopworded shingle postings (no cross product, no Python);
+    # every ranking is a group-limit window.  (The 1-row corpus-size
+    # threshold broadcast is a legitimate BNLJ.)
+    plan = _executed(REG["rag_prf_expansion"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2, plan
