@@ -923,3 +923,48 @@ def test_rr_frequency_estimator_is_unbiased_and_blind(spark):
     again = {r["source"]: r["est_true_milli"]
              for r in _rows("privacy_rr_frequency", spark)}
     assert again == {r["source"]: r["est_true_milli"] for r in rows}
+
+
+def test_gumbel_ladder_monotone_bounded_and_far_from_boundaries():
+    # The round-11 Gumbel ladder (privacy_dp_quantile / privacy_dp_topk)
+    # inherits the laplace ladder's contract: built once at table time,
+    # monotone in u, tails at the 1/2K quantiles, and every unrounded
+    # value far enough from a 5e-5 rounding boundary that a 1-ulp
+    # cross-build log wobble cannot flip the rendered 4th decimal.
+    import math
+
+    from py_pubsub_pipeline_spark.functions.dp_noise import (
+        LADDER_K, gumbel_ladder_e4,
+    )
+
+    lad = gumbel_ladder_e4()
+    assert len(lad) == LADDER_K
+    assert list(lad) == sorted(lad)  # -ln(-ln(u)) is increasing in u
+    lo = -math.log(math.log(2 * LADDER_K))       # u = 1/2K quantile
+    hi = math.log(2 * LADDER_K)                  # ~ u = 1 - 1/2K
+    assert lo * 10000 - 10 <= lad[0] <= lad[-1] <= hi * 10000 + 10
+    for k in range(LADDER_K):
+        u = (k + 0.5) / LADDER_K
+        g = -math.log(-math.log(u))
+        frac = (abs(g) * 10000) % 1
+        assert abs(frac - 0.5) > 3e-12 * 10000 * 1000, (k, g)
+
+
+def test_multiprobe_flip_changes_exactly_one_bit(spark):
+    # _mp_probe_sql(bucket, f): f < 0 is identity; f = i flips exactly
+    # character i of the 4-char key — verified through the same Spark
+    # expression text the query runs.
+    from pyspark.sql import functions as F
+
+    from py_pubsub_pipeline_spark.queries.similarity import _mp_probe_sql
+
+    rows = spark.createDataFrame(
+        [("0110", f) for f in (-1, 0, 1, 2, 3)], "bucket string, f int"
+    ).select("bucket", "f", F.expr(_mp_probe_sql("bucket", "f")).alias("p"))
+    got = {r.f: r.p for r in rows.collect()}
+    assert got[-1] == "0110"
+    for i in (0, 1, 2, 3):
+        flipped = got[i]
+        assert len(flipped) == 4
+        diff = [j for j in range(4) if flipped[j] != "0110"[j]]
+        assert diff == [i], (i, flipped)
