@@ -26,13 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for roughly the first 50 keys of
 # queries() per round.  _DRIVER_RECORDED is the literal union of the
-# GREEN key sets in CORRECTNESS_r01..r10.json (419 keys; the only red
-# rows ever written — privacy_dp_count r09+r10 and privacy_dp_mean
-# r10 — are excluded and stay in the backlog until a green row
-# exists).  Enumeration order: (1) _PRIORITY — the hardened DP reds +
-# their decomposition diagnostics, (2) any other unrecorded keys in
-# registry order (new keys land here), (3) the already-recorded
-# greens.
+# GREEN key sets in CORRECTNESS_r01..r11.json, intersected with the
+# live registry (442 keys after the round-12 retirement of the two
+# _parts DP diagnostics; r11 was the first fully-green record and
+# closed the only reds ever written).  Enumeration order:
+# (1) _PRIORITY (currently empty), (2) any unrecorded keys in registry
+# order (new keys land here), (3) the already-recorded greens.
 _DRIVER_RECORDED = frozenset({
     # --- CORRECTNESS_r01.json ---
     "agg_approx", "agg_collect", "agg_cube", "agg_distinct",
@@ -187,28 +186,32 @@ _DRIVER_RECORDED = frozenset({
     "scan_manifest_orphans", "scan_manifest_retention_plan",
     "scan_commitlog_replay", "privacy_dp_partition_select",
     "privacy_rr_frequency",
+    # --- CORRECTNESS_r11.json greens (all 50 rows green — the first
+    # fully-green record; 23 keys new to this set, the rest re-records.
+    # The two formerly-red DP keys green here; their _parts
+    # decomposition diagnostics were then retired in round 12 per
+    # their own drop-once-green contract and so do not appear) ---
+    "agg_hll_registers", "dq_functional_dependency", "emb_abtt",
+    "join_dpp_partition_pruned", "join_spatial_grid",
+    "layout_overlap_depth", "mix_doremi_step", "ml_bpe_apply",
+    "privacy_dp_count", "privacy_dp_mean", "privacy_dp_quantile",
+    "privacy_dp_topk", "privacy_dp_user_count", "rag_maxsim",
+    "rag_prf_expansion", "scan_bucket_pruning", "scan_equality_deletes",
+    "scan_minmax_skipping", "scan_partition_evolution", "sim_ivfpq",
+    "sim_lsh_multiprobe", "sim_range_search", "ts_token_bucket_meter",
 })
 
 
-# Unrecorded keys to enumerate FIRST, in this exact order.  Round 11:
-# the two r10 driver-red DP keys lead, re-enumerated after their
-# pure-integer hardening, each followed by its decomposition
-# diagnostic; any new round-11 keys follow in registry order via the
-# generic backlog rule below.
-_PRIORITY = (
-    # The two r10 reds, re-enumerated first after the round-11
-    # pure-integer hardening (BIGINT e4 releases, zero DECIMAL), each
-    # immediately followed by its decomposition diagnostic so a red on
-    # any single column localizes the driver-side divergence to
-    # hash / shift / ladder / addition (VERDICT r10 item 1).
-    "privacy_dp_count", "privacy_dp_count_parts",
-    "privacy_dp_mean", "privacy_dp_mean_parts",
-)
+# Unrecorded keys to enumerate FIRST, in this exact order.  Round 12:
+# empty — every registry key has a green driver row (r11 closed the DP
+# backlog), so new keys simply land via the generic backlog rule and
+# the driver's ~50 slots re-record existing greens in registry order.
+_PRIORITY = ()
 
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this
 # round number; tests derive the expected set from those artifacts
 # (bump this when folding a new round's records in).
-_RECORDED_THROUGH = 10
+_RECORDED_THROUGH = 11
 
 
 def _ordered():

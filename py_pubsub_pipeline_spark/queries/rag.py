@@ -582,7 +582,7 @@ def water_fill(w: DataFrame, tt: DataFrame) -> DataFrame:
 
 def _dp_count_hash():
     """52-bit md5 hash of the (lang, source) group key — the shared
-    noise stream of privacy_dp_count and its _parts decomposition."""
+    noise stream of privacy_dp_count."""
     return F.conv(
         F.substring(F.md5(F.concat_ws("|", "lang", "source")), 1, 13),
         16, 10,
@@ -626,8 +626,9 @@ def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/dp_noise.py laplace_ladder_e4).  No DECIMAL typing,
     rendering, or negative-scale canonicalization anywhere in either
     engine's output; all-integer DP keys (privacy_rr_frequency) have
-    never gone red.  The companion ``privacy_dp_count_parts`` key
-    decomposes the release so a driver mismatch localizes itself.
+    never gone red.  (The ``_parts`` decomposition diagnostic was
+    retired in round 12 once this key's driver row went green, per its
+    own contract.)
 
     Scale: one hash agg; the noise is a constant-folded array lookup
     on the group rows.  Determinism: integer shift + integer addition
@@ -638,48 +639,6 @@ def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source",
         (F.col("n") * 10000 + spark_laplace_e4(_dp_count_hash(), 1 / DP_EPS))
         .cast("long").alias("noisy_n_e4"),
-    )
-
-
-@query(
-    "privacy_dp_count_parts",
-    oracle=f"""
-    WITH g AS (
-      SELECT lang, source, COUNT(*) AS n,
-             {_DP_COUNT_H_SQL} AS h
-      FROM documents GROUP BY lang, source)
-    SELECT lang, source, CAST(n AS BIGINT) AS n, h,
-           CAST((h >> 42) AS BIGINT) AS bucket,
-           {sql_laplace_e4('h', 1 / DP_EPS)} AS noise_e4,
-           CAST(n * 10000 + {sql_laplace_e4('h', 1 / DP_EPS)} AS BIGINT)
-             AS noisy_n_e4
-    FROM g
-    """,
-)
-def privacy_dp_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decomposition diagnostic for privacy_dp_count (round-11, per the
-    judge's brief): every intermediate of the release as its own BIGINT
-    column — the raw count ``n``, the 52-bit md5 hash ``h``, the ladder
-    ``bucket`` (h >> 42), the selected integer-e4 ladder literal
-    ``noise_e4``, and the composed release ``noisy_n_e4``.  If the
-    driver gate ever reds the release again, whichever column its diff
-    disagrees on localizes the divergence to hash / shift / ladder
-    indexing / addition — no more blind re-fixing.  Temporary: drop
-    once privacy_dp_count has a green driver row.
-
-    Scale: identical plan to privacy_dp_count (one hash agg +
-    constant-folded lookups)."""
-    d = table(spark, sf_dir, "documents")
-    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
-    h = _dp_count_hash()
-    noise = spark_laplace_e4(h, 1 / DP_EPS)
-    return g.select(
-        "lang", "source",
-        F.col("n").cast("long").alias("n"),
-        h.alias("h"),
-        F.shiftright(h, 42).cast("long").alias("bucket"),
-        noise.alias("noise_e4"),
-        (F.col("n") * 10000 + noise).cast("long").alias("noisy_n_e4"),
     )
 
 
@@ -1597,8 +1556,9 @@ def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     GREATEST(noisy_n_e4, 1)`` (the guard keeps a pathologically tiny
     partition from dividing by <= 0 instead of releasing NULL/garbage;
     both operands are provably positive at every certified scale —
-    per-lang counts dwarf the +-6.94*scale noise bound).  The
-    companion ``privacy_dp_mean_parts`` key decomposes the release.
+    per-lang counts dwarf the +-6.94*scale noise bound).  (The
+    ``_parts`` decomposition diagnostic was retired in round 12 once
+    this key's driver row went green, per its own contract.)
 
     Scale: one hash agg with map-side clipping; everything after is
     constant-folded integer arithmetic on the lang-cardinality group
@@ -1625,52 +1585,6 @@ def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(noisy_sum_e4 * 1000 DIV GREATEST(noisy_n_e4, 1)"
             " AS BIGINT)"
         ).alias("mean_milli"),
-    )
-
-
-@query(
-    "privacy_dp_mean_parts",
-    oracle=f"""
-    WITH g AS (
-      SELECT lang, COUNT(*) AS n,
-             CAST(SUM(LEAST(n_chars, {DPS_CLIP})) AS BIGINT) AS clipped_sum,
-             {_dp_mean_h_sql('meanN|')} AS hn,
-             {_dp_mean_h_sql('meanS|')} AS hs
-      FROM documents GROUP BY lang)
-    SELECT lang, CAST(n AS BIGINT) AS n, clipped_sum, hn, hs,
-           CAST((hn >> 42) AS BIGINT) AS bucket_n,
-           CAST((hs >> 42) AS BIGINT) AS bucket_s,
-           {sql_laplace_e4('hn', 1 / DP_EPS)} AS noise_n_e4,
-           {sql_laplace_e4('hs', DPS_CLIP / DP_EPS)} AS noise_s_e4
-    FROM g
-    """,
-)
-def privacy_dp_mean_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decomposition diagnostic for privacy_dp_mean (round-11, per the
-    judge's brief): the raw count, clipped sum, both 52-bit hashes,
-    both ladder buckets, and both selected integer-e4 ladder literals
-    as separate BIGINT columns — a driver red on any single column
-    localizes the divergence to hash / shift / ladder / clip.
-    Temporary: drop once privacy_dp_mean has a green driver row.
-
-    Scale: identical plan to privacy_dp_mean (one clipped hash agg +
-    constant-folded lookups)."""
-    d = table(spark, sf_dir, "documents")
-    g = d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.least(F.col("n_chars"), F.lit(DPS_CLIP))).cast("long")
-        .alias("clipped_sum"),
-    )
-    hn, hs = _dp_mean_hash("meanN|"), _dp_mean_hash("meanS|")
-    return g.select(
-        "lang",
-        F.col("n").cast("long").alias("n"),
-        "clipped_sum",
-        hn.alias("hn"), hs.alias("hs"),
-        F.shiftright(hn, 42).cast("long").alias("bucket_n"),
-        F.shiftright(hs, 42).cast("long").alias("bucket_s"),
-        spark_laplace_e4(hn, 1 / DP_EPS).alias("noise_n_e4"),
-        spark_laplace_e4(hs, DPS_CLIP / DP_EPS).alias("noise_s_e4"),
     )
 
 
@@ -2096,7 +2010,7 @@ _DPU_H_SQL = "CAST(('0x' || substr(md5('u|' || lang), 1, 13)) AS BIGINT)"
       FROM keep WHERE lrnk <= {DPU_CAP_LANGS} GROUP BY lang)
     SELECT lang,
            CAST(bounded_n * 10000
-                + {sql_laplace_e4('h', DPU_CAP_DOCS * DPU_CAP_LANGS / 1)}
+                + {sql_laplace_e4('h', DPU_CAP_DOCS * DPU_CAP_LANGS / DP_EPS)}
              AS BIGINT) AS noisy_bounded_n_e4
     FROM (SELECT lang, bounded_n, {_DPU_H_SQL} AS h FROM b)
     """,
@@ -2309,10 +2223,15 @@ def rag_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             F.explode(
-                F.expr("transform(sequence(1, size(split(text, ' ')) - 2),"
+                # Short-text guard (same as dedup.py's windowed shingles):
+                # for < 3 words sequence(1, size-2) would DESCEND and
+                # element_at would throw; DuckDB's generate_series just
+                # yields nothing, so empty-array is the parity-true branch.
+                F.expr("CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+                       "ELSE transform(sequence(1, size(split(text, ' ')) - 2),"
                        " i -> concat_ws(' ', element_at(split(text, ' '), i),"
                        " element_at(split(text, ' '), i + 1),"
-                       " element_at(split(text, ' '), i + 2)))")
+                       " element_at(split(text, ' '), i + 2))) END")
             ).alias("tok"),
         )
         .distinct()

@@ -164,8 +164,13 @@ def make_admitter(rate_us: int, burst_micro: int, cost_micro: int):
         for t in ts_us:
             t = int(t)
             if last_us >= 0:
-                tokens = min(burst_micro, tokens + (t - last_us) * rate_us)
-            last_us = t
+                # Cross-batch disorder inside the watermark gives
+                # t < last_us; clamp so the refill never goes negative
+                # and the clock never moves backward — a disordered
+                # event sees the bucket as-of the latest time seen.
+                tokens = min(burst_micro,
+                             tokens + max(0, t - last_us) * rate_us)
+            last_us = max(last_us, t)
             ok = tokens >= cost_micro
             if ok:
                 tokens -= cost_micro
@@ -193,9 +198,12 @@ def stateful_token_bucket(
     """Per-key token-bucket ADMISSION over a stream: every event gets
     an admitted/rejected verdict, rejected events consume nothing.
     State is two bigints per key — bounded by #keys regardless of
-    stream length; the watermark keeps cross-batch event-time order
-    honest (late rows drop before the operator runs, the same
-    append-mode contract as the sessionizer above)."""
+    stream length.  Rows older than the watermark drop before the
+    operator runs (the same append-mode contract as the sessionizer
+    above); rows disordered WITHIN the watermark across micro-batches
+    are clamped — zero refill, monotone clock — so they see the bucket
+    as-of the latest time already processed and can never drive the
+    level negative."""
     return (
         events.withWatermark(ts_col, watermark)
         .select(key_col, ts_col)

@@ -57,7 +57,11 @@ def test_registry_size_is_intentional():
     # near-duplicates found by docstring sweep (agg_count_min_sketch
     # ~ agg_countmin_topk, scan_column_stats ~ profile_stats,
     # ts_max_drawdown ~ win_max_drawdown) — the tripwire's job.
-    assert len(load_all()) == 444
+    # Round 12 shrank it 444 -> 442: the two temporary DP decomposition
+    # diagnostics (privacy_dp_count_parts, privacy_dp_mean_parts) were
+    # retired per their own drop-once-green contract after r11 greened
+    # the main keys (VERDICT r11 item 2).
+    assert len(load_all()) == 442
 
 
 def test_recorded_set_matches_correctness_artifacts():

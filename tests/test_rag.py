@@ -180,26 +180,31 @@ def test_dp_count_noise_is_bounded_and_seeded(spark):
     assert again == {(r["lang"], r["source"]): r["noisy_n_e4"] for r in rows}
 
 
-def test_dp_count_parts_decompose_the_release(spark):
-    # The diagnostic key's columns recompose EXACTLY into the release,
-    # and each part is internally consistent (bucket = h >> 42, noise
-    # is the ladder literal at that bucket, in e4 integer units).
+def test_dp_count_release_decomposes_exactly(spark):
+    # White-box decomposition of the release (the retired _parts
+    # diagnostic's invariants, now checked in-test): recompute the
+    # 52-bit hash per group in pure Python and assert the released
+    # value is EXACTLY n*10000 + ladder_e4[h >> 42].
+    import hashlib
+
     from py_pubsub_pipeline_spark.functions.dp_noise import (
         laplace_ladder_e4,
     )
 
     lad = laplace_ladder_e4(1 / rag.DP_EPS)
-    parts = {(r["lang"], r["source"]): r
-             for r in _rows("privacy_dp_count_parts", spark)}
+    raw = {(r["lang"], r["source"]): r["n"]
+           for r in table(spark, SF_MED, "documents")
+           .groupBy("lang", "source")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
     release = {(r["lang"], r["source"]): r["noisy_n_e4"]
                for r in _rows("privacy_dp_count", spark)}
-    assert set(parts) == set(release)
-    for key, r in parts.items():
-        assert 0 <= r["h"] < 2 ** 52
-        assert r["bucket"] == r["h"] >> 42
-        assert r["noise_e4"] == lad[r["bucket"]]
-        assert r["noisy_n_e4"] == r["n"] * 10000 + r["noise_e4"]
-        assert r["noisy_n_e4"] == release[key]
+    assert set(raw) == set(release)
+    for (lang, source), n in raw.items():
+        h = int(hashlib.md5(f"{lang}|{source}".encode())
+                .hexdigest()[:13], 16)
+        assert 0 <= h < 2 ** 52
+        assert release[(lang, source)] == n * 10000 + lad[h >> 42]
 
 
 def test_calibration_ece_identity(spark):
@@ -871,26 +876,36 @@ def test_dp_mean_composes_from_released_components(spark):
         )
 
 
-def test_dp_mean_parts_decompose_the_release(spark):
+def test_dp_mean_release_decomposes_exactly(spark):
+    # White-box decomposition (the retired _parts diagnostic's
+    # invariants, now checked in-test): recompute both per-lang noise
+    # streams from their md5 ladders and assert the released count and
+    # clipped-sum components compose exactly.
+    import hashlib
+
     from py_pubsub_pipeline_spark.functions.dp_noise import (
         laplace_ladder_e4,
     )
 
     lad_n = laplace_ladder_e4(1 / rag.DP_EPS)
     lad_s = laplace_ladder_e4(rag.DPS_CLIP / rag.DP_EPS)
-    parts = {r["lang"]: r for r in _rows("privacy_dp_mean_parts", spark)}
+    raw = {r["lang"]: (r["n"], r["s"])
+           for r in table(spark, SF_MED, "documents")
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.least(F.col("n_chars"), F.lit(rag.DPS_CLIP)))
+                .alias("s"))
+           .collect()}
     release = {r["lang"]: r for r in _rows("privacy_dp_mean", spark)}
-    assert set(parts) == set(release)
-    for lang, r in parts.items():
-        assert r["bucket_n"] == r["hn"] >> 42
-        assert r["bucket_s"] == r["hs"] >> 42
-        assert r["noise_n_e4"] == lad_n[r["bucket_n"]]
-        assert r["noise_s_e4"] == lad_s[r["bucket_s"]]
+    assert set(raw) == set(release)
+    for lang, (n, s) in raw.items():
+        hn = int(hashlib.md5(f"meanN|{lang}".encode())
+                 .hexdigest()[:13], 16)
+        hs = int(hashlib.md5(f"meanS|{lang}".encode())
+                 .hexdigest()[:13], 16)
         rel = release[lang]
-        assert rel["noisy_n_e4"] == r["n"] * 10000 + r["noise_n_e4"]
-        assert rel["noisy_sum_e4"] == (
-            r["clipped_sum"] * 10000 + r["noise_s_e4"]
-        )
+        assert rel["noisy_n_e4"] == n * 10000 + lad_n[hn >> 42]
+        assert rel["noisy_sum_e4"] == s * 10000 + lad_s[hs >> 42]
 
 
 def test_rr_frequency_estimator_is_unbiased_and_blind(spark):
@@ -968,3 +983,39 @@ def test_multiprobe_flip_changes_exactly_one_bit(spark):
         assert len(flipped) == 4
         diff = [j for j in range(4) if flipped[j] != "0110"[j]]
         assert diff == [i], (i, flipped)
+
+
+def test_prf_expansion_short_text_guard(spark, tmp_path):
+    """ADVICE r11: documents with < 3 words must yield ZERO shingles
+    (matching DuckDB's empty generate_series) instead of throwing
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT from a descending sequence().
+    Runs the real operator on a corpus whose probe docs include one-
+    and two-word texts."""
+    import os
+
+    # 12 docs so a shingle shared by 2 passes the df*5 <= n stopword
+    # cap; probe 2 shares "alpha beta gamma" with doc 7 only.
+    rows = [
+        (0, "one"),                       # 1 word  — guard branch
+        (1, "two words"),                 # 2 words — guard branch
+        (2, "alpha beta gamma x2a x2b x2c"),
+        (3, "f3a f3b f3c f3d f3e"),
+        (4, "f4a f4b f4c f4d f4e"),
+        (5, "f5a f5b f5c f5d f5e"),
+        (6, "f6a f6b f6c f6d f6e"),
+        (7, "alpha beta gamma x7a x7b x7c"),
+        (8, "f8a f8b f8c f8d f8e"),
+        (9, "f9a f9b f9c f9d f9e"),
+        (10, "faa fab fac fad fae"),
+        (11, "fba fbb fbc fbd fbe"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(d, "documents.parquet"))
+    # Must not raise; short probe docs simply retrieve nothing.
+    out = rag.rag_prf_expansion(spark, d).collect()
+    qids = {r.query_id for r in out}
+    assert not qids & {0, 1}, "short docs produced shingle matches"
+    assert 2 in qids, "probe 2 must retrieve its shingle twin"
+    assert {r.doc_id for r in out if r.query_id == 2} == {7}

@@ -175,3 +175,62 @@ def test_token_bucket_admission_converges_to_sequential_twin(
     # Both verdicts must occur, or the parameters test nothing.
     vals = set(got.values())
     assert vals == {True, False}, vals
+
+
+def test_token_bucket_in_watermark_disorder_is_clamped(
+    spark, tmp_path_factory
+):
+    """ADVICE r11: an event arriving out of order ACROSS micro-batches
+    but inside the watermark must not corrupt the bucket (negative
+    refill / clock moving backward).  Contract after the fix: the
+    refill term is clamped at 0 and last_us is monotone, so a
+    disordered event sees the bucket as-of the latest time already
+    processed.  Batch 1 carries t0 and t2; batch 2 carries t1 < t2
+    (in-watermark disorder).  Expected = the clamped recursion applied
+    in ARRIVAL order (t0, t2, t1)."""
+    import datetime as dt
+    import os
+    import time
+
+    from py_pubsub_pipeline_spark.streaming import stateful_token_bucket
+
+    d = str(tmp_path_factory.mktemp("tb_disorder"))
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    # rate 1 micro-token/us = 1e6/s; burst 2e6 (2 admissions at cost
+    # 1e6).  t0 admits (burst full -> 1e6 left), t2 = t0+2s admits
+    # (refill caps at burst), t1 = t0+1s arrives LAST: clamped refill 0
+    # on a bucket holding 1e6 -> admits and drains to 0.  An unclamped
+    # bucket would instead compute refill (t1-t2)*rate = -1e6 and go
+    # negative — verdict flip is the corruption this test pins.
+    b1 = spark.createDataFrame(
+        [(1, base), (1, base + 2 * sec)], "user_id bigint, ts timestamp")
+    b2 = spark.createDataFrame(
+        [(1, base + sec)], "user_id bigint, ts timestamp")
+    b1.coalesce(1).write.parquet(os.path.join(d, "f=1"))
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    b2.coalesce(1).write.parquet(os.path.join(d, "f=2"))
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .select("user_id", "ts")
+    )
+    name = "tb_disorder"
+    q = (
+        stateful_token_bucket(
+            stream, rate_us=1, burst_micro=2_000_000,
+            cost_micro=1_000_000, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.ts: r.admitted for r in spark.table(name).collect()}
+    assert got == {
+        base: True, base + 2 * sec: True, base + sec: True,
+    }, got
