@@ -67,6 +67,7 @@ def main() -> int:
         ("sim_adc_int8", "dot", 68),          # 64 int8 + 1 float scale
         ("sim_pq_trained", "l2", 4),          # 1 Lloyd round codebook
         ("sim_ivfpq", "l2", 4),               # IVF route + PQ residuals
+        ("sim_ivfpq_trained", "l2", 4),       # 1 Lloyd round on the IVF cells
         ("sim_pq_rescore", "l2", 4),          # PQ scan + 20 exact reads
         ("sim_topk", "dot", 256),             # exact float32 baseline
     ]

@@ -1175,6 +1175,20 @@ def test_ivfpq_is_broadcast_route_and_scan_no_python(spark):
     assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
 
 
+def test_ivfpq_trained_keeps_broadcast_shape_training_included(spark):
+    # The one Lloyd round must not change the search pipeline's shape:
+    # round-0 assignment is a map-side argmin vs the broadcast init
+    # centroids, the (cell, dim) mean agg emits 16x64 rows, and
+    # everything downstream keeps sim_ivfpq's broadcast-only posture —
+    # no Python, no SortMergeJoin, no cartesian of data against data.
+    plan = _executed(REG["sim_ivfpq_trained"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    final = _final(plan)
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+
+
 def test_dp_quantile_grid_is_group_bounded_no_python(spark):
     # The exponential-mechanism grid (lang x 64 candidates) must stay
     # group-rows-bounded: one hash agg over documents, broadcast of the
