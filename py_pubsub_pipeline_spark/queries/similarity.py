@@ -1890,7 +1890,12 @@ def _pq_candidates(spark: SparkSession, sf_dir: str, r: int) -> DataFrame:
 
     from .formats import _cache_dir
 
-    path = _os.path.join(_cache_dir(sf_dir, "pq_codes"), "v1")
+    # Cache key includes the source's mtime so a rebuilt derived
+    # corpus (/tmp/sfN is wiped + rewritten on scheme changes) can
+    # never serve stale codes.
+    src_mt = int(_os.path.getmtime(
+        _os.path.join(sf_dir, "embeddings.parquet")))
+    path = _os.path.join(_cache_dir(sf_dir, "pq_codes"), f"v1-{src_mt}")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         (
             v2.crossJoin(F.broadcast(cball))

@@ -37,6 +37,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from bench import HEADLINE  # noqa: E402
+
+# Scale-series-only rows (VERDICT r11 item 1): the ANN ladder's IVF-PQ
+# composite is priced at sf1/sf10 beside the sf0.1 basket's sim_pq_adc
+# so the floor-dominated sf0.1 readings get amortization evidence.
+SERIES_EXTRA = ["sim_ivfpq"]
 from py_pubsub_pipeline_spark.oracle import duckdb_connect  # noqa: E402
 from py_pubsub_pipeline_spark.registry import load_all  # noqa: E402
 from py_pubsub_pipeline_spark.session import get_spark  # noqa: E402
@@ -149,7 +154,7 @@ def main() -> int:
     from bench import _plan_fingerprint  # repo-root bench.py (round 10)
 
     results: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + SERIES_EXTRA:
         spec = registry[name]
         spec.fn(spark, OUT).count()  # warm (JIT, page cache, AQE stats)
         s_best, s_rows = _best_of(lambda: spec.fn(spark, OUT).count())
@@ -170,7 +175,7 @@ def main() -> int:
     # ran so the series rows are comparable.
     strip = os.environ.get("SPARK_GRAFT_ORACLE_STRIP_MAT") == "1"
     con = duckdb_connect(OUT)
-    for name in HEADLINE:
+    for name in HEADLINE + SERIES_EXTRA:
         sql = registry[name].oracle
         if strip:
             sql = sql.replace("AS MATERIALIZED (", "AS (")

@@ -285,3 +285,86 @@ def test_merge_upsert_sink_materializes_latest_state_and_converges(
         .select("user_id", "event_id").collect()
     }
     assert again == expected
+
+
+def test_mor_upsert_sink_equals_cow_snapshot_and_replays(spark, tmp_path):
+    """MERGE-ON-READ write path (VERDICT r11 item 6): driving the SAME
+    upsert stream through the copy-on-write MergeUpsertSink and the
+    equality-delete MorUpsertSink must produce value-identical
+    snapshots, and replaying a batch (the at-least-once window) must
+    converge byte-identically — the commit log, data file, and delete
+    file are all batch-id-keyed overwrites.
+
+    The stream is split into 5 files ordered by (ts, event_id) so
+    arrival order equals the CDC total order — the premise under
+    which sequence-wins (MoR) and max-(ts,event_id)-wins (COW) agree."""
+    import os
+
+    from pyspark.sql import Window
+
+    from py_pubsub_pipeline_spark.pipeline import (
+        MergeUpsertSink, MorUpsertSink,
+    )
+
+    src = str(tmp_path / "src")
+    ev = (
+        table(spark, SF_SMALL, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    ev.withColumn(
+        "bucket", F.ntile(5).over(Window.orderBy("ts", "event_id"))
+    ).write.partitionBy("bucket").parquet(src)
+
+    def drive(sink, ckpt):
+        batch = spark.read.parquet(src).drop("bucket")
+        q = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .drop("bucket")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    cow = MergeUpsertSink(
+        str(tmp_path / "cow"), key="user_id", order=["ts", "event_id"])
+    mor = MorUpsertSink(
+        str(tmp_path / "mor"), key="user_id", order=["ts", "event_id"])
+    drive(cow, "ckpt_cow")
+    drive(mor, "ckpt_mor")
+
+    cols = ["user_id", "event_id", "ts"]
+    cow_snap = {tuple(r) for r in
+                cow.read_snapshot(spark).select(*cols).collect()}
+    mor_snap = {tuple(r) for r in
+                mor.read_snapshot(spark).select(*cols).collect()}
+    assert mor_snap == cow_snap
+    # one row per key — the latest-wins contract
+    assert len({t[0] for t in mor_snap}) == len(mor_snap)
+
+    # MoR never rewrote anything: every committed batch left exactly
+    # one data file dir + one delete file dir, all still present.
+    commits = mor._commits()
+    assert len(commits) >= 2, "split stream should commit >1 batch"
+    for c in commits:
+        assert os.path.exists(
+            os.path.join(str(tmp_path / "mor"), c["data"], "_SUCCESS"))
+        assert os.path.exists(
+            os.path.join(str(tmp_path / "mor"), c["deletes"], "_SUCCESS"))
+
+    # replay the LAST batch verbatim (same epoch id): overwrite
+    # semantics must leave the snapshot unchanged.
+    last = commits[-1]
+    src_df = spark.read.parquet(
+        os.path.join(str(tmp_path / "mor"), last["data"]))
+    # materialize BEFORE the call: the sink overwrites the very files
+    # a lazy plan would still be reading (a real foreachBatch replay
+    # hands over fresh source rows, not the sink's own output)
+    last_batch = spark.createDataFrame(src_df.collect(), src_df.schema)
+    mor(last_batch, last["seq"])
+    again = {tuple(r) for r in
+             mor.read_snapshot(spark).select(*cols).collect()}
+    assert again == mor_snap
