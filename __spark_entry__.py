@@ -220,6 +220,13 @@ def _ordered():
     backlog += [n for n in specs
                 if n not in _DRIVER_RECORDED and n not in _PRIORITY]
     recorded = [n for n in specs if n in _DRIVER_RECORDED]
+    # Rotate the recorded section by a round-deterministic offset so
+    # the ~50 slots the driver re-records each round sweep DIFFERENT
+    # families instead of re-greening the registry head every time
+    # (r10 and r11 both re-recorded the scan/filter/agg prefix).
+    if recorded:
+        k = (_RECORDED_THROUGH * 49) % len(recorded)
+        recorded = recorded[k:] + recorded[:k]
     return {n: specs[n] for n in backlog + recorded}
 
 

@@ -335,6 +335,33 @@ def mix_report(admitted: DataFrame) -> DataFrame:
     )
 
 
+def _doremi_batch_sums(admitted: DataFrame) -> DataFrame:
+    """Per-source ADDITIVE partials of one batch's admitted rows —
+    the incremental state of the DoReMi reweight stage.  n_chars
+    surrogate = length(text) (the stream carries text, not the
+    documents table's n_chars; the batch twin uses the same
+    surrogate, so convergence is exact)."""
+    from .queries.rag import DRM_PRX_CLIP, DRM_REF_CLIP
+
+    return admitted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM(LEAST(length(text), {DRM_REF_CLIP}))")
+        .alias("ref_sum"),
+        F.expr(f"SUM(LEAST(length(text), {DRM_PRX_CLIP}))")
+        .alias("prx_sum"),
+    )
+
+
+def doremi_report(admitted: DataFrame) -> DataFrame:
+    """Batch twin of the streaming DoReMi reweight: mix_doremi_step's
+    exact update contract (linearized multiplicative weights +
+    largest-remainder milli renormalization, queries/rag.py) applied
+    to an admitted frame in one pass."""
+    from .queries.rag import doremi_weights_from_sums
+
+    return doremi_weights_from_sums(_doremi_batch_sums(admitted))
+
+
 @dataclass
 class CurationAdmissionSink:
     """foreachBatch sink implementing the incremental admission path.
@@ -569,6 +596,32 @@ class CurationAdmissionSink:
             mix_report(all_admitted).write.mode("overwrite").parquet(
                 os.path.join(self._dir("mix"), f"batch={epoch_id}")
             )
+            # incremental DoReMi reweight (round 12, VERDICT r11 item
+            # 8): per-batch ADDITIVE partials land in batch-keyed
+            # state; the release folds the partials — per-trigger cost
+            # is one batch agg plus (sources x batches) state rows,
+            # never a corpus re-read.  Same overwrite/replay
+            # discipline as every other stage.
+            _doremi_batch_sums(admitted).write.mode("overwrite").parquet(
+                os.path.join(self._dir("doremi_state"),
+                             f"batch={epoch_id}")
+            )
+            from .queries.rag import doremi_weights_from_sums
+
+            folded = (
+                self._read_parts(spark, "doremi_state",
+                                 through=int(epoch_id))
+                .groupBy("source").agg(
+                    F.sum("n").alias("n"),
+                    F.sum("ref_sum").alias("ref_sum"),
+                    F.sum("prx_sum").alias("prx_sum"),
+                )
+            )
+            doremi_weights_from_sums(folded).write.mode(
+                "overwrite"
+            ).parquet(
+                os.path.join(self._dir("doremi"), f"batch={epoch_id}")
+            )
         finally:
             admitted.unpersist()
             if rejects is not None:
@@ -628,6 +681,44 @@ class CurationAdmissionSink:
             )
         return spark.read.option("basePath", base).parquet(*parts).drop(
             "batch"
+        )
+
+    def _read_parts(
+        self, spark: SparkSession, kind: str, through: int | None = None
+    ) -> DataFrame:
+        """Union the committed batch partitions of one state kind
+        (the read_admitted listing rule, factored for reuse)."""
+        base = self._dir(kind)
+        parts = [
+            os.path.join(base, d)
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
+            if d.startswith("batch=")
+            and (through is None or int(d.split("=", 1)[1]) <= through)
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        ]
+        if not parts:
+            raise FileNotFoundError(f"no committed partitions: {base}")
+        return spark.read.option("basePath", base).parquet(*parts).drop(
+            "batch"
+        )
+
+    def read_doremi(self, spark: SparkSession) -> DataFrame:
+        """The latest committed DoReMi reweight release — empty (its
+        schema) when no batch has committed yet, matching read_mix."""
+        base = self._dir("doremi")
+        committed = [
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
+            if d.startswith("batch=")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        ]
+        if not committed:
+            return spark.createDataFrame(
+                [], "source STRING, n LONG, excess_milli LONG,"
+                    " mult_milli LONG, w_milli LONG"
+            )
+        return spark.read.parquet(
+            os.path.join(base, f"batch={max(committed)}")
         )
 
     def read_mix(self, spark: SparkSession) -> DataFrame:

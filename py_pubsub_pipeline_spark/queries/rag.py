@@ -1944,12 +1944,25 @@ def mix_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the agg is the only data-bounded stage (map-side
     partial over the clip expressions)."""
     d = table(spark, sf_dir, "documents")
-    s = d.groupBy("source").agg(
+    sums = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"(SUM(LEAST(n_chars, {DRM_REF_CLIP})) * 1000)"
-               " DIV COUNT(*)").alias("ref_milli"),
-        F.expr(f"(SUM(LEAST(n_chars, {DRM_PRX_CLIP})) * 1000)"
-               " DIV COUNT(*)").alias("prx_milli"),
+        F.expr(f"SUM(LEAST(n_chars, {DRM_REF_CLIP}))").alias("ref_sum"),
+        F.expr(f"SUM(LEAST(n_chars, {DRM_PRX_CLIP}))").alias("prx_sum"),
+    )
+    return doremi_weights_from_sums(sums)
+
+
+def doremi_weights_from_sums(sums: DataFrame) -> DataFrame:
+    """The DoReMi update applied to pre-aggregated per-source sums —
+    factored out of mix_doremi_step so curation_stream's incremental
+    reweight stage can FOLD per-batch partial sums (n, ref_sum,
+    prx_sum are all additive) and re-release the exact same integer
+    contract per trigger.  Input: (source, n, ref_sum, prx_sum);
+    output: the mix_doremi_step release columns."""
+    s = sums.select(
+        "source", "n",
+        F.expr("(ref_sum * 1000) DIV n").alias("ref_milli"),
+        F.expr("(prx_sum * 1000) DIV n").alias("prx_milli"),
     )
     e = s.select(
         "source", "n",

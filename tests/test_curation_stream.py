@@ -23,6 +23,7 @@ from py_pubsub_pipeline_spark.curation_stream import (
     CurationAdmissionSink,
     admission_batch_twin,
     build_eval_ngram_index,
+    doremi_report,
     gate_batch,
     mix_report,
     streaming_curation_pipeline,
@@ -142,6 +143,17 @@ def test_streaming_admission_converges_after_crash(spark, docs, tmp_path):
     want_mix = {r["source"]: (r["tok"], r["p_milli"], r["w_milli"])
                 for r in mix_report(target).collect()}
     assert got_mix == want_mix
+    # final DoReMi reweight == the batch twin applied in one pass:
+    # the folded per-batch ADDITIVE partials (crash replay included)
+    # must release mix_doremi_step's exact integer contract
+    got_drm = {r["source"]: (r["n"], r["excess_milli"],
+                             r["mult_milli"], r["w_milli"])
+               for r in sink.read_doremi(spark).collect()}
+    want_drm = {r["source"]: (r["n"], r["excess_milli"],
+                              r["mult_milli"], r["w_milli"])
+                for r in doremi_report(target).collect()}
+    assert got_drm == want_drm
+    assert sum(v[3] for v in got_drm.values()) == 1000
 
 
 def test_streaming_pipeline_helper_runs_clean(spark, docs, tmp_path):
