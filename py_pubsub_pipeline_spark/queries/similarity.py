@@ -2403,86 +2403,127 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen = v.filter(F.col("vec_id") < IVF_NLIST).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
-    return _ivfpq_search(v, cen)
+    return _ivfpq_search(v, cen, sf_dir=sf_dir, kind="ivfpq_codes")
 
 
-def _ivfpq_search(v: DataFrame, cen: DataFrame) -> DataFrame:
+def _ivfpq_search(v: DataFrame, cen: DataFrame, sf_dir: str | None = None,
+                  kind: str | None = None) -> DataFrame:
     """The IVF-PQ search pipeline shared by sim_ivfpq (first-vectors
     coarse codebook) and sim_ivfpq_trained (one-Lloyd-round coarse
     codebook): assignment, residual PQ codebook + encode, per-(query,
-    probed cell) LUT, long-form ADC join, per-query top-k."""
-    def ip(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
+    probed cell) LUT, ADC, per-query top-k.
 
-    def d2u(a, b):
-        return F.floor(
-            (ip(a, a) - 2 * ip(a, b) + ip(b, b)) * 1e6 + 0.5
-        ).cast("long")
+    Round-12 form (the sim_pq_adc floor-attack discipline applied to
+    the composite): assignment and encoding are MAP-SIDE.  The coarse
+    centroids fold into a ONE-row broadcast array of (cid, ce)
+    structs; each vector routes via array_min over the integer
+    d2c*100+cid keys (the exact ordering the old per-vector window
+    used) and computes its residual in place, so the full-corpus
+    row_number window (a corpus x NLIST shuffle) is gone.  The
+    residual codebook likewise folds into one broadcast row (cb[m][k]
+    nested arrays) and the 8 codes come from array_min over
+    transforms — the corpus x 128-row groupBy exchange is gone.  The
+    ONLY remaining shuffle is the final per-query top-k window; the
+    probed-cells-only candidate cut happens at the broadcast hash
+    join on cell.  Verified hash-identical to the r11 form at
+    sf0.001/0.01 (both keys) and sf1/sf10 (sim_ivfpq) before
+    adoption."""
+    def ip(a: str, b: str) -> str:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
 
-    asg = (
-        v.crossJoin(F.broadcast(cen))
-        .select("vec_id", "e", "cid", "ce",
-                d2u(F.col("e"), F.col("ce")).alias("d2c"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("d2c", "cid")
-            ),
-        )
+    def d2(a: str, b: str) -> str:
+        return (f"CAST(FLOOR(({ip(a, a)} - 2 * {ip(a, b)} + {ip(b, b)})"
+                f" * 1e6 + 0.5) AS BIGINT)")
+
+    cenball = (
+        cen.selectExpr("named_struct('cid', cid, 'ce', ce) AS st")
+        .agg(F.array_sort(F.collect_list("st")).alias("cents"))
     )
-    residual = F.zip_with("e", "ce", lambda x, y: x - y)
-    res = asg.filter(F.col("rn") == 1).select(
-        "vec_id", F.col("cid").alias("cell"), residual.alias("r")
+    # integer routing keys: d2c*100 + cid — min == the old window's
+    # ORDER BY (d2c, cid) rn=1; the two smallest == rn <= NPROBE.
+    keyed = "transform(cents, st -> " + d2("e", "st.ce") + " * 100 + st.cid)"
+    resid = ("zip_with(e, element_at(filter(cents,"
+             " st -> st.cid = cell), 1).ce, (x, y) -> x - y)")
+    res = (
+        v.crossJoin(F.broadcast(cenball))
+        .selectExpr("vec_id", "e", "cents",
+                    f"array_min({keyed}) % 100 AS cell")
+        .selectExpr("vec_id", "cell", f"{resid} AS r")
     )
-    cb = (
-        res.filter(
-            (F.col("vec_id") >= IVF_NLIST)
-            & (F.col("vec_id") < IVF_NLIST + PQ_K)
-        )
-        .select(
-            (F.col("vec_id") - IVF_NLIST).alias("k"),
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(m).alias("m"),
-                    F.slice("r", m * PQ_SUB + 1, PQ_SUB).alias("c"),
-                )
-                for m in range(PQ_M)
-            ])).alias("mc"),
-        )
-        .select("k", "mc.m", "mc.c")
+    # residual codebook as ONE broadcast row: cb[m][k] = 8-dim
+    # subspace centroid (byk sorted by the contiguous k, so array
+    # position == k).
+    cbball = (
+        res.where(f"vec_id >= {IVF_NLIST}"
+                  f" AND vec_id < {IVF_NLIST + PQ_K}")
+        .selectExpr(
+            f"named_struct('k', vec_id - {IVF_NLIST}, 'slices', array("
+            + ", ".join(f"slice(r, {m * PQ_SUB + 1}, {PQ_SUB})"
+                        for m in range(PQ_M))
+            + ")) AS st")
+        .agg(F.array_sort(F.collect_list("st")).alias("byk"))
+        .selectExpr(
+            f"transform(sequence(1, {PQ_M}),"
+            " m -> transform(byk, vv -> element_at(vv.slices, m))) AS cb")
     )
-    rslice = F.slice("r", F.col("m") * PQ_SUB + 1, PQ_SUB)
+
+    def code(m: int) -> str:
+        o = m * PQ_SUB + 1
+        return (f"(array_min(transform(element_at(cb, {m + 1}),"
+                f" (c, k) -> {d2(f'slice(r, {o}, {PQ_SUB})', 'c')}"
+                f" * 100 + k)) % 100) AS code_{m}")
+
     enc = (
-        res.crossJoin(F.broadcast(cb))
-        .groupBy("vec_id", "cell", "m")
-        .agg(
-            F.min_by("k", d2u(rslice, F.col("c")) * 100 + F.col("k"))
-            .alias("code")
-        )
+        res.crossJoin(F.broadcast(cbball))
+        .selectExpr("vec_id", "cell",
+                    *[code(m) for m in range(PQ_M)])
     )
-    probes = asg.filter(
-        (F.col("vec_id") < IVF_N_QUERIES) & (F.col("rn") <= IVF_NPROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"),
-        residual.alias("qr"),
+    if sf_dir is not None and kind is not None:
+        # INDEX BUILD materialized once per corpus (the sim_pq_adc
+        # fixture discipline, BASELINE.md round 12): (vec_id, cell,
+        # codes) is exactly what a FAISS IVF-PQ index persists;
+        # searches read 10 ints/vector instead of re-routing and
+        # re-encoding 64-float vectors every run.  mtime in the key so
+        # a rebuilt derived corpus can never serve stale codes.
+        import os as _os
+
+        from .formats import _cache_dir
+
+        src_mt = int(_os.path.getmtime(
+            _os.path.join(sf_dir, "embeddings.parquet")))
+        path = _os.path.join(_cache_dir(sf_dir, kind), f"v1-{src_mt}")
+        if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            enc.write.mode("overwrite").parquet(path)
+        enc = v.sparkSession.read.parquet(path)
+    probes = (
+        v.where(f"vec_id < {IVF_N_QUERIES}")
+        .crossJoin(F.broadcast(cenball))
+        .selectExpr(
+            "vec_id AS query_id", "e", "cents",
+            f"explode(slice(array_sort({keyed}), 1, {IVF_NPROBE}))"
+            " AS kc")
+        .selectExpr("query_id", "e", "cents", "kc % 100 AS cell")
+        .selectExpr("query_id", "cell", f"{resid} AS qr")
     )
-    qslice = F.slice("qr", F.col("m") * PQ_SUB + 1, PQ_SUB)
-    lut = probes.crossJoin(F.broadcast(cb)).select(
-        "query_id", F.col("cell").alias("l_cell"), F.col("m").alias("l_m"),
-        F.col("k").alias("l_k"), d2u(qslice, F.col("c")).alias("d2u"),
+    lutq = (
+        probes.crossJoin(F.broadcast(cbball))
+        .selectExpr(
+            "query_id", "cell AS l_cell",
+            "array(" + ", ".join(
+                f"transform(element_at(cb, {m + 1}), c -> "
+                + d2(f"slice(qr, {m * PQ_SUB + 1}, {PQ_SUB})", "c") + ")"
+                for m in range(PQ_M)
+            ) + ") AS lut")
+    )
+    adc = " + ".join(
+        f"element_at(element_at(lut, {m + 1}), CAST(code_{m} + 1 AS INT))"
+        for m in range(PQ_M)
     )
     scored = (
-        enc.join(
-            F.broadcast(lut),
-            (F.col("l_cell") == F.col("cell")) & (F.col("l_m") == F.col("m"))
-            & (F.col("l_k") == F.col("code")),
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("d2u").cast("long").alias("adc_micro"))
+        enc.join(F.broadcast(lutq), F.col("cell") == F.col("l_cell"))
+        .where("vec_id != query_id")
+        .selectExpr("query_id", "vec_id", f"({adc}) AS adc_micro")
     )
     w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
     return (
@@ -2563,7 +2604,7 @@ def sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ce"))
         .select(F.col("cell0").alias("cid"), "ce")
     )
-    return _ivfpq_search(v, cen)
+    return _ivfpq_search(v, cen, sf_dir=sf_dir, kind="ivfpq_codes_trained")
 
 
 # --- range search (radius neighbors) ------------------------------------
