@@ -2154,9 +2154,14 @@ PRF_K = 3       # released ranks after expansion
 # corpus's flat word vocabulary is ~30 tokens (everything a stopword),
 # while shingles give a 16k+ vocabulary where document frequency means
 # something.  DF-capped at <= 20% of docs before any join.
+# MATERIALIZED on toks/rt (round 12, VERDICT r11 item 7): each is
+# consumed by multiple CTEs — inlined, DuckDB re-derived the sf10
+# shingle explosion per consumer and spilled past the 18.6 GiB temp
+# cap (the round-11 envelope); materialized once, the sf10 oracle
+# finishes in ~17 s and the envelope is retired.
 _PRF_BASE_SQL = """
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    toks AS (
+    toks AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
       FROM w, UNNEST(generate_series(1, len(ws) - 2)) t(i)),
@@ -2164,7 +2169,7 @@ _PRF_BASE_SQL = """
     rare AS (
       SELECT tok FROM toks GROUP BY tok
       HAVING COUNT(*) * 5 <= (SELECT n FROM n_docs)),
-    rt AS (SELECT toks.doc_id, toks.tok FROM toks
+    rt AS MATERIALIZED (SELECT toks.doc_id, toks.tok FROM toks
            JOIN rare ON rare.tok = toks.tok)
 """
 

@@ -59,16 +59,6 @@ _ENVELOPE_BELOW = {
             "oracle-infeasible at sf10, certified through sf1; "
             "LSH/minhash variants are the at-scale path"
         ),
-        "rag_prf_expansion": (
-            "the DuckDB oracle's 3-word-shingle vocabulary "
-            "aggregation over the word-tagged sf10 derived corpus "
-            "(~50M distinct (doc, shingle) rows referenced by four "
-            "CTE consumers) spills past the box's 18.6 GiB duckdb "
-            "temp cap (round 11); certified exact sf0.001-sf1.  The "
-            "Spark side stays runnable — its df-capped postings "
-            "joins are the same discipline dedup_ngram_capped "
-            "certifies at sf10"
-        ),
         "dedup_minhash_lsh": (
             "FULL oracle infeasible at sf10 (16 md5 minhash slots "
             "over the ~500M-shingle corpus + exact verify exhausted "
