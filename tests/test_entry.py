@@ -60,10 +60,10 @@ def test_registry_size_is_intentional():
     # Round 12 shrank it 444 -> 442: the two temporary DP decomposition
     # diagnostics (privacy_dp_count_parts, privacy_dp_mean_parts) were
     # retired per their own drop-once-green contract after r11 greened
-    # the main keys (VERDICT r11 item 2); then grew it to 443 with
-    # sim_ivfpq_trained (VERDICT r11 item 5, SURVEY.md §2C round-12
-    # row).
-    assert len(load_all()) == 443
+    # the main keys (VERDICT r11 item 2); then grew it to 444 with
+    # sim_ivfpq_trained (VERDICT r11 item 5) and sim_ivfpq_rescore
+    # (the IVFPQR refine ladder end) — SURVEY.md §2C round-12 row.
+    assert len(load_all()) == 444
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -1175,6 +1175,15 @@ def test_ivfpq_is_broadcast_route_and_scan_no_python(spark):
     assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
 
 
+def test_ivfpq_rescore_reads_floats_proportional_to_candidates(spark):
+    # Stage 2 joins the bounded candidate set to the vector table via
+    # broadcast — no SortMergeJoin, no Python; stage 1's properties
+    # are covered by the sim_ivfpq gate.
+    plan = _executed(REG["sim_ivfpq_rescore"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_ivfpq_trained_keeps_broadcast_shape_training_included(spark):
     # The one Lloyd round must not change the search pipeline's shape:
     # round-0 assignment is a map-side argmin vs the broadcast init
