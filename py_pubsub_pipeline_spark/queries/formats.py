@@ -1796,3 +1796,73 @@ def scan_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+# --- merge-on-read SNAPSHOT read (the MorUpsertSink loop) ------------------
+# Deterministic 3-sequence upsert history over orders, chosen so the
+# oracle can recompute every key's LATEST version arithmetically:
+#   seq 0: keys with o_orderkey % 4 IN (0, 1, 2)   (initial load)
+#   seq 1: keys with o_orderkey % 4 IN (1, 3)      (update odds + insert 3s)
+#   seq 2: keys with o_orderkey % 2 = 0            (update all evens)
+# Every key exists (0|1|2 via seq 0, 3 via seq 1); the latest version
+# is seq 2 for even keys and seq 1 for odd keys.  The row payload
+# encodes its version (val = key*10 + seq), so the released aggregate
+# proves the read resolved VERSIONS, not just membership.
+_MOR_SEQS = [
+    (0, "o_orderkey % 4 IN (0, 1, 2)"),
+    (1, "o_orderkey % 4 IN (1, 3)"),
+    (2, "o_orderkey % 2 = 0"),
+]
+
+
+@query(
+    "scan_mor_snapshot",
+    oracle="""
+    SELECT CAST(o_orderkey % 7 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(o_orderkey * 10
+                    + CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END)
+             AS BIGINT) AS val_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def scan_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ snapshot resolution over a REAL MoR layout — the
+    registry twin of pipeline.MorUpsertSink (round 12): a 3-sequence
+    upsert history materializes once per corpus THROUGH THE SINK
+    ITSELF (each sequence appends a batch-compacted data file, an
+    equality-delete file of its keys, and an atomic commit-log entry —
+    nothing rewritten), and the read resolves latest-wins by
+    anti-joining data rows against the broadcast delete union on
+    (same key AND delete.seq > row.seq), exactly Iceberg v2's
+    sequence-number rule.  The released per-(key%7) row counts and
+    version-encoding value sums match an oracle that recomputes the
+    logical table arithmetically — certifying the MoR read equals the
+    upsert semantics without the oracle ever seeing the fixture.
+
+    Scale: each ingest sequence costs O(batch); the read is a union
+    of data files plus ONE broadcast anti-join against keys-sized
+    delete files (a delta that outgrows broadcast becomes a shuffled
+    anti join — same plan, one more exchange); the history is
+    compacted away by the vacuum path, never by ingest."""
+    from ..pipeline import MorUpsertSink
+
+    base = _cache_dir(sf_dir, "mor_upserts")
+    sink = MorUpsertSink(base, key="o_orderkey", order=["ver"])
+    if len(sink._commits()) < len(_MOR_SEQS):
+        o = table(spark, sf_dir, "orders").select("o_orderkey")
+        for seq, pred in _MOR_SEQS:
+            batch = o.where(pred).select(
+                "o_orderkey",
+                F.lit(seq).cast("long").alias("ver"),
+                (F.col("o_orderkey") * 10 + seq).cast("long").alias("val"),
+            )
+            sink(batch, seq)
+    snap = sink.read_snapshot(spark)
+    return (
+        snap.groupBy((F.col("o_orderkey") % 7).cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_live"),
+            F.sum("val").cast("long").alias("val_sum"),
+        )
+    )

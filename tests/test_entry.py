@@ -60,10 +60,11 @@ def test_registry_size_is_intentional():
     # Round 12 shrank it 444 -> 442: the two temporary DP decomposition
     # diagnostics (privacy_dp_count_parts, privacy_dp_mean_parts) were
     # retired per their own drop-once-green contract after r11 greened
-    # the main keys (VERDICT r11 item 2); then grew it to 444 with
-    # sim_ivfpq_trained (VERDICT r11 item 5) and sim_ivfpq_rescore
-    # (the IVFPQR refine ladder end) — SURVEY.md §2C round-12 row.
-    assert len(load_all()) == 444
+    # the main keys (VERDICT r11 item 2); then grew it to 445 with
+    # sim_ivfpq_trained (VERDICT r11 item 5), sim_ivfpq_rescore (the
+    # IVFPQR refine ladder end), and scan_mor_snapshot (the
+    # MorUpsertSink read path, item 6) — SURVEY.md §2C round-12 row.
+    assert len(load_all()) == 445
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -1426,3 +1426,15 @@ def test_prf_expansion_df_capped_token_joins_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 2, plan
+
+
+def test_mor_snapshot_read_is_one_broadcast_anti_join(spark):
+    # The MoR read: union of data files anti-joined once against the
+    # broadcast delete union — no SortMergeJoin, no Python, no
+    # cartesian; the delete side must be the broadcast build.
+    plan = _executed(REG["scan_mor_snapshot"].fn(spark, SF_SMALL), spark)
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    final = _final(plan)
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
