@@ -31,9 +31,11 @@ from ..functions.blocking import (
     spark_sign_prefix,
 )
 from ..functions.dp_noise import (
+    spark_gaussian_e4,
     spark_gumbel_e4,
     spark_laplace,
     spark_laplace_e4,
+    sql_gaussian_e4,
     sql_gumbel_e4,
     sql_laplace,
     sql_laplace_e4,
@@ -1585,6 +1587,69 @@ def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(noisy_sum_e4 * 1000 DIV GREATEST(noisy_n_e4, 1)"
             " AS BIGINT)"
         ).alias("mean_milli"),
+    )
+
+
+# Gaussian mechanism: sigma for (eps, delta)-DP with L2 sensitivity 1
+# via the classical analytic bound sigma = sqrt(2 ln(1.25/delta))/eps.
+# delta = 1e-6 (the "cryptographically small vs 1/n" convention).
+DP_GAUSS_DELTA = 1e-6
+import math as _math  # noqa: E402  (build-time constant only)
+DP_GAUSS_SIGMA = _math.sqrt(2 * _math.log(1.25 / DP_GAUSS_DELTA)) / DP_EPS
+
+_DPG_H_SQL = (
+    "CAST(('0x' || substr(md5('g|' || lang || '|' || source), 1, 13))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "privacy_dp_gaussian_count",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n,
+             {_DPG_H_SQL} AS h
+      FROM documents GROUP BY lang, source)
+    SELECT lang, source,
+           CAST(n * 10000 + {sql_gaussian_e4('h', DP_GAUSS_SIGMA)}
+             AS BIGINT) AS noisy_n_e4
+    FROM g
+    """,
+)
+def privacy_dp_gaussian_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GAUSSIAN MECHANISM — the other canonical DP release beside
+    the family's Laplace keys, and the one production accountants
+    actually compose under (zCDP/RDP: Gaussian noise composes with
+    exactly-summing rho, which is why TF-Privacy / Opacus / Google's
+    DP libraries train and release with it).  Per (lang, source), the
+    count releases as ``n*10000 + N(0, sigma)_e4`` with
+    sigma = sqrt(2 ln(1.25/delta))/eps (~{DP_GAUSS_SIGMA:.2f} at
+    eps={DP_EPS}, delta={DP_GAUSS_DELTA}) — the classical analytic
+    (eps, delta) calibration for L2 sensitivity 1.
+
+    Engine-exactness is the functions/dp_noise.py ladder posture: the
+    inverse CDF (stdlib NormalDist — pure Python, no C libm at all)
+    runs once at table-build time into 1024 integer-e4 literals; both
+    engines select by the same integer shift of the same 52-bit md5
+    hash ('g|' stream, independent of every Laplace/Gumbel stream),
+    so the release is pure-integer end to end.  As with the rest of
+    the family, the seeded-md5 draw is an engine-parity SIMULATION of
+    the sampler, not a cryptographic noise source.
+
+    Scale: one hash agg; the noise is a constant-folded array lookup
+    on the group rows — identical plan class to privacy_dp_count."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("g|"), F.concat_ws("|", "lang", "source"))),
+            1, 13,
+        ), 16, 10,
+    ).cast("long")
+    return g.select(
+        "lang", "source",
+        (F.col("n") * 10000 + spark_gaussian_e4(h, DP_GAUSS_SIGMA))
+        .cast("long").alias("noisy_n_e4"),
     )
 
 

@@ -62,9 +62,11 @@ def test_registry_size_is_intentional():
     # retired per their own drop-once-green contract after r11 greened
     # the main keys (VERDICT r11 item 2); then grew it to 445 with
     # sim_ivfpq_trained (VERDICT r11 item 5), sim_ivfpq_rescore (the
-    # IVFPQR refine ladder end), and scan_mor_snapshot (the
-    # MorUpsertSink read path, item 6) — SURVEY.md §2C round-12 row.
-    assert len(load_all()) == 445
+    # IVFPQR refine ladder end), scan_mor_snapshot (the MorUpsertSink
+    # read path, item 6), and privacy_dp_gaussian_count (the Gaussian
+    # mechanism, completing the DP mechanism pair) — SURVEY.md §2C
+    # round-12 row.
+    assert len(load_all()) == 446
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -1075,7 +1075,7 @@ def test_dp_release_family_single_agg_no_python(spark):
     # constant-folded arithmetic on the group rows (no extra exchange,
     # no Python anywhere in the plan).
     for key in ("privacy_dp_count", "privacy_dp_partition_select",
-                "privacy_dp_mean"):
+                "privacy_dp_mean", "privacy_dp_gaussian_count"):
         plan = _executed(REG[key].fn(spark, SF_SMALL), spark)
         assert "BatchEvalPython" not in plan, key
         final = _final(plan)

@@ -139,6 +139,58 @@ def test_dp_noise_ladder_far_from_round_boundaries():
             assert abs(frac - 0.5) > 3e-12 * 10000 * 1000, (scale, k, mag)
 
 
+def test_dp_gaussian_ladder_far_from_boundaries_and_symmetric():
+    # Same build-stability argument as the Laplace ladder: no entry's
+    # unrounded value sits near a 5e-5 rounding boundary (measured
+    # floor 2.7e-4 grid units, millions of ulp-wobbles wide), and the
+    # midpoint discretization is antisymmetric and bounded at the
+    # 1/2048 quantile (z_{1/2048} ~ 3.30 sigma).
+    from statistics import NormalDist
+
+    from py_pubsub_pipeline_spark.functions import dp_noise
+
+    sigma = rag.DP_GAUSS_SIGMA
+    nd = NormalDist()
+    lad = dp_noise.gaussian_ladder_e4(sigma)
+    assert len(lad) == dp_noise.LADDER_K
+    for k in range(dp_noise.LADDER_K):
+        u = (k + 0.5) / dp_noise.LADDER_K
+        x = nd.inv_cdf(u) * sigma
+        frac = (abs(x) * 10000) % 1
+        assert abs(frac - 0.5) > 1e-4, (k, x)
+        assert lad[k] == -lad[dp_noise.LADDER_K - 1 - k]
+    assert lad == tuple(sorted(lad))
+    assert abs(lad[0]) <= int(3.3 * sigma * 10000)
+
+
+def test_dp_gaussian_count_is_bounded_and_seeded(spark):
+    rows = _rows("privacy_dp_gaussian_count", spark)
+    true = {
+        (r["lang"], r["source"]): r["n"]
+        for r in table(spark, SF_MED, "documents")
+        .groupBy("lang", "source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert {(r["lang"], r["source"]) for r in rows} == set(true)
+    bound = int(3.3 * rag.DP_GAUSS_SIGMA * 10000)
+    import hashlib
+
+    from py_pubsub_pipeline_spark.functions.dp_noise import (
+        gaussian_ladder_e4,
+    )
+
+    lad = gaussian_ladder_e4(rag.DP_GAUSS_SIGMA)
+    for r in rows:
+        key = (r["lang"], r["source"])
+        noise = r["noisy_n_e4"] - true[key] * 10000
+        assert abs(noise) <= bound
+        # exact decomposition: the ladder literal at the 'g|' stream's
+        # bucket — independent of the Laplace stream's hash
+        h = int(hashlib.md5(f"g|{key[0]}|{key[1]}".encode())
+                .hexdigest()[:13], 16)
+        assert noise == lad[h >> 42]
+
+
 def test_dp_noise_ladder_is_symmetric_and_bounded():
     import math
     from decimal import Decimal
