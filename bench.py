@@ -61,6 +61,10 @@ HEADLINE = [
                             # perf-tracked representative.  Round-over-
                             # round totals: r11+ include this row;
                             # compare the r10 basket via the other ten.
+    "sim_ivfpq",            # the FAISS composite (round 12): IVF route
+                            # + residual-PQ ADC off the persisted codes
+                            # fixture.  r12+ totals include this row;
+                            # compare r11 via the other eleven.
 ]
 
 # Sub-second shapes: their output (and often input) is tiny, so the
