@@ -2266,7 +2266,8 @@ def sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle(trained: bool = False, rescore: bool = False) -> str:
+def _ivfpq_oracle(trained: bool = False, rescore: bool = False,
+                  train_residual: bool = False) -> str:
     """IVF coarse quantizer + PQ on the RESIDUALS — the FAISS IVF-PQ
     composite.  Assignment and all distances are integer-micro
     (FLOOR(d2*1e6+0.5) BIGINT) with unique composite argmin keys;
@@ -2310,6 +2311,32 @@ def _ivfpq_oracle(trained: bool = False, rescore: bool = False) -> str:
     else:
         cen_ctes = (f"\n    cen AS (SELECT vec_id AS cid, e AS ce FROM v"
                     f" WHERE vec_id < {IVF_NLIST}),")
+    if train_residual:
+        # one Lloyd round on the RESIDUAL codebook: round-0 codes vs
+        # the sample-init cb0, per-(m,k,dim) DECIMAL-exact means with
+        # the STRING->DOUBLE hop; COALESCE keeps an empty cluster's
+        # init centroid so k stays contiguous.
+        cb_ctes = f"""
+    enc0 AS MATERIALIZED (
+      SELECT res.vec_id, cb0.m,
+             arg_min(cb0.k,
+                     {d2.format(a=f"(res.r[(cb0.m*{s}+1):(cb0.m*{s}+{s})])",
+                                b="cb0.c")} * 100 + cb0.k) AS k
+      FROM res CROSS JOIN cb0 GROUP BY res.vec_id, cb0.m),
+    ures AS MATERIALIZED (
+      SELECT e0.m, e0.k, d.i AS pos,
+             CAST(CAST(SUM(CAST(res.r[e0.m*{s} + d.i] AS DECIMAL(28,12)))
+                  AS STRING) AS DOUBLE) / COUNT(*) AS val
+      FROM enc0 e0 JOIN res USING (vec_id),
+           UNNEST(generate_series(1, {s})) d(i)
+      GROUP BY e0.m, e0.k, d.i),
+    c1res AS MATERIALIZED (
+      SELECT m, k, list(val ORDER BY pos) AS c FROM ures GROUP BY m, k),
+    cb AS MATERIALIZED (
+      SELECT cb0.m, cb0.k, COALESCE(c1res.c, cb0.c) AS c
+      FROM cb0 LEFT JOIN c1res ON c1res.m = cb0.m AND c1res.k = cb0.k),"""
+    else:
+        cb_ctes = "\n    cb AS (SELECT m, k, c FROM cb0),"
     return f"""
     WITH v AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2327,11 +2354,11 @@ def _ivfpq_oracle(trained: bool = False, rescore: bool = False) -> str:
              list_transform(generate_series(1, len(e)),
                             i -> e[i] - ce[i]) AS r
       FROM asg WHERE rn = 1),
-    cb AS MATERIALIZED (
+    cb0 AS MATERIALIZED (
       SELECT mm.m, vec_id - {IVF_NLIST} AS k,
              r[(mm.m*{s}+1):(mm.m*{s}+{s})] AS c
       FROM res, UNNEST(generate_series(0, {PQ_M - 1})) mm(m)
-      WHERE vec_id >= {IVF_NLIST} AND vec_id < {IVF_NLIST + PQ_K}),
+      WHERE vec_id >= {IVF_NLIST} AND vec_id < {IVF_NLIST + PQ_K}),{cb_ctes}
     enc AS MATERIALIZED (
       SELECT res.vec_id, res.cell, cb.m,
              arg_min(cb.k, {d2.format(a=rs, b='cb.c')} * 100 + cb.k) AS code
@@ -2422,7 +2449,8 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_search(v: DataFrame, cen: DataFrame, sf_dir: str | None = None,
-                  kind: str | None = None, r: int = TOP_K) -> DataFrame:
+                  kind: str | None = None, r: int = TOP_K,
+                  train_residual: bool = False) -> DataFrame:
     """The IVF-PQ search pipeline shared by sim_ivfpq (first-vectors
     coarse codebook) and sim_ivfpq_trained (one-Lloyd-round coarse
     codebook): assignment, residual PQ codebook + encode, per-(query,
@@ -2489,6 +2517,63 @@ def _ivfpq_search(v: DataFrame, cen: DataFrame, sf_dir: str | None = None,
                 f" (c, k) -> {d2(f'slice(r, {o}, {PQ_SUB})', 'c')}"
                 f" * 100 + k)) % 100) AS code_{m}")
 
+    if train_residual:
+        # ONE Lloyd round on the RESIDUAL codebook (the sim_pq_trained
+        # recipe on residual slices): round-0 codes vs the sample-init
+        # codebook, per-(m, k, dim) DECIMAL(28,12)-exact means with
+        # the STRING->DOUBLE hop; an empty cluster KEEPS its init
+        # centroid (COALESCE), so k stays contiguous and the map-side
+        # position-indexed encode remains valid.
+        codes0 = (
+            res.crossJoin(F.broadcast(cbball))
+            .selectExpr("vec_id", "r", *[code(m) for m in range(PQ_M)])
+        )
+        melt = (
+            codes0.selectExpr(
+                "explode(array(" + ", ".join(
+                    f"named_struct('m', {m}, 'k', code_{m}, 'sl',"
+                    f" slice(r, {m * PQ_SUB + 1}, {PQ_SUB}))"
+                    for m in range(PQ_M)
+                ) + ")) AS mk")
+            .selectExpr("mk.m AS m", "mk.k AS k",
+                        "posexplode(mk.sl) AS (pos0, x)")
+        )
+        upd = (
+            melt.groupBy("m", "k", (F.col("pos0") + 1).alias("pos"))
+            .agg((
+                F.sum(F.col("x").cast("decimal(28,12)"))
+                .cast("string").cast("double") / F.count("*")
+            ).alias("val"))
+        )
+        c1 = upd.groupBy("m", "k").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda st: st.getField("val"),
+            ).alias("c1")
+        )
+        cbm0 = (
+            res.where(f"vec_id >= {IVF_NLIST}"
+                      f" AND vec_id < {IVF_NLIST + PQ_K}")
+            .selectExpr(
+                f"vec_id - {IVF_NLIST} AS k",
+                "explode(array(" + ", ".join(
+                    f"named_struct('m', {m}, 'c0',"
+                    f" slice(r, {m * PQ_SUB + 1}, {PQ_SUB}))"
+                    for m in range(PQ_M)
+                ) + ")) AS mc")
+            .selectExpr("k", "mc.m AS m", "mc.c0 AS c0")
+        )
+        cbball = (
+            cbm0.join(F.broadcast(c1), ["m", "k"], "left")
+            .selectExpr("named_struct('m', m, 'k', k,"
+                        " 'c', coalesce(c1, c0)) AS st")
+            .agg(F.array_sort(F.collect_list("st")).alias("bymk"))
+            .selectExpr(
+                f"transform(sequence(1, {PQ_M}), m ->"
+                f" transform(slice(bymk, (m - 1) * {PQ_K} + 1, {PQ_K}),"
+                " vv -> vv.c)) AS cb")
+        )
+
     enc = (
         res.crossJoin(F.broadcast(cbball))
         .selectExpr("vec_id", "cell",
@@ -2551,21 +2636,25 @@ def _ivfpq_search(v: DataFrame, cen: DataFrame, sf_dir: str | None = None,
     )
 
 
-@query("sim_ivfpq_trained", oracle=_ivfpq_oracle(trained=True))
+@query("sim_ivfpq_trained",
+       oracle=_ivfpq_oracle(trained=True, train_residual=True))
 def sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ with a TRAINED coarse quantizer (VERDICT r11 item 5):
-    one Lloyd round on the {IVF_NLIST} IVF centroids — round-0
-    assignment on the first-vectors init, then per-(cell, dim)
-    DECIMAL(28,12)-exact means with the STRING->DOUBLE hop (the exact
-    ml_kmeans_train / sim_pq_trained recipe) — before the identical
-    residual-PQ search pipeline (_ivfpq_search).  Training the coarse
-    codebook moves the centroids toward cluster mass, which (a)
-    shrinks residual norms where vectors concentrate — the PQ bits
-    quantize less spread — and (b) balances cell populations, so
-    nprobe cells cover more of each query's true neighborhood.
-    Measured recall@{TOP_K} 0.300 vs untrained sim_ivfpq's 0.270 at
-    identical 4 B/vec scan IO (scripts/pq_recall.py, sf0.01) — the
-    ladder's new quantized-tier ceiling before exact rescoring.
+    """IVF-PQ with BOTH quantizers TRAINED (VERDICT r11 item 5,
+    including the optional residual half): one Lloyd round on the
+    {IVF_NLIST} IVF centroids AND one on the residual codebook —
+    round-0 assignment on the sample init, then per-(cell-or-(m,k),
+    dim) DECIMAL(28,12)-exact means with the STRING->DOUBLE hop (the
+    exact ml_kmeans_train / sim_pq_trained recipe; an empty residual
+    cluster KEEPS its init centroid via COALESCE so cluster ids stay
+    contiguous for the map-side position-indexed encode) — before the
+    identical residual-PQ search pipeline (_ivfpq_search).  Training
+    the coarse codebook moves centroids toward cluster mass (smaller
+    residual norms, balanced cells); training the residual codebook
+    re-centers the PQ cells on the residual distribution those coarse
+    cells actually produce.  Measured recall@{TOP_K}: untrained 0.270
+    -> coarse-trained 0.300 -> both-trained 0.330 at identical
+    4 B/vec scan IO (scripts/pq_recall.py, sf0.01) — the ladder's
+    quantized-tier ceiling before exact rescoring.
 
     Exactness: the Lloyd means are bit-reproducible on both engines
     (DECIMAL partial sums are exact; the one double division happens
@@ -2619,7 +2708,9 @@ def sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ce"))
         .select(F.col("cell0").alias("cid"), "ce")
     )
-    return _ivfpq_search(v, cen, sf_dir=sf_dir, kind="ivfpq_codes_trained")
+    return _ivfpq_search(v, cen, sf_dir=sf_dir,
+                          kind="ivfpq_codes_trained_r2",
+                          train_residual=True)
 
 
 @query("sim_ivfpq_rescore", oracle=_ivfpq_oracle(rescore=True))
