@@ -258,12 +258,26 @@ class MorUpsertSink:
                         out.append(json.load(fh))
         return sorted(out, key=lambda c: c["seq"])
 
+    # Broadcast the delete union only while its on-disk footprint is
+    # comfortably inside executor memory; past this, fall back to a
+    # shuffled anti join (same plan, one more exchange) instead of
+    # forcing a driver-side OOM with an unconditional hint.
+    BROADCAST_DELETE_BYTES = 64 * 1024 * 1024
+
     def read_snapshot(self, spark: SparkSession) -> DataFrame:
         commits = self._commits()
         if not commits:
             raise FileNotFoundError(f"no commits under {self.path}")
         data = None
         dels = None
+        del_bytes = 0
+        for c in commits:
+            ddir = os.path.join(self.path, c["deletes"])
+            del_bytes += sum(
+                os.path.getsize(os.path.join(ddir, f))
+                for f in os.listdir(ddir)
+                if f.endswith(".parquet")
+            )
         for c in commits:
             d = spark.read.parquet(
                 os.path.join(self.path, c["data"])
@@ -276,8 +290,10 @@ class MorUpsertSink:
                 F.lit(c["seq"]).cast("long").alias("__del_seq"),
             )
             dels = dl if dels is None else dels.unionByName(dl)
+        if del_bytes <= self.BROADCAST_DELETE_BYTES:
+            dels = F.broadcast(dels)
         live = data.join(
-            F.broadcast(dels),
+            dels,
             (data[self.key] == dels["__del_key"])
             & (dels["__del_seq"] > data["__seq"]),
             "left_anti",

@@ -1847,7 +1847,11 @@ def scan_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted away by the vacuum path, never by ingest."""
     from ..pipeline import MorUpsertSink
 
-    base = _cache_dir(sf_dir, "mor_upserts")
+    # Fixture dir keyed by the source's mtime (the pq_codes/ivfpq_codes
+    # discipline): a wiped + rewritten sf dir can never replay a stale
+    # upsert history against a fresh-corpus oracle.
+    src_mt = os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns
+    base = os.path.join(_cache_dir(sf_dir, "mor_upserts"), f"v1-{src_mt}")
     sink = MorUpsertSink(base, key="o_orderkey", order=["ver"])
     if len(sink._commits()) < len(_MOR_SEQS):
         o = table(spark, sf_dir, "orders").select("o_orderkey")

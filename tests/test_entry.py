@@ -60,7 +60,7 @@ def test_registry_size_is_intentional():
     # Round 12 shrank it 444 -> 442: the two temporary DP decomposition
     # diagnostics (privacy_dp_count_parts, privacy_dp_mean_parts) were
     # retired per their own drop-once-green contract after r11 greened
-    # the main keys (VERDICT r11 item 2); then grew it to 445 with
+    # the main keys (VERDICT r11 item 2); then grew it to 446 with
     # sim_ivfpq_trained (VERDICT r11 item 5), sim_ivfpq_rescore (the
     # IVFPQR refine ladder end), scan_mor_snapshot (the MorUpsertSink
     # read path, item 6), and privacy_dp_gaussian_count (the Gaussian
