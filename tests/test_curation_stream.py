@@ -154,6 +154,23 @@ def test_streaming_admission_converges_after_crash(spark, docs, tmp_path):
                 for r in doremi_report(target).collect()}
     assert got_drm == want_drm
     assert sum(v[3] for v in got_drm.values()) == 1000
+    # round 13 (VERDICT r12 item 2): the state partitions carry
+    # RUNNING per-source sums — the latest mix_state partition alone
+    # equals the batch twin's token sums (O(sources) rows), so a
+    # trigger's release reads ONE state partition, never the admitted
+    # corpus and never the partition history.
+    import os
+
+    from py_pubsub_pipeline_spark.curation_stream import _mix_batch_sums
+
+    base = os.path.join(out, "mix_state")
+    latest = max(int(d.split("=", 1)[1]) for d in os.listdir(base)
+                 if d.startswith("batch="))
+    st = {r["source"]: r["tok"] for r in spark.read.parquet(
+        os.path.join(base, f"batch={latest}")).collect()}
+    want_sums = {r["source"]: r["tok"]
+                 for r in _mix_batch_sums(target).collect()}
+    assert st == want_sums
 
 
 def test_streaming_pipeline_helper_runs_clean(spark, docs, tmp_path):
