@@ -26,10 +26,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver records CORRECTNESS rows for roughly the first 50 keys of
 # queries() per round.  _DRIVER_RECORDED is the literal union of the
-# GREEN key sets in CORRECTNESS_r01..r11.json, intersected with the
-# live registry (442 keys after the round-12 retirement of the two
-# _parts DP diagnostics; r11 was the first fully-green record and
-# closed the only reds ever written).  Enumeration order:
+# GREEN key sets in CORRECTNESS_r01..r12.json, intersected with the
+# live registry (446 keys: 442 after the round-12 retirement of the
+# two _parts DP diagnostics, plus the four round-12 additions recorded
+# green in r12; r11 was the first fully-green record and closed the
+# only reds ever written).  Enumeration order:
 # (1) _PRIORITY (currently empty), (2) any unrecorded keys in registry
 # order (new keys land here), (3) the already-recorded greens.
 _DRIVER_RECORDED = frozenset({
@@ -199,6 +200,12 @@ _DRIVER_RECORDED = frozenset({
     "rag_prf_expansion", "scan_bucket_pruning", "scan_equality_deletes",
     "scan_minmax_skipping", "scan_partition_evolution", "sim_ivfpq",
     "sim_lsh_multiprobe", "sim_range_search", "ts_token_bucket_meter",
+    # --- CORRECTNESS_r12.json greens (all 50 rows green; 4 keys new
+    # to the record — the round-12 additions, each 5-scale certified
+    # at birth — the other 46 re-records of the rotation's
+    # asof/text/fn/stream sweep) ---
+    "privacy_dp_gaussian_count", "scan_mor_snapshot",
+    "sim_ivfpq_rescore", "sim_ivfpq_trained",
 })
 
 
@@ -211,7 +218,7 @@ _PRIORITY = ()
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this
 # round number; tests derive the expected set from those artifacts
 # (bump this when folding a new round's records in).
-_RECORDED_THROUGH = 11
+_RECORDED_THROUGH = 12
 
 
 def _ordered():
