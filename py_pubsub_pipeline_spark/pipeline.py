@@ -207,10 +207,12 @@ class MorUpsertSink:
     committed data files tagged with their sequence number, broadcast
     the union of committed delete files, and anti-join on
     (same key AND delete.seq > row.seq).  Scale: delete files are
-    keys-sized and broadcast; a delta that outgrows broadcast becomes
-    a shuffled anti join — same plan, one more exchange; the
-    vacuum/compaction that eventually folds deltas into base files is
-    `compact_manifest`'s job, not the ingest path's."""
+    keys-sized and broadcast below a size gate (shuffled anti join
+    past it — same plan, one more exchange); `compact` folds the
+    accumulated deltas into a resolved base file off the ingest path
+    (reads then union only post-base deltas) and `vacuum` expires the
+    superseded files, so neither the read plan nor the directory
+    grows with table age."""
 
     def __init__(self, path: str, key: str, order: list[str]):
         self.path = path
@@ -264,21 +266,57 @@ class MorUpsertSink:
     # forcing a driver-side OOM with an unconditional hint.
     BROADCAST_DELETE_BYTES = 64 * 1024 * 1024
 
-    def read_snapshot(self, spark: SparkSession) -> DataFrame:
-        commits = self._commits()
-        if not commits:
-            raise FileNotFoundError(f"no commits under {self.path}")
+    def _compaction_dir(self) -> str:
+        return os.path.join(self.path, "compactions")
+
+    def _compactions(self) -> list[int]:
+        """Committed compaction sequence numbers, ascending."""
+        import json
+
+        out = []
+        cdir = self._compaction_dir()
+        if os.path.isdir(cdir):
+            for name in sorted(os.listdir(cdir)):
+                if name.endswith(".json"):
+                    with open(os.path.join(cdir, name)) as fh:
+                        out.append(int(json.load(fh)["seq"]))
+        return sorted(out)
+
+    def read_snapshot(self, spark: SparkSession,
+                      through: int | None = None) -> DataFrame:
+        """Resolve the MoR table as of sequence ``through`` (latest
+        when None): start from the newest committed BASE file at or
+        below ``through`` (a prior ``compact`` output — already
+        latest-wins-resolved, tagged with the compaction's sequence
+        so later deletes apply to it exactly as they would to the
+        per-row originals, all of which are <= the base seq), union
+        the delta data files after it, and anti-join against ONLY the
+        post-base delete files.  With no compaction this is the plain
+        v2 resolution; after one, the read unions O(deltas since
+        compaction) files — ZERO delete files from compacted
+        sequences — instead of one per trigger since table birth."""
+        commits = [c for c in self._commits()
+                   if through is None or c["seq"] <= through]
+        comps = [s for s in self._compactions()
+                 if through is None or s <= through]
+        base_seq = max(comps) if comps else None
+        live = [c for c in commits
+                if base_seq is None or c["seq"] > base_seq]
         data = None
         dels = None
         del_bytes = 0
-        for c in commits:
+        if base_seq is not None:
+            data = spark.read.parquet(
+                os.path.join(self.path, f"base-{base_seq}")
+            ).withColumn("__seq", F.lit(base_seq).cast("long"))
+        for c in live:
             ddir = os.path.join(self.path, c["deletes"])
             del_bytes += sum(
                 os.path.getsize(os.path.join(ddir, f))
                 for f in os.listdir(ddir)
                 if f.endswith(".parquet")
             )
-        for c in commits:
+        for c in live:
             d = spark.read.parquet(
                 os.path.join(self.path, c["data"])
             ).withColumn("__seq", F.lit(c["seq"]).cast("long"))
@@ -290,15 +328,104 @@ class MorUpsertSink:
                 F.lit(c["seq"]).cast("long").alias("__del_seq"),
             )
             dels = dl if dels is None else dels.unionByName(dl)
+        if data is None:
+            raise FileNotFoundError(f"no commits under {self.path}")
+        if dels is None:
+            return data.drop("__seq")
         if del_bytes <= self.BROADCAST_DELETE_BYTES:
             dels = F.broadcast(dels)
-        live = data.join(
+        live_rows = data.join(
             dels,
             (data[self.key] == dels["__del_key"])
             & (dels["__del_seq"] > data["__seq"]),
             "left_anti",
         )
-        return live.drop("__seq")
+        return live_rows.drop("__seq")
+
+    def compact(self, spark: SparkSession,
+                through: int | None = None) -> str:
+        """Fold the accumulated data/delete deltas up to ``through``
+        (latest committed sequence when None) into ONE resolved base
+        file — the `compact_manifest` discipline (sources/io.py)
+        applied to the MoR write loop, closing the deferral in this
+        class's docstring: a long-running ingest no longer grows the
+        read-side delete union without bound.
+
+          1. stage: write the resolved snapshot through ``through``
+             (itself served off any earlier base — compaction is
+             incremental) as ``base-{through}`` (overwrite mode — a
+             replayed compaction converges);
+          2. commit: an atomic tmp-then-rename marker under
+             compactions/ — the same commit discipline as ingest.
+
+        The compacted delta files are NOT deleted: pre-compaction
+        time travel (read_snapshot(through=S) for S < ``through``)
+        keeps resolving byte-identically until ``vacuum`` expires
+        them — exactly compact_manifest's orphan rule.  Scale: the
+        rewrite is one pass over live rows; post-compaction reads
+        union O(deltas since) files instead of O(table age)."""
+        import json
+
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"no commits under {self.path}")
+        if through is None:
+            through = max(c["seq"] for c in commits)
+        if through in self._compactions():
+            # the marker IS the commit point and its content is
+            # deterministic — a replay after commit is a no-op (and
+            # must not overwrite the base file a concurrent read may
+            # be resolving against / this read would source from)
+            return f"base-{through}"
+        snap = self.read_snapshot(spark, through=through)
+        rel = f"base-{through}"
+        snap.write.mode("overwrite").parquet(
+            os.path.join(self.path, rel))
+        os.makedirs(self._compaction_dir(), exist_ok=True)
+        entry = os.path.join(self._compaction_dir(), f"{through}.json")
+        tmp = entry + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"seq": int(through), "base": rel}, fh)
+        os.replace(tmp, entry)
+        return rel
+
+    def vacuum(self, retain_from: int) -> list[str]:
+        """Expire delta files superseded by a compaction, enforcing
+        vacuum_manifest's protection rule: a relation is deletable iff
+        NO read with through >= ``retain_from`` can need it.  A read
+        at T starts from the newest base <= T, so with B = the newest
+        compaction <= retain_from, every data/delete delta with
+        seq <= B and every older base is dead weight for the retained
+        window.  Deletes them (and their commit entries) and returns
+        the removed relation names; time travel below ``retain_from``
+        is the caller's contract to give up, exactly as with
+        vacuum_manifest."""
+        import shutil
+
+        comps = self._compactions()
+        protected = max((s for s in comps if s <= retain_from),
+                        default=None)
+        if protected is None:
+            return []
+        deleted = []
+        for c in self._commits():
+            if c["seq"] <= protected:
+                for rel in (c["data"], c["deletes"]):
+                    p = os.path.join(self.path, rel)
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
+                        deleted.append(rel)
+                os.remove(os.path.join(self._commit_dir(),
+                                       f"{c['seq']}.json"))
+        for s in comps:
+            if s < protected:
+                p = os.path.join(self.path, f"base-{s}")
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                    deleted.append(f"base-{s}")
+                os.remove(os.path.join(self._compaction_dir(),
+                                       f"{s}.json"))
+        return deleted
 
 
 class CollectingSink:

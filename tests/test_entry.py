@@ -65,8 +65,9 @@ def test_registry_size_is_intentional():
     # IVFPQR refine ladder end), scan_mor_snapshot (the MorUpsertSink
     # read path, item 6), and privacy_dp_gaussian_count (the Gaussian
     # mechanism, completing the DP mechanism pair) — SURVEY.md §2C
-    # round-12 row.
-    assert len(load_all()) == 446
+    # round-12 row.  Round 13 adds scan_mor_compacted (the MoR
+    # compaction read path, VERDICT r12 item 5): 447.
+    assert len(load_all()) == 447
 
 
 def test_recorded_set_matches_correctness_artifacts():

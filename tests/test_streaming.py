@@ -368,3 +368,66 @@ def test_mor_upsert_sink_equals_cow_snapshot_and_replays(spark, tmp_path):
     again = {tuple(r) for r in
              mor.read_snapshot(spark).select(*cols).collect()}
     assert again == mor_snap
+
+
+def test_mor_compaction_preserves_resolution_and_time_travel(
+    spark, tmp_path
+):
+    """MoR delta compaction (VERDICT r12 item 5): ingest N sequences
+    through MorUpsertSink, compact mid-history, and the resolved
+    snapshot must be identical before/after at every as-of point; the
+    post-compaction read must union ZERO delete files from compacted
+    sequences; replaying the compaction converges; vacuum expires the
+    superseded deltas without changing the retained reads."""
+    import os
+
+    from py_pubsub_pipeline_spark.pipeline import MorUpsertSink
+
+    base = str(tmp_path / "mor")
+    sink = MorUpsertSink(base, key="k", order=["ver"])
+    o = table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("k"))
+    preds = ["k % 3 = 0", "k % 3 <= 1", "k % 5 = 0", "k % 7 = 0"]
+    for seq, pred in enumerate(preds):
+        sink(
+            o.where(pred).select(
+                "k", F.lit(seq).cast("long").alias("ver"),
+                (F.col("k") * 10 + seq).cast("long").alias("val"),
+            ),
+            seq,
+        )
+
+    def snap(through=None):
+        return {tuple(r) for r in sink.read_snapshot(
+            spark, through=through).select("k", "ver", "val").collect()}
+
+    before = {t: snap(t) for t in (0, 1, 2, 3, None)}
+    rel = sink.compact(spark, through=2)
+    assert rel == "base-2"
+    # identical resolution at every as-of point, pre- and post-base
+    for t, want in before.items():
+        assert snap(t) == want, f"through={t} changed after compact"
+    # the default read now starts from base-2: its scan set is the
+    # base + the post-compaction delta (seq 3) — zero delete files
+    # from compacted sequences
+    files = sink.read_snapshot(spark).inputFiles()
+    assert any("/base-2/" in f for f in files)
+    assert any("/delete-3/" in f for f in files)
+    for s in (0, 1, 2):
+        assert not any(f"/delete-{s}/" in f or f"/data-{s}/" in f
+                       for f in files)
+    # replaying the compaction (same through) converges
+    sink.compact(spark, through=2)
+    assert snap() == before[None]
+    # vacuum below the retained window: compacted deltas disappear
+    # from disk, every retained read is unchanged
+    removed = sink.vacuum(retain_from=2)
+    assert sorted(removed) == sorted(
+        [f"data-{s}" for s in (0, 1, 2)]
+        + [f"delete-{s}" for s in (0, 1, 2)]
+    )
+    for s in (0, 1, 2):
+        assert not os.path.exists(os.path.join(base, f"data-{s}"))
+    assert snap() == before[None]
+    assert snap(2) == before[2]
+    assert snap(3) == before[3]
