@@ -65,6 +65,12 @@ HEADLINE = [
                             # + residual-PQ ADC off the persisted codes
                             # fixture.  r12+ totals include this row;
                             # compare r11 via the other eleven.
+    "scan_mor_snapshot",    # lakehouse headline (round 13): merge-on-
+                            # read resolution — union of per-sequence
+                            # data files + ONE broadcast anti-join on
+                            # the delete union (Iceberg v2's rule).
+                            # r13+ totals include this row; compare r12
+                            # via the other twelve.
 ]
 
 # Sub-second shapes: their output (and often input) is tiny, so the
@@ -82,6 +88,9 @@ SHUFFLE_WIDTH = {
     # code rows are 4 B/vector and the output is queries x k — every
     # exchange in the PQ plan carries KBs at any corpus size
     "sim_pq_adc": 8,
+    # the delete side broadcasts and the map-side-combined final agg
+    # emits 7 groups — the only exchange carries a few rows per task
+    "scan_mor_snapshot": 8,
 }
 
 
