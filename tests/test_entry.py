@@ -66,8 +66,10 @@ def test_registry_size_is_intentional():
     # read path, item 6), and privacy_dp_gaussian_count (the Gaussian
     # mechanism, completing the DP mechanism pair) — SURVEY.md §2C
     # round-12 row.  Round 13 adds scan_mor_compacted (the MoR
-    # compaction read path, VERDICT r12 item 5): 447.
-    assert len(load_all()) == 447
+    # compaction read path, VERDICT r12 item 5) and
+    # sim_ivfpq_mp_rescore (IVF multi-probe + scaled exact refine,
+    # item 7): 448.
+    assert len(load_all()) == 448
 
 
 def test_recorded_set_matches_correctness_artifacts():
