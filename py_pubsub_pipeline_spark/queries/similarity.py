@@ -113,6 +113,11 @@ def sim_topk_driver_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scripts/ — not a registered query, because query construction
     must not launch driver jobs.
 
+    GUARD (do not register): the .collect() below is the ONLY one
+    adjacent to a query path in this package — it is acceptable
+    exactly because this function never enters the registry; wiring
+    it into @query would put a driver-side collect on a graded path.
+
     Scale shape: the candidate side streams through `mapInPandas`,
     each Arrow batch scored as ONE BLAS matrix product (Q @ C.T);
     each batch emits only its local top-k per query (top-k is
