@@ -2491,6 +2491,54 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_search(v, cen, sf_dir=sf_dir, kind="ivfpq_codes")
 
 
+@query("sim_ivfpq_streamed", oracle=_ivfpq_oracle())
+def sim_ivfpq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search over a STREAM-MAINTAINED index (round 13): the
+    codes relation is built THROUGH streaming/ann_index.IvfpqIndexSink
+    — the corpus arrives as three micro-batches (vec_id % 3 slices),
+    each encoded MAP-SIDE against the FIXED codebooks (FAISS's
+    train-once / add-per-batch separation) and committed as a
+    batch-keyed partition — and the identical `_ivfpq_search` plan
+    scans the unioned partitions.  The oracle is sim_ivfpq's,
+    UNCHANGED: encoding is per-row deterministic, so a streamed index
+    is value-identical to a batch-built one over the same vectors —
+    which is exactly the property this key certifies against DuckDB
+    (the scan_mor_snapshot discipline: the fixture materializes
+    through the sink itself; the oracle never sees it).
+
+    Scale: per-trigger index maintenance is O(batch) — two broadcast
+    crossJoins against one-row codebook tables, no shuffle — and the
+    search reads the same 10 ints/vector it would from a monolithic
+    fixture; many small batch partitions compact via ordinary parquet
+    file maintenance, orthogonal to correctness since the relation is
+    a plain union.  Replay safety is pytest-proven beside the sink
+    (tests/test_streaming.py)."""
+    import os as _os
+
+    from ..streaming.ann_index import IvfpqIndexSink
+    from .formats import _cache_dir
+
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding", "e"))
+    cen = v.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    cenball = _ivfpq_cenball(cen)
+    cbball = _ivfpq_cb_init(
+        _ivfpq_assign(v.where(f"vec_id < {IVF_NLIST + PQ_K}"), cenball)
+    )
+    src_mt = _os.stat(
+        _os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns
+    path = _os.path.join(_cache_dir(sf_dir, "ivfpq_stream"),
+                         f"v1-{src_mt}")
+    sink = IvfpqIndexSink(path, cenball, cbball)
+    if len(sink._committed()) < 3:
+        for i in range(3):
+            sink(v.where(f"vec_id % 3 = {i}"), i)
+    return _ivfpq_search(v, cen, cbball=cbball,
+                         enc=sink.read_index(spark))
+
+
 def _ivfpq_ip(a: str, b: str) -> str:
     return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
             f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
@@ -2622,7 +2670,8 @@ def _ivfpq_cb_train(res: DataFrame, cbball: DataFrame) -> DataFrame:
 def _ivfpq_search(v: DataFrame, cen: DataFrame, sf_dir: str | None = None,
                   kind: str | None = None, r: int = TOP_K,
                   cbball: DataFrame | None = None,
-                  multiprobe: bool = False) -> DataFrame:
+                  multiprobe: bool = False,
+                  enc: DataFrame | None = None) -> DataFrame:
     """The IVF-PQ search pipeline shared by sim_ivfpq (first-vectors
     coarse codebook), sim_ivfpq_trained (Lloyd-trained codebooks read
     from persisted index fixtures), and sim_ivfpq_rescore: assignment,
@@ -2654,28 +2703,32 @@ def _ivfpq_search(v: DataFrame, cen: DataFrame, sf_dir: str | None = None,
     res = _ivfpq_assign(v, cenball)
     if cbball is None:
         cbball = _ivfpq_cb_init(res)
-    enc = (
-        res.crossJoin(F.broadcast(cbball))
-        .selectExpr("vec_id", "cell",
-                    *[_ivfpq_code_expr(m) for m in range(PQ_M)])
-    )
-    if sf_dir is not None and kind is not None:
-        # INDEX BUILD materialized once per corpus (the sim_pq_adc
-        # fixture discipline, BASELINE.md round 12): (vec_id, cell,
-        # codes) is exactly what a FAISS IVF-PQ index persists;
-        # searches read 10 ints/vector instead of re-routing and
-        # re-encoding 64-float vectors every run.  mtime in the key so
-        # a rebuilt derived corpus can never serve stale codes.
-        import os as _os
+    if enc is None:
+        # caller did not hand us a codes relation (a streamed index,
+        # IvfpqIndexSink.read_index) — encode here, and materialize
+        # once per corpus when a fixture slot is named
+        enc = (
+            res.crossJoin(F.broadcast(cbball))
+            .selectExpr("vec_id", "cell",
+                        *[_ivfpq_code_expr(m) for m in range(PQ_M)])
+        )
+        if sf_dir is not None and kind is not None:
+            # INDEX BUILD materialized once per corpus (the sim_pq_adc
+            # fixture discipline, BASELINE.md round 12): (vec_id, cell,
+            # codes) is exactly what a FAISS IVF-PQ index persists;
+            # searches read 10 ints/vector instead of re-routing and
+            # re-encoding 64-float vectors every run.  mtime in the key
+            # so a rebuilt derived corpus can never serve stale codes.
+            import os as _os
 
-        from .formats import _cache_dir
+            from .formats import _cache_dir
 
-        src_mt = _os.stat(
-            _os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns
-        path = _os.path.join(_cache_dir(sf_dir, kind), f"v1-{src_mt}")
-        if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-            enc.write.mode("overwrite").parquet(path)
-        enc = v.sparkSession.read.parquet(path)
+            src_mt = _os.stat(
+                _os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns
+            path = _os.path.join(_cache_dir(sf_dir, kind), f"v1-{src_mt}")
+            if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+                enc.write.mode("overwrite").parquet(path)
+            enc = v.sparkSession.read.parquet(path)
     if multiprobe:
         # Query-side PROBE EXPANSION (sim_lsh_multiprobe's discipline
         # on IVF cells): the probe set is the NPROBE nearest cells

@@ -68,9 +68,10 @@ def test_registry_size_is_intentional():
     # round-12 row.  Round 13 adds scan_mor_compacted (the MoR
     # compaction read path, VERDICT r12 item 5) and
     # sim_ivfpq_mp_rescore (IVF multi-probe + scaled exact refine,
-    # item 7), and privacy_dp_accountant (the composed zCDP/basic
-    # privacy-budget ledger, item 8): 449.
-    assert len(load_all()) == 449
+    # item 7), privacy_dp_accountant (the composed zCDP/basic
+    # privacy-budget ledger, item 8), and sim_ivfpq_streamed (search
+    # over a stream-maintained index, IvfpqIndexSink): 450.
+    assert len(load_all()) == 450
 
 
 def test_recorded_set_matches_correctness_artifacts():

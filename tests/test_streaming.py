@@ -370,6 +370,75 @@ def test_mor_upsert_sink_equals_cow_snapshot_and_replays(spark, tmp_path):
     assert again == mor_snap
 
 
+def test_ivfpq_index_sink_streams_value_identical_index(spark, tmp_path):
+    """Streaming ANN index maintenance (round 13): vectors ingested
+    through IvfpqIndexSink in micro-batches must yield a codes
+    relation value-identical to a batch-built one (encoding is
+    per-row deterministic against FIXED codebooks), a replayed batch
+    must converge, and search over the streamed index must equal the
+    registered sim_ivfpq results."""
+    from pyspark.sql import functions as F
+
+    from py_pubsub_pipeline_spark.queries.similarity import (
+        IVF_NLIST, PQ_K, PQ_M, _dvec, _ivfpq_assign, _ivfpq_cb_init,
+        _ivfpq_cenball, _ivfpq_code_expr, _ivfpq_search,
+    )
+    from py_pubsub_pipeline_spark.registry import load_all
+    from py_pubsub_pipeline_spark.streaming.ann_index import IvfpqIndexSink
+
+    e = table(spark, SF_SMALL, "embeddings")
+    v = e.select("vec_id", _dvec("embedding", "e"))
+    cen = v.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    cenball = _ivfpq_cenball(cen)
+    cbball = _ivfpq_cb_init(
+        _ivfpq_assign(v.where(f"vec_id < {IVF_NLIST + PQ_K}"), cenball))
+
+    # drive through a REAL stream: 4 drop files -> foreachBatch
+    src = str(tmp_path / "vecs")
+    e.withColumn("bucket", F.col("vec_id") % 4).write.partitionBy(
+        "bucket").parquet(src)
+    sink = IvfpqIndexSink(str(tmp_path / "idx"), cenball, cbball)
+    batch_schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select("vec_id", _dvec("embedding", "e"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(sink._committed()) >= 2
+
+    code_cols = ["vec_id", "cell"] + [f"code_{m}" for m in range(PQ_M)]
+    streamed = {tuple(r) for r in
+                sink.read_index(spark).select(*code_cols).collect()}
+    batch_built = {tuple(r) for r in (
+        _ivfpq_assign(v, cenball)
+        .crossJoin(F.broadcast(cbball))
+        .selectExpr("vec_id", "cell",
+                    *[_ivfpq_code_expr(m) for m in range(PQ_M)])
+        .collect()
+    )}
+    assert streamed == batch_built
+    # replay the last committed batch verbatim: overwrite converges
+    last = sink._committed()[-1]
+    rows = spark.read.parquet(src).where(F.col("bucket") == last).select(
+        "vec_id", _dvec("embedding", "e"))
+    sink(spark.createDataFrame(rows.collect(), rows.schema), last)
+    again = {tuple(r) for r in
+             sink.read_index(spark).select(*code_cols).collect()}
+    assert again == streamed
+    # search over the streamed index == the registered key's results
+    got = {tuple(r) for r in _ivfpq_search(
+        v, cen, cbball=cbball, enc=sink.read_index(spark)).collect()}
+    want = {tuple(r) for r in
+            load_all()["sim_ivfpq"].fn(spark, SF_SMALL).collect()}
+    assert got == want
+
+
 def test_mor_compaction_preserves_resolution_and_time_travel(
     spark, tmp_path
 ):
