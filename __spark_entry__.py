@@ -27,10 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records CORRECTNESS rows for roughly the first 50 keys of
 # queries() per round.  _DRIVER_RECORDED is the literal union of the
 # GREEN key sets in CORRECTNESS_r01..r12.json, intersected with the
-# live registry (446 keys: 442 after the round-12 retirement of the
-# two _parts DP diagnostics, plus the four round-12 additions recorded
-# green in r12; r11 was the first fully-green record and closed the
-# only reds ever written).  Enumeration order:
+# live registry — 446 recorded-green keys (442 after the round-12
+# retirement of the two _parts DP diagnostics, plus the four round-12
+# additions recorded green in r12; r11 was the first fully-green
+# record and closed the only reds ever written).  The live registry
+# itself is larger (round-13 additions await their first record —
+# tests/test_entry.py asserts the current size).  Enumeration order:
 # (1) _PRIORITY (currently empty), (2) any unrecorded keys in registry
 # order (new keys land here), (3) the already-recorded greens.
 _DRIVER_RECORDED = frozenset({

@@ -416,8 +416,47 @@ class CurationAdmissionSink:
     # not just on kept ones.
     semantic: bool = False
 
+    # Reweight-state layout version.  v2 (round 13): mix_state/
+    # doremi_state partitions carry RUNNING per-source totals; v1
+    # (round 12, unmarked) stored one batch's partials per partition.
+    # Folding a v1 directory under v2 semantics would silently
+    # undercount every pre-upgrade batch, so the sink stamps the
+    # layout and REFUSES to resume an unmarked directory that already
+    # has state partitions.
+    STATE_FORMAT = "v2-running-sums"
+
     def _dir(self, kind: str) -> str:
         return os.path.join(self.path, kind)
+
+    def _assert_state_format(self) -> None:
+        marker = os.path.join(self.path, "_STATE_FORMAT")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                have = fh.read().strip()
+            if have != self.STATE_FORMAT:
+                raise RuntimeError(
+                    f"reweight state at {self.path} has layout "
+                    f"{have!r}; this sink writes "
+                    f"{self.STATE_FORMAT!r} — migrate or restart the "
+                    f"state, do not mix layouts")
+            return
+        for kind in ("doremi_state", "mix_state"):
+            d = self._dir(kind)
+            if os.path.isdir(d) and any(
+                n.startswith("batch=") for n in os.listdir(d)
+            ):
+                raise RuntimeError(
+                    f"unmarked (pre-{self.STATE_FORMAT}) reweight "
+                    f"state at {d}: its partitions hold per-batch "
+                    f"partials, which running-sum folding would "
+                    f"silently undercount — migrate (fold all legacy "
+                    f"partitions into one running partition) or "
+                    f"restart the state")
+        os.makedirs(self.path, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(self.STATE_FORMAT + "\n")
+        os.replace(tmp, marker)
 
     def _standing(self, spark: SparkSession, before_batch: int) -> DataFrame:
         """Union of state partitions admitted by batches < before_batch
@@ -545,6 +584,7 @@ class CurationAdmissionSink:
         )
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        self._assert_state_format()
         spark = batch_df.sparkSession
         docs = batch_df
         if "value" in docs.columns and "doc_id" not in docs.columns:

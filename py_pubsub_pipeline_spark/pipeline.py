@@ -367,11 +367,17 @@ class MorUpsertSink:
         import json
 
         commits = self._commits()
+        comps = self._compactions()
         if not commits:
+            if through is None and comps:
+                # fully-vacuumed quiescent table: everything already
+                # lives in the newest base — a maintenance no-op, not
+                # an error (the table reads fine via read_snapshot)
+                return f"base-{max(comps)}"
             raise FileNotFoundError(f"no commits under {self.path}")
         if through is None:
             through = max(c["seq"] for c in commits)
-        if through in self._compactions():
+        if through in comps:
             # the marker IS the commit point and its content is
             # deterministic — a replay after commit is a no-op (and
             # must not overwrite the base file a concurrent read may

@@ -37,6 +37,20 @@ def _cache_dir(sf_dir: str, kind: str) -> str:
     return os.path.join(tempfile.gettempdir(), "spark_formats", tag, kind)
 
 
+def _fixture_dir(sf_dir: str, kind: str,
+                 src: str = "embeddings.parquet") -> str:
+    """mtime_ns-keyed fixture dir — THE key derivation for every
+    derived index/history artifact (PQ/IVF-PQ codes, trained
+    codebooks, streamed indexes, MoR upsert histories): a wiped +
+    rewritten sf corpus can never serve a stale artifact against a
+    fresh-corpus oracle, and a corpus rebuilt within the same second
+    can't either (nanosecond key).  One helper so the next
+    cache-invalidation fix lands in one place (round-13 review: the
+    pattern had been copy-pasted at six sites)."""
+    mt = os.stat(os.path.join(sf_dir, src)).st_mtime_ns
+    return os.path.join(_cache_dir(sf_dir, kind), f"v1-{mt}")
+
+
 def _materialize(spark: SparkSession, sf_dir: str, kind: str, tbl: str,
                  writer) -> str:
     """Write the derived copy once per (sf_dir, kind); Spark's own
@@ -1847,11 +1861,7 @@ def scan_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted away by the vacuum path, never by ingest."""
     from ..pipeline import MorUpsertSink
 
-    # Fixture dir keyed by the source's mtime (the pq_codes/ivfpq_codes
-    # discipline): a wiped + rewritten sf dir can never replay a stale
-    # upsert history against a fresh-corpus oracle.
-    src_mt = os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns
-    base = os.path.join(_cache_dir(sf_dir, "mor_upserts"), f"v1-{src_mt}")
+    base = _fixture_dir(sf_dir, "mor_upserts", "orders.parquet")
     sink = MorUpsertSink(base, key="o_orderkey", order=["ver"])
     if len(sink._commits()) < len(_MOR_SEQS):
         o = table(spark, sf_dir, "orders").select("o_orderkey")
@@ -1907,8 +1917,7 @@ def scan_mor_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite-data-files + expire-snapshots pair."""
     from ..pipeline import MorUpsertSink
 
-    src_mt = os.stat(os.path.join(sf_dir, "orders.parquet")).st_mtime_ns
-    base = os.path.join(_cache_dir(sf_dir, "mor_compact"), f"v1-{src_mt}")
+    base = _fixture_dir(sf_dir, "mor_compact", "orders.parquet")
     sink = MorUpsertSink(base, key="o_orderkey", order=["ver"])
     if len(sink._commits()) < len(_MOR_SEQS):
         o = table(spark, sf_dir, "orders").select("o_orderkey")

@@ -1899,14 +1899,12 @@ def _pq_candidates(spark: SparkSession, sf_dir: str, r: int) -> DataFrame:
     # codes relation instead of re-deriving it from 64-float vectors.
     import os as _os
 
-    from .formats import _cache_dir
+    from .formats import _fixture_dir
 
     # Cache key includes the source's mtime so a rebuilt derived
     # corpus (/tmp/sfN is wiped + rewritten on scheme changes) can
     # never serve stale codes.
-    src_mt = _os.stat(
-        _os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns
-    path = _os.path.join(_cache_dir(sf_dir, "pq_codes"), f"v1-{src_mt}")
+    path = _fixture_dir(sf_dir, "pq_codes")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         (
             v2.crossJoin(F.broadcast(cball))
@@ -2513,10 +2511,8 @@ def sim_ivfpq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     file maintenance, orthogonal to correctness since the relation is
     a plain union.  Replay safety is pytest-proven beside the sink
     (tests/test_streaming.py)."""
-    import os as _os
-
     from ..streaming.ann_index import IvfpqIndexSink
-    from .formats import _cache_dir
+    from .formats import _fixture_dir
 
     e = table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _dvec("embedding", "e"))
@@ -2527,10 +2523,7 @@ def sim_ivfpq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbball = _ivfpq_cb_init(
         _ivfpq_assign(v.where(f"vec_id < {IVF_NLIST + PQ_K}"), cenball)
     )
-    src_mt = _os.stat(
-        _os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns
-    path = _os.path.join(_cache_dir(sf_dir, "ivfpq_stream"),
-                         f"v1-{src_mt}")
+    path = _fixture_dir(sf_dir, "ivfpq_stream")
     sink = IvfpqIndexSink(path, cenball, cbball)
     if len(sink._committed()) < 3:
         for i in range(3):
@@ -2605,6 +2598,20 @@ def _ivfpq_code_expr(m: int) -> str:
     return (f"(array_min(transform(element_at(cb, {m + 1}),"
             f" (c, k) -> {_ivfpq_d2(f'slice(r, {o}, {PQ_SUB})', 'c')}"
             f" * 100 + k)) % 100) AS code_{m}")
+
+
+def _ivfpq_encode(res: DataFrame, cbball: DataFrame) -> DataFrame:
+    """THE codes-relation construction — (vec_id, cell, code_0..M-1)
+    from assigned residuals and a one-row broadcast codebook.  Shared
+    by the batch index build (_ivfpq_search) and the streaming index
+    sink (streaming/ann_index.IvfpqIndexSink) so the value-identity
+    the streamed key certifies is structural, not a convention two
+    copies must keep honoring."""
+    return (
+        res.crossJoin(F.broadcast(cbball))
+        .selectExpr("vec_id", "cell",
+                    *[_ivfpq_code_expr(m) for m in range(PQ_M)])
+    )
 
 
 def _ivfpq_cb_train(res: DataFrame, cbball: DataFrame) -> DataFrame:
@@ -2707,11 +2714,7 @@ def _ivfpq_search(v: DataFrame, cen: DataFrame, sf_dir: str | None = None,
         # caller did not hand us a codes relation (a streamed index,
         # IvfpqIndexSink.read_index) — encode here, and materialize
         # once per corpus when a fixture slot is named
-        enc = (
-            res.crossJoin(F.broadcast(cbball))
-            .selectExpr("vec_id", "cell",
-                        *[_ivfpq_code_expr(m) for m in range(PQ_M)])
-        )
+        enc = _ivfpq_encode(res, cbball)
         if sf_dir is not None and kind is not None:
             # INDEX BUILD materialized once per corpus (the sim_pq_adc
             # fixture discipline, BASELINE.md round 12): (vec_id, cell,
@@ -2721,11 +2724,9 @@ def _ivfpq_search(v: DataFrame, cen: DataFrame, sf_dir: str | None = None,
             # so a rebuilt derived corpus can never serve stale codes.
             import os as _os
 
-            from .formats import _cache_dir
+            from .formats import _fixture_dir
 
-            src_mt = _os.stat(
-                _os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns
-            path = _os.path.join(_cache_dir(sf_dir, kind), f"v1-{src_mt}")
+            path = _fixture_dir(sf_dir, kind)
             if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
                 enc.write.mode("overwrite").parquet(path)
             enc = v.sparkSession.read.parquet(path)
@@ -2739,9 +2740,14 @@ def _ivfpq_search(v: DataFrame, cen: DataFrame, sf_dir: str | None = None,
         # touches only the query side: the index, the codes, and the
         # 4 B/vec candidate IO are IDENTICAL to sim_ivfpq's — the
         # probed fraction grows to <= 2*NPROBE/NLIST of the corpus.
-        nmap = ("transform(cents, c1 -> array_min(transform("
+        # neighbor map keyed by cid (NOT by array position — trained
+        # centroid sets can drop empty cells, so position == cid only
+        # holds for the first-vectors layout; the cid-keyed filter
+        # form is layout-independent, like _IVFPQ_RESID's lookup)
+        nmap = ("transform(cents, c1 -> named_struct('cid', c1.cid,"
+                " 'ngh', array_min(transform("
                 "filter(cents, st -> st.cid != c1.cid), st -> "
-                + _ivfpq_d2("c1.ce", "st.ce") + " * 100 + st.cid)) % 100)")
+                + _ivfpq_d2("c1.ce", "st.ce") + " * 100 + st.cid)) % 100))")
         probes = (
             v.where(f"vec_id < {IVF_N_QUERIES}")
             .crossJoin(F.broadcast(cenball))
@@ -2753,7 +2759,8 @@ def _ivfpq_search(v: DataFrame, cen: DataFrame, sf_dir: str | None = None,
             .selectExpr(
                 "query_id", "e", "cents",
                 "explode(array_distinct(concat(cells,"
-                " transform(cells, c -> nmap[CAST(c AS INT)])))) AS cell")
+                " transform(cells, c -> element_at("
+                "filter(nmap, st -> st.cid = c), 1).ngh)))) AS cell")
             .selectExpr("query_id", "cell", f"{_IVFPQ_RESID} AS qr")
         )
     else:
@@ -2827,14 +2834,10 @@ def _ivfpq_trained_index(spark: SparkSession,
     the fixture is value-identical to recomputing."""
     import os as _os
 
-    from .formats import _cache_dir
+    from .formats import _fixture_dir
 
-    src_mt = _os.stat(
-        _os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns
-    cen_path = _os.path.join(
-        _cache_dir(sf_dir, "ivfpq_trained_cen"), f"v1-{src_mt}")
-    cb_path = _os.path.join(
-        _cache_dir(sf_dir, "ivfpq_trained_cb"), f"v1-{src_mt}")
+    cen_path = _fixture_dir(sf_dir, "ivfpq_trained_cen")
+    cb_path = _fixture_dir(sf_dir, "ivfpq_trained_cb")
     if not all(_os.path.exists(_os.path.join(p, "_SUCCESS"))
                for p in (cen_path, cb_path)):
         e = table(spark, sf_dir, "embeddings")

@@ -39,7 +39,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class IvfpqIndexSink:
@@ -73,16 +72,10 @@ class IvfpqIndexSink:
         )
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        from ..queries.similarity import (
-            PQ_M, _ivfpq_assign, _ivfpq_code_expr,
-        )
+        from ..queries.similarity import _ivfpq_assign, _ivfpq_encode
 
         res = _ivfpq_assign(batch_df.select("vec_id", "e"), self.cenball)
-        enc = (
-            res.crossJoin(F.broadcast(self.cbball))
-            .selectExpr("vec_id", "cell",
-                        *[_ivfpq_code_expr(m) for m in range(PQ_M)])
-        )
+        enc = _ivfpq_encode(res, self.cbball)
         enc.write.mode("overwrite").parquet(self._batch_dir(epoch_id))
 
     def read_index(self, spark: SparkSession) -> DataFrame:

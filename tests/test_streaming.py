@@ -423,10 +423,13 @@ def test_ivfpq_index_sink_streams_value_identical_index(spark, tmp_path):
         .collect()
     )}
     assert streamed == batch_built
-    # replay the last committed batch verbatim: overwrite converges
+    # replay the last committed batch verbatim: overwrite converges.
+    # The batch's membership comes from the committed partition itself
+    # (epoch->file assignment is the engine's, not ours to assume).
     last = sink._committed()[-1]
-    rows = spark.read.parquet(src).where(F.col("bucket") == last).select(
-        "vec_id", _dvec("embedding", "e"))
+    member_ids = [r["vec_id"] for r in spark.read.parquet(
+        str(tmp_path / "idx" / f"batch={last}")).select("vec_id").collect()]
+    rows = v.where(F.col("vec_id").isin(member_ids))
     sink(spark.createDataFrame(rows.collect(), rows.schema), last)
     again = {tuple(r) for r in
              sink.read_index(spark).select(*code_cols).collect()}
