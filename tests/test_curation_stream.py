@@ -171,6 +171,23 @@ def test_streaming_admission_converges_after_crash(spark, docs, tmp_path):
     want_sums = {r["source"]: r["tok"]
                  for r in _mix_batch_sums(target).collect()}
     assert st == want_sums
+    # layout guard: the sink stamped the running-sum format...
+    marker = os.path.join(out, "_STATE_FORMAT")
+    with open(marker) as fh:
+        assert fh.read().strip() == sink.STATE_FORMAT
+    # ...and refuses to resume an UNMARKED directory that already has
+    # state partitions (pre-v2 per-batch partials would be silently
+    # undercounted by running-sum folding)
+    os.remove(marker)
+    with pytest.raises(RuntimeError, match="unmarked"):
+        sink._assert_state_format()
+    # a mismatched layout stamp is equally fatal
+    with open(marker, "w") as fh:
+        fh.write("v1-per-batch-partials\n")
+    with pytest.raises(RuntimeError, match="migrate"):
+        sink._assert_state_format()
+    with open(marker, "w") as fh:
+        fh.write(sink.STATE_FORMAT + "\n")
 
 
 def test_streaming_pipeline_helper_runs_clean(spark, docs, tmp_path):

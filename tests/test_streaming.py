@@ -503,3 +503,11 @@ def test_mor_compaction_preserves_resolution_and_time_travel(
     assert snap() == before[None]
     assert snap(2) == before[2]
     assert snap(3) == before[3]
+    # maintenance no-op on a fully-vacuumed quiescent table: compact
+    # everything (through=3), vacuum it all away, then a periodic
+    # compact() must return the newest base instead of raising
+    sink.compact(spark, through=3)
+    sink.vacuum(retain_from=3)
+    assert sink._commits() == []
+    assert sink.compact(spark) == "base-3"
+    assert snap() == before[None]
