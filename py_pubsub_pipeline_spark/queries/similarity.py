@@ -2973,6 +2973,48 @@ def sim_ivfpq_mp_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_exact_refine(v, cand)
 
 
+@query("sim_ivfpq_trained_mp",
+       oracle=_ivfpq_oracle(trained=True, train_residual=True,
+                            multiprobe=True, rescore=True))
+def sim_ivfpq_trained_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY lever the family built, composed (round 13): BOTH
+    quantizers Lloyd-trained AND persisted (_ivfpq_trained_index),
+    multi-probe cell expansion, residual-PQ ADC top-{PQ_MP_RESCORE_R}
+    off the persisted codes, exact refine.  Safe to compose only
+    since the round-13 review fix: the neighbor map is keyed by cid,
+    not array position, and a TRAINED centroid set can drop cells
+    that received zero round-0 members, shifting positions relative
+    to cids.
+
+    The HONEST measurement (scripts/pq_recall.py, sf0.01): recall@
+    {TOP_K} 0.790 — the levers do NOT compose monotonically.
+    Training lifts the ADC tier (0.270 -> 0.330: tighter residuals
+    quantize better) but LOWERS the multi-probe + refine ceiling
+    (0.830 -> 0.790): Lloyd balancing pulls centroids toward mass,
+    which spreads a boundary query's true neighbors differently than
+    the raw first-vectors layout the neighbor expansion was measured
+    to suit.  The ladder's production reading: refine-bound configs
+    want the UNTRAINED layout + multi-probe (sim_ivfpq_mp_rescore,
+    0.830); quantization-bound configs (no refine budget) want
+    training (sim_ivfpq_trained, 0.330).  This key documents the
+    crossover with a certified operator rather than a footnote.
+
+    Exactness: every stage is a certified component (trained-index
+    fixtures; cid-keyed probe expansion; integer ADC; integer-micro
+    exact refine); the oracle re-derives the full composition in SQL.
+
+    Scale: search cost == sim_ivfpq_mp_rescore's (the training is
+    amortized into the persisted fixtures)."""
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding", "e"))
+    cen, cbball = _ivfpq_trained_index(spark, sf_dir)
+    cand = _ivfpq_search(
+        v, cen, sf_dir=sf_dir, kind="ivfpq_codes_trained_r2",
+        r=PQ_MP_RESCORE_R, cbball=cbball, multiprobe=True,
+    ).select("query_id", "neighbor_id")
+    return _pq_exact_refine(v, cand)
+
+
 @query("sim_ivfpq_rescore", oracle=_ivfpq_oracle(rescore=True))
 def sim_ivfpq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE FAISS serving ladder — IVF route -> residual-PQ

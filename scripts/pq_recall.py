@@ -69,6 +69,7 @@ def main() -> int:
         ("sim_ivfpq", "l2", 4),               # IVF route + PQ residuals
         ("sim_ivfpq_trained", "l2", 4),       # 1 Lloyd round on the IVF cells
         ("sim_ivfpq_mp_rescore", "l2", 4),    # neighbor-cell probes + refine
+        ("sim_ivfpq_trained_mp", "l2", 4),    # trained + probes + refine
         ("sim_ivfpq_rescore", "l2", 4),       # IVF-PQ + exact refine (IVFPQR)
         ("sim_pq_rescore", "l2", 4),          # PQ scan + 20 exact reads
         ("sim_topk", "dot", 256),             # exact float32 baseline

@@ -70,8 +70,10 @@ def test_registry_size_is_intentional():
     # sim_ivfpq_mp_rescore (IVF multi-probe + scaled exact refine,
     # item 7), privacy_dp_accountant (the composed zCDP/basic
     # privacy-budget ledger, item 8), and sim_ivfpq_streamed (search
-    # over a stream-maintained index, IvfpqIndexSink): 450.
-    assert len(load_all()) == 450
+    # over a stream-maintained index, IvfpqIndexSink), and
+    # sim_ivfpq_trained_mp (all ANN levers composed — the measured
+    # non-monotonic crossover documented as an operator): 451.
+    assert len(load_all()) == 451
 
 
 def test_recorded_set_matches_correctness_artifacts():
