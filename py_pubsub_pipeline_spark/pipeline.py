@@ -311,11 +311,15 @@ class MorUpsertSink:
             ).withColumn("__seq", F.lit(base_seq).cast("long"))
         for c in live:
             ddir = os.path.join(self.path, c["deletes"])
-            del_bytes += sum(
-                os.path.getsize(os.path.join(ddir, f))
-                for f in os.listdir(ddir)
-                if f.endswith(".parquet")
-            )
+            # walk recursively: the sink writes unpartitioned today,
+            # but the broadcast gate must not silently undercount a
+            # partitioned/nested delete write and broadcast an
+            # oversized union — the exact OOM it exists to prevent
+            for root, _dirs, files in os.walk(ddir):
+                del_bytes += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files if f.endswith(".parquet")
+                )
         for c in live:
             d = spark.read.parquet(
                 os.path.join(self.path, c["data"])
@@ -369,11 +373,15 @@ class MorUpsertSink:
         commits = self._commits()
         comps = self._compactions()
         if not commits:
-            if through is None and comps:
-                # fully-vacuumed quiescent table: everything already
-                # lives in the newest base — a maintenance no-op, not
-                # an error (the table reads fine via read_snapshot)
-                return f"base-{max(comps)}"
+            covering = [s for s in comps
+                        if through is None or s <= through]
+            if covering:
+                # fully-vacuumed quiescent table: everything at or
+                # below the requested point already lives in a base —
+                # a maintenance no-op, not an error (the table reads
+                # fine via read_snapshot), whether the caller pinned
+                # an explicit sequence or asked for "latest"
+                return f"base-{max(covering)}"
             raise FileNotFoundError(f"no commits under {self.path}")
         if through is None:
             through = max(c["seq"] for c in commits)

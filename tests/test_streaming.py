@@ -511,3 +511,109 @@ def test_mor_compaction_preserves_resolution_and_time_travel(
     assert sink._commits() == []
     assert sink.compact(spark) == "base-3"
     assert snap() == before[None]
+
+
+def test_mor_compact_with_explicit_through_on_vacuumed_table(
+    spark, tmp_path
+):
+    """ADVICE r13: compact(spark, through=S) on a fully-vacuumed
+    quiescent table must return the covering base instead of raising —
+    a periodic maintenance job pinning an explicit sequence must not
+    crash on a healthy table (and must still raise when NO base covers
+    the pinned point)."""
+    import pytest as _pytest
+
+    from py_pubsub_pipeline_spark.pipeline import MorUpsertSink
+
+    base = str(tmp_path / "mor")
+    sink = MorUpsertSink(base, key="k", order=["ver"])
+    o = table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("k"))
+    for seq in (0, 1):
+        sink(
+            o.where(f"k % 3 = {seq}").select(
+                "k", F.lit(seq).cast("long").alias("ver"),
+                (F.col("k") * 10 + seq).cast("long").alias("val"),
+            ),
+            seq,
+        )
+    want = {tuple(r) for r in sink.read_snapshot(spark).collect()}
+    sink.compact(spark, through=1)
+    sink.vacuum(retain_from=1)
+    assert sink._commits() == []
+    # pinned maintenance point covered by the surviving base: no-op
+    assert sink.compact(spark, through=1) == "base-1"
+    assert sink.compact(spark, through=7) == "base-1"
+    assert {tuple(r) for r in sink.read_snapshot(spark).collect()} == want
+    # nothing at or below the pinned point: still an error
+    with _pytest.raises(FileNotFoundError):
+        sink.compact(spark, through=0)
+
+
+def test_ivfpq_index_sink_compaction_read_identity_and_replay(
+    spark, tmp_path
+):
+    """Streamed-ANN-index small-file compaction (VERDICT r13 item 1):
+    folding the committed batch partitions into one base must leave
+    read_index value-identical, replaying a folded batch after the
+    compaction must converge (the reader ignores covered batch ids),
+    vacuum must drop the file count to O(1) for the compacted range
+    without changing reads, and maintenance must stay incremental
+    (a second compact folds base + new deltas only)."""
+    import os
+
+    from py_pubsub_pipeline_spark.queries.similarity import (
+        IVF_NLIST, PQ_K, PQ_M, _dvec, _ivfpq_assign, _ivfpq_cb_init,
+        _ivfpq_cenball,
+    )
+    from py_pubsub_pipeline_spark.streaming.ann_index import IvfpqIndexSink
+
+    e = table(spark, SF_SMALL, "embeddings")
+    v = e.select("vec_id", _dvec("embedding", "e"))
+    cen = v.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    cenball = _ivfpq_cenball(cen)
+    cbball = _ivfpq_cb_init(
+        _ivfpq_assign(v.where(f"vec_id < {IVF_NLIST + PQ_K}"), cenball))
+    idx = str(tmp_path / "idx")
+    sink = IvfpqIndexSink(idx, cenball, cbball)
+    for i in range(4):
+        sink(v.where(f"vec_id % 5 = {i}"), i)
+
+    code_cols = ["vec_id", "cell"] + [f"code_{m}" for m in range(PQ_M)]
+
+    def index_rows():
+        return {tuple(r) for r in
+                sink.read_index(spark).select(*code_cols).collect()}
+
+    before = index_rows()
+    # fold batches 0..2, leave 3 as a live delta
+    assert sink.compact(spark, through=2) == "base=2"
+    assert index_rows() == before
+    srcs = sink.read_index(spark).inputFiles()
+    assert any("/base=2/" in f for f in srcs)
+    assert any("/batch=3/" in f for f in srcs)
+    for b in (0, 1, 2):
+        assert not any(f"/batch={b}/" in f for f in srcs)
+    # replaying a FOLDED batch converges: the rewrite is ignored
+    sink(v.where("vec_id % 5 = 1"), 1)
+    assert index_rows() == before
+    # replaying the compaction itself is a no-op
+    assert sink.compact(spark, through=2) == "base=2"
+    assert index_rows() == before
+    # vacuum: folded partitions leave disk, reads unchanged, and the
+    # compacted range is served by O(1) relations
+    removed = sink.vacuum()
+    assert set(removed) == {"batch=0", "batch=1", "batch=2"}
+    assert not os.path.exists(os.path.join(idx, "batch=0"))
+    assert index_rows() == before
+    # a late batch lands as a delta; the next compact folds base+delta
+    sink(v.where("vec_id % 5 = 4"), 4)
+    full = index_rows()
+    assert len(full) > len(before)
+    assert sink.compact(spark) == "base=4"
+    assert set(sink.vacuum()) == {"batch=3", "batch=4", "base=2"}
+    assert index_rows() == full
+    assert len(sink.read_index(spark).inputFiles()) <= 33
+    # quiescent maintenance no-op after everything is folded+vacuumed
+    assert sink.compact(spark) == "base=4"
