@@ -208,6 +208,12 @@ _DRIVER_RECORDED = frozenset({
     # asof/text/fn/stream sweep) ---
     "privacy_dp_gaussian_count", "scan_mor_snapshot",
     "sim_ivfpq_rescore", "sim_ivfpq_trained",
+    # --- CORRECTNESS_r13.json greens (all 50 rows green; 5 keys new
+    # to the record — the round-13 additions, each 5-scale certified
+    # at birth — the other 45 re-records of the rotation's
+    # dedup/similarity/text/emb/ml sweep) ---
+    "privacy_dp_accountant", "scan_mor_compacted",
+    "sim_ivfpq_mp_rescore", "sim_ivfpq_streamed", "sim_ivfpq_trained_mp",
 })
 
 
@@ -220,7 +226,7 @@ _PRIORITY = ()
 # _DRIVER_RECORDED reflects the CORRECTNESS artifacts through this
 # round number; tests derive the expected set from those artifacts
 # (bump this when folding a new round's records in).
-_RECORDED_THROUGH = 12
+_RECORDED_THROUGH = 13
 
 
 def _ordered():

@@ -73,7 +73,10 @@ def test_registry_size_is_intentional():
     # over a stream-maintained index, IvfpqIndexSink), and
     # sim_ivfpq_trained_mp (all ANN levers composed — the measured
     # non-monotonic crossover documented as an operator): 451.
-    assert len(load_all()) == 451
+    # Round 14 adds sim_ivfpq_stream_compacted (search over the
+    # streamed index after small-file compaction + vacuum — the
+    # IvfpqIndexSink maintenance path, VERDICT r13 item 1): 452.
+    assert len(load_all()) == 452
 
 
 def test_recorded_set_matches_correctness_artifacts():
