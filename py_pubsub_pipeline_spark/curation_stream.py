@@ -112,14 +112,32 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
 # dedup_semantic_prune's sign-bucket blocking over a deterministic
 # hashed-bag-of-words embedding of the text (the text stream carries no
 # embedding column; feature hashing is the standard deterministic
-# stand-in).  The prefix width is FROZEN at SEM_ND_BITS — streaming
-# state is bucketed by it, so it cannot adapt per batch the way the
-# batch operator's corpus-adaptive width does (functions/blocking.py);
-# a production deployment re-buckets state at compaction time when the
-# corpus outgrows the width.
+# stand-in).  The prefix width is stable BETWEEN compactions —
+# streaming state is bucketed by it, so it cannot adapt per batch the
+# way the batch operator's corpus-adaptive width does
+# (functions/blocking.py) — but it is no longer frozen for the life of
+# the stream: CurationAdmissionSink.compact_state re-derives the width
+# from the corpus size when it folds state (round 14, VERDICT r13
+# item 4) and persists it in the _SEM_BITS marker, which every
+# subsequent trigger reads.
 SEM_ND_DIM = 64          # hashed-BoW embedding dimensions
-SEM_ND_BITS = 4          # frozen sign-prefix width (state bucketing)
+SEM_ND_BITS = 4          # default sign-prefix width (state bucketing)
 SEM_ND_TAU_MICRO = 900000  # cosine >= 0.9 => semantic near-dup
+# Target expected bucket occupancy the compaction-time re-bucket aims
+# for: the derived width keeps candidate joins bounded as the corpus
+# grows (functions/blocking.py's corpus-adaptive discipline, applied
+# at the only point streaming state may change shape).
+SEM_TARGET_PER_BUCKET = 32
+
+
+def _derive_sem_bits(n_rows: int) -> int:
+    """Sign-prefix width for a corpus of ``n_rows`` semantic-state
+    rows: the smallest width whose 2^bits buckets keep expected
+    occupancy <= SEM_TARGET_PER_BUCKET, floored at SEM_ND_BITS and
+    capped at the embedding dimension.  Deterministic in the row
+    count, so a replayed compaction derives the same width."""
+    spread = max(1, -(-n_rows // SEM_TARGET_PER_BUCKET))
+    return min(max(SEM_ND_BITS, (spread - 1).bit_length()), SEM_ND_DIM)
 
 
 def doc_embedding(docs: DataFrame) -> DataFrame:
@@ -169,24 +187,28 @@ def _sem_cos_micro(a: str, b: str):
     ).cast("long")
 
 
-def _sem_bucket(emb: str = "emb"):
-    """Frozen leading-sign prefix — dedup_semantic_prune's blocking
-    with a fixed width (state must stay bucket-stable)."""
+def _sem_bucket(emb: str = "emb", bits: int = SEM_ND_BITS):
+    """Leading-sign prefix at ``bits`` width — dedup_semantic_prune's
+    blocking.  The width is a property of the STATE (persisted in the
+    sink's _SEM_BITS marker, widened only at compaction time); both
+    join sides always derive bkt from emb at the same current width,
+    so stored bkt columns are layout hints, never join keys across a
+    width change."""
     return F.concat(*[
         F.when(F.element_at(emb, i + 1) >= 0, F.lit("1")).otherwise(
             F.lit("0")
         )
-        for i in range(SEM_ND_BITS)
+        for i in range(bits)
     ])
 
 
-def _sem_frame(docs: DataFrame) -> DataFrame:
+def _sem_frame(docs: DataFrame, bits: int = SEM_ND_BITS) -> DataFrame:
     """(doc_id, bkt, emb) of the docs that enter the semantic gate —
     non-zero-norm only, the shared candidate projection."""
     return (
         doc_embedding(docs)
         .filter(_sem_dot("emb", "emb") > 0)
-        .select("doc_id", _sem_bucket().alias("bkt"), "emb")
+        .select("doc_id", _sem_bucket("emb", bits).alias("bkt"), "emb")
     )
 
 
@@ -416,14 +438,23 @@ class CurationAdmissionSink:
     # not just on kept ones.
     semantic: bool = False
 
-    # Reweight-state layout version.  v2 (round 13): mix_state/
-    # doremi_state partitions carry RUNNING per-source totals; v1
-    # (round 12, unmarked) stored one batch's partials per partition.
-    # Folding a v1 directory under v2 semantics would silently
-    # undercount every pre-upgrade batch, so the sink stamps the
-    # layout and REFUSES to resume an unmarked directory that already
-    # has state partitions.
-    STATE_FORMAT = "v2-running-sums"
+    # State layout version.  v2 (round 13): mix_state/doremi_state
+    # partitions carry RUNNING per-source totals; v1 (round 12,
+    # unmarked) stored one batch's partials per partition.  Folding a
+    # v1 directory under v2 semantics would silently undercount every
+    # pre-upgrade batch, so the sink stamps the layout and REFUSES to
+    # resume an unmarked directory that already has state partitions.
+    # v3 (round 14) ADDS compaction bases (state/shingles/sem
+    # ``base={B}`` dirs) and the _SEM_BITS width marker on top of the
+    # v2 running-sum semantics, which are unchanged — so a v2 dir is
+    # compatible and its marker upgrades in place; unmarked dirs are
+    # still refused.
+    STATE_FORMAT = "v3-compacted-state"
+    _COMPAT_FORMATS = ("v2-running-sums",)
+    # Standing (per-row, batch-partitioned) state kinds that fold
+    # under compact_state; the reweight states are already O(sources)
+    # running sums per partition and need only vacuum.
+    _STANDING_KINDS = ("state", "shingles", "sem")
 
     def _dir(self, kind: str) -> str:
         return os.path.join(self.path, kind)
@@ -433,6 +464,15 @@ class CurationAdmissionSink:
         if os.path.exists(marker):
             with open(marker) as fh:
                 have = fh.read().strip()
+            if have in self._COMPAT_FORMATS:
+                # v2 -> v3 is additive (bases + width marker only; the
+                # running-sum folding semantics are identical), so the
+                # marker upgrades in place instead of refusing
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(self.STATE_FORMAT + "\n")
+                os.replace(tmp, marker)
+                return
             if have != self.STATE_FORMAT:
                 raise RuntimeError(
                     f"reweight state at {self.path} has layout "
@@ -458,37 +498,182 @@ class CurationAdmissionSink:
             fh.write(self.STATE_FORMAT + "\n")
         os.replace(tmp, marker)
 
-    def _standing(self, spark: SparkSession, before_batch: int) -> DataFrame:
-        """Union of state partitions admitted by batches < before_batch
-        (a replayed batch must not see its own failed leftovers)."""
-        base = self._dir("state")
-        parts = []
-        if os.path.isdir(base):
-            for d in os.listdir(base):
-                if not d.startswith("batch="):
-                    continue
-                if int(d.split("=", 1)[1]) < before_batch and os.path.exists(
-                    os.path.join(base, d, "_SUCCESS")
-                ):
-                    parts.append(os.path.join(base, d))
-        if not parts:
-            return spark.createDataFrame([], "norm_hash STRING, doc_id LONG")
-        return spark.read.option("basePath", base).parquet(*parts).select(
-            "norm_hash", "doc_id"
+    def _committed_ids(self, kind: str, prefix: str) -> list[int]:
+        base = self._dir(kind)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith(prefix + "=")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
         )
 
-    def _standing_parts(self, kind: str, before_batch: int) -> list[str]:
-        base = self._dir(kind)
-        out = []
-        if os.path.isdir(base):
-            for d in os.listdir(base):
-                if not d.startswith("batch="):
-                    continue
-                if int(d.split("=", 1)[1]) < before_batch and os.path.exists(
-                    os.path.join(base, d, "_SUCCESS")
-                ):
-                    out.append(os.path.join(base, d))
+    def _standing_df(
+        self, spark: SparkSession, kind: str, before_batch: int
+    ) -> DataFrame | None:
+        """The standing state of ``kind`` as seen by batch
+        ``before_batch``: the newest compaction base covering only
+        earlier batches (``base={B}`` folds every batch id <= B,
+        usable iff B < before_batch — a replayed batch must not see
+        its own failed leftovers, folded or not), unioned with the
+        batch partitions after it.  None when nothing is committed.
+        Post-compaction this reads O(deltas since the fold) files
+        instead of one per trigger since stream birth."""
+        root = self._dir(kind)
+        bases = [b for b in self._committed_ids(kind, "base")
+                 if b < before_batch]
+        b = max(bases) if bases else None
+        out = None
+        if b is not None:
+            out = spark.read.parquet(os.path.join(root, f"base={b}"))
+        parts = [
+            os.path.join(root, f"batch={i}")
+            for i in self._committed_ids(kind, "batch")
+            if i < before_batch and (b is None or i > b)
+        ]
+        if parts:
+            d = (
+                spark.read.option("basePath", root).parquet(*parts)
+                .drop("batch")
+            )
+            out = d if out is None else out.unionByName(d)
         return out
+
+    def _standing(self, spark: SparkSession, before_batch: int) -> DataFrame:
+        """Union of exact-dedup state admitted by batches
+        < before_batch (base-aware, see _standing_df)."""
+        df = self._standing_df(spark, "state", before_batch)
+        if df is None:
+            return spark.createDataFrame([], "norm_hash STRING, doc_id LONG")
+        return df.select("norm_hash", "doc_id")
+
+    def _sem_bits(self) -> int:
+        """The CURRENT semantic blocking width — SEM_ND_BITS until a
+        compaction widens it (the marker is the authority; every
+        trigger and every standing read derive bkt from emb at this
+        width, so the two join sides can never disagree)."""
+        marker = os.path.join(self.path, "_SEM_BITS")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        return SEM_ND_BITS
+
+    def _write_sem_bits(self, bits: int) -> None:
+        marker = os.path.join(self.path, "_SEM_BITS")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{int(bits)}\n")
+        os.replace(tmp, marker)
+
+    def compact_state(
+        self, spark: SparkSession, through: int | None = None,
+        sem_bits: int | None = None,
+    ) -> dict[str, str]:
+        """Fold the batch-keyed standing-state partitions (exact-dedup
+        keys, near-dup shingle postings, semantic frames) for batches
+        <= ``through`` (newest committed when None) into one
+        ``base={through}`` relation per kind — the compact_manifest
+        stage-then-commit discipline (sources/io.py) applied to
+        admission state, closing the file-count growth the round-13
+        docstring deferred.  Incremental: each fold reads the newest
+        prior base plus only the deltas after it.
+
+        The semantic state RE-BUCKETS here (VERDICT r13 item 4): the
+        sign-prefix width re-derives from the folded corpus size
+        (``sem_bits`` overrides for tests), the base is rewritten with
+        bkt recomputed from the stored embeddings and clustered by it,
+        and the _SEM_BITS marker flips so subsequent triggers bucket
+        candidate frames at the same width.  Correctness does not
+        depend on the marker-flip ordering: every reader derives bkt
+        from emb at the CURRENT width on both join sides, so any
+        crash point leaves a self-consistent gate.
+
+        Replay safety: the engine can only replay the NEWEST batch
+        (the one whose offsets may not have committed), so the default
+        fold point is newest-1 — a replayable batch is then never
+        covered by a base, and its replay sees exactly the standing
+        state it saw the first time (the base through N-1 plus
+        nothing), converging byte-identically.  Passing an explicit
+        ``through`` equal to the newest batch is allowed but is the
+        caller's contract that the stream is quiesced (drained
+        availableNow run, offsets committed) — folding a batch that
+        can still replay would hand its replay an empty standing view.
+
+        Folded batch partitions are NOT deleted here (``vacuum_state``
+        expires them); a replayed UNFOLDED batch rewrites its dir
+        byte-identically, and dirs recreated for folded ids are
+        ignored by the standing readers (covered by the base)."""
+        folded: dict[str, str] = {}
+        for kind in self._STANDING_KINDS:
+            batches = self._committed_ids(kind, "batch")
+            bases = self._committed_ids(kind, "base")
+            if through is not None:
+                t = through
+            elif len(batches) > 1:
+                t = batches[-2]  # newest-1: never fold a replayable batch
+            elif bases:
+                t = max(bases)
+            else:
+                t = None
+            if t is None:
+                continue
+            t = int(t)
+            if t in bases:
+                # deterministic content, _SUCCESS is the commit point:
+                # replaying the compaction is a no-op
+                folded[kind] = f"base={t}"
+                continue
+            df = self._standing_df(spark, kind, before_batch=t + 1)
+            if df is None:
+                continue
+            if kind == "sem":
+                bits = sem_bits if sem_bits is not None else (
+                    _derive_sem_bits(df.count()))
+                df = df.select(
+                    "doc_id",
+                    _sem_bucket("emb", bits).alias("bkt"), "emb",
+                ).repartition("bkt")
+            df.write.mode("overwrite").parquet(
+                os.path.join(self._dir(kind), f"base={t}"))
+            folded[kind] = f"base={t}"
+            if kind == "sem":
+                self._write_sem_bits(bits)
+        return folded
+
+    def vacuum_state(self) -> list[str]:
+        """Expire standing-state partitions superseded by each kind's
+        newest base, plus superseded reweight-state running-sum
+        partitions (every partition before the newest is dead weight
+        by the running-sum contract).  Returns the removed relations
+        as ``kind/name`` strings.  Replay-safe: a replayed folded
+        batch recreates a dir the readers ignore; the next vacuum
+        removes it again."""
+        import shutil
+
+        removed = []
+        for kind in self._STANDING_KINDS:
+            bases = self._committed_ids(kind, "base")
+            if not bases:
+                continue
+            newest = max(bases)
+            dead = [f"batch={i}"
+                    for i in self._committed_ids(kind, "batch")
+                    if i <= newest]
+            dead += [f"base={b}" for b in bases if b < newest]
+            for rel in dead:
+                shutil.rmtree(os.path.join(self._dir(kind), rel))
+                removed.append(f"{kind}/{rel}")
+        for kind in ("mix_state", "doremi_state"):
+            parts = self._committed_ids(kind, "batch")
+            # keep the newest TWO: a replay of the newest batch folds
+            # against the partition before it (_fold_state reads the
+            # latest partition strictly below the replayed id)
+            for i in parts[:-2]:
+                shutil.rmtree(
+                    os.path.join(self._dir(kind), f"batch={i}"))
+                removed.append(f"{kind}/batch={i}")
+        return removed
 
     def _near_dup_rejects(
         self, spark: SparkSession, cand: DataFrame, before_batch: int
@@ -499,17 +684,13 @@ class CurationAdmissionSink:
         job — queries/dedup.py:1185's contract).  Emits, per rejected
         candidate, the worst standing collision and its milli-Jaccard
         — the same verdict row dedup_incremental produces."""
-        parts = self._standing_parts("shingles", before_batch)
+        standing = self._standing_df(spark, "shingles", before_batch)
         empty = spark.createDataFrame(
             [], "doc_id LONG, corp_id LONG, jacc_milli LONG")
-        if not parts:
+        if standing is None:
             return empty
         new_sh = _shingle_rows(cand)
-        corp_sh = (
-            spark.read.option("basePath", self._dir("shingles"))
-            .parquet(*parts)
-            .select(F.col("doc_id").alias("corp_id"), "s")
-        )
+        corp_sh = standing.select(F.col("doc_id").alias("corp_id"), "s")
         n_new = new_sh.groupBy("doc_id").agg(F.count("*").alias("n_new"))
         n_corp = corp_sh.groupBy("corp_id").agg(F.count("*").alias("n_corp"))
         inter = (
@@ -537,27 +718,32 @@ class CurationAdmissionSink:
         )
 
     def _sem_rejects(
-        self, spark: SparkSession, frame: DataFrame, before_batch: int
+        self, spark: SparkSession, frame: DataFrame, before_batch: int,
+        bits: int,
     ) -> DataFrame:
         """Semantic-gate verdicts for one batch's candidate frame
-        ((doc_id, bkt, emb)): rejected iff any STANDING candidate
-        (batches < before_batch) or same-batch lower-doc_id candidate
-        shares the bucket at cosine >= SEM_ND_TAU_MICRO.  Emits the
-        worst collision per rejected doc — the sem_rejects ledger."""
-        parts = self._standing_parts("sem", before_batch)
+        ((doc_id, bkt, emb), bucketed at ``bits``): rejected iff any
+        STANDING candidate (batches < before_batch) or same-batch
+        lower-doc_id candidate shares the bucket at cosine >=
+        SEM_ND_TAU_MICRO.  The standing side's bkt is RE-DERIVED from
+        its stored embeddings at the same ``bits`` (a map-side
+        projection), so the join keys agree by construction even
+        across a compaction-time width change — the stored bkt column
+        is a clustering/layout hint only.  Emits the worst collision
+        per rejected doc — the sem_rejects ledger."""
+        standing = self._standing_df(spark, "sem", before_batch)
         lo_frames = [
             frame.select(
                 F.col("doc_id").alias("corp_id"),
                 F.col("emb").alias("ce"), "bkt",
             )
         ]
-        if parts:
+        if standing is not None:
             lo_frames.append(
-                spark.read.option("basePath", self._dir("sem"))
-                .parquet(*parts)
-                .select(
+                standing.select(
                     F.col("doc_id").alias("corp_id"),
-                    F.col("emb").alias("ce"), "bkt",
+                    F.col("emb").alias("ce"),
+                    _sem_bucket("emb", bits).alias("bkt"),
                 )
             )
         lo = lo_frames[0]
@@ -615,10 +801,11 @@ class CurationAdmissionSink:
         sem_frame = None
         sem_rejects = None
         if self.semantic:
-            sem_frame = _sem_frame(admitted)
+            bits = self._sem_bits()
+            sem_frame = _sem_frame(admitted, bits)
             sem_frame.persist()
             sem_rejects = self._sem_rejects(spark, sem_frame,
-                                            int(epoch_id))
+                                            int(epoch_id), bits)
             sem_rejects.persist()
             admitted = admitted.join(
                 sem_rejects.select("doc_id"), "doc_id", "left_anti"

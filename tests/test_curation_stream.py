@@ -411,3 +411,282 @@ def test_semantic_admission_converges_to_batch_prune(spark, docs, tmp_path):
         assert corp < d
         assert emb[d][0] == emb[corp][0], "collision must share the bucket"
         assert cos_micro(d, corp) == cm >= SEM_ND_TAU_MICRO
+
+
+def _drive(spark, sink, drop, ckpt, crash_epoch=None):
+    """One availableNow drain of the drop dir through ``sink``; with
+    ``crash_epoch``, fail once AFTER that batch's durable writes (the
+    publish-ok/commit-lost window) and restart from the checkpoint so
+    the engine genuinely replays it."""
+    from py_pubsub_pipeline_spark.pipeline import (
+        FileStreamSource, SparkPipeline,
+    )
+
+    armed = {"on": crash_epoch is not None}
+    inner = sink
+
+    def wrapped(batch_df, epoch_id):
+        inner(batch_df, epoch_id)
+        if armed["on"] and int(epoch_id) >= crash_epoch:
+            armed["on"] = False
+            raise RuntimeError("injected crash after durable writes")
+
+    def build():
+        return SparkPipeline(
+            spark=spark,
+            source=FileStreamSource(drop, max_files_per_trigger=3),
+            sink=wrapped,
+            column_processor=lambda df: df.select(
+                F.from_json(
+                    F.col("value").cast("string"),
+                    "doc_id LONG, lang STRING, source STRING, text STRING",
+                ).alias("m")
+            ).select("m.*"),
+            checkpoint_dir=ckpt,
+        )
+
+    if crash_epoch is not None:
+        with pytest.raises(Exception, match="injected crash"):
+            build().process(available_now=True)
+    build().process(available_now=True)
+
+
+def _append_drop_files(rows, drop_dir: str, n_files: int, t0: int) -> None:
+    """Write dict-rows as later-mtime drop files (phase-2 arrivals)."""
+    os.makedirs(drop_dir, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per:(i + 1) * per]
+        if not chunk:
+            break
+        p = os.path.join(drop_dir, f"t{t0}_{i:04d}.jsonl")
+        with open(p, "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (t0 + i, t0 + i))
+
+
+def _doc_rows(docs_df):
+    return [
+        {"doc_id": r["doc_id"], "lang": r["lang"],
+         "source": r["source"], "text": r["text"]}
+        for r in sorted(docs_df.collect(), key=lambda r: r["doc_id"])
+    ]
+
+
+def test_state_compaction_is_invisible_to_the_stream(spark, docs, tmp_path):
+    """Standing-state small-file compaction (VERDICT r13 item 1): fold
+    the batch-keyed state (exact keys, shingle postings, semantic
+    frames) mid-stream, vacuum the folded partitions, continue the
+    stream THROUGH A CRASH-REPLAY — and every output ledger must equal
+    a twin stream over the same files that never compacted.  Plus:
+    standing reads are value-identical pre/post fold+vacuum, and the
+    folded range's per-batch partitions leave disk."""
+    from py_pubsub_pipeline_spark.curation_stream import SEM_ND_BITS
+
+    eval_grams = build_eval_ngram_index(docs)
+    rows = _doc_rows(docs)
+    phase1, phase2 = rows[:300], rows[300:]
+
+    drop_a = str(tmp_path / "drop_a")
+    _append_drop_files(phase1, drop_a, n_files=6, t0=1_700_000_000)
+    sink = CurationAdmissionSink(
+        str(tmp_path / "a_out"), eval_grams, near_dup=True, semantic=True)
+    _drive(spark, sink, drop_a, str(tmp_path / "a_ckpt"))
+
+    def standing_sets(before=10_000):
+        out = {}
+        for kind, cols in (("state", ["norm_hash", "doc_id"]),
+                           ("shingles", ["doc_id", "s"]),
+                           ("sem", ["doc_id", "emb"])):
+            df = sink._standing_df(spark, kind, before)
+            out[kind] = (set() if df is None else
+                         {tuple(map(str, r)) for r in
+                          df.select(*cols).collect()})
+        return out
+
+    before = standing_sets()
+    assert before["state"] and before["shingles"] and before["sem"]
+    newest = sink._committed_ids("state", "batch")[-1]
+    # availableNow drained => quiesced => folding the newest is allowed
+    folded = sink.compact_state(spark, through=newest)
+    assert folded == {k: f"base={newest}"
+                      for k in ("state", "shingles", "sem")}
+    assert standing_sets() == before
+    # corpus small enough that the derived width stays at the default:
+    # a same-width re-bucket must be a pure layout rewrite
+    assert sink._sem_bits() == SEM_ND_BITS
+    removed = sink.vacuum_state()
+    assert any(r.startswith("state/batch=") for r in removed)
+    for kind in ("state", "shingles", "sem"):
+        assert not any(
+            d.startswith("batch=")
+            for d in os.listdir(os.path.join(str(tmp_path / "a_out"), kind))
+        ), f"{kind} still has folded batch partitions"
+    assert standing_sets() == before
+
+    # continue the stream over new arrivals, with a crash injected on
+    # the FIRST post-compaction batch so the engine replays it against
+    # the compacted base + its own leftovers
+    _append_drop_files(phase2, drop_a, n_files=4, t0=1_700_000_100)
+    _drive(spark, sink, drop_a, str(tmp_path / "a_ckpt"),
+           crash_epoch=newest + 1)
+
+    # twin stream: same files, same trigger size, never compacted
+    drop_b = str(tmp_path / "drop_b")
+    _append_drop_files(phase1, drop_b, n_files=6, t0=1_700_000_000)
+    _append_drop_files(phase2, drop_b, n_files=4, t0=1_700_000_100)
+    twin = CurationAdmissionSink(
+        str(tmp_path / "b_out"), eval_grams, near_dup=True, semantic=True)
+    _drive(spark, twin, drop_b, str(tmp_path / "b_ckpt"))
+
+    def ledgers(s):
+        return (
+            sorted(r["doc_id"] for r in s.read_admitted(spark)
+                   .select("doc_id").collect()),
+            {tuple(r) for r in s.read_nd_rejects(spark).collect()},
+            {tuple(r) for r in s.read_sem_rejects(spark).collect()},
+            {tuple(r) for r in s.read_mix(spark).collect()},
+            {tuple(r) for r in s.read_doremi(spark).collect()},
+        )
+
+    assert ledgers(sink) == ledgers(twin)
+
+
+def _hashed_bow_dim_sign(word: str):
+    """Python replica of doc_embedding's md5 feature hash (dim, sign)."""
+    import hashlib
+
+    h = int(hashlib.md5(word.encode()).hexdigest()[:8], 16)
+    return h % 64, (h >> 8) % 2 * 2 - 1
+
+
+def _safe_repeat_word(words, exclude=()):
+    """A word of ``words`` (not in ``exclude``) whose one-more
+    repetition provably keeps every sign bit of the hashed-BoW
+    embedding (its dim's current value is nonzero and already points
+    the word's way), so the variant shares the original's sign-prefix
+    bucket at EVERY width."""
+    vals = {}
+    for w in words:
+        d, s = _hashed_bow_dim_sign(w)
+        vals[d] = vals.get(d, 0) + s
+    for w in words:
+        if w in exclude:
+            continue
+        d, s = _hashed_bow_dim_sign(w)
+        if vals[d] != 0 and (vals[d] > 0) == (s > 0):
+            return w
+    return None
+
+
+def test_sem_state_rebuckets_wider_at_compaction(spark, tmp_path):
+    """Semantic-dedup state re-bucketing (VERDICT r13 item 4): grow a
+    stream past the default width's occupancy threshold, compact — the
+    sign-prefix index re-emits at a WIDER width derived from the
+    corpus size and the _SEM_BITS marker flips — continue the stream,
+    and the final verdicts still equal the frozen-default-width batch
+    twin (the corpus's near-dup pairs share full-width prefixes by
+    construction, so widening cannot split them), while per-bucket
+    occupancy provably shrinks."""
+    from py_pubsub_pipeline_spark.curation_stream import (
+        SEM_ND_BITS, _derive_sem_bits, _sem_frame, semantic_prune_twin,
+    )
+
+    # synthetic corpus: disjoint 24-word vocabularies per original (so
+    # unrelated docs are never semantically close), plus near-dup
+    # variants that append one sign-safe repetition of an existing
+    # word (identical sign pattern => same bucket at any width,
+    # cosine ~1, different norm_hash so exact dedup passes them on)
+    originals, variants_a, variants_b = [], [], []
+    for i in range(340):
+        words = [f"d{i}w{j}" for j in range(24)]
+        text = " ".join(words)
+        originals.append({"doc_id": i + 1, "lang": "en",
+                          "source": f"s{i % 4}", "text": text})
+        rep = _safe_repeat_word(words)
+        if rep is not None:
+            variants_a.append({"doc_id": 1000 + i, "lang": "en",
+                               "source": f"s{i % 4}",
+                               "text": text + " " + rep})
+            if i < 170:
+                words2 = words + [rep]
+                rep2 = _safe_repeat_word(words2, exclude={rep})
+                if rep2 is not None:
+                    variants_b.append({
+                        "doc_id": 2000 + i, "lang": "en",
+                        "source": f"s{i % 4}",
+                        "text": text + " " + rep + " " + rep2})
+    assert len(variants_a) > 300 and len(variants_b) > 100
+
+    phase1 = sorted(originals + variants_a, key=lambda r: r["doc_id"])
+    phase2 = sorted(variants_b, key=lambda r: r["doc_id"])
+    all_rows = phase1 + phase2
+    docs_df = spark.createDataFrame(
+        all_rows, "doc_id LONG, lang STRING, source STRING, text STRING")
+    eval_grams = build_eval_ngram_index(docs_df)
+
+    drop = str(tmp_path / "drop")
+    _append_drop_files(phase1, drop, n_files=6, t0=1_700_000_000)
+    sink = CurationAdmissionSink(
+        str(tmp_path / "out"), eval_grams, semantic=True)
+    _drive(spark, sink, drop, str(tmp_path / "ckpt"))
+
+    assert sink._sem_bits() == SEM_ND_BITS
+    newest = sink._committed_ids("state", "batch")[-1]
+    sink.compact_state(spark, through=newest)
+    sink.vacuum_state()
+    wide = sink._sem_bits()
+    n_sem = sum(1 for _ in sink._standing_df(spark, "sem", 10_000)
+                .collect())
+    assert wide == _derive_sem_bits(n_sem) > SEM_ND_BITS
+
+    # occupancy boundedness: the widest bucket shrinks under the
+    # re-bucketed index vs the same frames at the default width
+    sem = sink._standing_df(spark, "sem", 10_000)
+    occ = lambda df: max(  # noqa: E731
+        r["n"] for r in df.groupBy("bkt").agg(
+            F.count("*").alias("n")).collect())
+    from py_pubsub_pipeline_spark.curation_stream import _sem_bucket
+    assert occ(sem.select(_sem_bucket("emb", wide).alias("bkt"))) < occ(
+        sem.select(_sem_bucket("emb", SEM_ND_BITS).alias("bkt")))
+
+    # continue past the width change (with a replay of the first
+    # post-compaction batch) — verdicts must match the frozen-width twin
+    _append_drop_files(phase2, drop, n_files=2, t0=1_700_000_100)
+    _drive(spark, sink, drop, str(tmp_path / "ckpt"),
+           crash_epoch=newest + 1)
+    assert sink._sem_bits() == wide
+
+    twin_admitted = admission_batch_twin(docs_df)
+    verdicts = {r["doc_id"]: r["kept"]
+                for r in semantic_prune_twin(twin_admitted).collect()}
+    want_kept = sorted(d for d, k in verdicts.items() if k)
+    got = sorted(r["doc_id"] for r in sink.read_admitted(spark)
+                 .select("doc_id").collect())
+    assert got == want_kept
+    rejected = {d for d, k in verdicts.items() if not k}
+    assert rejected, "corpus must exercise the semantic gate"
+    assert {r["doc_id"] for r in sink.read_sem_rejects(spark)
+            .select("doc_id").collect()} == rejected
+    # phase-2 rejections really happened AGAINST THE WIDENED state
+    assert rejected & {r["doc_id"] for r in phase2}
+
+
+def test_state_format_v2_upgrades_in_place(tmp_path):
+    """v2 -> v3 is additive (bases + width marker; running-sum folding
+    unchanged), so a v2-marked directory resumes and its marker
+    upgrades — while unmarked/foreign layouts still refuse."""
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    sink = CurationAdmissionSink(out, eval_grams=None)
+    marker = os.path.join(out, "_STATE_FORMAT")
+    with open(marker, "w") as fh:
+        fh.write("v2-running-sums\n")
+    sink._assert_state_format()
+    with open(marker) as fh:
+        assert fh.read().strip() == sink.STATE_FORMAT
+    with open(marker, "w") as fh:
+        fh.write("v1-per-batch-partials\n")
+    with pytest.raises(RuntimeError, match="migrate"):
+        sink._assert_state_format()
