@@ -1706,6 +1706,331 @@ def sim_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- graph-traversal ANN (round 14) -----------------------------------------
+# HNSW/NSG-style search, relationally: a LAYERED navigable graph
+# (fine in-bucket kNN edges + mid-range edges at a 3-bit-coarser
+# bucket + long-range all-pairs kNN edges over a hash-gated global
+# sample — HNSW's level structure flattened into one union adjacency),
+# seeded by an exact scan of the bounded sample (the flattened
+# upper-layer search), then a BOUNDED number of beam-expansion rounds
+# (graph_bfs_hops' frontier discipline).  All parameters are shared
+# literals so the DuckDB oracle executes the identical traversal.
+KGS_FINE_K = 8    # in-bucket neighbors per node (fine layer)
+KGS_MID_K = 4     # neighbors within the 3-bit-coarser bucket
+KGS_SAMPLE_K = 8  # all-pairs neighbors among the sampled nodes
+KGS_GATE = "10"   # md5 2-hex gate: 16/256 = 6.25% global sample
+KGS_SEEDS = 8     # sample entry points kept per query
+KGS_BEAM = 16     # beam width per expansion round
+KGS_ROUNDS = 6    # bounded expansion rounds (the production posture)
+
+
+def _kgs_cm_sql(a: str, b: str) -> str:
+    return (f"CAST(FLOOR(({_SQL_COS.format(a=a, b=b)})"
+            f" * 1e6 + 0.5) AS BIGINT)")
+
+
+def _kgs_cm_pre_sql(a: str, b: str, na: str, nb: str) -> str:
+    """cm with PRECOMPUTED self-products (b.n2) — the same doubles as
+    _kgs_cm_sql (identical fold, identical sqrt-then-multiply), 3x
+    fewer inner products per pair: the norm rides the materialized b
+    row instead of being recomputed 2x for every candidate pair."""
+    return (f"CAST(FLOOR((list_inner_product({a}, {b})"
+            f" / (sqrt({na}) * sqrt({nb})))"
+            f" * 1e6 + 0.5) AS BIGINT)")
+
+
+_KGS_MID_BITS_SQL = f"GREATEST(({_KNN_BITS_SQL}) - 3, 1)"
+
+
+def _kgs_oracle() -> str:
+    """The identical traversal as chained CTEs — the _bfs_oracle
+    discipline: one materialized visited relation per bounded round."""
+    rounds = []
+    for r in range(1, KGS_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f"""
+    beam{p} AS (
+      SELECT qid, cand FROM (
+        SELECT qid, cand, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cm DESC, cand) AS rk
+        FROM vis{p}) WHERE rk <= {KGS_BEAM}),
+    c{r} AS (
+      SELECT DISTINCT t.qid, u.nbr AS cand
+      FROM beam{p} t JOIN und u ON u.src = t.cand
+      WHERE u.nbr <> t.qid
+        AND NOT EXISTS (SELECT 1 FROM vis{p} v
+                        WHERE v.qid = t.qid AND v.cand = u.nbr)),
+    vis{r} AS MATERIALIZED (
+      SELECT * FROM vis{p}
+      UNION ALL
+      SELECT c.qid, c.cand,
+             {_kgs_cm_pre_sql("q.qe", "b.e", "q.qn2", "b.n2")} AS cm
+      FROM c{r} c JOIN b ON b.vec_id = c.cand JOIN q ON q.qid = c.qid)"""
+        )
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_inner_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2,
+             {sql_sign_prefix("CAST(embedding AS DOUBLE[])",
+                              _KNN_BITS_SQL)} AS bkt,
+             {sql_sign_prefix("CAST(embedding AS DOUBLE[])",
+                              _KGS_MID_BITS_SQL)} AS mbkt,
+             SUBSTR(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '{KGS_GATE}'
+               AS samp
+      FROM embeddings),
+    fine AS (
+      -- project the arrays away BEFORE the rank window (the
+      -- sim_knn_graph_blocked oracle's spill fix): the window sorts
+      -- (src, nbr, cos) triples, never vector-bearing rows
+      SELECT src, nbr FROM (
+        SELECT src, nbr, ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY cm DESC, nbr) AS rnk
+        FROM (SELECT a.vec_id AS src, c.vec_id AS nbr,
+                     {_kgs_cm_pre_sql("a.e", "c.e", "a.n2", "c.n2")} AS cm
+              FROM b a JOIN b c
+                ON c.bkt = a.bkt AND c.vec_id <> a.vec_id))
+      WHERE rnk <= {KGS_FINE_K}),
+    mid AS (
+      SELECT src, nbr FROM (
+        SELECT src, nbr, ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY cm DESC, nbr) AS rnk
+        FROM (SELECT a.vec_id AS src, c.vec_id AS nbr,
+                     {_kgs_cm_pre_sql("a.e", "c.e", "a.n2", "c.n2")} AS cm
+              FROM b a JOIN b c
+                ON c.mbkt = a.mbkt AND c.vec_id <> a.vec_id))
+      WHERE rnk <= {KGS_MID_K}),
+    longe AS (
+      SELECT src, nbr FROM (
+        SELECT src, nbr, ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY cm DESC, nbr) AS rnk
+        FROM (SELECT a.vec_id AS src, c.vec_id AS nbr,
+                     {_kgs_cm_pre_sql("a.e", "c.e", "a.n2", "c.n2")} AS cm
+              FROM b a JOIN b c ON c.samp AND c.vec_id <> a.vec_id
+              WHERE a.samp))
+      WHERE rnk <= {KGS_SAMPLE_K}),
+    alledge AS (SELECT * FROM fine UNION SELECT * FROM mid
+                UNION SELECT * FROM longe),
+    und AS MATERIALIZED (
+      SELECT src, nbr FROM alledge
+      UNION
+      SELECT nbr AS src, src AS nbr FROM alledge),
+    q AS (SELECT vec_id AS qid, e AS qe, n2 AS qn2 FROM b
+          WHERE vec_id < {IVF_N_QUERIES}),
+    s0 AS (
+      SELECT qid, cand, cm, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY cm DESC, cand) AS rk
+      FROM (SELECT qid, c.vec_id AS cand,
+                   {_kgs_cm_pre_sql("qe", "c.e", "qn2", "c.n2")} AS cm
+            FROM q JOIN b c ON c.samp AND c.vec_id <> qid)),
+    vis0 AS MATERIALIZED (
+      SELECT qid, cand, cm FROM s0 WHERE rk <= {KGS_SEEDS}),{",".join(rounds)}
+    SELECT qid AS query_id, cand AS neighbor_id, cm AS cos_micro,
+           CAST(rk AS BIGINT) AS rnk
+    FROM (SELECT qid, cand, cm, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cm DESC, cand) AS rk
+          FROM vis{KGS_ROUNDS})
+    WHERE rk <= {TOP_K}
+    """
+
+
+def _kgs_index_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph-search INDEX, built once per corpus: the union of
+    three symmetrized kNN edge layers with the neighbor's VECTOR AND
+    NORM DENORMALIZED ONTO THE EDGE —
+
+      fine  top-{KGS_FINE_K} within the corpus-adaptive sign bucket
+            (sim_knn_graph_blocked's edge rule at higher degree);
+      mid   top-{KGS_MID_K} within the 3-bit-coarser bucket (8x the
+            population — local bridges across adjacent fine buckets,
+            pair cost still linear in N at constant factor 8);
+      long  top-{KGS_SAMPLE_K} ALL-PAIRS among the md5-gated 6.25%
+            global sample (HNSW's sparse upper levels flattened: the
+            long-range links that make the graph navigable; all-pairs
+            cost is (N/16)^2 — quadratic in the SAMPLE, one-time at
+            index build, and the sample is hash-gated so replicated /
+            strided corpora cannot alias it).
+
+    Vectors-live-in-the-index (HNSW's layout): a traversal round
+    probes this ONE relation and scores map-side against broadcast
+    query vectors, touching the corpus parquet zero times.  Costs
+    deg(v) vector copies, deg bounded by 2*({KGS_FINE_K}+{KGS_MID_K}
+    +{KGS_SAMPLE_K}).  mtime_ns-keyed like every derived fixture."""
+    import os as _os
+
+    from .formats import _fixture_dir
+
+    path = _fixture_dir(sf_dir, "knn_graph_hnsw")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        emb_ref = f"parquet.`{sf_dir}/embeddings.parquet`"
+        base = table(spark, sf_dir, "embeddings").select(
+            "vec_id", _dvec("embedding", "e")
+        ).withColumn("nv", _norm2("e"))
+        fine_bkt = spark_sign_prefix("e", sql_adaptive_bits(emb_ref))
+        mid_bkt = spark_sign_prefix(
+            "e", f"GREATEST(({sql_adaptive_bits(emb_ref)}) - 3, 1)")
+        gate = F.substring(
+            F.md5(F.col("vec_id").cast("string")), 1, 2) < KGS_GATE
+        b = base.select("vec_id", "e", "nv",
+                        fine_bkt.alias("bkt"), mid_bkt.alias("mbkt"),
+                        gate.alias("samp"))
+
+        def layer(key_col: str | None, k: int) -> DataFrame:
+            lhs = b if key_col else b.filter("samp")
+            rhs = b if key_col else b.filter("samp")
+            a = lhs.select(
+                F.col("vec_id").alias("src"), F.col("e").alias("ae"),
+                F.col("nv").alias("na"),
+                *([F.col(key_col).alias("k_")] if key_col else []),
+            )
+            c = rhs.select(
+                F.col("vec_id").alias("nbr"), F.col("e").alias("ce_"),
+                F.col("nv").alias("nc_"),
+                *([F.col(key_col).alias("k_")] if key_col else []),
+            )
+            cos_micro = F.floor(
+                _dot("ae", "ce_")
+                / (F.sqrt(F.col("na")) * F.sqrt(F.col("nc_")))
+                * 1e6 + F.lit(0.5)
+            ).cast("long")
+            pairs = (a.join(c, "k_") if key_col else a.crossJoin(c))
+            w = Window.partitionBy("src").orderBy(
+                F.col("cos_micro").desc(), "nbr")
+            return (
+                pairs.filter(F.col("src") != F.col("nbr"))
+                .select("src", "nbr", cos_micro.alias("cos_micro"))
+                .withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k)
+                .select("src", "nbr")
+            )
+
+        edges = (
+            layer("bkt", KGS_FINE_K)
+            .unionByName(layer("mbkt", KGS_MID_K))
+            .unionByName(layer(None, KGS_SAMPLE_K))
+        )
+        und = edges.unionByName(
+            edges.select(F.col("nbr").alias("src"),
+                         F.col("src").alias("nbr"))
+        ).distinct()
+        vecs = base.select(
+            F.col("vec_id").alias("nbr"), F.col("e").alias("ce"),
+            F.col("nv").alias("nc"),
+        )
+        und.join(vecs, "nbr").select("src", "nbr", "ce", "nc") \
+            .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query("sim_knn_graph_search", oracle=_kgs_oracle())
+def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-TRAVERSAL ANN (round 14, VERDICT r13 item 5) — the one
+    production ANN family the quantized FAISS ladder doesn't cover:
+    HNSW/NSG-style search as a bounded-round relational traversal over
+    the layered navigable graph of `_kgs_index_fixture`.
+
+      seed    each query scores the hash-gated 6.25% sample EXACTLY
+              (the flattened upper-layer search: sample-sized scan,
+              both sides broadcast) and keeps its best {KGS_SEEDS};
+      expand  {KGS_ROUNDS} rounds of graph_bfs_hops' frontier
+              discipline: the per-query top-{KGS_BEAM} beam probes the
+              layered adjacency (ONE broadcast join of the frontier
+              against the index relation — the neighbor's vector rides
+              ON the edge, so scoring vs the broadcast query vectors
+              is map-side and NO corpus re-scan happens in any round),
+              new candidates anti-join the visited set (queries x
+              O(rounds*beam*degree) rows — broadcast), the beam
+              re-ranks;
+      emit    exact top-{TOP_K} of everything visited.
+
+    The DuckDB oracle executes the IDENTICAL traversal (same layers,
+    gate, seeds, beam, rounds, integer-micro cosines, vec_id
+    tie-breaks) as chained CTEs, so parity certifies the traversal
+    itself, not a lucky agreement.
+
+    HONEST READOUT (scripts/pq_recall.py, sf0.01): recall@5 0.72 at
+    ~51% of the corpus visited — on this near-uniform 64-dim corpus
+    the graph tier pays MORE IO than sim_ivfpq_mp_rescore's 0.83 at
+    ~25% of cells probed.  The expansion itself earns its keep (the
+    seed scan alone recalls 0.07; the beam rounds lift it 10x), but
+    navigable-graph search wants clusterable data: high intrinsic
+    dimension starves the kNN graph of shortcuts, which is exactly
+    the published HNSW failure mode — registered as the measured
+    crossover, the sim_ivfpq_trained_mp discipline.
+
+    Scale: per-round work is frontier-sized (broadcast joins against
+    the index relation; at warehouse scale the adjacency is bucketed
+    by src so the probe prunes); the visited set is bounded by
+    rounds*beam*degree per query regardless of N — the fixed-budget
+    ef-search posture, so the visited FRACTION (and with it recall on
+    unclusterable data) falls as the corpus grows while absolute
+    per-query cost stays flat.  Index build is one-time: linear pair
+    work in the bucketed layers, quadratic only in the 6.25% sample.
+    Rounds localCheckpoint like graph_bfs_hops so lineage stays
+    flat."""
+    from ..functions.ckpt import DISK as _DISK
+
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding", "e"))
+    q = (
+        v.filter(F.col("vec_id") < IVF_N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+        .withColumn("nq", _norm2("qe"))
+    )
+    ent = (
+        v.filter(F.substring(F.md5(F.col("vec_id").cast("string")),
+                             1, 2) < KGS_GATE)
+        .select(F.col("vec_id").alias("cand"), F.col("e").alias("ce"))
+        .withColumn("nc", _norm2("ce"))
+    )
+    cm = F.floor(
+        _dot("qe", "ce") / (F.sqrt(F.col("nq")) * F.sqrt(F.col("nc")))
+        * 1e6 + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("qid").orderBy(F.col("cm").desc(), "cand")
+    visited = (
+        F.broadcast(q).crossJoin(ent)
+        .filter(F.col("cand") != F.col("qid"))
+        .select("qid", "cand", cm.alias("cm"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KGS_SEEDS)
+        .select("qid", "cand", "cm")
+        .localCheckpoint(eager=True, storageLevel=_DISK)
+    )
+    und = _kgs_index_fixture(spark, sf_dir)
+    for _ in range(KGS_ROUNDS):
+        beam = (
+            visited.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= KGS_BEAM)
+            .select("qid", "cand")
+        )
+        scored = (
+            F.broadcast(beam)
+            .join(und, beam["cand"] == und["src"])
+            .filter(F.col("nbr") != F.col("qid"))
+            .select("qid", F.col("nbr").alias("cand"), "ce", "nc")
+            .join(F.broadcast(q), "qid")
+            .select("qid", "cand", cm.alias("cm"))
+            .groupBy("qid", "cand").agg(F.max("cm").alias("cm"))
+        )
+        new = scored.join(
+            F.broadcast(visited.select("qid", "cand")),
+            ["qid", "cand"], "left_anti",
+        )
+        visited = visited.unionByName(new).localCheckpoint(
+            eager=True, storageLevel=_DISK)
+    return (
+        visited.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cand").alias("neighbor_id"),
+            F.col("cm").alias("cos_micro"),
+            F.col("rk").cast("long").alias("rnk"),
+        )
+    )
+
+
 # --- product quantization (round 10) ---------------------------------------
 PQ_M = 8    # subspaces
 PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB = 64 = embedding dim)

@@ -51,6 +51,9 @@ def main() -> int:
         qi = idx_of[q]
         if metric == "dot":
             score = -(x @ x[qi])
+        elif metric == "cos":
+            norms = np.linalg.norm(x, axis=1)
+            score = -(x @ x[qi]) / (norms * norms[qi])
         else:
             score = ((x - x[qi]) ** 2).sum(axis=1)
         out = []
@@ -72,6 +75,10 @@ def main() -> int:
         ("sim_ivfpq_trained_mp", "l2", 4),    # trained + probes + refine
         ("sim_ivfpq_rescore", "l2", 4),       # IVF-PQ + exact refine (IVFPQR)
         ("sim_pq_rescore", "l2", 4),          # PQ scan + 20 exact reads
+        # graph tier: IO is per PROBED EDGE (rounds x beam x degree
+        # rows of src+nbr+vector+norm), not per corpus vector — the
+        # navigable-graph trade vs IVF's cell-sized candidate scans
+        ("sim_knn_graph_search", "cos", 536),
         ("sim_topk", "dot", 256),             # exact float32 baseline
     ]
     report = {}

@@ -75,8 +75,11 @@ def test_registry_size_is_intentional():
     # non-monotonic crossover documented as an operator): 451.
     # Round 14 adds sim_ivfpq_stream_compacted (search over the
     # streamed index after small-file compaction + vacuum — the
-    # IvfpqIndexSink maintenance path, VERDICT r13 item 1): 452.
-    assert len(load_all()) == 452
+    # IvfpqIndexSink maintenance path, VERDICT r13 item 1) and
+    # sim_knn_graph_search (HNSW/NSG-style layered graph-traversal
+    # ANN, item 5; ml_bpe_apply also upgraded in place to the real
+    # iterative merge loop, item 6): 453.
+    assert len(load_all()) == 453
 
 
 def test_recorded_set_matches_correctness_artifacts():

@@ -444,3 +444,99 @@ def test_mmr_greedy_matches_reference_on_random_pools(sp, pool_rows, sims):
                     best = (c, score)
             selected.append(best[0])
             assert got[(qid, t)] == best, (qid, t, got.get((qid, t)), best)
+
+
+def test_bpe_apply_matches_textbook_python_bpe(spark):
+    """ml_bpe_apply (round 14: the iterative form) must equal a
+    pure-Python TEXTBOOK BPE trainer on the identical weighted vocab:
+    per round, count adjacent symbol pairs weighted by word frequency,
+    merge the (count DESC, left, right) argmax everywhere
+    (leftmost-nonoverlapping), repeat — multi-character symbols
+    compose.  Pins the round-14 contract that the registered key runs
+    the REAL loop, not the retired single-count stand-in."""
+    import re
+    from collections import Counter
+
+    from py_pubsub_pipeline_spark.queries.tokenizer import (
+        _BPE_MERGES, _BPE_WORDS, _WORD_RE, ml_bpe_apply,
+    )
+    from py_pubsub_pipeline_spark.tables import table
+
+    from conftest import SF_SMALL
+
+    docs = table(spark, SF_SMALL, "documents").select("text").collect()
+    freq: Counter = Counter()
+    for r in docs:
+        for t in r["text"].split(" "):
+            if len(t) >= 2 and re.match(_WORD_RE, t):
+                freq[t] += 1
+    segs = {w: list(w) for w in freq}
+    for _ in range(_BPE_MERGES):
+        pc: Counter = Counter()
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freq[w]
+        (best_l, best_r), _n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best_l
+                        and syms[i + 1] == best_r):
+                    out.append(best_l + best_r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_WORDS]
+    want = {w: (" ".join(segs[w]), len(segs[w])) for w, _f in top}
+
+    got = {r["w"]: (r["tokens"], r["n_tokens"])
+           for r in ml_bpe_apply(spark, SF_SMALL).collect()}
+    assert got == want
+
+
+def test_bpe_trainer_composes_multichar_symbols(spark):
+    """On a vocabulary engineered so composition must fire (runs of
+    'a' dominate), the factored trainer must learn a+a -> aa then
+    aa+aa -> aaaa — pair counting over SYMBOLS of the current
+    segmentation, not character bigrams of the raw word (the retired
+    single-count scheme can never produce a merge whose sides are
+    multi-character)."""
+    from py_pubsub_pipeline_spark.queries.tokenizer import (
+        _bpe_train_segment,
+    )
+
+    from collections import Counter
+
+    vocab = [("aaaaaaaa", 100), ("aaaaab", 30), ("bcbc", 5)]
+    segs_py = {w: list(w) for w, _f in vocab}
+    freq = dict(vocab)
+    merges = []
+    for _ in range(3):
+        pc: Counter = Counter()
+        for w, syms in segs_py.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freq[w]
+        (bl, br), _n = min(pc.items(),
+                           key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((bl, br))
+        for w, syms in segs_py.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == bl
+                        and syms[i + 1] == br):
+                    out.append(bl + br)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs_py[w] = out
+    # composition provably fired: a learned merge has multi-char sides
+    assert any(len(l) > 1 and len(r) > 1 for l, r in merges), merges
+
+    words = spark.createDataFrame(vocab, "w STRING, freq LONG")
+    segs = {r["w"]: r["s"].strip().split("  ")
+            for r in _bpe_train_segment(words, n_merges=3).collect()}
+    assert segs == segs_py
