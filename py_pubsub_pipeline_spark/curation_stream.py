@@ -510,7 +510,8 @@ class CurationAdmissionSink:
         )
 
     def _standing_df(
-        self, spark: SparkSession, kind: str, before_batch: int
+        self, spark: SparkSession, kind: str, before_batch: int,
+        with_provenance: bool = False,
     ) -> DataFrame | None:
         """The standing state of ``kind`` as seen by batch
         ``before_batch``: the newest compaction base covering only
@@ -519,7 +520,13 @@ class CurationAdmissionSink:
         its own failed leftovers, folded or not), unioned with the
         batch partitions after it.  None when nothing is committed.
         Post-compaction this reads O(deltas since the fold) files
-        instead of one per trigger since stream birth."""
+        instead of one per trigger since stream birth.
+
+        ``with_provenance`` keeps the ADMITTING batch id as a
+        ``src_batch`` column (delta rows take it from their partition
+        id; base rows carry it — every base write preserves it) — the
+        column TTL eviction ages on, across any number of
+        compactions."""
         root = self._dir(kind)
         bases = [b for b in self._committed_ids(kind, "base")
                  if b < before_batch]
@@ -527,6 +534,9 @@ class CurationAdmissionSink:
         out = None
         if b is not None:
             out = spark.read.parquet(os.path.join(root, f"base={b}"))
+            if "src_batch" not in out.columns:
+                out = out.withColumn(
+                    "src_batch", F.lit(b).cast("long"))
         parts = [
             os.path.join(root, f"batch={i}")
             for i in self._committed_ids(kind, "batch")
@@ -535,9 +545,12 @@ class CurationAdmissionSink:
         if parts:
             d = (
                 spark.read.option("basePath", root).parquet(*parts)
+                .withColumn("src_batch", F.col("batch").cast("long"))
                 .drop("batch")
             )
             out = d if out is None else out.unionByName(d)
+        if out is not None and not with_provenance:
+            out = out.drop("src_batch")
         return out
 
     def _standing(self, spark: SparkSession, before_batch: int) -> DataFrame:
@@ -568,7 +581,7 @@ class CurationAdmissionSink:
 
     def compact_state(
         self, spark: SparkSession, through: int | None = None,
-        sem_bits: int | None = None,
+        sem_bits: int | None = None, ttl_batches: int | None = None,
     ) -> dict[str, str]:
         """Fold the batch-keyed standing-state partitions (exact-dedup
         keys, near-dup shingle postings, semantic frames) for batches
@@ -624,15 +637,39 @@ class CurationAdmissionSink:
                 # replaying the compaction is a no-op
                 folded[kind] = f"base={t}"
                 continue
-            df = self._standing_df(spark, kind, before_batch=t + 1)
+            df = self._standing_df(spark, kind, before_batch=t + 1,
+                                   with_provenance=True)
             if df is None:
                 continue
+            if ttl_batches is not None:
+                # TTL eviction (round 14, VERDICT r13 item 8 — the
+                # crawl-refresh reality): rows admitted more than
+                # ``ttl_batches`` batches before the fold point age
+                # out of the admission index, so a re-arriving
+                # duplicate of an expired document is admitted again.
+                # src_batch provenance survives every base rewrite,
+                # so expiry works across compaction generations.  The
+                # evicted exact-dedup keys are RELEASED as an
+                # auditable relation (state_evicted/base={t},
+                # overwrite — a replayed compaction re-derives the
+                # identical set).  The reweight ledgers (mix/DoReMi)
+                # are deliberately untouched: they describe the
+                # released corpus's lifetime history, not the current
+                # admission index.
+                cutoff = t - int(ttl_batches)
+                if kind == "state":
+                    df.filter(F.col("src_batch") <= cutoff).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(
+                        self._dir("state_evicted"), f"base={t}"))
+                df = df.filter(F.col("src_batch") > cutoff)
             if kind == "sem":
                 bits = sem_bits if sem_bits is not None else (
                     _derive_sem_bits(df.count()))
                 df = df.select(
                     "doc_id",
                     _sem_bucket("emb", bits).alias("bkt"), "emb",
+                    "src_batch",
                 ).repartition("bkt")
             df.write.mode("overwrite").parquet(
                 os.path.join(self._dir(kind), f"base={t}"))
@@ -640,6 +677,28 @@ class CurationAdmissionSink:
             if kind == "sem":
                 self._write_sem_bits(bits)
         return folded
+
+    def read_evicted(self, spark: SparkSession) -> DataFrame:
+        """The auditable eviction ledger: every exact-dedup key TTL'd
+        out of the admission index, with its admitting batch and the
+        compaction horizon that expired it."""
+        base = self._dir("state_evicted")
+        parts = [
+            os.path.join(base, d)
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
+            if d.startswith("base=")
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        ]
+        if not parts:
+            return spark.createDataFrame(
+                [], "norm_hash STRING, doc_id LONG, src_batch LONG,"
+                    " horizon LONG")
+        return (
+            spark.read.option("basePath", base).parquet(*parts)
+            .withColumnRenamed("base", "horizon")
+            .select("norm_hash", "doc_id", "src_batch",
+                    F.col("horizon").cast("long"))
+        )
 
     def vacuum_state(self) -> list[str]:
         """Expire standing-state partitions superseded by each kind's

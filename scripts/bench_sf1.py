@@ -46,7 +46,10 @@ from bench import HEADLINE  # noqa: E402
 # the evidence the r12 `weak` (189 s of per-invocation re-training at
 # sf10) stays flipped — the DuckDB side re-trains per run, which is
 # the documented fixture asymmetry being measured.
-SERIES_EXTRA = ["sim_ivfpq", "sim_ivfpq_trained"]
+SERIES_EXTRA = ["sim_ivfpq", "sim_ivfpq_trained", "sim_ivfpq_mp_rescore"]
+# Round 14 adds the multi-probe + scaled-refine composite: it shares
+# sim_ivfpq's persisted codes fixture, so its row isolates the
+# query-side probe-expansion + refine cost (VERDICT r13 item 7).
 from py_pubsub_pipeline_spark.oracle import duckdb_connect  # noqa: E402
 from py_pubsub_pipeline_spark.registry import load_all  # noqa: E402
 from py_pubsub_pipeline_spark.session import get_spark  # noqa: E402

@@ -690,3 +690,85 @@ def test_state_format_v2_upgrades_in_place(tmp_path):
         fh.write("v1-per-batch-partials\n")
     with pytest.raises(RuntimeError, match="migrate"):
         sink._assert_state_format()
+
+
+def test_ttl_eviction_readmits_expired_duplicates(spark, docs, tmp_path):
+    """TTL/watermark eviction (VERDICT r13 item 8): documents age out
+    of the admission index after a retention horizon, so a re-arriving
+    duplicate of an EXPIRED document is admitted again (crawl
+    refresh), while duplicates of still-retained documents stay
+    rejected; the evicted keys release as an auditable relation;
+    provenance survives compaction generations; replaying the eviction
+    converges."""
+    eval_grams = build_eval_ngram_index(docs)
+    rows = _doc_rows(docs)
+    # 3 batches of 2 files each (maxFilesPerTrigger=3 -> use 6 files
+    # over two drains to pin batch boundaries: 3 files per batch)
+    phase1 = rows[:300]
+    drop = str(tmp_path / "drop")
+    _append_drop_files(phase1, drop, n_files=9, t0=1_700_000_000)
+    sink = CurationAdmissionSink(str(tmp_path / "out"), eval_grams)
+    _drive(spark, sink, drop, str(tmp_path / "ckpt"))
+    batches = sink._committed_ids("state", "batch")
+    assert batches == [0, 1, 2]
+
+    def admitted_by_batch(b):
+        return {r["norm_hash"] for r in spark.read.parquet(
+            os.path.join(str(tmp_path / "out"), "state", f"batch={b}")
+        ).collect()}
+
+    b0, b1, b2 = (admitted_by_batch(i) for i in (0, 1, 2))
+    # expire batch 0 (cutoff = 2 - 2 = 0)
+    sink.compact_state(spark, through=2, ttl_batches=2)
+    sink.vacuum_state()
+    ev = sink.read_evicted(spark)
+    got_ev = {(r["norm_hash"], r["src_batch"], r["horizon"])
+              for r in ev.collect()}
+    assert {h for h, _s, _h in got_ev} == b0
+    assert all(s == 0 and h == 2 for _n, s, h in got_ev)
+    # standing view for the NEXT batch excludes the expired keys
+    standing = {r["norm_hash"]
+                for r in sink._standing(spark, 3).collect()}
+    assert standing == (b1 | b2)
+
+    # re-arrivals: duplicates of batch-0 docs are RE-ADMITTED,
+    # duplicates of batch-1/2 docs stay rejected
+    vd = gate_batch(docs, eval_grams).select(
+        "doc_id", "norm_hash").collect()
+    hash_of = {r["doc_id"]: r["norm_hash"] for r in vd}
+    import hashlib
+
+    def not_eval(i):
+        # skip re-arrival ids the md5 eval gate would claim (those are
+        # excluded as benchmark docs, not dedup-rejected — orthogonal)
+        return hashlib.md5(str(i).encode()).hexdigest()[:2] >= "08"
+
+    redo = [dict(r, doc_id=r["doc_id"] + 50_000) for r in phase1
+            if hash_of.get(r["doc_id"]) in (b0 | b1 | b2)
+            and not_eval(r["doc_id"] + 50_000)]
+    _append_drop_files(redo, drop, n_files=1, t0=1_700_000_100)
+    _drive(spark, sink, drop, str(tmp_path / "ckpt"))
+    readmitted = {hash_of[r["doc_id"] - 50_000] for r in
+                  sink.read_admitted(spark).select("doc_id").collect()
+                  if r["doc_id"] >= 50_000}
+    assert readmitted == {hash_of[r["doc_id"] - 50_000] for r in redo
+                          if hash_of[r["doc_id"] - 50_000] in b0}
+    assert readmitted
+    # replaying the compaction converges (same horizon -> no-op)
+    assert sink.compact_state(spark, through=2, ttl_batches=2) == {
+        "state": "base=2"}
+    assert {(r["norm_hash"], r["src_batch"], r["horizon"])
+            for r in sink.read_evicted(spark).collect()} == got_ev
+
+    # second generation: compact through the re-admission batch with
+    # the same TTL — batch-1 rows (folded INTO base=2 earlier) now age
+    # out, proving provenance survives the first rewrite
+    newest = sink._committed_ids("state", "batch")[-1]
+    sink.compact_state(spark, through=newest, ttl_batches=2)
+    ev2 = {(r["norm_hash"], r["src_batch"]) for r in
+           sink.read_evicted(spark).filter(
+               F.col("horizon") == newest).collect()}
+    assert {(h, s) for h, s in ev2 if s == 1} == {(h, 1) for h in b1}
+    standing2 = {r["norm_hash"]
+                 for r in sink._standing(spark, newest + 1).collect()}
+    assert not (standing2 & b1)
