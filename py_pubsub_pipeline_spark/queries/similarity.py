@@ -1792,13 +1792,19 @@ def _kgs_oracle() -> str:
                 ON c.bkt = a.bkt AND c.vec_id <> a.vec_id))
       WHERE rnk <= {KGS_FINE_K}),
     mid AS (
+      -- hub links: candidates restricted to SAMPLE members of the
+      -- coarser bucket — every node wires into its local upper-layer
+      -- hubs (the HNSW descent path), and the pair volume is
+      -- gate-fraction of the full coarse-bucket join (the full join
+      -- spilled >18 GiB at sf10 on the replica-skewed derived corpus)
       SELECT src, nbr FROM (
         SELECT src, nbr, ROW_NUMBER() OVER (
                  PARTITION BY src ORDER BY cm DESC, nbr) AS rnk
         FROM (SELECT a.vec_id AS src, c.vec_id AS nbr,
                      {_kgs_cm_pre_sql("a.e", "c.e", "a.n2", "c.n2")} AS cm
               FROM b a JOIN b c
-                ON c.mbkt = a.mbkt AND c.vec_id <> a.vec_id))
+                ON c.mbkt = a.mbkt AND c.samp
+               AND c.vec_id <> a.vec_id))
       WHERE rnk <= {KGS_MID_K}),
     longe AS (
       SELECT src, nbr FROM (
@@ -1841,9 +1847,14 @@ def _kgs_index_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       fine  top-{KGS_FINE_K} within the corpus-adaptive sign bucket
             (sim_knn_graph_blocked's edge rule at higher degree);
-      mid   top-{KGS_MID_K} within the 3-bit-coarser bucket (8x the
-            population — local bridges across adjacent fine buckets,
-            pair cost still linear in N at constant factor 8);
+      mid   top-{KGS_MID_K} HUB LINKS: each node's nearest SAMPLE
+            members within its 3-bit-coarser bucket — the HNSW
+            descent path (every node wires into its local upper-layer
+            hubs, and hubs inherit high symmetric degree), at
+            gate-fraction pair cost (the unrestricted coarse-bucket
+            join spilled >18 GiB at sf10 on the replica-skewed
+            derived corpus; hub restriction cut it 16x AND raised
+            recall 0.72 -> 0.83);
       long  top-{KGS_SAMPLE_K} ALL-PAIRS among the md5-gated 6.25%
             global sample (HNSW's sparse upper levels flattened: the
             long-range links that make the graph navigable; all-pairs
@@ -1860,7 +1871,11 @@ def _kgs_index_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .formats import _fixture_dir
 
-    path = _fixture_dir(sf_dir, "knn_graph_hnsw")
+    # layer construction scheme is part of the fixture identity (the
+    # sim_ivfpq_streamed ADVICE rule): "hubmid" = mid layer restricted
+    # to sample hubs; a scheme change mints a fresh dir, never serves
+    # a stale layout
+    path = _fixture_dir(sf_dir, "knn_graph_hnsw_hubmid")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         emb_ref = f"parquet.`{sf_dir}/embeddings.parquet`"
         base = table(spark, sf_dir, "embeddings").select(
@@ -1875,9 +1890,10 @@ def _kgs_index_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                         fine_bkt.alias("bkt"), mid_bkt.alias("mbkt"),
                         gate.alias("samp"))
 
-        def layer(key_col: str | None, k: int) -> DataFrame:
+        def layer(key_col: str | None, k: int,
+                  hubs_only: bool = False) -> DataFrame:
             lhs = b if key_col else b.filter("samp")
-            rhs = b if key_col else b.filter("samp")
+            rhs = b.filter("samp") if (hubs_only or not key_col) else b
             a = lhs.select(
                 F.col("vec_id").alias("src"), F.col("e").alias("ae"),
                 F.col("nv").alias("na"),
@@ -1906,7 +1922,7 @@ def _kgs_index_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         edges = (
             layer("bkt", KGS_FINE_K)
-            .unionByName(layer("mbkt", KGS_MID_K))
+            .unionByName(layer("mbkt", KGS_MID_K, hubs_only=True))
             .unionByName(layer(None, KGS_SAMPLE_K))
         )
         und = edges.unionByName(
@@ -1948,15 +1964,17 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks) as chained CTEs, so parity certifies the traversal
     itself, not a lucky agreement.
 
-    HONEST READOUT (scripts/pq_recall.py, sf0.01): recall@5 0.72 at
-    ~51% of the corpus visited — on this near-uniform 64-dim corpus
-    the graph tier pays MORE IO than sim_ivfpq_mp_rescore's 0.83 at
-    ~25% of cells probed.  The expansion itself earns its keep (the
-    seed scan alone recalls 0.07; the beam rounds lift it 10x), but
-    navigable-graph search wants clusterable data: high intrinsic
-    dimension starves the kNN graph of shortcuts, which is exactly
-    the published HNSW failure mode — registered as the measured
-    crossover, the sim_ivfpq_trained_mp discipline.
+    HONEST READOUT (scripts/pq_recall.py, sf0.01): recall@5 0.83 —
+    tying sim_ivfpq_mp_rescore's 0.83 — at ~68% of this 500-vector
+    corpus visited, i.e. MORE IO at the measurement scale (the
+    fixed rounds*beam*degree budget is a large fraction of a tiny
+    corpus; at sf0.1 the same budget visits 28% and recalls 0.50).
+    The expansion earns its keep (the seed scan alone recalls 0.07;
+    the beam rounds lift it 12x), but navigable-graph search wants
+    clusterable data: on near-uniform 64-dim vectors recall tracks
+    the visited fraction, the published HNSW failure mode —
+    registered as the measured crossover, the sim_ivfpq_trained_mp
+    discipline.
 
     Scale: per-round work is frontier-sized (broadcast joins against
     the index relation; at warehouse scale the adjacency is bucketed
