@@ -658,7 +658,7 @@ N_EST_HASHES = 32  # minhash slots for the Jaccard estimator
 @query(
     "dedup_minhash_estimate",
     oracle=f"""
-    WITH {_SQL_SHINGLES},
+    WITH {_SQL_SHINGLES_MAT},
     inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
