@@ -1724,11 +1724,6 @@ KGS_BEAM = 16     # beam width per expansion round
 KGS_ROUNDS = 6    # bounded expansion rounds (the production posture)
 
 
-def _kgs_cm_sql(a: str, b: str) -> str:
-    return (f"CAST(FLOOR(({_SQL_COS.format(a=a, b=b)})"
-            f" * 1e6 + 0.5) AS BIGINT)")
-
-
 def _kgs_cm_pre_sql(a: str, b: str, na: str, nb: str) -> str:
     """cm with PRECOMPUTED self-products (b.n2) — the same doubles as
     _kgs_cm_sql (identical fold, identical sqrt-then-multiply), 3x
