@@ -1350,3 +1350,137 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_tok").cast("double") / F.count("*"), 6)
         .alias("avg_chunk_tok"),
     )
+
+
+@query(
+    "dedup_prefix_filter",
+    oracle=f"""
+    WITH {_SQL_SHINGLES_MAT},
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    ranked AS (
+      SELECT sh.doc_id, sh.s, sz.n,
+             ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                                ORDER BY d.df, sh.s) AS r
+      FROM sh
+      JOIN dfreq d ON d.s = sh.s
+      JOIN sizes sz ON sz.doc_id = sh.doc_id),
+    pref AS (
+      SELECT doc_id, s, n FROM ranked
+      WHERE r <= n - (n + 1) // 2 + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM pref a JOIN pref b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS shared
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a_id
+      JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+      GROUP BY 1, 2)
+    SELECT i.a_id, i.b_id, CAST(i.shared AS BIGINT) AS shared,
+           CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED set-similarity self-join (AllPairs — Bayardo,
+    Ma & Srikant, WWW'07; the candidate-pruning half of PPJoin): the
+    sub-quadratic EXACT alternative to dedup_ngram_jaccard's full
+    inverted-index join.  Tokens get a global rarest-first total order
+    (document frequency ASC, token); a doc of size n indexes only its
+    PREFIX — the first n - ceil(t*n) + 1 tokens under that order
+    (t = {JACCARD_THRESHOLD}: n - (n+1)//2 + 1).  The prefix lemma:
+    two sets with Jaccard >= t MUST share a token inside both
+    prefixes, so joining prefix-against-prefix loses no true pair
+    while the quadratic blowup moves from the full df distribution to
+    the df of each doc's RAREST tokens.  A size filter
+    (max(n_a,n_b) <= 2*min — Jaccard >= 0.5 is impossible otherwise)
+    prunes candidates before verification; exact Jaccard over the
+    full shingle sets then verifies each survivor, so the released
+    pairs are IDENTICAL to dedup_ngram_jaccard's (pytest asserts
+    set-equality — the filter is lossless by construction).
+
+    The rank tie-break (df, then token value) differs per engine only
+    in the token representation (xxhash64 vs string); the prefix
+    lemma holds under ANY consistent total order, so the verified
+    output is engine-identical even though the candidate sets need
+    not be.
+
+    Scale: this is THE published recipe for exact all-pairs
+    similarity at corpus scale — the inverted index holds prefix
+    tokens only (rare by construction: a token with huge df sits at
+    every doc's suffix and never enters the index), so per-token
+    posting lists stay short where dedup_ngram_jaccard's explode
+    quadratically; verification touches candidate pairs only
+    (cand ⋈ shingles twice, shuffles bounded by |candidates| x
+    set size, not df^2).  The df agg is vocab-bounded with map-side
+    partials; the rank window is ONE corpus shuffle on doc_id.
+    PPJoin's positional filter (rank arithmetic bounding the maximum
+    possible overlap per candidate) is the next refinement on the
+    same plan shape when verification dominates."""
+    sh = _hashed_shingles(spark, sf_dir)
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "h")
+    wn = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "h")
+        .select(
+            "doc_id", "h",
+            F.row_number().over(wr).alias("r"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    pref = ranked.filter(
+        F.col("r") <= F.expr("n - (n + 1) DIV 2 + 1")
+    ).select("doc_id", "h", "n")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.greatest(F.col("a.n"), F.col("b.n"))
+                <= 2 * F.least(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    shared = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), "h"), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "h"), ["b_id", "h"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("a_id"),
+                                     F.col("n").alias("na"))),
+            "a_id",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("b_id"),
+                                     F.col("n").alias("nb"))),
+            "b_id",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            "a_id", "b_id",
+            F.col("shared").cast("long").alias("shared"),
+            "jaccard",
+        )
+    )
