@@ -1352,37 +1352,50 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle fragment for the prefix-filter family: the global
+# rarest-first ranking done over 8-BYTE HASH keys, never the shingle
+# strings — DuckDB's rank sort carries full rows, and sorting the
+# string-bearing stream spilled past the 20 GB temp cap at sf10 (the
+# same arrays-out-of-windows lesson as the blocked-kNN oracle).  All
+# downstream set arithmetic (sizes, candidates, intersections) runs
+# on the hashed relation so cardinalities stay self-consistent.
+_SQL_PREFIX_RANKED = """
+    shh AS MATERIALIZED (SELECT doc_id, hash(s) AS k FROM sh),
+    hsizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+    dfreq AS (SELECT k, COUNT(*) AS df FROM shh GROUP BY k),
+    ranked AS (
+      SELECT shh.doc_id, shh.k, hz.n,
+             ROW_NUMBER() OVER (PARTITION BY shh.doc_id
+                                ORDER BY d.df, shh.k) AS r
+      FROM shh
+      JOIN dfreq d ON d.k = shh.k
+      JOIN hsizes hz ON hz.doc_id = shh.doc_id),
+    pref AS MATERIALIZED (
+      SELECT doc_id, k, n, r FROM ranked
+      WHERE r <= n - (n + 1) // 2 + 1)
+"""
+
+
 @query(
     "dedup_prefix_filter",
     oracle=f"""
-    WITH {_SQL_SHINGLES_MAT},
-    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-    ranked AS (
-      SELECT sh.doc_id, sh.s, sz.n,
-             ROW_NUMBER() OVER (PARTITION BY sh.doc_id
-                                ORDER BY d.df, sh.s) AS r
-      FROM sh
-      JOIN dfreq d ON d.s = sh.s
-      JOIN sizes sz ON sz.doc_id = sh.doc_id),
-    pref AS (
-      SELECT doc_id, s, n FROM ranked
-      WHERE r <= n - (n + 1) // 2 + 1),
+    WITH {_SQL_SHINGLES_MAT},{_SQL_PREFIX_RANKED},
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM pref a JOIN pref b
-        ON a.s = b.s AND a.doc_id < b.doc_id
+        ON a.k = b.k AND a.doc_id < b.doc_id
       WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
     inter AS (
       SELECT c.a_id, c.b_id, COUNT(*) AS shared
       FROM cand c
-      JOIN sh x ON x.doc_id = c.a_id
-      JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+      JOIN shh x ON x.doc_id = c.a_id
+      JOIN shh y ON y.doc_id = c.b_id AND y.k = x.k
       GROUP BY 1, 2)
     SELECT i.a_id, i.b_id, CAST(i.shared AS BIGINT) AS shared,
            CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
     FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.a_id
-    JOIN sizes sb ON sb.doc_id = i.b_id
+    JOIN hsizes sa ON sa.doc_id = i.a_id
+    JOIN hsizes sb ON sb.doc_id = i.b_id
     WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
           >= {JACCARD_THRESHOLD}
     """,
@@ -1484,3 +1497,155 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+def _prefix_ranked(sh: DataFrame) -> DataFrame:
+    """(doc_id, h, r, n): each doc's shingles ranked under the global
+    rarest-first total order (document frequency ASC, hash) with the
+    doc's set size — the shared front half of the prefix-filter
+    family (dedup_prefix_filter, dedup_ppjoin)."""
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "h")
+    wn = Window.partitionBy("doc_id")
+    return sh.join(dfreq, "h").select(
+        "doc_id", "h",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+
+def _verify_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a_id, b_id) pairs:
+    join each side's full shingle set, count the intersection, attach
+    broadcast sizes, filter >= threshold.  Shuffles are bounded by
+    |candidates| x set size — never df^2 of the full index."""
+    shared = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), "h"), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "h"), ["b_id", "h"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("a_id"),
+                                     F.col("n").alias("na"))),
+            "a_id",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("b_id"),
+                                     F.col("n").alias("nb"))),
+            "b_id",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            "a_id", "b_id",
+            F.col("shared").cast("long").alias("shared"),
+            "jaccard",
+        )
+    )
+
+
+@query(
+    "dedup_ppjoin",
+    oracle=f"""
+    WITH {_SQL_SHINGLES_MAT},{_SQL_PREFIX_RANKED},
+    hits AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.n AS na, b.n AS nb, a.r AS i, b.r AS j,
+             ROW_NUMBER() OVER (PARTITION BY a.doc_id, b.doc_id
+                                ORDER BY a.r, b.r) AS first_hit
+      FROM pref a JOIN pref b
+        ON a.k = b.k AND a.doc_id < b.doc_id
+      WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
+    cand AS (
+      SELECT a_id, b_id FROM hits
+      WHERE first_hit = 1
+        AND na + nb <= 3 * (1 + LEAST(na - i, nb - j))),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS shared
+      FROM cand c
+      JOIN shh x ON x.doc_id = c.a_id
+      JOIN shh y ON y.doc_id = c.b_id AND y.k = x.k
+      GROUP BY 1, 2)
+    SELECT i.a_id, i.b_id, CAST(i.shared AS BIGINT) AS shared,
+           CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
+    FROM inter i
+    JOIN hsizes sa ON sa.doc_id = i.a_id
+    JOIN hsizes sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJOIN: dedup_prefix_filter plus the POSITIONAL filter (Xiao,
+    Wang, Lin & Yu, WWW'08) — the second published pruning lever on
+    the same prefix-index plan.  Jaccard >= t needs overlap
+    alpha = ceil(t/(1+t) * (na+nb)) (t = {JACCARD_THRESHOLD}:
+    ceil((na+nb)/3)).  For a candidate pair, take its FIRST shared
+    prefix token under the global order — at positions (i, j) with no
+    shared token earlier in either prefix, the total overlap is at
+    most 1 + min(na - i, nb - j) (one for the hit, plus everything
+    after it on the shorter remainder).  If that upper bound cannot
+    reach alpha, the pair dies BEFORE verification — pure integer
+    arithmetic on rank positions the prefix index already carries
+    (the filter is the inequality na + nb <= 3 * (1 + min(...)) in
+    exact integers, no division).
+
+    first-hit selection: ROW_NUMBER over (pair ORDER BY i, j) = 1 —
+    minimal i means no earlier a-side prefix token is shared, which
+    is what makes the bound sound; the same total order runs on both
+    engines over their respective token representations, and the
+    VERIFIED output is representation-independent (pytest asserts
+    set-equality with dedup_ngram_jaccard and that the positional
+    filter admits no more candidates than the prefix filter alone).
+
+    Scale: identical plan skeleton to dedup_prefix_filter — the
+    positional filter adds one pair-keyed window over the candidate
+    hits (bounded by candidate volume, the thing it shrinks) and
+    strictly reduces the verification join's input.  At 100 TB the
+    pruning compounds: verification is the dominant cost once the
+    prefix index has bounded candidate generation, and PPJoin's
+    filter removes the near-miss mass (pairs sharing one rare token
+    but too short to overlap enough) that exact verification would
+    otherwise pay for."""
+    sh = _hashed_shingles(spark, sf_dir)
+    pr = _prefix_ranked(sh)
+    pref = pr.filter(
+        F.col("r") <= F.expr("n - (n + 1) DIV 2 + 1")
+    ).select("doc_id", "h", "n", "r")
+    a, b = pref.alias("a"), pref.alias("b")
+    hits = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.greatest(F.col("a.n"), F.col("b.n"))
+            <= 2 * F.least(F.col("a.n"), F.col("b.n"))
+        ),
+    ).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        F.col("a.r").alias("i"),
+        F.col("b.r").alias("j"),
+    )
+    wfirst = Window.partitionBy("a_id", "b_id").orderBy("i", "j")
+    cand = (
+        hits.withColumn("first_hit", F.row_number().over(wfirst))
+        .filter(
+            (F.col("first_hit") == 1)
+            & (
+                F.col("na") + F.col("nb")
+                <= 3 * (1 + F.least(F.col("na") - F.col("i"),
+                                    F.col("nb") - F.col("j")))
+            )
+        )
+        .select("a_id", "b_id")
+    )
+    return _verify_pairs(sh, cand)

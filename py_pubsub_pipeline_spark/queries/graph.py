@@ -40,7 +40,12 @@ from pyspark.sql import functions as F
 from ..functions.ckpt import DISK as _DISK
 from ..registry import query
 from ..tables import table
-from .dedup import JACCARD_THRESHOLD, _SQL_SHINGLES, dedup_ngram_jaccard
+from .dedup import (
+    JACCARD_THRESHOLD,
+    _SQL_SHINGLES,
+    _SQL_SHINGLES_MAT,
+    dedup_ngram_jaccard,
+)
 
 MAX_ROUNDS = 20
 
@@ -1049,12 +1054,12 @@ _LEAK_SPLIT_GATE = "cc"
 @query(
     "split_leakage_safe",
     oracle=f"""
-    WITH RECURSIVE {_SQL_SHINGLES},
-    inter AS (
+    WITH RECURSIVE {_SQL_SHINGLES_MAT},
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a_id, b_id FROM inter
       JOIN sizes sa ON sa.doc_id = a_id
       JOIN sizes sb ON sb.doc_id = b_id
@@ -1161,3 +1166,66 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cross_split_pairs"),
         )
     )
+
+
+@query(
+    "dedup_cc_star",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES_MAT},
+    inter AS MATERIALIZED (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a_id, b_id FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
+            >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node)
+    SELECT node AS doc_id, MIN(label) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cc by ALTERNATING LARGE-STAR/SMALL-STAR (Kiveris et al.,
+    SoCC'14) — the O(log^2 n)-round production formulation promoted
+    from library function (connected_components_star, unit-tested on
+    synthetic graphs since round 10) to a certified operator: the
+    same near-dup edge set, the same output contract as dedup_cc
+    (component = min reachable doc_id, singletons map to themselves),
+    the same recursive-CTE oracle — so the driver certifies that BOTH
+    connected-components formulations compute the identical fixpoint
+    on the real corpus, not just on synthetic chains.
+
+    Why a second CC key: min-label propagation needs DIAMETER rounds
+    — fine for near-dup clusters (diameter 2-4), fatal for the
+    adversarial long-chain graphs a 100 TB crawl can produce (URL
+    redirect chains, boilerplate gradients).  Large-star re-points
+    every neighbor above u at u's minimum neighbor; small-star
+    flattens the rest; each round is one shuffle + one projection,
+    and the round count is O(log^2 n) REGARDLESS of diameter.  A user
+    choosing between the two keys is choosing a convergence bound,
+    not a semantics."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    )
+    touched = (
+        edges.select(F.col("u").alias("doc_id"))
+        .unionByName(edges.select(F.col("v").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components_star(touched, edges)
+    singletons = docs.join(touched, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    return labels.unionByName(singletons)

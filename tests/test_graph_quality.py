@@ -232,3 +232,71 @@ def test_leakage_safe_split_has_zero_cross_pairs_where_doc_split_leaks(spark):
         .count()
     )
     assert leaked > 0
+
+
+def test_ppjoin_pairs_equal_full_join_and_prune_tighter(spark):
+    # Positional filter is lossless (released pairs == the full
+    # inverted-index join's) and admits no more candidates than the
+    # prefix filter alone.
+    from py_pubsub_pipeline_spark.queries.dedup import (
+        _hashed_shingles,
+        _prefix_ranked,
+        dedup_ngram_jaccard,
+        dedup_ppjoin,
+    )
+    from pyspark.sql import Window
+
+    full = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in dedup_ngram_jaccard(spark, SF_SMALL).collect()
+    }
+    pp = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in dedup_ppjoin(spark, SF_SMALL).collect()
+    }
+    assert pp == full
+    sh = _hashed_shingles(spark, SF_SMALL)
+    pref = _prefix_ranked(sh).filter(
+        F.col("r") <= F.expr("n - (n + 1) DIV 2 + 1")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    hits = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.greatest(F.col("a.n"), F.col("b.n"))
+            <= 2 * F.least(F.col("a.n"), F.col("b.n"))
+        ),
+    ).select(
+        F.col("a.doc_id").alias("a_id"),
+        F.col("b.doc_id").alias("b_id"),
+        F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        F.col("a.r").alias("i"), F.col("b.r").alias("j"),
+    )
+    prefix_cands = hits.select("a_id", "b_id").distinct().count()
+    wfirst = Window.partitionBy("a_id", "b_id").orderBy("i", "j")
+    pp_cands = (
+        hits.withColumn("fh", F.row_number().over(wfirst))
+        .filter(
+            (F.col("fh") == 1)
+            & (F.col("na") + F.col("nb")
+               <= 3 * (1 + F.least(F.col("na") - F.col("i"),
+                                   F.col("nb") - F.col("j"))))
+        )
+        .count()
+    )
+    assert 0 < pp_cands <= prefix_cands
+
+
+def test_cc_star_key_matches_min_label_key_on_corpus(spark):
+    from py_pubsub_pipeline_spark.queries.graph import (
+        dedup_cc,
+        dedup_cc_star,
+    )
+
+    base = {(r.doc_id, r.component)
+            for r in dedup_cc(spark, SF_SMALL).collect()}
+    star = {(r.doc_id, r.component)
+            for r in dedup_cc_star(spark, SF_SMALL).collect()}
+    assert star == base
