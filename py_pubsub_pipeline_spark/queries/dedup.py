@@ -1380,16 +1380,18 @@ _SQL_PREFIX_RANKED = """
     "dedup_prefix_filter",
     oracle=f"""
     WITH {_SQL_SHINGLES_MAT},{_SQL_PREFIX_RANKED},
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM pref a JOIN pref b
         ON a.k = b.k AND a.doc_id < b.doc_id
       WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
+    pc AS MATERIALIZED (
+      SELECT c.a_id, c.b_id, x.k
+      FROM cand c JOIN shh x ON x.doc_id = c.a_id),
     inter AS (
-      SELECT c.a_id, c.b_id, COUNT(*) AS shared
-      FROM cand c
-      JOIN shh x ON x.doc_id = c.a_id
-      JOIN shh y ON y.doc_id = c.b_id AND y.k = x.k
+      SELECT pc.a_id, pc.b_id, COUNT(*) AS shared
+      FROM pc
+      JOIN shh y ON y.doc_id = pc.b_id AND y.k = pc.k
       GROUP BY 1, 2)
     SELECT i.a_id, i.b_id, CAST(i.shared AS BIGINT) AS shared,
            CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
