@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Spark-side-only timing sweep over the query registry (guide §1).
+
+Times each registered query against $SPARK_GRAFT_SF_DIR (default
+sf0.01) through the noop sink (computes every column of every row,
+no output cost, full plan visible), one untimed warmup optional via
+--warm.  Writes {key: seconds} JSON sorted descending so the slow
+tail is on top.  Measurement only — never run by the driver bench.
+
+Usage: python scripts/time_registry.py [--sf DIR] [--json OUT]
+                                       [--warm] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from py_pubsub_pipeline_spark.registry import load_all  # noqa: E402
+from py_pubsub_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--warm", action="store_true",
+                    help="one untimed warmup run per key first")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    registry = load_all()
+    names = args.names or sorted(registry)
+    spark = get_spark("time_registry")
+    out: dict[str, float] = {}
+    for name in names:
+        spec = registry.get(name)
+        if spec is None:
+            print(f"?? {name}: not registered", file=sys.stderr)
+            continue
+        spark.sparkContext.setJobDescription(f"time: {name}")
+        try:
+            if args.warm:
+                spec.fn(spark, args.sf).write.format("noop").mode(
+                    "overwrite").save()
+            t0 = time.time()
+            spec.fn(spark, args.sf).write.format("noop").mode(
+                "overwrite").save()
+            dt = time.time() - t0
+        except Exception as exc:  # noqa: BLE001
+            print(f"!! {name}: {type(exc).__name__} {str(exc)[:200]}",
+                  file=sys.stderr)
+            out[name] = -1.0
+            continue
+        out[name] = round(dt, 3)
+        print(f"{name}: {out[name]}s", file=sys.stderr)
+        if args.json:
+            ranked = dict(sorted(out.items(), key=lambda kv: -kv[1]))
+            tmp = args.json + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"sf_dir": args.sf, "seconds": ranked}, fh,
+                          indent=1)
+            os.replace(tmp, args.json)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -78,8 +78,15 @@ def test_registry_size_is_intentional():
     # IvfpqIndexSink maintenance path, VERDICT r13 item 1) and
     # sim_knn_graph_search (HNSW/NSG-style layered graph-traversal
     # ANN, item 5; ml_bpe_apply also upgraded in place to the real
-    # iterative merge loop, item 6): 453.
-    assert len(load_all()) == 453
+    # iterative merge loop, item 6): 453.  The round-14 build then
+    # added the exact set-similarity-join family and its governance
+    # consumers (SCALE.md round-14 rows): dedup_prefix_filter
+    # (AllPairs prefix-filtered join, WWW'07), dedup_ppjoin (PPJoin
+    # positional filter), split_leakage_safe (component-hash split
+    # with a computed cross-split-pair audit), and dedup_cc_star
+    # (large-star/small-star CC promoted to a certified operator):
+    # 457.
+    assert len(load_all()) == 457
 
 
 def test_recorded_set_matches_correctness_artifacts():
