@@ -1093,51 +1093,84 @@ def mmr_greedy(pool: DataFrame, pr: DataFrame,
                wpen: int = MMR_WPEN) -> DataFrame:
     """The reusable greedy-MMR kernel: given a bounded per-query pool
     ``(qid, cid, rel)`` and its pairwise similarities
-    ``(qid, a, b, sim)`` (both integer-scored), unroll ``k`` greedy
+    ``(qid, a, b, sim)`` (both integer-scored), run ``k`` greedy
     rounds of argmax ``wrel*rel - wpen*max-sim-to-selected`` with a
     cid tie-break.  Division-free integer scores throughout
     (property-tested over random pools in tests/test_properties.py
-    beyond the corpus-bound oracle check)."""
-    w1 = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")
-    sel = (
-        pool.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            "qid", "cid", F.lit(1).alias("t"),
-            (F.lit(wrel) * F.col("rel")).alias("score"),
+    beyond the corpus-bound oracle check).
+
+    Physical shape (optimization round 14): ONE cogrouped Arrow
+    kernel over (qid), replacing the previous k-round unrolled-join
+    plan.  That plan referenced the running selection twice per round,
+    so the logical tree ~doubled per round and the executed plan
+    recomputed the corpus-scan pool subtree dozens of times — 13.2 s
+    at sf0.01 for 50 output rows, pure plan/recompute overhead.  Both
+    inputs are per-query BOUNDED (pool <= MMR_POOL rows, sims <=
+    MMR_POOL^2), so the greedy recursion is a per-group scalar loop —
+    exactly the shape guide §4.2 sends to a cogrouped kernel: Spark
+    does the distribution (one exchange per side), the bounded
+    per-group selection runs in-process on integers, and the rounds
+    cost ZERO extra shuffles regardless of k.  The incremental
+    penalty update (pen' = max(pen, sim(pick, ·))) is equivalent to
+    the unrolled MAX-over-selected because max is associative; ints
+    cross Arrow losslessly; ties break on (score desc, cid asc) as
+    before — re-proven hash-exact against the unchanged DuckDB oracle
+    at sf0.001/sf0.01/sf0.1 after the rewrite."""
+    import pandas as pd
+
+    def _greedy(key, pool_pdf, pr_pdf):
+        qid = int(key[0])
+        rel = dict(zip((int(c) for c in pool_pdf["cid"]),
+                       (int(r) for r in pool_pdf["rel"])))
+        sim: dict[tuple[int, int], int] = {}
+        for a, b, s in zip(pr_pdf["a"], pr_pdf["b"], pr_pdf["sim"]):
+            sim[(int(a), int(b))] = int(s)
+        # pen[c] = MAX sim(selected, c) over pairs PRESENT in pr; a
+        # candidate with no pair row to any selected cid scores with 0
+        # (the unrolled form's LEFT JOIN + COALESCE(pen, 0)) — which
+        # is NOT the same as folding missing pairs into the max as
+        # zeros when sims can be negative, hence the None sentinel.
+        pen: dict[int, int | None] = dict.fromkeys(rel, None)
+        remaining = set(rel)
+        out: list[tuple[int, int, int, int]] = []
+        t = 0
+
+        def _score(c: int) -> int:
+            p = pen[c]
+            return wrel * rel[c] - wpen * (0 if p is None else p)
+
+        while remaining and t < k:
+            t += 1
+            if t == 1:
+                pick = max(remaining, key=lambda c: (rel[c], -c))
+                score = wrel * rel[pick]
+            else:
+                pick = max(remaining, key=lambda c: (_score(c), -c))
+                score = _score(pick)
+            out.append((qid, pick, t, score))
+            remaining.discard(pick)
+            for c in remaining:
+                s = sim.get((pick, c))
+                if s is not None and (pen[c] is None or s > pen[c]):
+                    pen[c] = s
+        return pd.DataFrame(
+            out, columns=["query_id", "vec_id", "mmr_rank", "score"]
         )
+
+    # pr derives from pool, so both sides carry the SAME qid
+    # attribute id — re-alias pr's key to a fresh expression before
+    # cogrouping (cogroup matches keys positionally, not by name).
+    prr = pr.select(
+        F.col("qid").alias("qid_pr"), "a", "b", "sim"
     )
-    for t in range(2, k + 1):
-        pen = (
-            pr.join(
-                sel.select("qid", F.col("cid").alias("a")), ["qid", "a"]
-            )
-            .groupBy("qid", F.col("b").alias("cid"))
-            .agg(F.max("sim").alias("pen"))
+    return (
+        pool.select("qid", "cid", "rel")
+        .groupBy("qid")
+        .cogroup(prr.groupBy("qid_pr"))
+        .applyInPandas(
+            _greedy,
+            "query_id long, vec_id long, mmr_rank long, score long",
         )
-        sc = (
-            pool.join(sel.select("qid", "cid"), ["qid", "cid"], "left_anti")
-            .join(pen, ["qid", "cid"], "left")
-            .select(
-                "qid", "cid",
-                (
-                    F.lit(wrel) * F.col("rel")
-                    - F.lit(wpen) * F.coalesce(F.col("pen"), F.lit(0))
-                ).alias("score"),
-            )
-        )
-        ws = Window.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
-        pick = (
-            sc.withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select("qid", "cid", F.lit(t).alias("t"), "score")
-        )
-        sel = sel.unionAll(pick)
-    return sel.select(
-        F.col("qid").alias("query_id"),
-        F.col("cid").alias("vec_id"),
-        F.col("t").cast("long").alias("mmr_rank"),
-        F.col("score").cast("long").alias("score"),
     )
 
 

@@ -48,6 +48,11 @@ def main() -> int:
             spark.conf.set("spark.sql.shuffle.partitions", str(width))
         try:
             df = spec.fn(spark, args.sf)
+            # Execute (JVM-side, no collect) so AQE finalizes and the
+            # explain below shows the FINAL plan — runtime-reused
+            # exchanges, elected join strategies, coalesced reads —
+            # exactly what bench.py fingerprints.
+            df._jdf.queryExecution().executedPlan().execute().count()
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
