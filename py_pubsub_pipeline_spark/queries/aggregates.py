@@ -135,14 +135,30 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cardinality/quantiles: one pass, fixed memory, no distinct
     expansion. Oracle checks the bounded-relative-error CONTRACT, not
     the sketch value (engine sketches differ): each group's estimate
-    must land within 5% of the exact answer."""
+    must land within 5% of the exact answer.
+
+    Physical shape (optimization round 14): the sketch aggregates and
+    the COUNT(DISTINCT) run as TWO separate aggregations joined on the
+    3-row group key, not one mixed agg.  Mixing distinct and
+    non-distinct aggregates makes Spark plan a two-level distinct
+    rewrite that groups by (l_returnflag, l_partkey) FIRST and carries
+    the sketch aggregates as partial states through it — one
+    KLL/HLL++ buffer built and merged per DISTINCT KEY (~60k sketch
+    instances instead of 3; a 4-deep ObjectHashAggregate chain,
+    plans/r14/agg_approx_before.txt) — 15.0 s at sf0.1.  The split
+    form runs each pass in its cheap natural shape (3 sketch buffers;
+    a plain two-phase distinct count) and joins 3 rows to 3 rows —
+    1.97 s, same result."""
     li = table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    sketched = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_exact"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    agg = sketched.join(exact, "l_returnflag")
     within = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.05)
     )

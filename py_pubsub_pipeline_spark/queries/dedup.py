@@ -29,7 +29,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.splitwin import split_window, str_bucket
 from ..registry import query
-from ..tables import table
+from ..tables import table, widen_scan
 
 JACCARD_THRESHOLD = 0.5
 N_MINHASH = 16
@@ -97,9 +97,21 @@ def _grams() -> F.Column:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): one row per distinct shingle per doc."""
+def _shingles(spark: SparkSession, sf_dir: str,
+              wide: bool = False) -> DataFrame:
+    """(doc_id, s): one row per distinct shingle per doc.
+
+    wide=True hash-repartitions the document scan by doc_id to the
+    session core count BEFORE shingling when the scan is narrower
+    (tables.widen_scan) — the minhash consumers run 16-32 md5 MIN
+    aggregates per shingle directly above this, and the test corpus's
+    single-row-group parquet otherwise serializes all of it on one
+    task; their groupBy(doc_id) then reuses the layout, so the wide
+    form shuffles 8-byte-keyed doc rows once instead of adding an
+    exchange.  No-op on a production many-split scan."""
     d = table(spark, sf_dir, "documents")
+    if wide:
+        d = widen_scan(d, "doc_id")
     return d.select("doc_id", F.explode(_grams()).alias("s"))
 
 
@@ -399,7 +411,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to candidate documents FIRST (left-semi), so the exact-Jaccard
     pair counting touches only candidate shingles, never the corpus
     pair stream."""
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir, wide=True)
     rows_per_band = N_MINHASH // N_BANDS
     per_doc = sh.groupBy("doc_id").agg(
         *[
@@ -707,7 +719,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     PAIR SAMPLE as the estimator-calibration audit (is my banding
     threshold where I think it is?) — same plan, sampled pairs."""
     pairs = dedup_ngram_jaccard(spark, sf_dir)
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir, wide=True)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))))

@@ -40,8 +40,10 @@ from ..functions.dp_noise import (
     sql_laplace,
     sql_laplace_e4,
 )
+from ..functions.ckpt import DISK as _DISK
 from ..registry import query
 from ..tables import table
+from .dedup import _grams
 
 # --- chunking -----------------------------------------------------------
 CHUNK_W = 64   # tokens per retrieval chunk
@@ -2488,23 +2490,21 @@ def rag_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — the released artifact is the expansion CONTRACT, not a
     similarity heuristic."""
     d = table(spark, sf_dir, "documents")
-    toks = (
-        d.select(
-            "doc_id",
-            F.explode(
-                # Short-text guard (same as dedup.py's windowed shingles):
-                # for < 3 words sequence(1, size-2) would DESCEND and
-                # element_at would throw; DuckDB's generate_series just
-                # yields nothing, so empty-array is the parity-true branch.
-                F.expr("CASE WHEN size(split(text, ' ')) < 3 THEN array() "
-                       "ELSE transform(sequence(1, size(split(text, ' ')) - 2),"
-                       " i -> concat_ws(' ', element_at(split(text, ' '), i),"
-                       " element_at(split(text, ' '), i + 1),"
-                       " element_at(split(text, ' '), i + 2))) END")
-            ).alias("tok"),
-        )
-        .distinct()
-    )
+    # Shingle construction via the zip-slice kernel (dedup._grams) —
+    # the old element_at(split(text), i)-inside-transform form inlined
+    # the split() into the lambda body, re-tokenizing the document
+    # once per element (the O(tokens^2) trap _grams' docstring
+    # documents; 7.7 s -> 3.6 s at sf0.1, round 14).  Short-text
+    # guard kept (empty grams for < 3 words — DuckDB's
+    # generate_series yields nothing there, and slice() with a
+    # negative length would error under ANSI).  _grams array_distincts
+    # per doc, so the exploded (doc_id, tok) rows are already
+    # distinct — the old row-level .distinct() exchange is dropped.
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) < 3, F.array().cast("array<string>")
+    ).otherwise(_grams())
+    toks = d.select("doc_id", F.explode(grams).alias("tok"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n"))
     rare = (
         toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -2512,7 +2512,16 @@ def rag_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") * 5 <= F.col("n"))
         .select("tok")
     )
-    rt = toks.join(rare, "tok").select("doc_id", "tok")
+    # rt feeds FOUR consumers (q, both retrieval passes, fb_terms);
+    # without a lineage cut each re-derives the shingle explosion +
+    # df-filter.  Lazy local checkpoint: materialized once inside the
+    # timed action, disk-backed, nothing survives the query (guide
+    # §2.3 reuse discipline, same pattern as the graph family).
+    rt = (
+        toks.join(rare, "tok")
+        .select("doc_id", "tok")
+        .localCheckpoint(eager=False, storageLevel=_DISK)
+    )
     q = (
         rt.filter(F.col("doc_id") < PRF_NQ)
         .select(F.col("doc_id").alias("query_id"), "tok")

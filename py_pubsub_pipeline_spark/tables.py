@@ -63,6 +63,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive map parallelism above a NARROW scan (guide §2.4).
+
+    The test corpus parquet files are single-row-group (one split ->
+    one task), so CPU-heavy map work directly above the scan — e.g.
+    the 16-64x md5 minhash kernels — serializes on one core of 32.
+    Repartition to the session's default parallelism ONLY when the
+    scan provides fewer partitions; with keys, hash-partition so a
+    downstream groupBy/join on the same keys reuses the layout (net
+    exchanges unchanged).  On a production many-split scan the
+    condition is false and this is a NO-OP — no exchange is added, so
+    the fix cannot regress the 100 TB plan.  The driver's lower
+    core-count bench run sizes itself the same way (defaultParallelism
+    follows the master), keeping the scaling measurement honest."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *keys) if keys else df.repartition(target)
+
+
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the full corpus as a dict of DataFrames."""
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
