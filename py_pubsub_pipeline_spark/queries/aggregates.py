@@ -17,7 +17,7 @@ from ..functions.exprs import davg, dsum, sql_davg, sql_dsum
 from ..functions.splitwin import split_window
 from ..functions.ckpt import DISK as _DISK
 from ..registry import query
-from ..tables import table
+from ..tables import table, widen_scan
 
 _Q1_CUTOFF = "1998-09-02"
 
@@ -792,6 +792,13 @@ def agg_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions in ONE pass instead (no row multiplication) — same
     math, traded for {_BOOT_B} md5 calls per row."""
     o = table(spark, sf_dir, "orders")
+    # The x{_BOOT_B} replicate fan-out (rows x 32, one md5 + Poisson
+    # gate each) inherits the scan's partitioning; on the test
+    # corpus's single-split parquet that serialized 4.8M md5 rows on
+    # one core — widen_scan parallelizes it (7.6 s -> 1.8 s at sf0.1)
+    # and is a no-op on a many-split production scan.  The point-
+    # estimate branch keeps the narrow scan (cheap single agg).
+    ow = widen_scan(o)
     reps_ids = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("r"))
     u = F.conv(
         F.substring(
@@ -802,7 +809,7 @@ def agg_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = sum(
         F.when(u >= t, 1).otherwise(0) for t in _POIS_T
     )
-    w = o.crossJoin(F.broadcast(reps_ids)).select(
+    w = ow.crossJoin(F.broadcast(reps_ids)).select(
         "r", wt.alias("wt"), F.col("o_totalprice").alias("x"))
     reps = w.groupBy("r").agg(
         (F.sum((F.col("wt") * F.col("x")).cast("decimal(28,2)"))
