@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..functions.ckpt import DISK as _CKPT_DISK
 from ..functions.splitwin import split_window, str_bucket
 from ..registry import query
 from ..tables import table, widen_scan
@@ -726,7 +727,10 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"mh{i}")
             for i in range(N_EST_HASHES)
         ]
-    )
+        # sig feeds TWO broadcasts (sa and sb); each broadcast executes
+        # its subtree, so without a checkpoint the shingle + 32-min-agg
+        # pass runs twice.  One doc-cardinality materialization instead.
+    ).localCheckpoint(eager=False, storageLevel=_CKPT_DISK)
     sa = sig.select(
         F.col("doc_id").alias("a_id"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_EST_HASHES)],

@@ -161,9 +161,13 @@ def connected_components_star(
         e3 = _symmetrize(small).localCheckpoint(eager=True, storageLevel=_DISK)
         rounds += 1
         # Fixpoint: the edge set is stable (stars everywhere).
-        changed = (
-            e3.exceptAll(e).limit(1).count() + e.exceptAll(e3).limit(1).count()
-        )
+        # |e3| == |e| AND e3 \ e == 0 (multiset) together imply
+        # multiset equality, so the second full exceptAll shuffle is
+        # only paid once counts already agree; counts on the two
+        # checkpointed edge sets are plain scans, no shuffle.
+        changed = 1
+        if e3.count() == e.count():
+            changed = e3.exceptAll(e).limit(1).count()
         e = e3
         if changed == 0:
             break
@@ -1128,7 +1132,31 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine change, and corpus growth (a component keeps its side
     until new edges merge it into another — exactly the semantics an
     incremental crawl wants)."""
-    comp = dedup_cc(spark, sf_dir)
+    # One shared pair relation for BOTH the component build and the
+    # cross-split audit (the previous shape called dedup_cc() AND
+    # dedup_ngram_jaccard() separately — two full runs of the shingle
+    # self-join pipeline), and one materialization of the component
+    # table (asg is referenced four times downstream).  Identical
+    # computation to dedup_cc(spark, sf_dir): same pairs, same edge
+    # symmetrization, same min-label fixpoint, same singleton union.
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs_ckpt = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False, storageLevel=_DISK)
+    )
+    cc_edges = pairs_ckpt.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).unionByName(
+        pairs_ckpt.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    ).localCheckpoint(eager=True, storageLevel=_DISK)
+    touched = cc_edges.select(F.col("u").alias("doc_id")).distinct()
+    cc_labels = connected_components(touched, cc_edges)
+    comp = cc_labels.unionByName(
+        docs.join(touched, "doc_id", "left_anti").select(
+            "doc_id", F.col("doc_id").alias("component")
+        )
+    ).localCheckpoint(eager=False, storageLevel=_DISK)
     asg = comp.withColumn(
         "split",
         F.when(
@@ -1138,7 +1166,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("test")),
     )
     csize = asg.groupBy("component").agg(F.count("*").alias("cn"))
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    pairs = pairs_ckpt
     xp = (
         pairs.join(
             asg.select(F.col("doc_id").alias("a_id"),
@@ -1215,7 +1243,14 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     choosing between the two keys is choosing a convergence bound,
     not a semantics."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    # The pair pipeline (shingle self-join + Jaccard filter) feeds the
+    # star edges AND both vertex-side anti-joins; without a checkpoint
+    # each reference re-runs the whole pipeline (3x measured).
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False, storageLevel=_DISK)
+    )
     edges = pairs.select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     )
@@ -1223,6 +1258,7 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("u").alias("doc_id"))
         .unionByName(edges.select(F.col("v").alias("doc_id")))
         .distinct()
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     labels = connected_components_star(touched, edges)
     singletons = docs.join(touched, "doc_id", "left_anti").select(

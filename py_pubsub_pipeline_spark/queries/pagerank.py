@@ -370,6 +370,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             eb.join(h.withColumnRenamed("node", "cust"), "cust")
             .groupBy(F.col("supp").alias("node"))
             .agg(F.sum(snap(F.col("sc"))).alias("s"))
+            # ar feeds BOTH the projection and the broadcast MAX
+            # subquery; without a checkpoint the broadcast re-executes
+            # the whole join+agg (2x per half-round).  Same
+            # MATERIALIZED discipline the oracle needs (see
+            # _hits_oracle docstring), vertex-cardinality rows only.
+            .localCheckpoint(eager=False, storageLevel=_DISK)
         )
         amax = ar.agg(F.max("s").alias("mx"))
         a = ar.crossJoin(F.broadcast(amax)).select(
@@ -381,6 +387,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             eb.join(a.withColumnRenamed("node", "supp"), "supp")
             .groupBy(F.col("cust").alias("node"))
             .agg(F.sum(snap(F.col("sc"))).alias("s"))
+            .localCheckpoint(eager=False, storageLevel=_DISK)
         )
         hmax = hr.agg(F.max("s").alias("mx"))
         h = hr.crossJoin(F.broadcast(hmax)).select(
