@@ -96,23 +96,31 @@ def sql_laplace_e4(hash_expr: str, scale: float) -> str:
 
 def spark_laplace_e4(hash_col: Column, scale: float) -> Column:
     """Spark twin of :func:`sql_laplace_e4`: element_at over an array
-    of foldable LONG literals — constant-folded, zero runtime libm."""
-    arr = F.array(*[
-        F.lit(v).cast("long") for v in laplace_ladder_e4(scale)
-    ])
+    of foldable LONG literals — constant-folded, zero runtime libm.
+
+    The array is rendered as ONE ``F.expr`` SQL string: building it as
+    1024 ``F.lit(...).cast(...)`` Column objects cost ~2000 py4j
+    round-trips = 10+ s of DRIVER-side plan-construction wall per
+    release (measured on privacy_dp_sum/mean; guide §4's boundary-
+    crossing tax, here at plan-build time).  The parsed expression
+    tree is the same array of long literals."""
+    lits = ",".join(f"{v}L" for v in laplace_ladder_e4(scale))
+    arr = F.expr(f"array({lits})")
     return F.element_at(arr, F.shiftright(hash_col, _SHIFT).cast("int") + 1)
 
 
 def spark_laplace(hash_col: Column, scale: float) -> Column:
     """Spark twin of :func:`sql_laplace`: element_at over an array of
     foldable DECIMAL literals — constant-folded by Catalyst, zero
-    runtime libm, no Python in the plan."""
+    runtime libm, no Python in the plan.  Rendered as one ``F.expr``
+    string (see :func:`spark_laplace_e4` — the 1024-Column build was
+    10+ s of py4j round-trips per release)."""
     prec = max(len(s.replace("-", "").replace(".", ""))
                for s in laplace_ladder(scale))
-    arr = F.array(*[
-        F.lit(Decimal(s)).cast(f"decimal({prec},4)")
-        for s in laplace_ladder(scale)
-    ])
+    lits = ",".join(
+        f"CAST({s} AS DECIMAL({prec},4))" for s in laplace_ladder(scale)
+    )
+    arr = F.expr(f"array({lits})")
     return F.element_at(arr, F.shiftright(hash_col, _SHIFT).cast("int") + 1)
 
 
@@ -150,7 +158,8 @@ def sql_gumbel_e4(hash_expr: str) -> str:
 def spark_gumbel_e4(hash_col: Column) -> Column:
     """Spark twin of :func:`sql_gumbel_e4`: element_at over an array
     of foldable LONG literals — constant-folded, zero runtime libm."""
-    arr = F.array(*[F.lit(v).cast("long") for v in gumbel_ladder_e4()])
+    lits = ",".join(f"{v}L" for v in gumbel_ladder_e4())
+    arr = F.expr(f"array({lits})")
     return F.element_at(arr, F.shiftright(hash_col, _SHIFT).cast("int") + 1)
 
 
@@ -195,7 +204,6 @@ def spark_gaussian_e4(hash_col: Column, sigma: float) -> Column:
     """Spark twin of :func:`sql_gaussian_e4`: element_at over an
     array of foldable LONG literals — constant-folded, zero runtime
     transcendentals."""
-    arr = F.array(*[
-        F.lit(v).cast("long") for v in gaussian_ladder_e4(sigma)
-    ])
+    lits = ",".join(f"{v}L" for v in gaussian_ladder_e4(sigma))
+    arr = F.expr(f"array({lits})")
     return F.element_at(arr, F.shiftright(hash_col, _SHIFT).cast("int") + 1)
