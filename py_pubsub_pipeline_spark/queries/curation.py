@@ -177,6 +177,11 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = (
         li.groupBy(F.col("l_extendedprice").alias("v"))
         .agg(F.count("*").alias("cnt"))
+        # hist feeds the running-sum pass, the total agg AND the
+        # bucket assignment — three consumers, each otherwise re-
+        # scanning and re-aggregating the fact table; one value-
+        # cardinality materialization instead.
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     cum = split_window(hist, ["v"], running_sums={"cum": "cnt"})
     tot = hist.agg(F.sum("cnt").alias("n"))

@@ -42,7 +42,7 @@ from ..functions.dp_noise import (
 )
 from ..functions.ckpt import DISK as _DISK
 from ..registry import query
-from ..tables import table
+from ..tables import table, widen_scan
 from .dedup import _grams
 
 # --- chunking -----------------------------------------------------------
@@ -282,20 +282,27 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     {MRL_QUERIES}); candidates stream linearly.  Ranking keys are
     floor-quantized at 1e-6 with a neighbor-id tie-break on both
     engines, so last-ulp noise cannot reorder an overlap membership."""
-    base = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("ef"),
-        F.slice(
-            F.transform("embedding", lambda x: x.cast("double")),
-            1, MRL_DIMS,
-        ).alias("et"),
-    )
+    def cols(src):
+        return src.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("ef"),
+            F.slice(
+                F.transform("embedding", lambda x: x.cast("double")),
+                1, MRL_DIMS,
+            ).alias("et"),
+        )
+
+    base = cols(table(spark, sf_dir, "embeddings"))
     q = base.filter(F.col("vec_id") < MRL_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("ef").alias("qf"),
         F.col("et").alias("qt"),
     )
-    c = base.select(
+    # The candidate side carries the N x {MRL_QUERIES} dot-product fan
+    # (twice: full + truncated ranking); widened so the map-side math
+    # parallelizes above a single-split test scan (no-op on many-split
+    # production input).  The bounded probe side keeps the narrow scan.
+    c = cols(widen_scan(table(spark, sf_dir, "embeddings"), "vec_id")).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("ef").alias("cf"),
         F.col("et").alias("ct"),

@@ -1144,11 +1144,17 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum((F.col("xj") * F.col("vj")).cast("decimal(18,9)"))
                  .cast("double").alias("s"))
         )
+        # w feeds BOTH nrm and the next v, and v's broadcast would
+        # otherwise re-execute the whole unrolled iteration chain
+        # (doubling per round); the {_PCA_DIM}-row checkpoints truncate
+        # lineage at dimension-bounded cost — the iterative-algorithm
+        # discipline (cf. graph_pagerank).
         w = (
             ex.join(s, "vec_id")
             .groupBy("j")
             .agg(F.sum((F.col("s") * F.col("xj")).cast("decimal(18,9)"))
                  .cast("double").alias("wj"))
+            .localCheckpoint(eager=False, storageLevel=_CKPT_DISK)
         )
         nrm = w.agg(
             F.sqrt(F.sum((F.col("wj") * F.col("wj")).cast("decimal(28,12)"))
@@ -2422,7 +2428,13 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0), lambda acc, x: acc + x,
         )
 
-    d = v.crossJoin(F.broadcast(c)).groupBy("vec_id").agg(
+    # The x{PQ_K} codebook fan with 8 sliced-subspace distance exprs
+    # per row inherits the scan's partitioning; widen the distortion
+    # side when the test parquet is single-split so the map-side math
+    # uses every core (no-op on a many-split production scan).  The
+    # codebook side keeps the narrow scan (16 rows).
+    vw = widen_scan(e, "vec_id").select("vec_id", _dvec("embedding", "e"))
+    d = vw.crossJoin(F.broadcast(c)).groupBy("vec_id").agg(
         *[F.min(_pq_d2u("e", "c", m)).alias(f"m{m}") for m in range(PQ_M)],
         F.min(F.floor(ip("e") * 1e6 + 0.5).cast("long"))
         .alias("norm2_micro"),
@@ -3669,8 +3681,15 @@ def emb_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mu = ex.groupBy("j").agg(
         (dq(F.col("xj")) / F.count(F.lit(1))).alias("muj"))
+    # cx is consumed by every power-iteration half-step plus the final
+    # proj/c2 aggs (~7 references) — each would re-run the explode,
+    # the mean agg, and the centering join; one (vec, j, cj)
+    # materialization instead.  The per-iteration {_PCA_DIM}-row w
+    # checkpoint truncates the v-broadcast lineage doubling (the
+    # emb_pca_power discipline).
     cx = ex.join(F.broadcast(mu), "j").select(
-        "vec_id", "j", (F.col("xj") - F.col("muj")).alias("cj"))
+        "vec_id", "j", (F.col("xj") - F.col("muj")).alias("cj")
+    ).localCheckpoint(eager=False, storageLevel=_CKPT_DISK)
     v = spark.range(_PCA_DIM).select(
         F.col("id").alias("j"),
         F.lit(1.0 / _PCA_DIM ** 0.5).alias("vj"))
@@ -3684,6 +3703,7 @@ def emb_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
             cx.join(s, "vec_id")
             .groupBy("j")
             .agg(dq(F.col("s") * F.col("cj")).alias("wj"))
+            .localCheckpoint(eager=False, storageLevel=_CKPT_DISK)
         )
         nrm = w.agg(
             F.sqrt(F.sum((F.col("wj") * F.col("wj")).cast("decimal(28,12)"))

@@ -775,27 +775,20 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc novelty ratios are quantized through DECIMAL(18,9) before
     the cross-doc average so accumulation order can't move the
     rounding."""
+    from .dedup import _gram_hashes
+
     d = table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    grams = (
-        d.select(
-            "doc_id",
-            F.explode(
-                # guard: sequence(0, n) REVERSES for n < 0 (it doesn't
-                # go empty like generate_series) — a 2-token doc would
-                # silently emit negative-index grams
-                F.when(
-                    F.size(w) >= 3,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(w) - 3),
-                        lambda i: F.md5(F.concat_ws(
-                            " ", w[i], w[i + 1], w[i + 2])),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("gh"),
-        )
-        .distinct()
-    )
+    # Shared zip-slice shingle kernel (dedup._gram_hashes): the old
+    # element_at(w, i)-inside-a-transform-lambda form re-tokenized the
+    # document once per gram after projection collapse (the O(tokens^2)
+    # trap _grams' docstring documents), and carried 32-char md5 hex
+    # through both gram-keyed shuffles; the kernel hashes to 8-byte
+    # longs inside the projection.  The row-level .distinct() is
+    # dropped: doc_id is unique and the kernel array_distinct's per
+    # doc, so it was an identity shuffle.  Gram-hash membership
+    # semantics unchanged (xxhash64 injective in practice — the
+    # _gram_hashes contract used by the whole dedup family).
+    grams = d.select("doc_id", F.explode(_gram_hashes()).alias("gh"))
     first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         grams.join(first_seen, "gh")

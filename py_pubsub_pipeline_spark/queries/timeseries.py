@@ -1343,7 +1343,11 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
          / F.lit(3_600_000_000)).cast("long").alias("h"),
     ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-          .alias("y"))
+          .alias("y")
+          # the pair self-join consumes hourly TWICE; without a
+          # checkpoint each side re-scans and re-aggregates the raw
+          # events fact.  One spine-bounded materialization instead.
+          ).localCheckpoint(eager=False, storageLevel=_DISK)
     a = hourly.select("event_type", F.col("h").alias("ha"),
                       F.col("y").alias("ya"))
     b = hourly.select("event_type", F.col("h").alias("hb"),
@@ -1687,7 +1691,10 @@ def ts_forecast_baseline_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
          / F.lit(3_600_000_000)).cast("long").alias("h"),
     ).agg(F.sum(F.col("value").cast("decimal(18,6)"))
-          .cast("decimal(28,6)").alias("y"))
+          .cast("decimal(28,6)").alias("y")
+          # consumed twice by the lag self-join: one spine-bounded
+          # materialization instead of two events-fact re-aggs.
+          ).localCheckpoint(eager=False, storageLevel=_DISK)
     a = hourly.select("event_type", "h", F.col("y").alias("actual"))
     f = hourly.select("event_type", (F.col("h") + _FC_LAG_H).alias("h"),
                       F.col("y").alias("forecast"))
@@ -2129,7 +2136,11 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.date_trunc("hour", "ts").cast("timestamp"))
          / F.lit(3_600_000_000)).cast("long").alias("h"),
     ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-          .alias("y"))
+          .alias("y")
+          # consumed by BOTH the per-type moment agg and the window
+          # pass: one spine-bounded materialization instead of two
+          # events-fact re-aggs.
+          ).localCheckpoint(eager=False, storageLevel=_DISK)
     mu = (F.sum(F.col("y").cast("decimal(28,6)")).cast("double")
           / F.count("*"))
     m2 = (F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)"))

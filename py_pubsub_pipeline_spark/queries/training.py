@@ -505,16 +505,21 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation as dedup_minhash_lsh (map-side combining, no x16
     explode). The md5 hash family keeps the oracle exactly
     reproducible."""
+    from ..functions.ckpt import DISK as _CKPT_DISK
     from .dedup import _shingles
 
-    sh = _shingles(spark, sf_dir)
+    # wide=True parallelizes the 16-MIN md5 kernel above a single-split
+    # test scan (no-op on many-split production input); the checkpoint
+    # stops the broadcast eval side from re-running the whole signature
+    # agg (tagged feeds the train stream AND the broadcast dim).
+    sh = _shingles(spark, sf_dir, wide=True)
     hashes = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s"))))
             .alias(f"mh{i}")
             for i in range(_FUZZY_N_MH)
         ]
-    )
+    ).localCheckpoint(eager=False, storageLevel=_CKPT_DISK)
     is_eval = (
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
         == _FUZZY_EVAL_GATE

