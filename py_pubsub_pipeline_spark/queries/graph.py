@@ -485,6 +485,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.groupBy("u").agg(F.count("*").alias("d"))
             .filter(F.col("d") >= _KCORE_K)
             .select("u")
+            # keep feeds BOTH semi-join sides; without a checkpoint the
+            # degree agg over the round's edge set runs twice.
+            .localCheckpoint(eager=False, storageLevel=_DISK)
         )
         e = (
             e.join(keep, "u")
@@ -1027,9 +1030,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited, "u", "left_anti")
             .localCheckpoint(eager=True, storageLevel=_DISK)
         )
-        visited = visited.unionAll(frontier).localCheckpoint(
-            eager=True, storageLevel=_DISK
-        )
+        # frontier is already checkpointed, so the union's lineage is
+        # flat without re-materializing the WHOLE visited set each
+        # round (the old re-checkpoint wrote O(|visited|) per round —
+        # O(V * rounds) total; consumers now scan the union of the
+        # per-round frontier checkpoints, same rows, zero re-writes).
+        visited = visited.unionAll(frontier)
         hist.append(
             frontier.agg(
                 F.lit(r).alias("dist"),

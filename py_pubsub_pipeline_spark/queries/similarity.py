@@ -2033,12 +2033,14 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("qid", "cand", cm.alias("cm"))
             .groupBy("qid", "cand").agg(F.max("cm").alias("cm"))
         )
+        # checkpoint only the round's NEW candidates (frontier-sized)
+        # and union lazily: re-checkpointing the whole visited set
+        # wrote O(|visited|) per round — O(budget * rounds) total.
         new = scored.join(
             F.broadcast(visited.select("qid", "cand")),
             ["qid", "cand"], "left_anti",
-        )
-        visited = visited.unionByName(new).localCheckpoint(
-            eager=True, storageLevel=_DISK)
+        ).localCheckpoint(eager=True, storageLevel=_DISK)
+        visited = visited.unionByName(new)
     return (
         visited.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
