@@ -412,6 +412,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to candidate documents FIRST (left-semi), so the exact-Jaccard
     pair counting touches only candidate shingles, never the corpus
     pair stream."""
+    # sh and cand are each consumed twice but deliberately NOT
+    # checkpointed (r14 measurement): the shingle stream is huge-
+    # output / cheap-compute (scan -> explode fuses into each
+    # consumer's partial agg; materializing it ran 2.7x SLOWER), and
+    # the banded self-join's exchanges are ReusedExchange across its
+    # consumers already — the checkpoint trade only pays for small-
+    # output / EXPENSIVE-compute subtrees with no exchange reuse.
     sh = _shingles(spark, sf_dir, wide=True)
     rows_per_band = N_MINHASH // N_BANDS
     per_doc = sh.groupBy("doc_id").agg(
