@@ -573,6 +573,12 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v").agg(F.count("*").alias("w"))
         .filter(F.col("w") >= _KCORE_MINW)
         .select("u", "v")
+        # NOT checkpointed despite five consumers: the AQE-final plan
+        # already serves every consumer from ReusedExchange over the
+        # items self-join + weight agg (verified in
+        # plans/r14/graph_adamic_adar_before.txt), so a DISK
+        # materialization only adds a write+read — measured 2.3 -> 3.3 s
+        # at sf0.1 (paired A/B, both orders) and reverted.
     )
     deg = e.groupBy("u").agg(F.count("*").alias("d")).withColumnRenamed(
         "u", "z")
@@ -662,6 +668,9 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(lab.withColumnRenamed("pk", "v")
                           .withColumnRenamed("c", "cv")), "v")
         .select("cu", "cv")
+        # not checkpointed: m and per_c share the self-join exchange
+        # via ReusedExchange (see graph_adamic_adar note; checkpoint
+        # measured slower at sf0.1 and reverted)
     )
     m = el.agg(F.count("*").alias("m2"))
     per_c = el.groupBy("cu").agg(
@@ -820,6 +829,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "ok").filter(F.col("u") != F.col("v"))
         .groupBy("u", "v").agg(F.count("*").alias("w"))
         .filter(F.col("w") >= _KCORE_MINW).select("u", "v")
+        # not checkpointed: consumers share the self-join exchange via
+        # ReusedExchange (see graph_adamic_adar note; checkpoint
+        # measured slower at sf0.1 and reverted)
     )
     deg = e.groupBy("u").agg(F.count("*").cast("double").alias("d"))
     ed = (
@@ -903,6 +915,10 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("cust"),
                 F.col("l_suppkey").alias("supp"))
         .distinct()
+        # not checkpointed: the degree dim and both self-join sides
+        # share the distinct's exchange via ReusedExchange (see
+        # graph_adamic_adar note; checkpoint measured slower at sf0.1
+        # and reverted)
     )
     deg = cs.groupBy("supp").agg(F.count("*").alias("n"))
     a, b = cs.alias("a"), cs.alias("b")

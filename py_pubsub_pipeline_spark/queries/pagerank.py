@@ -189,6 +189,14 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True, storageLevel=_DISK)
     )
     lbl = verts.select("node", F.col("node").alias("lbl"))
+    # Top-1 stays a row_number window: the max(struct(c, -lbl)) hash-
+    # agg form was tried (r14 optimization round) and measured a small
+    # consistent REGRESSION at sf0.1 (4.8 vs 4.2-4.7 s, alternating
+    # paired sessions) with no byte win to offset it — cnt rows are
+    # already unique per (node, lbl) and hash-scattered, so map-side
+    # partial max collapses nothing; the exchange carries the same
+    # rows either way and ObjectHashAggregate loses to the sort window
+    # locally.  Reverted.
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
     for _ in range(N_LPA_ITER):
         votes = (

@@ -919,19 +919,39 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = v.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("k"), F.col("e").alias("c")
     )
+    # Per-vector argmin as a MAP-SIDE array_min over a one-row
+    # broadcast centroid array (the _ivfpq_assign form) instead of
+    # crossJoin x K + row_number window: the window shuffled the
+    # corpus WITH its full embedding vectors K times per round; the
+    # array_min ships nothing and keeps the exact (d2, k)
+    # lexicographic order semantics (min d2, ties -> smallest k).
+    # Each round's K x dim update table lazily DISK-checkpoints so
+    # round i+1's broadcast (and the final fingerprint agg) read a
+    # 256-row materialization instead of re-executing the chain.
     assigned = None
-    for _ in range(KM_ITERS):
-        d2 = F.round(
-            ip(F.col("e"), F.col("e")) - 2 * ip(F.col("e"), F.col("c"))
-            + ip(F.col("c"), F.col("c")), 6,
+    upd = None
+    for it in range(KM_ITERS):
+        centball = cent.select(F.struct("k", "c").alias("st")).agg(
+            F.array_sort(F.collect_list("st")).alias("cents")
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("k"))
         assigned = (
-            v.crossJoin(F.broadcast(cent))
-            .select("vec_id", "e", "k", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "e", "k")
+            v.crossJoin(F.broadcast(centball))
+            .select(
+                "vec_id", "e",
+                F.array_min(
+                    F.transform(
+                        "cents",
+                        lambda s: F.struct(
+                            F.round(
+                                ip(F.col("e"), F.col("e"))
+                                - 2 * ip(F.col("e"), s["c"])
+                                + ip(s["c"], s["c"]), 6,
+                            ).alias("d2"),
+                            s["k"].alias("k"),
+                        ),
+                    )
+                )["k"].alias("k"),
+            )
         )
         upd = (
             assigned.select("k", F.posexplode("e").alias("pos0", "x"))
@@ -942,23 +962,18 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.count("*")
                 ).alias("val")
             )
+            .localCheckpoint(eager=False, storageLevel=_CKPT_DISK)
         )
-        cent = upd.groupBy("k").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                lambda st: st.getField("val"),
-            ).alias("c")
-        )
+        if it < KM_ITERS - 1:
+            cent = upd.groupBy("k").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda st: st.getField("val"),
+                ).alias("c")
+            )
     sizes = assigned.groupBy("k").agg(F.count("*").cast("long").alias("n_vecs"))
     fp = (
-        assigned.select("k", F.posexplode("e").alias("pos0", "x"))
-        .groupBy("k", (F.col("pos0") + 1).alias("pos"))
-        .agg(
-            (
-                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                / F.count("*")
-            ).alias("val")
-        )
+        upd
         .groupBy("k")
         .agg(
             F.md5(

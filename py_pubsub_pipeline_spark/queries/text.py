@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ckpt import DISK as _CKPT_DISK
 from ..functions.splitwin import split_window
 from ..registry import query
 from ..tables import table
@@ -1657,28 +1658,32 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     literary standard) change row counts, not plan shape."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
-    totals = toks.groupBy("source").agg(F.count("*").alias("n"))
-    counts = (
-        toks.filter(F.col("tok").isin(*_DELTA_WORDS))
-        .groupBy("source", F.col("tok").alias("wd"))
-        .agg(F.count("*").alias("c"))
+    # ONE token pass: the per-source token total and all marker-word
+    # counts come out of a single conditional hash agg (count_if = 0
+    # when the word is absent — the dense grid by construction, no
+    # crossJoin + left join).  The old form exploded the token stream
+    # twice (totals + counts) and the grid's two consumers (stats, z)
+    # re-derived both — up to four explode passes per run.  The
+    # source-cardinality profile lazily DISK-checkpoints so stats, z
+    # and the pair join all read one materialization.
+    prof = (
+        toks.groupBy("source").agg(
+            F.count("*").alias("n"),
+            *[F.count_if(F.col("tok") == w).alias(f"c{i}")
+              for i, w in enumerate(_DELTA_WORDS)],
+        )
+        .localCheckpoint(eager=False, storageLevel=_CKPT_DISK)
     )
-    # dense (source x word) grid: a source missing a marker word gets 0
-    grid = (
-        totals.crossJoin(
-            F.broadcast(
-                d.sparkSession.createDataFrame(
-                    [(w,) for w in _DELTA_WORDS], "wd string"
-                )
+    grid = prof.select(
+        "source",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(w).alias("wd"),
+                (F.col(f"c{i}").cast("double") / F.col("n")).alias("f"),
             )
-        )
-        .join(counts, ["source", "wd"], "left")
-        .select(
-            "source", "wd",
-            (F.coalesce(F.col("c"), F.lit(0)).cast("double")
-             / F.col("n")).alias("f"),
-        )
-    )
+            for i, w in enumerate(_DELTA_WORDS)
+        ])).alias("wf"),
+    ).select("source", F.col("wf.wd").alias("wd"), F.col("wf.f").alias("f"))
     mu = (F.sum(F.col("f").cast("decimal(18,12)")).cast("double")
           / F.count("*"))
     ef2 = (F.sum((F.col("f") * F.col("f")).cast("decimal(18,12)"))

@@ -1497,3 +1497,16 @@ def test_mor_snapshot_read_is_one_broadcast_anti_join(spark):
     assert "CartesianProduct" not in plan
     final = _final(plan)
     assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+
+
+def test_kmeans_assignment_is_map_side_argmin_no_window(spark):
+    # r14 optimization: the per-round nearest-centroid pick is an
+    # array_min over the one-row broadcast centroid array — the old
+    # crossJoin x K + row_number window shuffled the corpus WITH its
+    # full embedding vectors K times per Lloyd round.  Gate: no Window
+    # operator anywhere, argmin visible as array_min(transform(...)),
+    # and no Python evaluation.
+    plan = _executed(REG["ml_kmeans_train"].fn(spark, SF_SMALL), spark)
+    assert "Window" not in plan, plan
+    assert "array_min" in plan
+    assert "BatchEvalPython" not in plan
