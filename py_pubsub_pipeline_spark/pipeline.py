@@ -44,6 +44,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 log = logging.getLogger(__name__)
 
@@ -302,13 +303,34 @@ class MorUpsertSink:
         base_seq = max(comps) if comps else None
         live = [c for c in commits
                 if base_seq is None or c["seq"] > base_seq]
+
+        # Every file under this sink shares the ingest batch schema
+        # (base files are resolved snapshots of the same columns, and
+        # delete files are `select(key)` of it — see __call__), so
+        # parquet schema inference runs ONCE for the whole read
+        # instead of once per relation: each uninferred
+        # spark.read.parquet costs a driver-side footer read (~0.1 s),
+        # and a snapshot over K deltas paid it 2K+1 times.  A batch
+        # that changed schema mid-stream fails at scan time with the
+        # declared schema — as loudly as the unionByName below
+        # already failed.
+        data_schema = None
+
+        def _read_data(rel: str) -> DataFrame:
+            nonlocal data_schema
+            p = os.path.join(self.path, rel)
+            if data_schema is None:
+                df = spark.read.parquet(p)
+                data_schema = df.schema
+                return df
+            return spark.read.schema(data_schema).parquet(p)
+
         data = None
         dels = None
         del_bytes = 0
         if base_seq is not None:
-            data = spark.read.parquet(
-                os.path.join(self.path, f"base-{base_seq}")
-            ).withColumn("__seq", F.lit(base_seq).cast("long"))
+            data = _read_data(f"base-{base_seq}").withColumn(
+                "__seq", F.lit(base_seq).cast("long"))
         for c in live:
             ddir = os.path.join(self.path, c["deletes"])
             # walk recursively: the sink writes unpartitioned today,
@@ -321,11 +343,11 @@ class MorUpsertSink:
                     for f in files if f.endswith(".parquet")
                 )
         for c in live:
-            d = spark.read.parquet(
-                os.path.join(self.path, c["data"])
-            ).withColumn("__seq", F.lit(c["seq"]).cast("long"))
+            d = _read_data(c["data"]).withColumn(
+                "__seq", F.lit(c["seq"]).cast("long"))
             data = d if data is None else data.unionByName(d)
-            dl = spark.read.parquet(
+            del_schema = StructType([data_schema[self.key]])
+            dl = spark.read.schema(del_schema).parquet(
                 os.path.join(self.path, c["deletes"])
             ).select(
                 F.col(self.key).alias("__del_key"),

@@ -182,11 +182,21 @@ def share_shingles(spark: SparkSession, sf_dir: str):
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h): one row per distinct hashed shingle per doc.
     Served from the share_shingles() materialization when one is
-    open for this sf_dir."""
+    open for this sf_dir.
+
+    The scan widens to the session core count when narrower
+    (tables.widen_scan, keyed by doc_id): the test corpus's
+    single-row-group parquet otherwise runs the whole
+    explode+xxhash64 map stage — and the shuffle WRITE of whichever
+    exchange sits above it — on one task of 32 (measured 15-25%
+    off dedup_ngram_jaccard at sf0.1, both A/B orders); the doc_id
+    key lets the sizes-side groupBy(doc_id) reuse the layout.  No-op
+    on a production many-split scan, so the 100 TB plan is
+    unchanged."""
     cached = _SHINGLE_CACHE.get(sf_dir)
     if cached is not None:
         return cached
-    d = table(spark, sf_dir, "documents")
+    d = widen_scan(table(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", F.explode(_gram_hashes()).alias("h"))
 
 

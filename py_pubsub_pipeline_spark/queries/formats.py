@@ -51,6 +51,20 @@ def _fixture_dir(sf_dir: str, kind: str,
     return os.path.join(_cache_dir(sf_dir, kind), f"v1-{mt}")
 
 
+def read_fixture(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    """Read a fixture relation with its statically-declared schema.
+
+    An uninferred ``spark.read.parquet`` pays a driver-side footer
+    read (~0.1 s) on EVERY serve-path invocation — pure per-query
+    driver work (guide §5) for a schema the writer in the same module
+    fixed at build time.  Declaring it skips the inference entirely.
+    Drift safety: the parity gates hash every value, so a fixture
+    whose written schema no longer matches the declared DDL cannot
+    pass silently (missing columns surface as nulls -> hash
+    mismatch), and tests assert inferred == declared per fixture."""
+    return spark.read.schema(ddl).parquet(path)
+
+
 def _materialize(spark: SparkSession, sf_dir: str, kind: str, tbl: str,
                  writer) -> str:
     """Write the derived copy once per (sf_dir, kind); Spark's own

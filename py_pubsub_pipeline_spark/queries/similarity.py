@@ -2073,6 +2073,15 @@ PQ_M = 8    # subspaces
 PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB = 64 = embedding dim)
 PQ_K = 16   # centroids per subspace (codebook = first PQ_K vectors)
 
+# Declared schemas of the persisted index fixtures (read_fixture):
+# fixed by the writers below; tests assert inferred == declared.
+_PQ_CODES_DDL = "vec_id BIGINT, " + ", ".join(
+    f"code_{m} BIGINT" for m in range(PQ_M))
+_IVFPQ_CODES_DDL = "vec_id BIGINT, cell BIGINT, " + ", ".join(
+    f"code_{m} BIGINT" for m in range(PQ_M))
+_IVFPQ_CEN_DDL = "cid BIGINT, ce ARRAY<DOUBLE>"
+_IVFPQ_CB_DDL = "cb ARRAY<ARRAY<ARRAY<DOUBLE>>>"
+
 
 def _pq_sql_d2u(v: str, c: str, m: int) -> str:
     """Integer-micro squared distance on subspace m (1-based slice)."""
@@ -2277,7 +2286,8 @@ def _pq_candidates(spark: SparkSession, sf_dir: str, r: int) -> DataFrame:
             ])
             .write.mode("overwrite").parquet(path)
         )
-    codes = spark.read.parquet(path)
+    from .formats import read_fixture
+    codes = read_fixture(spark, path, _PQ_CODES_DDL)
     # per-query ADC lookup table: lut[m][k] = d2u(query subspace m,
     # centroid k) as a nested array — ONE row per query, broadcast;
     # inner order is the codebook array's (ascending k).
@@ -3156,7 +3166,8 @@ def _ivfpq_search(v: DataFrame, cen: DataFrame, sf_dir: str | None = None,
             path = _fixture_dir(sf_dir, kind)
             if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
                 enc.write.mode("overwrite").parquet(path)
-            enc = v.sparkSession.read.parquet(path)
+            from .formats import read_fixture
+            enc = read_fixture(v.sparkSession, path, _IVFPQ_CODES_DDL)
     if multiprobe:
         # Query-side PROBE EXPANSION (sim_lsh_multiprobe's discipline
         # on IVF cells): the probe set is the NPROBE nearest cells
@@ -3304,7 +3315,9 @@ def _ivfpq_trained_index(spark: SparkSession,
         res = _ivfpq_assign(v, _ivfpq_cenball(cen))
         cb = _ivfpq_cb_train(res, _ivfpq_cb_init(res))
         cb.write.mode("overwrite").parquet(cb_path)
-    return (spark.read.parquet(cen_path), spark.read.parquet(cb_path))
+    from .formats import read_fixture
+    return (read_fixture(spark, cen_path, _IVFPQ_CEN_DDL),
+            read_fixture(spark, cb_path, _IVFPQ_CB_DDL))
 
 
 @query("sim_ivfpq_trained",

@@ -278,3 +278,38 @@ def test_ivfpq_matches_numpy_and_respects_routing(spark):
         assert [(a, n) for _, n, a in sorted(rows)] == [
             (a, n) for a, n in cand[:TOP_K]
         ]
+
+
+def test_fixture_declared_schemas_match_inferred(spark):
+    """read_fixture declares each persisted-index schema statically to
+    skip the per-invocation parquet footer inference; a writer change
+    that drifts the on-disk schema must fail HERE, not surface as
+    declared-schema nulls in a serve path."""
+    from py_pubsub_pipeline_spark.queries.formats import _fixture_dir
+    from py_pubsub_pipeline_spark.queries.similarity import (
+        _IVFPQ_CB_DDL,
+        _IVFPQ_CEN_DDL,
+        _IVFPQ_CODES_DDL,
+        _PQ_CODES_DDL,
+        _ivfpq_trained_index,
+    )
+    from py_pubsub_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    # building the fixtures is idempotent (done-flag guarded)
+    reg.get("sim_pq_adc").fn(spark, SF_SMALL)
+    reg.get("sim_ivfpq").fn(spark, SF_SMALL)
+    _ivfpq_trained_index(spark, SF_SMALL)
+    for kind, ddl in [
+        ("pq_codes", _PQ_CODES_DDL),
+        ("ivfpq_codes", _IVFPQ_CODES_DDL),
+        ("ivfpq_trained_cen", _IVFPQ_CEN_DDL),
+        ("ivfpq_trained_cb", _IVFPQ_CB_DDL),
+    ]:
+        path = _fixture_dir(SF_SMALL, kind)
+        inferred = spark.read.parquet(path).schema
+        declared = spark.read.schema(ddl).parquet(path).schema
+        assert inferred == declared, (
+            f"{kind}: declared DDL drifted from the written schema: "
+            f"{inferred.simpleString()} != {declared.simpleString()}"
+        )
