@@ -1952,7 +1952,8 @@ def _kgs_index_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         und.join(vecs, "nbr").select("src", "nbr", "ce", "nc") \
             .write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    from .formats import read_fixture
+    return read_fixture(spark, path, _KGS_EDGES_DDL)
 
 
 @query("sim_knn_graph_search", oracle=_kgs_oracle())
@@ -2081,6 +2082,7 @@ _IVFPQ_CODES_DDL = "vec_id BIGINT, cell BIGINT, " + ", ".join(
     f"code_{m} BIGINT" for m in range(PQ_M))
 _IVFPQ_CEN_DDL = "cid BIGINT, ce ARRAY<DOUBLE>"
 _IVFPQ_CB_DDL = "cb ARRAY<ARRAY<ARRAY<DOUBLE>>>"
+_KGS_EDGES_DDL = "src BIGINT, nbr BIGINT, ce ARRAY<DOUBLE>, nc DOUBLE"
 
 
 def _pq_sql_d2u(v: str, c: str, m: int) -> str:

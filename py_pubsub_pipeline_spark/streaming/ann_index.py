@@ -173,19 +173,25 @@ class IvfpqIndexSink:
         batch id <= its seq) and unions only the batch partitions
         appended after it — O(deltas since compaction) files, with
         replayed pre-base batch dirs excluded by construction."""
+        from ..queries.similarity import _IVFPQ_CODES_DDL
+
         bases = self._bases()
         base = max(bases) if bases else None
         out = None
         if base is not None:
             # read the base dir directly (no basePath): its files carry
-            # the plain code columns, no inferred partition column
-            out = spark.read.parquet(
+            # the plain code columns, no inferred partition column.
+            # Schema declared (the codes contract shared with
+            # _ivfpq_encode) so the serve path skips the per-call
+            # parquet footer inference.
+            out = spark.read.schema(_IVFPQ_CODES_DDL).parquet(
                 os.path.join(self.path, f"base={base}"))
         deltas = [self._batch_dir(b) for b in self._committed()
                   if base is None or b > base]
         if deltas:
             d = (
-                spark.read.option("basePath", self.path)
+                spark.read.schema(_IVFPQ_CODES_DDL)
+                .option("basePath", self.path)
                 .parquet(*deltas).drop("batch")
             )
             out = d if out is None else out.unionByName(d)
