@@ -290,6 +290,7 @@ def test_fixture_declared_schemas_match_inferred(spark):
         _IVFPQ_CB_DDL,
         _IVFPQ_CEN_DDL,
         _IVFPQ_CODES_DDL,
+        _KGS_EDGES_DDL,
         _PQ_CODES_DDL,
         _ivfpq_trained_index,
     )
@@ -299,12 +300,14 @@ def test_fixture_declared_schemas_match_inferred(spark):
     # building the fixtures is idempotent (done-flag guarded)
     reg.get("sim_pq_adc").fn(spark, SF_SMALL)
     reg.get("sim_ivfpq").fn(spark, SF_SMALL)
+    reg.get("sim_knn_graph_search").fn(spark, SF_SMALL)
     _ivfpq_trained_index(spark, SF_SMALL)
     for kind, ddl in [
         ("pq_codes", _PQ_CODES_DDL),
         ("ivfpq_codes", _IVFPQ_CODES_DDL),
         ("ivfpq_trained_cen", _IVFPQ_CEN_DDL),
         ("ivfpq_trained_cb", _IVFPQ_CB_DDL),
+        ("knn_graph_hnsw_hubmid", _KGS_EDGES_DDL),
     ]:
         path = _fixture_dir(SF_SMALL, kind)
         inferred = spark.read.parquet(path).schema
