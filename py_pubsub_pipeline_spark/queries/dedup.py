@@ -184,19 +184,25 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Served from the share_shingles() materialization when one is
     open for this sf_dir.
 
-    The scan widens to the session core count when narrower
-    (tables.widen_scan, keyed by doc_id): the test corpus's
-    single-row-group parquet otherwise runs the whole
-    explode+xxhash64 map stage — and the shuffle WRITE of whichever
-    exchange sits above it — on one task of 32 (measured 15-25%
-    off dedup_ngram_jaccard at sf0.1, both A/B orders); the doc_id
-    key lets the sizes-side groupBy(doc_id) reuse the layout.  No-op
-    on a production many-split scan, so the 100 TB plan is
-    unchanged."""
+    Deliberately NOT widened (tables.widen_scan) — the r14 widen was
+    re-adjudicated in r15 (VERDICT r14 item 1): two same-session
+    interleaved A/B probes at sf0.1 driver conditions
+    (scripts/ab_ngram_widen.py) could not reproduce the r14 15-25%
+    win — pooled mins capped 1.412 s (no widen) vs 1.616 s (widen),
+    jaccard a wash (1.615 vs 1.540) — and the r14 driver's own run
+    had the widened pair 2.5x slower.  Unlike the minhash kernels
+    (16-32 md5 MINs per shingle, where _shingles(wide=True) is an
+    unambiguous win), the xxhash64 explode here is light per byte:
+    the added round-trip exchange costs as much as the one-task map
+    stage it parallelizes, and every downstream consumer already
+    gets 32-way parallelism from the inverted-index exchange the
+    plan needs anyway.  On a production many-split scan both forms
+    are identical (widen_scan no-ops), so this is purely the honest
+    local plan."""
     cached = _SHINGLE_CACHE.get(sf_dir)
     if cached is not None:
         return cached
-    d = widen_scan(table(spark, sf_dir, "documents"), "doc_id")
+    d = table(spark, sf_dir, "documents")
     return d.select("doc_id", F.explode(_gram_hashes()).alias("h"))
 
 

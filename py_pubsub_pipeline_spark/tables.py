@@ -33,6 +33,15 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 # doesn't pin its plans.
 _TABLES: WeakKeyDictionary = WeakKeyDictionary()
 _CONFED: WeakKeyDictionary = WeakKeyDictionary()
+# widen_scan's scan-partition probe, memoized per DataFrame object:
+# df.rdd.getNumPartitions() runs the full analysis+planning pipeline
+# through py4j (~0.1s of driver time) on EVERY serve call of every
+# widened key (r14 verdict item 3).  table() hands every caller the
+# same cached DataFrame object per (session, sf_dir, name), and a
+# plan's scan partitioning is fixed for a fixed file set and session
+# conf, so the count is probed once per object and remembered.  Keyed
+# weakly so a dropped plan doesn't pin its entry.
+_SCAN_PARTS: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,7 +88,11 @@ def widen_scan(df: DataFrame, *keys: str) -> DataFrame:
     follows the master), keeping the scaling measurement honest."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    n = _SCAN_PARTS.get(df)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS[df] = n
+    if n >= target:
         return df
     return df.repartition(target, *keys) if keys else df.repartition(target)
 
