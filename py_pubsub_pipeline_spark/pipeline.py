@@ -51,6 +51,18 @@ log = logging.getLogger(__name__)
 # ---------------------------------------------------------------- codecs
 
 
+def _tree_parquet_bytes(path: str) -> int:
+    """Total parquet bytes under ``path``, recursively (a partitioned
+    or nested write must never be undercounted)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files if f.endswith(".parquet")
+        )
+    return total
+
+
 def byte_load_json(data: bytes) -> Any:
     """Default message deserializer (mirrors P:55-57)."""
     return json.loads(data.decode("utf-8"))
@@ -245,8 +257,19 @@ class MorUpsertSink:
         entry = os.path.join(self._commit_dir(), f"{epoch_id}.json")
         tmp = entry + ".tmp"
         with open(tmp, "w") as fh:
+            # del_bytes and fields are read-side metadata recorded at
+            # WRITE time (Iceberg's manifest posture): the snapshot
+            # read sizes its broadcast gate from the commit log it
+            # already parses — zero filesystem walks per serve call —
+            # and checks the batch's column names against the first
+            # commit's, so name-level schema drift fails LOUDLY at
+            # read time instead of silently nulling/truncating under
+            # the shared declared schema.
             json.dump({"seq": int(epoch_id), "data": data_rel,
-                       "deletes": del_rel}, fh)
+                       "deletes": del_rel,
+                       "del_bytes": _tree_parquet_bytes(
+                           os.path.join(self.path, del_rel)),
+                       "fields": compacted.schema.fieldNames()}, fh)
         os.replace(tmp, entry)
 
     def _commits(self) -> list[dict]:
@@ -310,10 +333,16 @@ class MorUpsertSink:
         # parquet schema inference runs ONCE for the whole read
         # instead of once per relation: each uninferred
         # spark.read.parquet costs a driver-side footer read (~0.1 s),
-        # and a snapshot over K deltas paid it 2K+1 times.  A batch
-        # that changed schema mid-stream fails at scan time with the
-        # declared schema — as loudly as the unionByName below
-        # already failed.
+        # and a snapshot over K deltas paid it 2K+1 times.  Drift
+        # detection under the shared schema: TYPE-incompatible drift
+        # still fails at scan time, but NAME-level drift (a commit
+        # that dropped or added a column) would be silently read as
+        # nulls / truncated — so each commit's column names, recorded
+        # in its commit-log entry at write time, are checked against
+        # the resolved schema below and mismatches raise before any
+        # scan.  Pre-r15 commit entries without the field carry no
+        # check (their drift detection is delegated to the parity
+        # gates, which hash every value).
         data_schema = None
 
         def _read_data(rel: str) -> DataFrame:
@@ -332,19 +361,27 @@ class MorUpsertSink:
             data = _read_data(f"base-{base_seq}").withColumn(
                 "__seq", F.lit(base_seq).cast("long"))
         for c in live:
-            ddir = os.path.join(self.path, c["deletes"])
-            # walk recursively: the sink writes unpartitioned today,
-            # but the broadcast gate must not silently undercount a
-            # partitioned/nested delete write and broadcast an
-            # oversized union — the exact OOM it exists to prevent
-            for root, _dirs, files in os.walk(ddir):
-                del_bytes += sum(
-                    os.path.getsize(os.path.join(root, f))
-                    for f in files if f.endswith(".parquet")
-                )
+            # the broadcast gate sizes from the commit log (recorded
+            # at write time) — zero filesystem walks on the serve
+            # path; pre-r15 entries without the field fall back to
+            # one recursive walk (recursive so a partitioned/nested
+            # delete write is never undercounted into an oversized
+            # broadcast — the exact OOM the gate exists to prevent)
+            if "del_bytes" in c:
+                del_bytes += int(c["del_bytes"])
+            else:
+                del_bytes += _tree_parquet_bytes(
+                    os.path.join(self.path, c["deletes"]))
         for c in live:
             d = _read_data(c["data"]).withColumn(
                 "__seq", F.lit(c["seq"]).cast("long"))
+            want = c.get("fields")
+            if want is not None and want != data_schema.fieldNames():
+                raise ValueError(
+                    f"MoR schema drift at seq {c['seq']}: commit "
+                    f"recorded columns {want} but the snapshot "
+                    f"resolves with {data_schema.fieldNames()}"
+                )
             data = d if data is None else data.unionByName(d)
             del_schema = StructType([data_schema[self.key]])
             dl = spark.read.schema(del_schema).parquet(
