@@ -168,6 +168,12 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_suppkey").alias("supp"))
         .distinct()
     )
+    # LAZY checkpoints throughout (r15): LPA's round count is FIXED —
+    # no driver decision reads a round's result — so materialization
+    # folds into the final action instead of one job barrier per round
+    # (lineage truncation is plan-level and identical either way).
+    # Force-lazy interleaved A/B at sf0.1: every lazy run beat every
+    # eager run (5.13-5.33 s vs 5.94-6.47), identical rows.
     edges = eb.select(
         F.col("cust").alias("u"),
         (F.col("supp") + SUPP_OFFSET).alias("v"),
@@ -176,7 +182,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("supp") + SUPP_OFFSET).alias("u"),
             F.col("cust").alias("v"),
         )
-    ).repartition("u").localCheckpoint(eager=True, storageLevel=_DISK)
+    ).repartition("u").localCheckpoint(eager=False, storageLevel=_DISK)
     verts = (
         table(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("node"))
@@ -186,7 +192,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
-        .localCheckpoint(eager=True, storageLevel=_DISK)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     lbl = verts.select("node", F.col("node").alias("lbl"))
     # Top-1 stays a row_number window: the max(struct(c, -lbl)) hash-
@@ -209,7 +215,8 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint(eager=True, storageLevel=_DISK)
+            # eager=False: see the edges checkpoint note above
+            .localCheckpoint(eager=False, storageLevel=_DISK)
         )
     return lbl.select("node", F.col("lbl").alias("community"))
 
@@ -360,13 +367,23 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     round. Scores move as (id, double) pairs, never adjacency."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # LAZY checkpoints throughout (r15): HITS runs a FIXED round count
+    # — no driver decision reads a round's result — so materialization
+    # folds into the final action instead of one job barrier per
+    # half-round (the ar/hr checkpoints were already lazy; this
+    # extends it to eb/a/h).  Force-lazy interleaved A/B at sf0.1:
+    # lazy min 4.84 / med 5.03 vs eager 4.96 / 5.04 — lazy won every
+    # paired position; identical rows.  The r14 lineage analysis is
+    # unchanged: ar/hr feed both a projection and the broadcast-MAX
+    # subquery, so they stay checkpointed (one materialization serves
+    # both); laziness only moves WHEN the blocks land.
     eb = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"),
                 F.col("l_suppkey").alias("supp"))
         .distinct()
         .repartition("cust")
-        .localCheckpoint(eager=True, storageLevel=_DISK)
+        .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     snap = lambda c: F.floor(c * 1e12 + 0.5).cast("decimal(28,0)")  # noqa: E731
     h = eb.select("cust").distinct().select(
@@ -390,7 +407,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (F.col("s").cast("double") / F.col("mx").cast("double"))
             .alias("sc"),
-        ).localCheckpoint(eager=True, storageLevel=_DISK)
+        ).localCheckpoint(eager=False, storageLevel=_DISK)
         hr = (
             eb.join(a.withColumnRenamed("node", "supp"), "supp")
             .groupBy(F.col("cust").alias("node"))
@@ -402,7 +419,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (F.col("s").cast("double") / F.col("mx").cast("double"))
             .alias("sc"),
-        ).localCheckpoint(eager=True, storageLevel=_DISK)
+        ).localCheckpoint(eager=False, storageLevel=_DISK)
     hubs = h.select("node", F.lit("hub").alias("role"),
                     F.round("sc", 6).alias("score"))
     auths = a.select("node", F.lit("authority").alias("role"),

@@ -12,10 +12,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# import root derived from this file, not the cwd (ADVICE r14)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from py_pubsub_pipeline_spark.registry import load_all  # noqa: E402
 from py_pubsub_pipeline_spark.session import get_spark  # noqa: E402
@@ -40,11 +42,13 @@ def main() -> int:
         spark.sparkContext.setJobDescription(f"probe: {name}")
         rows = []
         for i in range(args.runs):
-            t0 = time.time()
+            # perf_counter: monotonic — sub-second phase deltas must
+            # not absorb wall-clock (NTP) steps (ADVICE r14)
+            t0 = time.perf_counter()
             df = spec.fn(spark, args.sf)
-            t1 = time.time()
+            t1 = time.perf_counter()
             df.count()
-            t2 = time.time()
+            t2 = time.perf_counter()
             rows.append((round(t1 - t0, 3), round(t2 - t1, 3)))
         out[name] = {"build_exec_pairs": rows}
         print(f"{name}: " + "  ".join(
