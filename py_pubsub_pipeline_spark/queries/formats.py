@@ -37,6 +37,46 @@ def _cache_dir(sf_dir: str, kind: str) -> str:
     return os.path.join(tempfile.gettempdir(), "spark_formats", tag, kind)
 
 
+# Declared schemas of this module's per-corpus fixture relations
+# (r15, VERDICT r14 item 5 — the read_fixture discipline extended to
+# the lakehouse-layout fixtures): every writer below fixes its schema
+# at build time, so the serve paths declare it instead of paying a
+# driver-side parquet footer inference per invocation (~0.1 s each;
+# several keys paid it 3-7x per call).  Drift safety: the parity
+# gates hash every value, and tests assert inferred == declared per
+# fixture (tests/test_pq.py::test_formats_fixture_schemas_match).
+#
+# Corpus orders layout (fixtures that copy full orders rows).
+_ORDERS_DDL = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, "
+    "o_orderpriority STRING"
+)
+# Hive-partitioned copies: partition columns come back LAST and (by
+# the directory-name contract) as STRING.
+_ORDERS_BY_STATUS_DDL = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+    "o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING, "
+    "o_orderstatus STRING"
+)
+# Leaf-directory reads of the two partition specs (partition values
+# live in the path, so a leaf read sees only the data columns).
+_ORDERS_LEAF_SPEC1_DDL = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+    "o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"
+)
+_ORDERS_LEAF_SPEC2_DDL = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+    "o_orderdate TIMESTAMP_NTZ"
+)
+_CUSTOMER_BY_SEG_DDL = (
+    "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+    "c_acctbal DOUBLE, c_mktsegment STRING"
+)
+_STATUS_DIM_DDL = "status STRING, n BIGINT, rnk INT"
+_DELETE_KEYS_DDL = "o_orderkey BIGINT"
+
+
 def _fixture_dir(sf_dir: str, kind: str,
                  src: str = "embeddings.parquet") -> str:
     """mtime_ns-keyed fixture dir — THE key derivation for every
@@ -236,7 +276,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda df, p: df.write.mode("overwrite")
         .partitionBy("o_orderstatus").parquet(p),
     )
-    o = spark.read.parquet(path)
+    o = spark.read.schema(_ORDERS_BY_STATUS_DDL).parquet(path)
     return (
         o.filter(F.col("o_orderstatus") == "F")
         .groupBy("o_orderpriority")
@@ -783,7 +823,10 @@ def scan_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, no window, no shuffle beyond the file-bounded agg; the
     columnar read is unchanged (ReadSchema carries only the queried
     key column)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    # through the session table cache (same file-source scan; the
+    # hidden _metadata struct is available on any file relation) —
+    # the direct spark.read.parquet paid a footer inference per call
+    o = table(spark, sf_dir, "orders").select(
         F.col("_metadata.file_name").alias("file_name"),
         F.col("_metadata.row_index").alias("row_index"),
         "o_orderkey",
@@ -868,7 +911,7 @@ def scan_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with open(done, "w"):
             pass
-    back = spark.read.parquet(path)
+    back = spark.read.schema(_CUSTOMER_BY_SEG_DDL).parquet(path)
     return back.groupBy("c_mktsegment").agg(
         F.count("*").cast("long").alias("n"),
         F.count_if(F.col("c_mktsegment") == "BUILDING").cast("long")
@@ -985,7 +1028,7 @@ def scan_manifest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(manifest) as f:
         snap = _json.load(f)
     files = [os.path.join(path, rel) for rel in snap["files"]]
-    committed = spark.read.parquet(*files)
+    committed = spark.read.schema(_ORDERS_DDL).parquet(*files)
     return committed.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
@@ -1052,7 +1095,7 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(manifest_path) as f:
             snap = _json.load(f)
         files = [os.path.join(base, rel) for rel in snap["files"]]
-        return spark.read.parquet(*files).agg(
+        return spark.read.schema(_ORDERS_DDL).parquet(*files).agg(
             F.count("*").alias("n"),
             F.sum("o_orderkey").alias("key_sum"),
         ).select(
@@ -1123,7 +1166,7 @@ def _manifest_files(base: str, version: str) -> list[str]:
 def _file_stats(spark: SparkSession, base: str, rel: str,
                 file_col: str, status: str) -> DataFrame:
     return (
-        spark.read.parquet(os.path.join(base, rel))
+        spark.read.schema(_ORDERS_DDL).parquet(os.path.join(base, rel))
         .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum"))
         .select(
             F.lit(rel).alias(file_col), F.lit(status).alias("status"),
@@ -1424,7 +1467,7 @@ def _zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     files += [("hash", hbase, f"file-{p}") for p in range(3)]
     for layout, base, rel in files:
         part = (
-            spark.read.parquet(os.path.join(base, rel))
+            spark.read.schema(_ORDERS_DDL).parquet(os.path.join(base, rel))
             .agg(
                 F.min("o_orderkey").alias("min_key"),
                 F.max("o_orderkey").alias("max_key"),
@@ -1617,8 +1660,8 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim_path = _materialize(
         spark, sf_dir, "status_dim", "orders", write_dim)
-    fact = spark.read.parquet(fact_path)
-    dim = spark.read.parquet(dim_path).filter(F.col("rnk") == 1)
+    fact = spark.read.schema(_ORDERS_BY_STATUS_DDL).parquet(fact_path)
+    dim = spark.read.schema(_STATUS_DIM_DDL).parquet(dim_path).filter(F.col("rnk") == 1)
     return (
         fact.join(F.broadcast(dim),
                   fact["o_orderstatus"] == dim["status"])
@@ -1729,7 +1772,9 @@ def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Residual predicate: only the columns the file's own spec
             # did NOT already pin (spec 1 pins status -> residual is
             # priority; spec 2 pins both -> residual is TRUE).
-            df = spark.read.parquet(full)
+            df = spark.read.schema(
+                _ORDERS_LEAF_SPEC1_DDL if spec_id == 1
+                else _ORDERS_LEAF_SPEC2_DDL).parquet(full)
             residual = (
                 F.col("o_orderpriority") == _EVO_PRIO
                 if spec_id == 1 else F.lit(True)
@@ -1801,12 +1846,12 @@ def scan_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten either way, which is the point at 100 TB ingest
     rates."""
     hbase = _manifest_fixture(spark, sf_dir)
-    dels = spark.read.parquet(
+    dels = spark.read.schema(_DELETE_KEYS_DDL).parquet(
         _delete_file_fixture(spark, sf_dir)
     ).select(F.col("o_orderkey").alias("del_key"))
     out = None
     for p in range(3):
-        df = spark.read.parquet(os.path.join(hbase, f"file-{p}"))
+        df = spark.read.schema(_ORDERS_DDL).parquet(os.path.join(hbase, f"file-{p}"))
         live = df.join(
             F.broadcast(dels),
             df["o_orderkey"] == dels["del_key"], "left_anti",

@@ -316,3 +316,63 @@ def test_fixture_declared_schemas_match_inferred(spark):
             f"{kind}: declared DDL drifted from the written schema: "
             f"{inferred.simpleString()} != {declared.simpleString()}"
         )
+
+
+def test_formats_fixture_schemas_match_inferred(spark):
+    """r15 (VERDICT r14 item 5): the lakehouse-layout fixtures in
+    queries/formats.py now declare their schemas on the serve path
+    (skipping the per-invocation footer inference); a writer change
+    that drifts any written schema must fail HERE, not surface as
+    declared-schema nulls."""
+    import os
+
+    from py_pubsub_pipeline_spark.queries import formats as FM
+    from py_pubsub_pipeline_spark.registry import load_all
+
+    reg = load_all()
+    # building every fixture is idempotent (done-flag guarded)
+    for key in (
+        "scan_partition_pruned", "scan_partition_overwrite",
+        "scan_manifest_snapshot", "join_dpp_partition_pruned",
+        "scan_partition_evolution", "scan_equality_deletes",
+        "scan_minmax_skipping",
+    ):
+        reg.get(key).fn(spark, SF_SMALL).count()
+
+    def leaf(base: str, prefix: str) -> str:
+        for d in sorted(os.listdir(base)):
+            if d.startswith(prefix):
+                return os.path.join(base, d)
+        raise AssertionError(f"no {prefix}* under {base}")
+
+    by_status = FM._cache_dir(SF_SMALL, "orders_by_status")
+    by_both = FM._cache_dir(SF_SMALL, "orders_by_status_priority")
+    spec2_status = leaf(by_both, "o_orderstatus=")
+    checks = [
+        ("orders_by_status (partitioned)", by_status,
+         FM._ORDERS_BY_STATUS_DDL),
+        ("part_overwrite (partitioned customer)",
+         FM._cache_dir(SF_SMALL, "part_overwrite"),
+         FM._CUSTOMER_BY_SEG_DDL),
+        ("manifest file", os.path.join(
+            FM._cache_dir(SF_SMALL, "manifest_snap"), "file-0"),
+         FM._ORDERS_DDL),
+        ("status_dim", FM._cache_dir(SF_SMALL, "status_dim"),
+         FM._STATUS_DIM_DDL),
+        ("delete keys", FM._delete_file_fixture(spark, SF_SMALL),
+         FM._DELETE_KEYS_DDL),
+        ("range file", os.path.join(
+            FM._cache_dir(SF_SMALL, "range_files"), "range-0"),
+         FM._ORDERS_DDL),
+        ("spec-1 leaf", leaf(by_status, "o_orderstatus="),
+         FM._ORDERS_LEAF_SPEC1_DDL),
+        ("spec-2 leaf", leaf(spec2_status, "o_orderpriority="),
+         FM._ORDERS_LEAF_SPEC2_DDL),
+    ]
+    for name, path, ddl in checks:
+        inferred = spark.read.parquet(path).schema
+        declared = spark.read.schema(ddl).parquet(path).schema
+        assert inferred == declared, (
+            f"{name}: declared DDL drifted from the written schema: "
+            f"{inferred.simpleString()} != {declared.simpleString()}"
+        )

@@ -674,3 +674,22 @@ def test_ivfpq_index_sink_compaction_read_identity_and_replay(
     assert len(sink.read_index(spark).inputFiles()) <= 33
     # quiescent maintenance no-op after everything is folded+vacuumed
     assert sink.compact(spark) == "base=4"
+    # ADVICE r14: read_index declares _IVFPQ_CODES_DDL on base and
+    # delta reads — assert inferred == declared on SINK-WRITTEN
+    # partitions (not just the batch-built fixture), so a sink-side
+    # writer change that drifts the codes schema fails here instead
+    # of surfacing as scan-time nulls/type errors
+    from py_pubsub_pipeline_spark.queries.similarity import (
+        _IVFPQ_CODES_DDL,
+    )
+
+    sink(v.where("vec_id % 5 = 0"), 5)  # fresh delta batch
+    for rel in ("base=4", "batch=5"):
+        path = os.path.join(idx, rel)
+        inferred = spark.read.parquet(path).schema
+        declared = spark.read.schema(_IVFPQ_CODES_DDL).parquet(path).schema
+        assert inferred == declared, (
+            f"{rel}: sink-written schema drifted from the declared "
+            f"codes DDL: {inferred.simpleString()} != "
+            f"{declared.simpleString()}"
+        )
