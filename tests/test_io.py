@@ -24,6 +24,35 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_widen_scan_memoizes_partition_probe(spark):
+    """r15 (VERDICT r14 item 3/8): widen_scan's scan-partition probe
+    (df.rdd.getNumPartitions, a full py4j planning round-trip) must
+    run once per DataFrame object, not once per serve call — table()
+    hands every caller the same cached object, so the memo removes
+    the per-invocation driver tax while keeping the decision (and
+    with it every plan) identical."""
+    from py_pubsub_pipeline_spark import tables
+
+    df = table(spark, SF_SMALL, "documents")
+    out1 = tables.widen_scan(df, "doc_id")
+    assert df in tables._SCAN_PARTS  # probe ran and was recorded
+    real_n = tables._SCAN_PARTS[df]
+    # prove the second call READS the memo instead of re-probing:
+    # poison it with a huge count — widen_scan must then decline to
+    # repartition (decision follows the memo, no fresh probe)
+    try:
+        tables._SCAN_PARTS[df] = 10**6
+        assert tables.widen_scan(df, "doc_id") is df
+    finally:
+        tables._SCAN_PARTS[df] = real_n
+    # with the real memo restored the decision matches the first call
+    out2 = tables.widen_scan(df, "doc_id")
+    assert (
+        out2._jdf.queryExecution().logical().toString()
+        == out1._jdf.queryExecution().logical().toString()
+    )
+
+
 def test_json_csv_roundtrip_matches_parquet(spark, tmp_path):
     src = table(spark, SF_SMALL, "nation")
     for fmt in ("json", "csv"):
