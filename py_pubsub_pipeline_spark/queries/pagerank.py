@@ -27,10 +27,15 @@ engines, and iteration N is too.
 Scale notes:
 - Per round: one join edges⋈ranks on the source key + one hash agg on
   the destination key — the canonical two-shuffle PageRank profile.
-  The edge list is repartitioned on `u` ONCE and localCheckpoint'ed,
-  so every round's join reuses that layout and only the (small,
-  vertex-cardinality) rank table moves; the groupBy(v) shuffle
-  carries 24-byte (id, decimal) rows, never adjacency.
+  The edge list is localCheckpoint'ed ONCE and only the (small,
+  vertex-cardinality) rank table moves per round (broadcast into the
+  join); the groupBy(v) shuffle carries 24-byte (id, decimal) rows,
+  never adjacency.  The edge build does NOT pre-repartition by `u`:
+  r15 measurement (plans/r15/graph_hits_hrjoin_*_nobroadcast.txt)
+  shows a localCheckpoint under AQE erases the repartition's
+  outputPartitioning (UnknownPartitioning on the RDD scan), so the
+  exchange bought no layout reuse in ANY regime — it was a dead
+  edge-cardinality shuffle, removed per guide §2.4.
 - `localCheckpoint(eager=True)` per round truncates lineage —
   without it the plan doubles per iteration (the iterative-Spark
   trap, same as connected_components).
@@ -182,7 +187,7 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("supp") + SUPP_OFFSET).alias("u"),
             F.col("cust").alias("v"),
         )
-    ).repartition("u").localCheckpoint(eager=False, storageLevel=_DISK)
+    ).localCheckpoint(eager=False, storageLevel=_DISK)
     verts = (
         table(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("node"))
@@ -247,9 +252,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("u").agg(F.count("*").cast("double").alias("outdeg"))
     # Edge list with out-degree attached, laid out by source key once;
     # every iteration's join reuses this partitioning (only ranks move).
+    # no repartition("u") before the checkpoint: the checkpoint
+    # erases partitioning metadata (module header), so the exchange
+    # was dead weight — the deg join's output layout is kept as-is
     ed = (
         edges.join(deg, "u")
-        .repartition("u")
         .localCheckpoint(eager=True, storageLevel=_DISK)
     )
     verts = (
@@ -382,7 +389,6 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("cust"),
                 F.col("l_suppkey").alias("supp"))
         .distinct()
-        .repartition("cust")
         .localCheckpoint(eager=False, storageLevel=_DISK)
     )
     snap = lambda c: F.floor(c * 1e12 + 0.5).cast("decimal(28,0)")  # noqa: E731
@@ -504,7 +510,7 @@ def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         eb.select((F.col("supp") + SUPP_OFFSET).alias("u"),
                   F.col("cust").alias("v"))
-    ).repartition("u").localCheckpoint(eager=True, storageLevel=_DISK)
+    ).localCheckpoint(eager=True, storageLevel=_DISK)
     verts = edges.select(F.col("u").alias("node")).distinct() \
         .localCheckpoint(eager=True, storageLevel=_DISK)
     snap = lambda c: F.floor(c * 1e12 + 0.5).cast("decimal(28,0)")  # noqa: E731
@@ -624,9 +630,9 @@ def graph_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     deg = edges.groupBy("u").agg(F.count("*").cast("double").alias("outdeg"))
+    # no repartition("u"): dead shuffle, see the module header
     ed = (
         edges.join(deg, "u")
-        .repartition("u")
         .localCheckpoint(eager=True, storageLevel=_DISK)
     )
     sv = (
