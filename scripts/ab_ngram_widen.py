@@ -13,6 +13,15 @@ action (fresh fn() build + .count()) and shuffle width (session
 default, as bench.py uses for the ngram keys).
 
 Usage: SPARK_GRAFT_CPUS=32 python scripts/ab_ngram_widen.py [sf_dir] [rounds]
+
+HISTORICAL NOTE: the probe settled the question on the PRE-r15 tree
+(where _hashed_shingles called widen_scan, so patching widen_scan to
+identity produced the B variant).  After the r15 revert
+(_hashed_shingles reads the narrow scan directly), both variants
+build the identical no-widen plan and the script measures A == B by
+construction; to reproduce the original A/B, run it from commit
+73c972b.  The measured results are quoted at the _hashed_shingles
+call site and in OPTIMIZATION_r15.md item 1.
 """
 
 from __future__ import annotations
